@@ -1,0 +1,69 @@
+"""Engine facade: the analog of the reference's ``QueryMain`` driver
+(``/root/reference/src/QueryMain.java:26-41``) minus everything Spark
+already does (buffer management, optimization, execution).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kaj_query_engine_spark.catalog import Catalog, load_fixture_catalog
+from kaj_query_engine_spark.dialect.lowering import lower
+from kaj_query_engine_spark.dialect.parser import parse
+from kaj_query_engine_spark.plans.pprint import pprint_query
+
+
+class KajEngine:
+    """Parse + lower the reference dialect over a table catalog.
+
+    >>> eng = KajEngine(spark)
+    >>> eng.register("customer", df)
+    >>> eng.sql('SELECT customer.c_custkey FROM customer '
+    ...         'WHERE customer.c_mktsegment = "BUILDING"')
+    """
+
+    def __init__(self, spark: SparkSession, strict_compat: bool = False):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.strict_compat = strict_compat
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self.catalog.register(name, df)
+
+    def load_fixtures(self, sf_dir: str) -> None:
+        fixture_cat = load_fixture_catalog(self.spark, sf_dir)
+        for name in fixture_cat.names():
+            self.catalog.register(name, fixture_cat.table(name))
+
+    def sql(self, query_text: str) -> DataFrame:
+        """Dialect SQL → DataFrame (lazy; caller acts on it)."""
+        return lower(parse(query_text), self.catalog, self.strict_compat)
+
+    def explain_plan(self, query_text: str) -> str:
+        """Logical-plan pretty-print in the spirit of the reference's
+        ``Debug.PPrint`` (``src/qp/operators/Debug.java:79-121``)."""
+        return pprint_query(parse(query_text))
+
+    def execute_to_file(self, query_text: str, out_path: str) -> float:
+        """Run a query and write a tab-separated result file with a
+        header line, like the reference's result sink
+        (``src/QueryMain.java:186-306``). Returns wall seconds."""
+        start = time.time()
+        df = self.sql(query_text)
+        rows = df.collect()
+        elapsed = time.time() - start
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as fh:
+            fh.write("\t".join(df.columns) + "\n")
+            for row in rows:
+                fh.write("\t".join(_fmt(v) for v in row) + "\n")
+        return elapsed
+
+
+def _fmt(value: object) -> str:
+    if value is None:
+        return "-NULL-"  # mirrors QueryMain.java:299-300
+    return str(value)
