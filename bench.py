@@ -1,0 +1,65 @@
+"""Benchmark harness — runs the headline workload queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q...": sec, ...}, "sf": ...}
+
+Each query is timed as plan-build + execution to completion via a
+count-style action (``df.foreach(noop)`` would pull nothing; we use
+``df.write.format("noop")`` which executes the full plan without
+collecting results to the driver — the closest analog of the
+reference's pull-to-sink loop, src/QueryMain.java:186-306).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kaj_query_engine_spark.session import get_spark
+from kaj_query_engine_spark.workload import all_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "kaj-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+
+    queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
+
+    # one warm-up action so JVM/codegen/session setup isn't billed to q00
+    next(iter(queries.values())).spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        start = time.time()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
