@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame compositions (no Python UDFs — every
+hash is ``F.md5``, JVM-side), designed shuffle-minimal for 100 TB:
+
+- **exact**: hash-groupBy on a content fingerprint. One shuffle on the
+  16-byte digest; partial aggregation halves it map-side.
+- **MinHash + LSH**: shingle → K minhashes → B bands → bucket-join.
+  Shuffles are on doc_id (signature build) and band-key (candidate
+  join); no all-pairs comparison ever materializes. Band buckets are
+  the classic LSH trade: P(candidate) ≈ 1-(1-j^R)^B.
+- **SimHash**: 32-bit fingerprint via per-bit majority vote over token
+  hashes; near-dups share the fingerprint (or differ in few bits).
+  One explode + one groupBy(doc) — linear, no joins.
+- **n-gram Jaccard**: exact verification via a shingle inverted index
+  self-join — quadratic only within shared-shingle buckets; used to
+  verify LSH candidates or alone at moderate scale.
+
+MinHash uses the *lexicographic minimum of salted md5 hex digests* as
+the hash family: h_k(s) = md5(k || '|' || s). This is engine-portable
+(identical strings in Spark and DuckDB) and uniform enough for LSH.
+
+No counterpart in the reference engine — north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.functions.text import doc_fingerprint, word_shingles
+
+# LSH defaults: 12 hashes = 4 bands x 3 rows → candidate threshold
+# (1/B)^(1/R) ≈ 0.63 Jaccard.
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (casefolded, space-collapsed) docs.
+    Returns (fingerprint h, n copies, keep_id = min id)."""
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("h"), F.col(id_col).alias("id")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keep_id"))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    n: int = 3,
+) -> DataFrame:
+    """(id, s0..s{K-1}) minhash signature per document.
+
+    One explode + one groupBy(id) with K min-aggregates — partial
+    aggregation keeps the shuffle at |docs| x K hex strings regardless
+    of document length.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Melt signatures into (id, band, key): key = md5 of the band's
+    signature slice."""
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"b{b}"))
+    with_bands = sigs.select("id", *band_cols)
+    stack = ", ".join(f"{b}, b{b}" for b in range(num_bands))
+    return with_bands.select(
+        "id", F.expr(f"stack({num_bands}, {stack}) AS (band, key)")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (d1 < d2) sharing at
+    least one LSH band bucket.
+
+    The pair join shuffles on (band, key) only; a hot bucket (skewed
+    key) is handled by AQE skew-join splitting. At 100 TB, cap bucket
+    width upstream (drop buckets with > N members as junk clusters)
+    before pairing — here data is small enough not to bother.
+    """
+    rows = num_hashes // num_bands
+    bands = lsh_bands(
+        minhash_signatures(df, id_col, text_col, num_hashes, n), num_bands, rows
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted index:
+    (d1, d2, jaccard) with jaccard >= threshold.
+
+    The self-join blows up only where shingles are shared — the
+    candidate generator LSH replaces this wholesale at 100 TB; this is
+    the exact verifier / moderate-scale path.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = counts.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
+    # raw int/int division — a single IEEE op, bit-identical across
+    # engines; rounding a clean rational can flip at half-boundaries
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(F.broadcast(c1), "d1")
+        .join(F.broadcast(c2), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash bitstring) — per-bit majority vote over md5 hex
+    nibbles of each distinct token (bit b = high bit of hex digit b).
+
+    Portable construction: bit_b(token) = md5(token)[b] in '8'..'f'.
+    One explode + one groupBy(id) with `bits` sum-aggregates.
+    """
+    assert bits <= 32  # md5 hex has 32 nibbles
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    hi = list("89abcdef")
+    votes = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin(*hi), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    bit_chars = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return voted.select("id", F.concat(*bit_chars).alias("simhash"))

@@ -1,1 +1,114 @@
-"""Filled in by subsequent milestones."""
+"""Deduplication workload over ``documents`` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard (north-star extensions; no reference
+counterpart). Oracle SQL is generated from the same parameters as the
+Spark operators so the two stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from kaj_query_engine_spark.operators import dedup as D
+from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.registry import register
+
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w) - 2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
+_WORDS = "SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents"
+_SH_CTE = (
+    f"WITH words AS ({_WORDS}), "
+    f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM words)"
+)
+
+
+@register(
+    "q50_dedup_exact",
+    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, "
+    "count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1",
+    "exact dedup: hash-groupBy on the content fingerprint (one shuffle "
+    "on the 16-byte digest; map-side partial agg)",
+)
+def q50(spark, sf_dir):
+    return D.exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_oracle() -> str:
+    k, b, r = D.NUM_HASHES, D.NUM_BANDS, D.ROWS_PER_BAND
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=i,
+            key=" || '|' || ".join(f"s{i * r + j}" for j in range(r)),
+        )
+        for i in range(b)
+    )
+    return (
+        f"{_SH_CTE}, "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+@register(
+    "q51_minhash_lsh",
+    _minhash_oracle(),
+    "MinHash (12 salted-md5 min-hashes) + LSH banding (4 bands x 3): "
+    "candidate near-dup pairs without any all-pairs comparison",
+)
+def q51(spark, sf_dir):
+    return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q52_ngram_jaccard",
+    f"{_SH_CTE}, "
+    "cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
+    "FROM pairs JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id "
+    "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4",
+    "exact 3-gram Jaccard pairs >= 0.4 via shingle inverted-index join "
+    "(the verifier for LSH candidates). Raw int/int division — "
+    "bit-identical across engines, no rounding",
+)
+def q52(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.4
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {hi} "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    chars = " || ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(list_distinct(string_split(trim(text), ' '))) AS tok "
+        "FROM documents), "
+        f"votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id AS id, {chars} AS simhash FROM votes"
+    )
+
+
+@register(
+    "q53_simhash",
+    _simhash_oracle(),
+    "32-bit SimHash fingerprints: per-bit majority vote over md5 "
+    "nibbles of distinct tokens (linear, join-free)",
+)
+def q53(spark, sf_dir):
+    return D.simhash_fingerprints(t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,1 +1,113 @@
-"""Filled in by subsequent milestones."""
+"""Similarity-search workload over ``embeddings`` (array<float>, 64-d):
+brute-force cosine top-k, LSH-bucketed ANN, embedding near-dup pairs.
+
+Oracle construction: the dot product folds left over the array in
+index order on both engines (Spark ``F.aggregate`` ↔ DuckDB
+``list_reduce``), so cosine doubles are bit-identical and ranking is
+deterministic (ties broken by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import similarity as S
+from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.registry import register
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 10
+
+_DOT_AB = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _norm(v: str) -> str:
+    return f"sqrt({_DOT_AB.format(a=v, b=v)})"
+
+
+def _topk_oracle(candidate_filter: str) -> str:
+    cos = (
+        f"{_DOT_AB.format(a='q.q_vec', b='e.v')} / (q.q_nrm * {_norm('e.v')})"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS q_id, v AS q_vec, "
+        f"{_norm('v')} AS q_nrm FROM e WHERE vec_id < {N_QUERIES}), "
+        f"scored AS (SELECT q.q_id, e.vec_id, {cos} AS c "
+        f"FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id{candidate_filter}), "
+        "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
+        "round(c, 6) AS cos FROM scored) "
+        f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {TOP_K}"
+    )
+
+
+@register(
+    "q60_ann_brute_force",
+    _topk_oracle(""),
+    "exact cosine top-10 for 5 query vectors: broadcast queries x one "
+    "corpus scan (the corpus never shuffles)",
+)
+def q60(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(e, q, k=TOP_K)
+
+
+def _lsh_oracle() -> str:
+    signs = S.hyperplane_signs()
+    plane_bits = []
+    for plane in signs:
+        lit = "[" + ", ".join(str(s) for s in plane) + "]::DOUBLE[]"
+        plane_bits.append(
+            f"CASE WHEN {_DOT_AB.format(a='v', b=lit)} > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(plane_bits)
+    cos = (
+        f"{_DOT_AB.format(a='q.q_vec', b='e.v')} / (q.q_nrm * {_norm('e.v')})"
+    )
+    return (
+        "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"e AS (SELECT vec_id, v, {bucket} AS bucket FROM e0), "
+        "q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket, "
+        f"{_norm('v')} AS q_nrm FROM e WHERE vec_id < {N_QUERIES}), "
+        f"scored AS (SELECT q.q_id, e.vec_id, {cos} AS c "
+        "FROM e JOIN q ON e.bucket = q.q_bucket WHERE e.vec_id <> q.q_id), "
+        "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
+        "round(c, 6) AS cos FROM scored) "
+        f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {TOP_K}"
+    )
+
+
+@register(
+    "q61_ann_lsh",
+    _lsh_oracle(),
+    "LSH-bucketed ANN (4 fixed random hyperplanes → 16 sign buckets): "
+    "candidates restricted to the query's bucket, then exact rank — "
+    "the 100 TB scale path",
+)
+def q61(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(e, q, k=TOP_K)
+
+
+@register(
+    "q62_embedding_neardup",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"n AS (SELECT vec_id, v, {_norm('v')} AS nrm FROM e) "
+    f"SELECT a.vec_id AS i, b.vec_id AS j, "
+    f"round({_DOT_AB.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cos "
+    "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+    f"WHERE {_DOT_AB.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= 0.45",
+    "embedding-cosine near-duplicate pairs (threshold 0.45)",
+)
+def q62(spark, sf_dir):
+    return S.embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
