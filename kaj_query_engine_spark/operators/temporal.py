@@ -1,0 +1,265 @@
+"""Temporal operators over event tables (batch path).
+
+The reference engine has no time-series constructs at all (grammar has
+no temporal tokens — ``/root/reference/src/qp/parser/scaner.lex:37-163``);
+these are north-star extensions designed for the 100 TB scale path:
+
+- **tumbling / sliding window aggregation**: ``F.window`` — one shuffle
+  on (window, keys), partial aggregation map-side.
+- **sessionization** (gaps-and-islands): two window functions over one
+  shuffle+sort on (key, ts); no self-join.
+- **as-of join**: the classic *union trick* — tag both sides, one
+  shuffle+sort on (key, ts), then ``last(..., ignorenulls)`` carries the
+  most recent right-side row forward onto each left row. Strictly one
+  exchange; never an inequality join (which Spark would plan as a
+  broadcast nested loop).
+- **range join**: inequality band-join rewritten as an equi-join on
+  (key, time-bucket) — each left row explodes into the small fixed set
+  of candidate buckets covering its band, so Catalyst plans a hash join
+  instead of an O(n·m) nested loop. Bucket width = band width → ≤ 2
+  candidate buckets per row.
+- **multi-resolution rollup** (hypertable-style): aggregate once at the
+  finest grain, then re-aggregate coarser levels from the finer result
+  — the raw table is scanned exactly once.
+
+All timestamp arithmetic uses integer microseconds (``unix_micros``):
+exact, engine-portable, no float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str | None,
+    aggs: list[Column],
+    keys: list[str] | None,
+) -> DataFrame:
+    w = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide
+        else F.window(F.col(ts_col), duration)
+    )
+    out = df.groupBy(w.alias("w"), *(keys or [])).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("ws"), F.col("w.end").alias("we"), *rest
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed non-overlapping windows: (ws, we, *keys, *aggs)."""
+    return _windowed_agg(df, ts_col, duration, None, aggs, keys)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping windows — each row lands in duration/slide windows."""
+    return _windowed_agg(df, ts_col, duration, slide, aggs, keys)
+
+
+def sessionize(
+    df: DataFrame, key_col: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Assign a session id per (key, run of events with inter-event gap
+    <= gap_seconds). Output = input + ``session_id`` (1-based per key).
+
+    Gaps-and-islands: lag() marks session starts, a running sum numbers
+    them. Both windows share one shuffle+sort on (key, ts) — Spark
+    reuses the exchange. No join, no state beyond the sort buffer.
+    """
+    by_key = W.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_seconds * 1_000_000
+    prev_us = F.lag(us).over(by_key)
+    is_start = (prev_us.isNull() | (us - prev_us > gap_us)).cast("int")
+    return (
+        df.withColumn("_start", is_start)
+        .withColumn(
+            "session_id",
+            F.sum("_start").over(
+                by_key.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .drop("_start")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-session summary: (key, session_id, session_start, session_end,
+    n_events, duration_s, *aggs). duration_s = whole seconds (floor)."""
+    s = sessionize(df, key_col, ts_col, gap_seconds)
+    dur_us = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (dur_us / F.lit(1_000_000)).cast("long").alias("duration_s"),
+        *(aggs or []),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` and the same key (backward as-of join).
+
+    Union trick: tag rows, sort (key, ts, side) with right rows first on
+    ties, carry right payload forward with last(ignorenulls). ONE
+    shuffle on key + ONE sort — vs. the nested-loop plan Spark picks for
+    the naive inequality join. Right payload columns come back prefixed
+    ``asof_``; ``how='inner'`` drops left rows with no match.
+    """
+    lcols = left.columns
+    payload = [c for c in right_cols if c != key_col]
+    r = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"asof_{c}") for c in payload],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(r.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
+            for c in payload
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # right rows sort before left rows at equal ts (_side 0 < 1), so a
+    # right row AT the left row's timestamp is visible to it (<=).
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "_side",
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{payload[0]}").isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Band join: pairs (l, r) with equal key and
+    ``l.ts + lower < r.ts <= l.ts + upper`` (seconds).
+
+    Rewritten as an equi-join on (key, bucket): right rows hash into
+    time buckets of width = band width; each left row explodes into the
+    ≤ 2 buckets its band can touch. Catalyst plans a hash or sort-merge
+    join on (key, bucket); the exact band predicate filters pairs
+    post-join. No nested loop at any scale; skewed keys split by AQE.
+    """
+    width_us = max(upper_seconds - lower_seconds, 1) * 1_000_000
+    lo_us, up_us = lower_seconds * 1_000_000, upper_seconds * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    r = right.select(
+        F.col(key_col).alias("_rk"),
+        (r_us / width_us).cast("long").alias("_rbucket"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns],
+    )
+    l = left.withColumn(
+        "_lbucket",
+        F.explode(
+            F.sequence(
+                ((l_us + lo_us) / width_us).cast("long"),
+                ((l_us + up_us) / width_us).cast("long"),
+            )
+        ),
+    )
+    rp_us = F.unix_micros(F.col(f"{prefix}{right_ts}"))
+    band = (rp_us > l_us + lo_us) & (rp_us <= l_us + up_us)
+    joined = l.join(
+        r,
+        (F.col(key_col) == F.col("_rk")) & (F.col("_lbucket") == F.col("_rbucket")),
+    ).filter(band)
+    return joined.select(
+        *left.columns, *[f"{prefix}{c}" for c in right.columns]
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: (level, bucket_ts, n,
+    sum_v) for every grain, each coarser level re-aggregated from the
+    previous (already tiny) one.
+
+    sum_v stays DECIMAL internally so re-aggregation is exact and
+    associative (double re-summation would drift between levels);
+    rounded to double only on output.
+    """
+    finest, coarser = levels[0], list(levels[1:])
+    cur = df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_sum"),
+    )
+    outs = [cur.withColumn("level", F.lit(finest))]
+    for lvl in coarser:
+        cur = cur.groupBy(
+            F.date_trunc(lvl, F.col("bucket_ts")).alias("bucket_ts")
+        ).agg(F.sum("n").alias("n"), F.sum("_sum").alias("_sum"))
+        outs.append(cur.withColumn("level", F.lit(lvl)))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "level",
+        "bucket_ts",
+        "n",
+        F.round(F.col("_sum"), 2).cast("double").alias("sum_v"),
+    )

@@ -1,1 +1,161 @@
-"""Filled in by subsequent milestones."""
+"""Temporal workload over ``events`` — windowed aggregation, session
+analysis, as-of / range joins, multi-resolution rollup (north-star
+extensions; the reference grammar has no temporal constructs,
+``/root/reference/src/qp/parser/scaner.lex:37-163``).
+
+Oracle notes: all timestamp arithmetic is integer microseconds
+(``unix_micros`` ↔ ``epoch_us``) so gap/band comparisons are exact on
+both engines; double sums go through DECIMAL before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import temporal as T
+from kaj_query_engine_spark.workload.core import dsum, t
+from kaj_query_engine_spark.workload.registry import register
+
+_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+@register(
+    "q70_tumbling_window",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
+    "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
+    "event_type, count(*) AS n, "
+    f"{_DSUM_V} AS sum_v FROM events GROUP BY 1, 2, 3",
+    "hourly tumbling window per event_type (one shuffle on "
+    "(window, type); map-side partial agg)",
+)
+def q70(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return T.tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
+        keys=["event_type"],
+    )
+
+
+@register(
+    "q71_sliding_window",
+    "WITH s AS (SELECT unnest(["
+    "time_bucket(INTERVAL '30 minutes', ts), "
+    "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
+    "]) AS ws, value FROM events) "
+    "SELECT ws, ws + INTERVAL '1 hour' AS we, count(*) AS n, "
+    f"{_DSUM_V} AS sum_v FROM s GROUP BY 1, 2",
+    "1-hour windows sliding every 30 min (each event in 2 windows)",
+)
+def q71(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return T.sliding_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
+    )
+
+
+@register(
+    "q72_sessionize",
+    "WITH s AS (SELECT user_id, ts, value, CASE WHEN "
+    "lag(epoch_us(ts)) OVER w IS NULL OR "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+    "THEN 1 ELSE 0 END AS st FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "g AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+    "SELECT user_id, session_id, min(ts) AS session_start, "
+    "max(ts) AS session_end, count(*) AS n_events, "
+    "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, "
+    f"{_DSUM_V} AS sum_v "
+    "FROM g GROUP BY user_id, session_id",
+    "sessionization (30-min gap) + per-session stats — gaps-and-islands "
+    "over ONE shuffle+sort on (user, ts), no self-join",
+)
+def q72(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return T.session_stats(
+        e, "user_id", "ts", 1800, aggs=[dsum(F.col("value")).alias("sum_v")]
+    )
+
+
+@register(
+    "q73_asof_join",
+    "SELECT c.event_id AS click_id, c.user_id, c.ts, "
+    "v.event_id AS view_id, v.ts AS view_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+    "ON c.user_id = v.user_id AND v.ts <= c.ts",
+    "backward as-of join: each click ← latest prior view by the same "
+    "user. Union-trick implementation: ONE shuffle on user_id + one "
+    "sort, vs. the nested-loop plan a naive inequality join gets",
+)
+def q73(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view")
+    out = T.asof_join(clicks, views, "user_id", "ts", "ts", ["event_id", "ts"])
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+@register(
+    "q74_range_join",
+    "SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts, "
+    "c.event_id AS click_id, c.ts AS click_ts FROM events e JOIN events c "
+    "ON e.user_id = c.user_id "
+    "AND epoch_us(c.ts) > epoch_us(e.ts) "
+    "AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000 "
+    "WHERE e.event_type = 'error' AND c.event_type = 'click'",
+    "range (band) join: clicks within 10 min after an error by the same "
+    "user — bucketized to an equi-join on (user, time-bucket), never a "
+    "nested loop",
+)
+def q74(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = T.range_join(errors, clicks, "user_id", "ts", "ts", 0, 600)
+    return out.select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "q75_time_rollup",
+    "SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_ts, "
+    "count(*) AS n, "
+    "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_v "
+    "FROM events GROUP BY 2 "
+    "UNION ALL SELECT 'hour', date_trunc('hour', ts), count(*), "
+    "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) "
+    "FROM events GROUP BY 2 "
+    "UNION ALL SELECT 'day', date_trunc('day', ts), count(*), "
+    "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) "
+    "FROM events GROUP BY 2",
+    "hypertable-style multi-resolution rollup (minute→hour→day): raw "
+    "table scanned once, coarser grains re-aggregated from finer "
+    "(exact DECIMAL re-summation)",
+)
+def q75(spark, sf_dir):
+    return T.time_rollup(t(spark, sf_dir, "events"), "ts", "value")
