@@ -1,0 +1,17 @@
+from kaj_query_engine_spark.streaming.ops import (
+    read_stream_table,
+    run_available_now,
+    stream_session_stats,
+    stream_stateful_user_totals,
+    stream_tumbling_agg,
+    streaming_dedup,
+)
+
+__all__ = [
+    "read_stream_table",
+    "run_available_now",
+    "stream_session_stats",
+    "stream_stateful_user_totals",
+    "stream_tumbling_agg",
+    "streaming_dedup",
+]

@@ -1,0 +1,190 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference engine is strictly batch (its grammar has no temporal or
+streaming constructs — ``/root/reference/src/qp/parser/scaner.lex:37-163``);
+this module is north-star extension surface, built on Spark's
+incremental execution model:
+
+- **file-source streams**: the fixture parquet read with ``readStream``
+  — on a cluster this is the same code over a landing directory that
+  continuously receives files (or a Kafka source swapped in by config).
+- **watermarks** bound state: every windowed aggregation declares how
+  late data may arrive; Spark drops state for windows older than
+  ``max(event_time) - watermark`` instead of keeping it forever.
+- **tumbling / session windows**: ``F.window`` / ``F.session_window``
+  group-bys — partial aggregation map-side, one shuffle on
+  (window, keys), state store holds only open windows.
+- **streaming dedup**: ``dropDuplicatesWithinWatermark`` — state is one
+  entry per key within the watermark horizon, not the full history.
+- **custom stateful operator**: ``applyInPandasWithState`` — per-key
+  mutable state across micro-batches with Arrow-batched transfer
+  (running totals here; the same shape carries CEP/session machines).
+
+Determinism note for the correctness gate: every pipeline here runs
+with ``trigger(availableNow=True)`` over a single fixture file — one
+micro-batch, so watermarking never drops fixture rows and results are
+exactly the batch semantics (which is what the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from kaj_query_engine_spark.catalog import _read_parquet
+
+_MEMQ = itertools.count()
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of a fixture table.
+
+    The schema comes from a batch read of the same path (streaming file
+    sources require an explicit schema — inference would race the
+    stream); the nanosecond-timestamp repair in ``_read_parquet`` is
+    re-applied since the raw stream sees int64 nanos.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    batch = _read_parquet(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the fixture dir with a
+    # glob filter selecting just this table's file
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for field in batch.schema.fields:
+        if raw_schema[field.name].dataType != field.dataType:
+            # nanos-as-long column: convert with integer division (a
+            # double intermediate loses precision on 2^60-scale nanos)
+            sdf = sdf.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return sdf
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan over all currently-available input and
+    return the final result as a batch DataFrame (memory sink).
+
+    ``availableNow`` is the bounded-execution trigger: process every
+    pending file, then stop — the streaming analog of a batch run, and
+    exactly what a backfill over a landing directory does on a cluster.
+    """
+    name = f"kaj_stream_q{next(_MEMQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stream_tumbling_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    duration: str,
+    watermark: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: (ws, we, *keys, *aggs).
+
+    State store holds only windows newer than the watermark horizon;
+    closed windows are emitted and dropped — bounded memory at any
+    input rate.
+    """
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *(keys or []))
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), *rest)
+
+
+def stream_session_stats(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+    watermark: str,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session-window aggregation: events of one key whose windows
+    overlap (next.ts < prev.ts + gap) merge into one session.
+
+    ``F.session_window`` is Spark's native dynamic-gap session state —
+    sessions close (and leave the state store) once the watermark
+    passes their end. Output: (key, session_start, n_events, *aggs);
+    session_start = min event ts (window end includes the +gap pad, so
+    stats use real event bounds instead).
+    """
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            *(aggs or []),
+        )
+        .drop("sw")
+    )
+
+
+def streaming_dedup(
+    sdf: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Drop duplicate events by key, keeping state only within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    unbounded-stream-safe form of exact dedup: state is one entry per
+    key seen in the last ``watermark`` of event time, not forever.
+    """
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stateful_user_totals(
+    sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (n_events, sum) carried across micro-batches in the state
+    store, updated from Arrow-batched pandas chunks.
+
+    The sum is accumulated in integer micro-units (``round(v * 1e6)``)
+    so state is exact and associative across batches — float
+    accumulation would drift with batch boundaries.
+    """
+    out_schema = StructType.fromDDL(f"{key_col} long, n_events long, sum_v double")
+    state_schema = StructType.fromDDL("n long, micros long")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-item quantization to micros == CAST(v AS DECIMAL(18,6))
+            micros += int((pdf[value_col] * 1_000_000).round().astype("int64").sum())
+        state.update((n, micros))
+        # exact HALF_UP to 2 decimals, matching round(DECIMAL, 2)
+        cents = (abs(micros) + 5_000) // 10_000 * (1 if micros >= 0 else -1)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_v": [cents / 100.0]}
+        )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

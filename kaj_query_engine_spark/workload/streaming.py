@@ -1,0 +1,115 @@
+"""Streaming workload over ``events`` — the Structured Streaming
+mirrors of the batch temporal queries, executed to completion with
+``trigger(availableNow=True)`` so each returns a batch-comparable
+DataFrame the DuckDB oracle can check.
+
+The reference engine is batch-only (no temporal/stream constructs in
+the grammar, ``/root/reference/src/qp/parser/scaner.lex:37-163``) —
+this is north-star extension surface. On a cluster the same pipelines
+run unbounded: swap the fixture path for a landing directory or Kafka
+source and drop the availableNow trigger; watermarks already bound the
+state store.
+
+Oracle notes: one fixture file → one micro-batch, so watermarking
+drops nothing and results equal batch semantics. Session-window
+boundary: Spark merges events with strict ``next < prev_end``, so a
+gap of exactly 30 min starts a NEW session — the oracle's island
+condition is ``diff >= gap``, unlike batch q72's ``diff > gap``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.streaming import (
+    read_stream_table,
+    run_available_now,
+    stream_session_stats,
+    stream_stateful_user_totals,
+    stream_tumbling_agg,
+    streaming_dedup,
+)
+from kaj_query_engine_spark.workload.core import dsum
+from kaj_query_engine_spark.workload.registry import register
+
+_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+@register(
+    "q80_stream_tumbling",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
+    "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
+    "event_type, count(*) AS n, "
+    f"{_DSUM_V} AS sum_v FROM events GROUP BY 1, 2, 3",
+    "streaming tumbling window with 10-min watermark (readStream → "
+    "windowed agg → availableNow; state = open windows only)",
+)
+def q80(spark, sf_dir):
+    s = read_stream_table(spark, sf_dir, "events")
+    agg = stream_tumbling_agg(
+        s,
+        "ts",
+        "1 hour",
+        "10 minutes",
+        [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
+        keys=["event_type"],
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "q81_stream_session_window",
+    "WITH s AS (SELECT user_id, ts, value, CASE WHEN "
+    "lag(epoch_us(ts)) OVER w IS NULL OR "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 "
+    "THEN 1 ELSE 0 END AS st FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "g AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+    "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+    "count(*) AS n_events, "
+    f"{_DSUM_V} AS sum_v "
+    "FROM g GROUP BY user_id, sid",
+    "streaming session windows (native F.session_window state, 30-min "
+    "gap; sessions leave the state store when the watermark passes)",
+)
+def q81(spark, sf_dir):
+    s = read_stream_table(spark, sf_dir, "events")
+    agg = stream_session_stats(
+        s,
+        "user_id",
+        "ts",
+        "30 minutes",
+        "10 minutes",
+        aggs=[dsum(F.col("value")).alias("sum_v")],
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "q82_stream_dedup",
+    "SELECT event_type, count(*) AS n FROM ("
+    "SELECT DISTINCT ON (user_id, event_type) user_id, event_type "
+    "FROM events ORDER BY user_id, event_type) GROUP BY event_type",
+    "streaming exact dedup via dropDuplicatesWithinWatermark (state = "
+    "one entry per key inside the watermark horizon), then re-aggregate",
+)
+def q82(spark, sf_dir):
+    s = read_stream_table(spark, sf_dir, "events")
+    d = streaming_dedup(s, ["user_id", "event_type"], "ts", "1 hour")
+    agg = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "q83_stream_stateful_totals",
+    "SELECT user_id, count(*) AS n_events, "
+    f"{_DSUM_V} AS sum_v FROM events GROUP BY user_id",
+    "custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals carried across micro-batches, "
+    "Arrow-batched, exact integer-micros accumulator",
+)
+def q83(spark, sf_dir):
+    s = read_stream_table(spark, sf_dir, "events")
+    totals = stream_stateful_user_totals(s)
+    return run_available_now(totals, "update")
