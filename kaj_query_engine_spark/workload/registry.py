@@ -54,6 +54,8 @@ def all_queries() -> dict[str, WorkloadQuery]:
     import kaj_query_engine_spark.workload.similarity  # noqa: F401
     import kaj_query_engine_spark.workload.temporal  # noqa: F401
     import kaj_query_engine_spark.workload.streaming  # noqa: F401
+    import kaj_query_engine_spark.workload.sources  # noqa: F401
+    import kaj_query_engine_spark.workload.multimodal  # noqa: F401
 
     return dict(_REGISTRY)
 
