@@ -1,0 +1,139 @@
+"""Unit tests for the dedup and similarity operator families —
+hand-checkable examples (exact Jaccard values, numpy-verified cosine)
+that the fixture-scale oracle diff can't pin down."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import dedup as D
+from kaj_query_engine_spark.operators import similarity as S
+
+
+@pytest.fixture()
+def docs(spark):
+    def make(rows):
+        return spark.createDataFrame(rows, "id long, text string")
+
+    return make
+
+
+def test_exact_duplicates_normalizes_case_and_space(spark, docs):
+    df = docs(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after casefold+space-collapse
+            (3, "something else"),
+        ]
+    )
+    out = D.exact_duplicates(df, "id", "text").collect()
+    groups = {r.keep_id: r.n for r in out}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_always_candidates(spark, docs):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = docs([(1, text), (2, text), (3, "entirely different words here now")])
+    pairs = {(r.d1, r.d2) for r in D.minhash_lsh_candidates(df, "id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_is_order_insensitive_set_hash(spark, docs):
+    # signatures depend on the shingle SET → duplicated shingles don't change them
+    t1 = "a b c d e f"
+    t2 = "a b c d e f a b c d e f"  # same 3-shingles, repeated
+    df = docs([(1, t1), (2, t2)])
+    sigs = {r.id: [r[f"s{k}"] for k in range(D.NUM_HASHES)] for r in
+            D.minhash_signatures(df, "id", "text").collect()}
+    # t2 has extra shingles spanning the seam ("e f a" etc.), so only
+    # check: every t1 minhash >= t2's (t2's shingle set is a superset)
+    assert all(sigs[1][k] >= sigs[2][k] for k in range(D.NUM_HASHES))
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    # doc1 shingles: {a b c, b c d} ; doc2: {a b c, b c x}
+    # intersection 1, union 3 → jaccard = 1/3
+    df = docs([(1, "a b c d"), (2, "a b c x")])
+    out = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_simhash_identical_same_fingerprint(spark, docs):
+    df = docs([(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq")])
+    fp = {r.id: r.simhash for r in D.simhash_fingerprints(df, "id", "text").collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 32 and set(fp[1]) <= {"0", "1"}
+    assert fp[1] != fp[3]
+
+
+# ------------------------------------------------------------------
+# similarity
+# ------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).astype("float64")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    out = S.brute_force_topk(df, queries, k=5).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in range(3):
+        cos = vecs @ vecs[q] / (norms * norms[q])
+        cos[q] = -np.inf  # self excluded
+        expected = np.argsort(-cos, kind="stable")[:5]
+        got = sorted(
+            [r for r in out if r.q_id == q], key=lambda r: r.rank
+        )
+        assert [r.vec_id for r in got] == [int(i) for i in expected]
+        for r in got:
+            assert math.isclose(r.cos, round(float(cos[r.vec_id]), 6), abs_tol=1e-6)
+
+
+def test_lsh_topk_is_exact_within_bucket(spark, vectors):
+    df, vecs = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    lsh = S.lsh_topk(df, queries, k=5)
+    brute = S.brute_force_topk(df, queries, k=1000)
+    exact = {(r.q_id, r.vec_id): r.cos for r in brute.collect()}
+    for r in lsh.collect():
+        # every LSH result's cosine equals the exact cosine (LSH only
+        # restricts the candidate set, never changes scores)
+        assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
+
+
+def test_lsh_bucket_deterministic(spark, vectors):
+    df, _ = vectors
+    signs = S.hyperplane_signs()
+    b1 = {r.vec_id: r.b for r in df.select(
+        "vec_id", S.lsh_bucket(S._dvec(F.col("embedding")), signs).alias("b")
+    ).collect()}
+    b2 = {r.vec_id: r.b for r in df.select(
+        "vec_id", S.lsh_bucket(S._dvec(F.col("embedding")), signs).alias("b")
+    ).collect()}
+    assert b1 == b2
+    assert all(len(v) == S.LSH_PLANES for v in b1.values())
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = {(r.i, r.j) for r in S.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert out == {(0, 1)}

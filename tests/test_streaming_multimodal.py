@@ -1,0 +1,130 @@
+"""Tests for the Structured Streaming operators (streaming result ==
+batch result over the same bounded input) and the multimodal binary
+column family."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import multimodal as M
+from kaj_query_engine_spark.streaming import (
+    read_stream_table,
+    run_available_now,
+    stream_stateful_user_totals,
+    stream_tumbling_agg,
+    streaming_dedup,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_equals_batch(spark):
+    s = read_stream_table(spark, SF_DIR, "events")
+    out = run_available_now(
+        stream_tumbling_agg(
+            s, "ts", "1 hour", "10 minutes", [F.count("*").alias("n")]
+        ),
+        "complete",
+    )
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    batch = (
+        _read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = {(r.ws, r.n) for r in out.select("ws", "n").collect()}
+    want = {(r.ws, r.n) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_keeps_one_per_key(spark):
+    s = read_stream_table(spark, SF_DIR, "events")
+    out = run_available_now(
+        streaming_dedup(s, ["user_id"], "ts", "1 hour")
+        .groupBy()
+        .agg(F.count("*").alias("n")),
+        "complete",
+    )
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    n_users = (
+        _read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert out.collect()[0].n == n_users
+
+
+def test_stateful_totals_equals_groupby(spark):
+    s = read_stream_table(spark, SF_DIR, "events")
+    out = run_available_now(stream_stateful_user_totals(s), "update")
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    batch = (
+        _read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(r.user_id, r.n_events) for r in out.select("user_id", "n_events").collect()}
+    want = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# multimodal
+# ------------------------------------------------------------------
+
+
+@pytest.fixture()
+def media(spark):
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    return M.attach_fake_media(df)
+
+
+def test_fake_media_payload_is_sha_blocks(media):
+    rows = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for d, payload in rows.items():
+        n_blocks = 2 + d % 3
+        assert len(payload) == 32 * n_blocks
+        for i in range(n_blocks):
+            want = hashlib.sha256(f"{d}:{i}".encode()).digest()
+            assert payload[i * 32 : (i + 1) * 32] == want
+
+
+def test_media_byte_features_consistent(media):
+    feats = {r.doc_id: r for r in M.media_byte_features(media).collect()}
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for d, r in feats.items():
+        p = payloads[d]
+        assert r.n_bytes == len(p)
+        assert r.first_byte_hex == p[:1].hex()
+        assert abs(r.mean_byte - sum(p) / len(p)) < 1e-5
+        assert 0.0 <= r.entropy <= 8.0  # byte entropy bound
+
+
+def test_frame_sample_reconstructs_payload(media):
+    frames = M.frame_sample(media).collect()
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+    for d, chunks in by_doc.items():
+        rebuilt = b"".join(chunks[i] for i in range(len(chunks)))
+        assert rebuilt == payloads[d]
+
+
+def test_media_checksum_matches_hashlib(media):
+    sums = {r.doc_id: r.media_sha for r in M.media_checksum(media).collect()}
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for d, sha in sums.items():
+        assert sha == hashlib.sha256(payloads[d]).hexdigest()
+
+
+def test_decode_media_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media)
