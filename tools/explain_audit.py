@@ -1,0 +1,109 @@
+"""Plan-quality audit: prints the formatted physical plan for headline
+queries and asserts the plan properties that matter at 100 TB —
+filters pushed to the scan, columns pruned, small sides broadcast, no
+nested-loop joins where a hash/sort-merge join belongs, top-k not
+sorting the world.
+
+Usage: python tools/explain_audit.py [sf_dir] [query_filter]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kaj_query_engine_spark.session import get_spark
+from kaj_query_engine_spark.workload import all_queries
+
+# query -> (must_contain, must_not_contain) substrings of the formatted plan
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    "q00_flagship_revenue": (
+        ["BroadcastHashJoin", "EqualTo(c_mktsegment,BUILDING)", "partial_"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    "q02_filter_project": (
+        # dialect-built filter reaches the parquet scan; scan reads only
+        # the 4 referenced columns
+        ["PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]",
+         "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"],
+        ["Exchange"],
+    ),
+    "q06_join3_filters": (
+        ["PushedFilters: [IsNotNull(o_totalprice), LessThan(o_totalprice,100000.0)",
+         "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "q11_groupby_agg": (
+        # two-phase aggregate: map-side partial before the exchange
+        ["HashAggregate", "Exchange", "partial_"],
+        ["SortAggregate"],
+    ),
+    "q23_limit_topk": (
+        ["TakeOrderedAndProject"],
+        ["Sort ", "Exchange rangepartitioning"],
+    ),
+    "q50_dedup_exact": (
+        ["HashAggregate", "partial_"],
+        [],
+    ),
+    "q61_ann_lsh": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "q73_asof_join": (
+        # union trick: exactly ONE exchange (the window shuffle)
+        ["Window", "Union"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "q74_range_join": (
+        # band join must plan as an equi-join on (key, bucket)
+        ["Join", "Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "q10_theta_join": (
+        # genuinely non-equi: nested-loop is the right plan, but the
+        # small side must be broadcast
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+}
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    flt = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("explain-audit", master="local[8]", shuffle_partitions=8)
+    qs = all_queries()
+    failures = []
+    for name, (need, forbid) in CHECKS.items():
+        if flt and flt not in name:
+            continue
+        plan = formatted_plan(qs[name].spark(spark, sf_dir))
+        probs = [f"missing: {s}" for s in need if s not in plan] + [
+            f"forbidden: {s}" for s in forbid if s in plan
+        ]
+        if probs:
+            failures.append(name)
+            print(f"BAD  {name}")
+            for p in probs:
+                print(f"      {p}")
+            if flt:
+                print(plan)
+        else:
+            print(f"GOOD {name}")
+    print(f"\n{len(failures)} plan problems" + (f": {failures}" if failures else ""))
+
+
+if __name__ == "__main__":
+    main()
