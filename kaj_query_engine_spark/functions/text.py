@@ -81,6 +81,27 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII-only so the Java regex
+# (Spark) and RE2 (DuckDB oracle) dialects agree exactly: contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace runs
+# — each with an optional leading space glued on, as BPE vocabularies
+# expect.
+BPE_ISH_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+)
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pre-tokenization (regex pieces, no vocab): the token
+    stream a byte-pair encoder would merge. Counting these approximates
+    LLM token counts far better than whitespace words."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of casefolded, whitespace-collapsed
     text. The exact-dedup key."""

@@ -16,9 +16,12 @@ hash is ``F.md5``, JVM-side), designed shuffle-minimal for 100 TB:
   self-join — quadratic only within shared-shingle buckets; used to
   verify LSH candidates or alone at moderate scale.
 
-MinHash uses the *lexicographic minimum of salted md5 hex digests* as
-the hash family: h_k(s) = md5(k || '|' || s). This is engine-portable
-(identical strings in Spark and DuckDB) and uniform enough for LSH.
+MinHash hashes each shingle ONCE (md5 → top 60 bits as int64) and
+derives the K hash functions as XOR permutations with fixed salts:
+h_k(s) = base(s) XOR salt_k. One md5 per shingle instead of K — the
+md5 dominates the cost — and still engine-portable bit-for-bit
+(Spark ``conv(substring(md5,1,15),16,10)`` == DuckDB
+``('0x' || substr(md5,1,15))::BIGINT``; XOR matches on int64).
 
 No counterpart in the reference engine — north-star extension surface.
 """
@@ -50,11 +53,36 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Exploded (id, shingle) pairs, distinct per doc."""
-    return df.select(
+    """Exploded (id, shingle) pairs, distinct per doc.
+
+    The input is repartitioned by id first: documents are a
+    small-input / large-compute shape (the explode multiplies rows
+    10–50×), so spreading BEFORE the explode keeps every core busy and
+    shuffles raw docs instead of shingles — and the downstream
+    ``groupBy(id)`` reuses the hash partitioning, so no second
+    exchange of the exploded data. The partition count is pinned to
+    cluster parallelism: AQE would otherwise coalesce the tiny-bytes
+    shuffle to one partition and serialize the compute.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     )
+
+
+MINHASH_SALT_SEED = 13
+
+
+def minhash_salts(
+    num_hashes: int = NUM_HASHES, seed: int = MINHASH_SALT_SEED
+) -> list[int]:
+    """Fixed 60-bit XOR salts (same literals are embedded in the
+    DuckDB oracle SQL)."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.getrandbits(60) for _ in range(num_hashes)]
 
 
 def minhash_signatures(
@@ -64,16 +92,17 @@ def minhash_signatures(
     num_hashes: int = NUM_HASHES,
     n: int = 3,
 ) -> DataFrame:
-    """(id, s0..s{K-1}) minhash signature per document.
+    """(id, s0..s{K-1}) int64 minhash signature per document.
 
-    One explode + one groupBy(id) with K min-aggregates — partial
-    aggregation keeps the shuffle at |docs| x K hex strings regardless
-    of document length.
+    One explode + ONE md5 per shingle (K hashes derived by XOR salt) +
+    one groupBy(id) with K min-aggregates — partial aggregation keeps
+    the shuffle at |docs| x K longs regardless of document length.
     """
     sh = shingle_table(df, id_col, text_col, n)
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
-        for k in range(num_hashes)
+        F.min(base.bitwiseXOR(F.lit(salt))).alias(f"s{k}")
+        for k, salt in enumerate(minhash_salts(num_hashes))
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -174,7 +203,8 @@ def simhash_fingerprints(
     One explode + one groupBy(id) with `bits` sum-aggregates.
     """
     assert bits <= 32  # md5 hex has 32 nibbles
-    tok = df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), " "))

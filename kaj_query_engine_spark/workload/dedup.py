@@ -36,13 +36,17 @@ def q50(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     k, b, r = D.NUM_HASHES, D.NUM_BANDS, D.ROWS_PER_BAND
+    base = "('0x' || substr(md5(sh), 1, 15))::BIGINT"
     sig_cols = ", ".join(
-        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(k)
+        f"min(xor({base}, {salt})) AS s{i}"
+        for i, salt in enumerate(D.minhash_salts(k))
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
             b=i,
-            key=" || '|' || ".join(f"s{i * r + j}" for j in range(r)),
+            key=" || '|' || ".join(
+                f"CAST(s{i * r + j} AS VARCHAR)" for j in range(r)
+            ),
         )
         for i in range(b)
     )
@@ -59,8 +63,9 @@ def _minhash_oracle() -> str:
 @register(
     "q51_minhash_lsh",
     _minhash_oracle(),
-    "MinHash (12 salted-md5 min-hashes) + LSH banding (4 bands x 3): "
-    "candidate near-dup pairs without any all-pairs comparison",
+    "MinHash (one md5 per shingle, 12 XOR-permutation min-hashes) + "
+    "LSH banding (4 bands x 3): candidate near-dup pairs without any "
+    "all-pairs comparison",
 )
 def q51(spark, sf_dir):
     return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")

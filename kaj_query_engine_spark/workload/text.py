@@ -96,6 +96,26 @@ def q42(spark, sf_dir):
 
 
 @register(
+    "q44_bpe_token_count",
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
+    ")) AS INT) AS n_bpe, "
+    f"CAST({_NTOK} AS INT) AS n_ws "
+    "FROM documents",
+    "BPE-style pre-tokenizer count (GPT-2 regex pieces) next to the "
+    "whitespace count — the LLM-token budget estimator",
+)
+def q44(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        TXT.token_count(F.col("text")).alias("n_ws"),
+    )
+
+
+@register(
     "q43_fingerprint",
     "SELECT doc_id, "
     "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
