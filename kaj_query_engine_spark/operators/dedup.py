@@ -193,6 +193,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over candidate-pair edges → (id, cluster)
+    with cluster = min id reachable — the step that turns near-dup
+    PAIRS into dedup GROUPS (keep one doc per cluster).
+
+    Iterative min-label propagation, the Pregel-lite DataFrame shape:
+    each round joins labels to the (symmetrized) edge list, takes the
+    min neighbor label, and stops at a fixpoint. Rounds = graph
+    diameter (dup clusters are near-cliques → 2–3 rounds); each round
+    is one shuffle on id. The driver-side loop only checks a count —
+    no data is collected.
+    """
+    edges = pairs.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    ).unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

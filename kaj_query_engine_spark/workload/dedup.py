@@ -90,6 +90,24 @@ def q52(spark, sf_dir):
     )
 
 
+@register(
+    "q54_dedup_clusters",
+    f"WITH RECURSIVE pairs AS ({_minhash_oracle()}), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "UNION SELECT d2, d1 FROM pairs), "
+    "reach AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS id, least(a, min(b)) AS cluster FROM reach "
+    "WHERE a <> b GROUP BY a",
+    "near-dup clusters: iterative min-label propagation (connected "
+    "components) over the MinHash candidate pairs — the Pregel-lite "
+    "DataFrame loop; oracle = recursive-CTE transitive closure",
+)
+def q54(spark, sf_dir):
+    pairs = D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.cluster_duplicates(pairs)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     hi = "('8','9','a','b','c','d','e','f')"
     votes = ", ".join(

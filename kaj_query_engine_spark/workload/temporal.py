@@ -142,6 +142,31 @@ def q74(spark, sf_dir):
 
 
 @register(
+    "q76_json_props",
+    "SELECT event_type, count(*) AS n, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS k_sum, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max "
+    "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
+    "GROUP BY event_type",
+    "semi-structured JSON property column: extract → filter → "
+    "aggregate (get_json_object, JVM-side, no UDF)",
+)
+def q76(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@register(
     "q75_time_rollup",
     "SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_ts, "
     "count(*) AS n, "

@@ -72,6 +72,15 @@ def test_simhash_identical_same_fingerprint(spark, docs):
     assert fp[1] != fp[3]
 
 
+def test_cluster_duplicates_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter forces >1 propagation round) + pair (10,11)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    out = {r.id: r.cluster for r in D.cluster_duplicates(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 # ------------------------------------------------------------------
 # similarity
 # ------------------------------------------------------------------
