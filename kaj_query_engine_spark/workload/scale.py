@@ -1,0 +1,149 @@
+"""Scale-technique workload: physical layout (partition pruning,
+bucketed co-located joins), skew salting, and the remaining aggregate
+families (exact percentiles, array aggregation).
+
+These demonstrate the techniques `PERF.md` leans on — each one is
+oracle-checked for exactness (salting and layout must never change
+results, only physical distribution).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators.skew import salted_groupby_agg
+from kaj_query_engine_spark.sources.layout import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from kaj_query_engine_spark.workload.core import dsum, t
+from kaj_query_engine_spark.workload.registry import register
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+def _tag(sf_dir: str) -> str:
+    return Path(sf_dir).name.replace(".", "_")
+
+
+@register(
+    "q35_partition_pruning",
+    "SELECT event_type, count(*) AS n, "
+    f"{_DSUM_V} AS sum_v FROM events "
+    "WHERE event_type IN ('click', 'error') GROUP BY event_type",
+    "Hive-partitioned layout: events written partitionBy(event_type), "
+    "filter becomes PartitionFilters — non-matching directories never "
+    "opened (vs PushedFilters, which still reads row groups)",
+)
+def q35(spark, sf_dir):
+    path = str(_SCRATCH / _tag(sf_dir) / "events_by_type")
+    write_partitioned(t(spark, sf_dir, "events"), path, ["event_type"])
+    e = read_partitioned(spark, path)
+    return (
+        e.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v"))
+    )
+
+
+@register(
+    "q36_bucketed_join",
+    "SELECT c_custkey, c_name, count(*) AS n_orders, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey, c_name",
+    "bucketed co-located join: both sides bucketBy(custkey) at write "
+    "time → sort-merge join with ZERO exchanges (the shuffle was paid "
+    "once at write, amortized over every later join)",
+)
+def q36(spark, sf_dir):
+    tag = _tag(sf_dir)
+    ct, ot = f"customer_b_{tag}", f"orders_b_{tag}"
+    write_bucketed(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name"), ct, "c_custkey"
+    )
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ot,
+        "o_custkey",
+    )
+    c, o = spark.table(ct), spark.table(ot)
+    # merge hint: prove the bucketed SMJ path (broadcast would hide it)
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "q37_salted_agg",
+    "SELECT o_orderpriority, count(*) AS n, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total, "
+    "max(o_totalprice) AS biggest FROM orders GROUP BY o_orderpriority",
+    "salted two-stage aggregation: hot keys spread over 16 salt "
+    "buckets, then per-salt partials combined — results exactly equal "
+    "the unsalted plan (DECIMAL sum is order-independent)",
+)
+def q37(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    out = salted_groupby_agg(
+        o,
+        ["o_orderpriority"],
+        [
+            (F.count(F.lit(1)), lambda c: F.sum(c).cast("long"), "n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                lambda c: F.round(F.sum(c), 2).cast("double"),
+                "total",
+            ),
+            (F.max("o_totalprice"), lambda c: F.max(c), "biggest"),
+        ],
+    )
+    return out
+
+
+@register(
+    "q38_percentiles",
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, "
+    "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag",
+    "exact linear-interpolated percentiles per group (Spark percentile "
+    "↔ DuckDB quantile_cont)",
+)
+def q38(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", p), 6).alias(name)
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+
+
+@register(
+    "q39_array_agg",
+    "SELECT o_orderpriority, "
+    "list(o_orderkey ORDER BY o_orderkey) AS big_orders, "
+    "count(*) AS n FROM orders WHERE o_totalprice > 450000 "
+    "GROUP BY o_orderpriority",
+    "array aggregation: sorted collect_list per group (array results "
+    "hash-compared element-wise against the oracle)",
+)
+def q39(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("big_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -64,6 +64,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Join", "Exchange"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q35_partition_pruning": (
+        # layout filter prunes directories, not just row groups
+        ["PartitionFilters: [event_type"],
+        [],
+    ),
+    "q36_bucketed_join": (
+        # co-located bucketed join: SMJ with no shuffle on either side
+        ["SortMergeJoin", "Bucketed: true"],
+        ["Exchange hashpartitioning"],
+    ),
     "q10_theta_join": (
         # genuinely non-equi: nested-loop is the right plan, but the
         # small side must be broadcast
