@@ -236,10 +236,15 @@ def _lower_ungrouped_agg(query: SQLQuery, df: DataFrame) -> DataFrame:
     bare_attrs = [a for a in query.project_list if a.agg is AggType.NONE]
 
     agg_cols = [_agg_expr(a, df).alias(a.display()) for a in agg_attrs]
-    aggs = df.agg(*agg_cols)
+    # hidden input-row count: the reference's emit loop runs per input
+    # tuple, so EMPTY input produces NO output row (Aggregate.java:83-161)
+    # — Spark's global agg would emit one NULL row instead; filter it.
+    aggs = df.agg(*agg_cols, F.count(F.lit(1)).alias("_n_in"))
 
     if not bare_attrs:
-        return aggs.select(*[_out_col(a.display()) for a in query.project_list])
+        return aggs.filter(F.col("_n_in") > 0).select(
+            *[_out_col(a.display()) for a in query.project_list]
+        )
 
     # Witness: first MIN aggregate if any, else first MAX (MIN beats MAX,
     # Aggregate.java:127-135); ties emit all tying rows, deduplicated
@@ -267,8 +272,10 @@ def _lower_ungrouped_agg(query: SQLQuery, df: DataFrame) -> DataFrame:
     # order-nondeterministic — parity tests pin inputs where the bare
     # column is constant.
     firsts = df.agg(
-        *agg_cols, *[F.first(_attr_col(a)).alias(a.column) for a in bare_attrs]
-    )
+        *agg_cols,
+        F.count(F.lit(1)).alias("_n_in"),
+        *[F.first(_attr_col(a)).alias(a.column) for a in bare_attrs],
+    ).filter(F.col("_n_in") > 0)
     return firsts.select(
         *[
             _out_col(a.display() if a.agg is not AggType.NONE else a.column)

@@ -1,0 +1,97 @@
+"""Property-based differential testing: randomized dialect queries run
+through the full parse → lower → execute path and compared against
+DuckDB on the same rows. Complements the hand-written cases by
+sweeping the filter/aggregate grammar corners (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kaj_query_engine_spark.engine import KajEngine
+from tests.conftest import assert_same_result
+
+INT_COLS = ["cid", "gender"]
+STR_COLS = ["firstname", "lastname"]
+OPS = ["<", "<=", ">", ">=", "=", "!="]
+DUCK_OP = {"!=": "<>"}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, ref_tables):
+    eng = KajEngine(spark)
+    for name, (df, _rows, _cols) in ref_tables.items():
+        eng.register(name, df)
+    return eng
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(INT_COLS),
+    op=st.sampled_from(OPS),
+    lit=st.integers(min_value=0, max_value=199),
+)
+def test_random_int_filters(engine, duck, col, op, lit):
+    q = (
+        f"SELECT customer_ref.cid, customer_ref.{col} FROM customer_ref "
+        f'WHERE customer_ref.{col}{op}"{lit}"'
+    )
+    sql = (
+        f"SELECT cid, {col} FROM customer_ref "
+        f"WHERE {col} {DUCK_OP.get(op, op)} {lit}"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(["MIN", "MAX", "SUM", "COUNT", "AVG"]),
+    col=st.sampled_from(["amount", "iid"]),
+    op=st.sampled_from(OPS),
+    lit=st.integers(min_value=0, max_value=2500),
+)
+def test_random_aggregates_with_filter(engine, duck, agg, col, op, lit):
+    q = (
+        f"SELECT {agg}(bill_ref.{col}) FROM bill_ref "
+        f'WHERE bill_ref.amount{op}"{lit}"'
+    )
+    duck_agg = "count(*)" if agg == "COUNT" else f"{agg.lower()}({col})"
+    cast = "CAST(%s AS BIGINT)" if agg in ("SUM", "COUNT") else "%s"
+    sql = (
+        f'SELECT {cast % duck_agg} AS "{agg}(bill_ref.{col})" FROM bill_ref '
+        f"WHERE amount {DUCK_OP.get(op, op)} {lit} "
+        f"HAVING count(*) > 0"  # empty input: reference emits no row
+    )
+    df = engine.sql(q)
+    assert_same_result(df, duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(STR_COLS),
+    op=st.sampled_from(OPS),
+    lit=st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+)
+def test_random_string_filters(engine, duck, col, op, lit):
+    q = (
+        f"SELECT customer_ref.cid FROM customer_ref "
+        f'WHERE customer_ref.{col}{op}"{lit}"'
+    )
+    sql = (
+        f"SELECT cid FROM customer_ref "
+        f"WHERE {col} {DUCK_OP.get(op, op)} '{lit}'"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
