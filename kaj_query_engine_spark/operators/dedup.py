@@ -145,17 +145,24 @@ def minhash_lsh_candidates(
     bands = lsh_bands(
         minhash_signatures(df, id_col, text_col, num_hashes, n), num_bands, rows
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-        .distinct()
+    # bucket-collect instead of a self-join: a self-join recomputes the
+    # whole signature pipeline for each side (no ReusedExchange across
+    # the join), while collect_list computes it ONCE and generates the
+    # in-bucket pairs with a JVM array expression. Buckets are small by
+    # LSH design; a pathological hot bucket (boilerplate shingles) is a
+    # junk cluster — at real scale filter `size(ids) <= cap` upstream.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pair = F.explode(
+        F.expr(
+            "filter(flatten(transform(ids, x -> transform(ids, "
+            "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+        )
+    )
+    return buckets.select(pair.alias("p")).select("p.d1", "p.d2").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -174,11 +181,25 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, n)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # same bucket-collect shape as the LSH candidate generator: group
+    # the inverted index by shingle, explode in-bucket pairs, count
+    # shared shingles per pair — the shingle pipeline runs once instead
+    # of twice (a self-join gets no ReusedExchange)
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        sh.groupBy("sh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, "
+                    "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.d1", "p.d2")
         .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("d1"), F.col("d2"), "common")
     )
     c1 = counts.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
