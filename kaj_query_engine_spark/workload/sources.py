@@ -69,6 +69,22 @@ def q33(spark, sf_dir):
 
 
 @register(
+    "q33b_orc_roundtrip",
+    "SELECT s_nationkey, count(*) AS n, min(s_name) AS first_s "
+    "FROM supplier GROUP BY s_nationkey",
+    "ORC connector round-trip: supplier → ORC → re-read → aggregate",
+)
+def q33b(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    path = _scratch(sf_dir, "supplier_orc")
+    s.write.mode("overwrite").orc(path)
+    back = read_table(spark, path, "orc")
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.min("s_name").alias("first_s")
+    )
+
+
+@register(
     "q34_text_etl_sink",
     "SELECT c_mktsegment, count(*) AS n, "
     "CAST(sum(c_nationkey) AS BIGINT) AS nk_sum "
