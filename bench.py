@@ -42,6 +42,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in queries.items():
+        # settle the JVM between queries: drop cached relations and
+        # collect accumulated broadcast/shuffle garbage so a GC pause
+        # from query N doesn't bill query N+1 (late-suite variance
+        # otherwise reaches 5-10x on iterative/stateful queries)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         start = time.time()
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
