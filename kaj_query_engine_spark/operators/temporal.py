@@ -229,6 +229,36 @@ def range_join(
     )
 
 
+def rolling_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lookback_seconds: int,
+    aggs_builder,
+) -> DataFrame:
+    """Per-row trailing-time-window aggregates: for each event, the
+    aggregation over the same key's events in
+    ``(ts - lookback, ts]`` — the rolling-feature primitive
+    (e.g. "requests from this user in the last hour").
+
+    ``aggs_builder(frame)`` maps a WindowSpec to a list of (Column,
+    name) pairs. One shuffle+sort on (key, ts); the RANGE frame slides
+    over integer microseconds, so no self-join and no per-row scan
+    repeats — Spark keeps a running frame buffer bounded by the
+    lookback horizon.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    frame = (
+        W.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_seconds * 1_000_000 + 1, 0)
+    )
+    out = df
+    for col, name in aggs_builder(frame):
+        out = out.withColumn(name, col)
+    return out
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str,

@@ -142,6 +142,38 @@ def q74(spark, sf_dir):
 
 
 @register(
+    "q77_rolling_window",
+    "SELECT event_id, user_id, ts, "
+    "count(*) OVER w AS n_1h, "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) "
+    "AS sum_1h FROM events WINDOW w AS ("
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)",
+    "per-event trailing 1-hour rolling features (count + sum over the "
+    "same user's last hour): RANGE frame over integer micros — one "
+    "shuffle+sort, no self-join, frame buffer bounded by the lookback",
+)
+def q77(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+
+    def aggs(frame):
+        return [
+            (F.count(F.lit(1)).over(frame).alias("n_1h"), "n_1h"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).over(frame), 2
+                )
+                .cast("double")
+                .alias("sum_1h"),
+                "sum_1h",
+            ),
+        ]
+
+    out = T.rolling_window(e, "user_id", "ts", 3600, aggs)
+    return out.select("event_id", "user_id", "ts", "n_1h", "sum_1h")
+
+
+@register(
     "q76_json_props",
     "SELECT event_type, count(*) AS n, "
     "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
