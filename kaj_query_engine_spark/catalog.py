@@ -77,6 +77,13 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     division (a double intermediate would lose precision on 2^60-scale
     nanos).
     """
+    # defensive: the driver's verify harness supplies ITS OWN session,
+    # which won't have session.py's legacy-nanos setting — without it
+    # the read throws PARQUET_TYPE_ILLEGAL. UTC keeps collected
+    # timestamps aligned with the timezone-naive DuckDB oracle. Both
+    # are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     try:
         import pyarrow.parquet as pq
