@@ -1,5 +1,6 @@
 from kaj_query_engine_spark.streaming.ops import (
     read_stream_table,
+    stream_interval_join,
     run_available_now,
     stream_session_stats,
     stream_stateful_user_totals,
@@ -9,6 +10,7 @@ from kaj_query_engine_spark.streaming.ops import (
 
 __all__ = [
     "read_stream_table",
+    "stream_interval_join",
     "run_available_now",
     "stream_session_stats",
     "stream_stateful_user_totals",

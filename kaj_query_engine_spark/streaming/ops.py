@@ -154,6 +154,44 @@ def streaming_dedup(
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    window_seconds: int,
+    watermark: str,
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pairs of events with the
+    same key where ``left.ts < right.ts <= left.ts + window``.
+
+    Both sides buffer in the state store only as long as the watermark
+    + join window require — the time bound is what makes an unbounded
+    stream-stream join feasible (without it state grows forever).
+    Columns come back prefixed per side; ``ts`` is assumed on both.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"{l_prefix}{c}") for c in left.columns if c != key_col],
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("_rk"),
+        *[F.col(c).alias(f"{r_prefix}{c}") for c in right.columns if c != key_col],
+    )
+    lts, rts = F.col(f"{l_prefix}ts"), F.col(f"{r_prefix}ts")
+    cond = (
+        (F.col("_k") == F.col("_rk"))
+        & (rts > lts)
+        & (rts <= lts + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .withColumnRenamed("_k", key_col)
+        .drop("_rk")
+    )
+
+
 def stream_stateful_user_totals(
     sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

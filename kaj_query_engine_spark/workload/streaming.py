@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from kaj_query_engine_spark.streaming import (
     read_stream_table,
     run_available_now,
+    stream_interval_join,
     stream_session_stats,
     stream_stateful_user_totals,
     stream_tumbling_agg,
@@ -99,6 +100,33 @@ def q82(spark, sf_dir):
     d = streaming_dedup(s, ["user_id", "event_type"], "ts", "1 hour")
     agg = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_available_now(agg, "complete")
+
+
+@register(
+    "q84_stream_stream_join",
+    "SELECT e.user_id, e.event_id AS l_event_id, e.ts AS l_ts, "
+    "c.event_id AS r_event_id, c.ts AS r_ts "
+    "FROM events e JOIN events c ON e.user_id = c.user_id "
+    "AND epoch_us(c.ts) > epoch_us(e.ts) "
+    "AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000 "
+    "WHERE e.event_type = 'error' AND c.event_type = 'click'",
+    "watermarked stream-stream interval join (errors ⋈ clicks within "
+    "10 min, same user): the time bound + watermark bound both sides' "
+    "join state — the unbounded-stream-safe join",
+)
+def q84(spark, sf_dir):
+    s = read_stream_table(spark, sf_dir, "events")
+    errors = s.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = s.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = stream_interval_join(errors, clicks, "user_id", 600, "10 minutes")
+    return run_available_now(
+        j.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"),
+        "append",
+    )
 
 
 @register(
