@@ -133,6 +133,24 @@ def q38(spark, sf_dir):
 
 
 @register(
+    "q45_sketch_aggregates",
+    None,  # sketch estimates differ per implementation → rows-only;
+    # tests/test_scale_ops.py bounds them against exact values
+    "sketch aggregates for 100 TB profiling: HyperLogLog++ distinct "
+    "counts and quantile sketches — sublinear memory, one pass, "
+    "mergeable across partitions (the exact versions are q30/q38)",
+)
+def q45(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_part"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_supp"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+@register(
     "q39_array_agg",
     "SELECT o_orderpriority, "
     "list(o_orderkey ORDER BY o_orderkey) AS big_orders, "

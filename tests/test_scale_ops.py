@@ -43,6 +43,19 @@ def test_salted_join_equals_plain(spark, skewed):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_sketch_aggregates_near_exact(spark):
+    from kaj_query_engine_spark.workload import all_queries
+
+    row = all_queries()["q45_sketch_aggregates"].spark(spark, SF_DIR).collect()[0]
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    l = _read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    exact_nd = l.select("l_partkey").distinct().count()
+    assert abs(row.nd_part - exact_nd) / exact_nd < 0.05  # rsd=2%
+    exact_p50 = l.agg(F.percentile("l_extendedprice", 0.5)).collect()[0][0]
+    assert abs(row.p50_approx - exact_p50) / exact_p50 < 0.05
+
+
 def test_partitioned_write_round_trip(spark, tmp_path):
     from kaj_query_engine_spark.catalog import _read_parquet
 
