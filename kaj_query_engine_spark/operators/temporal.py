@@ -167,18 +167,26 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # the payload is carried as ONE struct per right row, not one
+    # ignorenulls-last per column: a NULL payload value on the matched
+    # right row must stay NULL (per-column skipping would leak an older
+    # row's value), and the struct's non-nullness doubles as the
+    # matched indicator for how='inner'
+    right_struct = F.when(
+        F.col("_side") == 0, F.struct(*[f"asof_{c}" for c in payload])
+    )
     carried = r.unionByName(l).select(
         "_side",
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
+        F.last(right_struct, ignorenulls=True).over(w).alias("_match"),
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == 1)
     if how == "inner":
-        out = out.filter(F.col(f"asof_{payload[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("_match").isNotNull())
+    return out.select(
+        *lcols,
+        *[F.col("_match")[f"asof_{c}"].alias(f"asof_{c}") for c in payload],
+    )
 
 
 def range_join(

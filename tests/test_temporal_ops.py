@@ -72,6 +72,17 @@ def test_asof_join_no_match_null_vs_inner(spark, events):
     assert inner.count() == 0
 
 
+def test_asof_join_null_payload_on_match(spark, events):
+    # the MATCHED right row carries a NULL payload: inner must keep the
+    # row, and the NULL must not be replaced by an older row's value
+    left = events([(1, ts(100), 0.0)])
+    right = events([(1, ts(50), 7.0), (1, ts(90), None)])
+    out = T.asof_join(left, right, "user_id", "ts", "ts", ["value"], how="inner")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].asof_value is None  # not 7.0
+
+
 def test_asof_join_respects_keys(spark, events):
     left = events([(1, ts(100), 0.0)])
     right = events([(2, ts(50), 9.0)])  # different user
