@@ -212,17 +212,19 @@ def range_join(
     lo_us, up_us = lower_seconds * 1_000_000, upper_seconds * 1_000_000
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
+    # floor division, not cast-truncation: truncation rounds toward
+    # zero, which misaligns buckets for negative (pre-epoch) timestamps
     r = right.select(
         F.col(key_col).alias("_rk"),
-        (r_us / width_us).cast("long").alias("_rbucket"),
+        F.floor(r_us / width_us).cast("long").alias("_rbucket"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right.columns],
     )
     l = left.withColumn(
         "_lbucket",
         F.explode(
             F.sequence(
-                ((l_us + lo_us) / width_us).cast("long"),
-                ((l_us + up_us) / width_us).cast("long"),
+                F.floor((l_us + lo_us) / width_us).cast("long"),
+                F.floor((l_us + up_us) / width_us).cast("long"),
             )
         ),
     )
