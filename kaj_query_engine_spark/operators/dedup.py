@@ -40,6 +40,18 @@ NUM_BANDS = 4
 ROWS_PER_BAND = 3
 
 
+def _bucket_pairs(ids_col: str = "ids"):
+    """All (d1 < d2) pairs from an array column of bucket members —
+    the JVM expression shared by the LSH and inverted-index candidate
+    generators (one definition so the pair semantics stay in sync)."""
+    return F.explode(
+        F.expr(
+            f"filter(flatten(transform({ids_col}, x -> transform({ids_col}, "
+            "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+        )
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (casefolded, space-collapsed) docs.
     Returns (fingerprint h, n copies, keep_id = min id)."""
@@ -156,13 +168,11 @@ def minhash_lsh_candidates(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair = F.explode(
-        F.expr(
-            "filter(flatten(transform(ids, x -> transform(ids, "
-            "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
-        )
+    return (
+        buckets.select(_bucket_pairs().alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
     )
-    return buckets.select(pair.alias("p")).select("p.d1", "p.d2").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -189,14 +199,7 @@ def ngram_jaccard_pairs(
         sh.groupBy("sh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ids, x -> transform(ids, "
-                    "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
-                )
-            ).alias("p")
-        )
+        .select(_bucket_pairs().alias("p"))
         .groupBy("p.d1", "p.d2")
         .agg(F.count(F.lit(1)).alias("common"))
         .select(F.col("d1"), F.col("d2"), "common")
@@ -262,8 +265,19 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"cluster_duplicates did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters"
+        )
     edges.unpersist()
-    return labels
+    # truncate the iteration lineage and release the loop's cache: the
+    # caller gets a self-contained result, not a DataFrame pinned to
+    # 2×diameter cached stages
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def simhash_fingerprints(

@@ -160,11 +160,16 @@ def frame_sample(
     path has no Python, so it rides whole-stage codegen at any scale.
     """
     n_frames = (F.octet_length(F.col(bin_col)) / frame_bytes).cast("int")
+    # guard n_frames == 0: sequence(0, -1) would run BACKWARDS and
+    # emit two bogus frames; short/empty payloads must yield no rows
+    idxs = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         df.select(
             id_col,
             bin_col,
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+            F.explode(idxs).alias("frame_idx"),
         )
         .select(
             id_col,

@@ -179,7 +179,9 @@ def embedding_neardup_pairs(
     e = df.select(
         F.col(id_col).alias("id"),
         _dvec(F.col(vec_col)).alias("v"),
-        (F.col(id_col) % blocks).cast("int").alias("blk"),
+        # pmod, not %: Java remainder is negative for negative ids,
+        # which would match no (p, q) key and silently drop the row
+        F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("blk"),
     )
     pair_keys = spark.createDataFrame(
         [(p, q) for p in range(blocks) for q in range(p, blocks)], "p int, q int"
@@ -216,13 +218,17 @@ def embedding_neardup_pairs(
             # same block on both sides: triangle only
             keep &= ia[:, None] < ib[None, :]
         ii, jj = np.nonzero(keep)
+        c = cos[ii, jj]
+        # HALF_UP away from zero, matching F.round / DuckDB round —
+        # np.round is half-to-even and can disagree at half boundaries
+        c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
         # blocks are disjoint for p != q, so each cross pair appears
         # exactly once — orient it as (min, max)
         return pd.DataFrame(
             {
                 "i": np.minimum(ia[ii], ib[jj]),
                 "j": np.maximum(ia[ii], ib[jj]),
-                "cos": np.round(cos[ii, jj], 6),
+                "cos": c6,
             }
         )
 

@@ -64,7 +64,15 @@ def salted_join(
     to replicate B× — i.e., skew concentrated on the left. Join key
     becomes (key, salt): no reducer receives more than ~1/B of a hot
     key.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` preserve the
+    unsalted result: any right-preserving join would emit each right
+    replica's unmatched row B times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -212,19 +212,26 @@ def range_join(
     lo_us, up_us = lower_seconds * 1_000_000, upper_seconds * 1_000_000
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
-    # floor division, not cast-truncation: truncation rounds toward
-    # zero, which misaligns buckets for negative (pre-epoch) timestamps
+    # buckets are identified by their START micros via x - pmod(x, w):
+    # pure long arithmetic, exact at any epoch — a double division
+    # (x / w) loses integer precision once |x| nears 2^53 and pushes
+    # boundary rows into the wrong bucket; pmod (not %) keeps
+    # pre-epoch negatives aligned
+    def bucket_start(x):
+        return x - F.pmod(x, F.lit(width_us))
+
     r = right.select(
         F.col(key_col).alias("_rk"),
-        F.floor(r_us / width_us).cast("long").alias("_rbucket"),
+        bucket_start(r_us).alias("_rbucket"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right.columns],
     )
     l = left.withColumn(
         "_lbucket",
         F.explode(
             F.sequence(
-                F.floor((l_us + lo_us) / width_us).cast("long"),
-                F.floor((l_us + up_us) / width_us).cast("long"),
+                bucket_start(l_us + lo_us),
+                bucket_start(l_us + up_us),
+                F.lit(width_us),
             )
         ),
     )

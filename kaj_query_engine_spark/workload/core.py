@@ -30,6 +30,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+# DuckDB oracle mirror of dsum() below — keep in lockstep
+DSUM_V_SQL = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
 def dsum(col, scale: int = 2):
     """Hash-stable SUM over doubles: cast each term to DECIMAL(18,6) so
     the sum is exact and independent of partition/summation order (a

@@ -51,8 +51,9 @@ def q90(spark, sf_dir):
     "SELECT doc_id, "
     "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 16) AS sig "
     "FROM documents",
-    "binary dedup key: mapInPandas + hashlib over media bytes; checked "
-    "against the first payload block's known digest",
+    "binary slicing sig: first 8 bytes of payload block 0 extracted "
+    "JVM-side (substring on binary), checked against the block's known "
+    "digest prefix",
 )
 def q91(spark, sf_dir):
     d = M.attach_fake_media(t(spark, sf_dir, "documents"))
@@ -64,13 +65,15 @@ def q91(spark, sf_dir):
 
 @register(
     "q92_media_features",
-    None,  # entropy/mean-byte aren't SQL-expressible → rows-only check
+    None,  # entropy/mean-byte/blob-sha aren't SQL-expressible in the
+    # oracle → rows-only check; tests pin both ops against hashlib/math
     "Arrow-batched byte features (n_bytes, first byte, mean, Shannon "
-    "entropy) via mapInPandas — the codec-free decode screen",
+    "entropy) + full-payload sha256 dedup key — both mapInPandas "
+    "paths (media_byte_features ⋈ media_checksum)",
 )
 def q92(spark, sf_dir):
     d = M.attach_fake_media(t(spark, sf_dir, "documents"))
-    return M.media_byte_features(d)
+    return M.media_byte_features(d).join(M.media_checksum(d), "doc_id")
 
 
 @register(

@@ -19,12 +19,10 @@ from kaj_query_engine_spark.sources.layout import (
     write_bucketed,
     write_partitioned,
 )
-from kaj_query_engine_spark.workload.core import dsum, t
+from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum, t
 from kaj_query_engine_spark.workload.registry import register
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
-
-_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
 
 def _tag(sf_dir: str) -> str:
@@ -34,7 +32,7 @@ def _tag(sf_dir: str) -> str:
 @register(
     "q35_partition_pruning",
     "SELECT event_type, count(*) AS n, "
-    f"{_DSUM_V} AS sum_v FROM events "
+    f"{DSUM_V_SQL} AS sum_v FROM events "
     "WHERE event_type IN ('click', 'error') GROUP BY event_type",
     "Hive-partitioned layout: events written partitionBy(event_type), "
     "filter becomes PartitionFilters — non-matching directories never "

@@ -30,10 +30,8 @@ from kaj_query_engine_spark.streaming import (
     stream_tumbling_agg,
     streaming_dedup,
 )
-from kaj_query_engine_spark.workload.core import dsum
+from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum
 from kaj_query_engine_spark.workload.registry import register
-
-_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
 
 @register(
@@ -41,7 +39,7 @@ _DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
     "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
     "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
     "event_type, count(*) AS n, "
-    f"{_DSUM_V} AS sum_v FROM events GROUP BY 1, 2, 3",
+    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 1, 2, 3",
     "streaming tumbling window with 10-min watermark (readStream → "
     "windowed agg → availableNow; state = open windows only)",
 )
@@ -69,7 +67,7 @@ def q80(spark, sf_dir):
     "ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
     "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
     "count(*) AS n_events, "
-    f"{_DSUM_V} AS sum_v "
+    f"{DSUM_V_SQL} AS sum_v "
     "FROM g GROUP BY user_id, sid",
     "streaming session windows (native F.session_window state, 30-min "
     "gap; sessions leave the state store when the watermark passes)",
@@ -132,7 +130,7 @@ def q84(spark, sf_dir):
 @register(
     "q83_stream_stateful_totals",
     "SELECT user_id, count(*) AS n_events, "
-    f"{_DSUM_V} AS sum_v FROM events GROUP BY user_id",
+    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY user_id",
     "custom stateful streaming operator (applyInPandasWithState): "
     "per-user running totals carried across micro-batches, "
     "Arrow-batched, exact integer-micros accumulator",

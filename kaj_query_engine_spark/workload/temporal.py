@@ -13,10 +13,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kaj_query_engine_spark.operators import temporal as T
-from kaj_query_engine_spark.workload.core import dsum, t
+from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum, t
 from kaj_query_engine_spark.workload.registry import register
-
-_DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
 
 @register(
@@ -24,7 +22,7 @@ _DSUM_V = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
     "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
     "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
     "event_type, count(*) AS n, "
-    f"{_DSUM_V} AS sum_v FROM events GROUP BY 1, 2, 3",
+    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 1, 2, 3",
     "hourly tumbling window per event_type (one shuffle on "
     "(window, type); map-side partial agg)",
 )
@@ -46,7 +44,7 @@ def q70(spark, sf_dir):
     "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
     "]) AS ws, value FROM events) "
     "SELECT ws, ws + INTERVAL '1 hour' AS we, count(*) AS n, "
-    f"{_DSUM_V} AS sum_v FROM s GROUP BY 1, 2",
+    f"{DSUM_V_SQL} AS sum_v FROM s GROUP BY 1, 2",
     "1-hour windows sliding every 30 min (each event in 2 windows)",
 )
 def q71(spark, sf_dir):
@@ -72,7 +70,7 @@ def q71(spark, sf_dir):
     "SELECT user_id, session_id, min(ts) AS session_start, "
     "max(ts) AS session_end, count(*) AS n_events, "
     "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, "
-    f"{_DSUM_V} AS sum_v "
+    f"{DSUM_V_SQL} AS sum_v "
     "FROM g GROUP BY user_id, session_id",
     "sessionization (30-min gap) + per-session stats — gaps-and-islands "
     "over ONE shuffle+sort on (user, ts), no self-join",
