@@ -70,24 +70,43 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sdf
 
 
-def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input and
     return the final result as a batch DataFrame (memory sink).
 
     ``availableNow`` is the bounded-execution trigger: process every
     pending file, then stop — the streaming analog of a batch run, and
     exactly what a backfill over a landing directory does on a cluster.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for this
+    query (restored after): every stateful operator instantiates one
+    state store PER partition (a stream-stream join has four), so a
+    small bounded backfill wants few partitions — 32 partitions cost
+    ~2.5× the wall time of 8 on fixture-scale input. A production
+    unbounded run sizes this to key cardinality instead; the setting is
+    fixed at first checkpoint forever after.
     """
+    spark = sdf.sparkSession
     name = f"kaj_stream_q{next(_MEMQ)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_tumbling_agg(

@@ -53,7 +53,7 @@ def q80(spark, sf_dir):
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
         keys=["event_type"],
     )
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete", state_partitions=8)
 
 
 @register(
@@ -82,7 +82,7 @@ def q81(spark, sf_dir):
         "10 minutes",
         aggs=[dsum(F.col("value")).alias("sum_v")],
     )
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete", state_partitions=8)
 
 
 @register(
@@ -97,7 +97,7 @@ def q82(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
     d = streaming_dedup(s, ["user_id", "event_type"], "ts", "1 hour")
     agg = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete", state_partitions=8)
 
 
 @register(
@@ -124,6 +124,7 @@ def q84(spark, sf_dir):
     return run_available_now(
         j.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"),
         "append",
+        state_partitions=8,
     )
 
 
@@ -138,4 +139,4 @@ def q84(spark, sf_dir):
 def q83(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
     totals = stream_stateful_user_totals(s)
-    return run_available_now(totals, "update")
+    return run_available_now(totals, "update", state_partitions=8)
