@@ -131,16 +131,21 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` and the same key (backward as-of join).
+    """For each left row, attach the closest right row with the same
+    key: ``backward`` = latest right with ``right.ts <= left.ts``;
+    ``forward`` = earliest right with ``right.ts >= left.ts``.
 
     Union trick: tag rows, sort (key, ts, side) with right rows first on
-    ties, carry right payload forward with last(ignorenulls). ONE
-    shuffle on key + ONE sort — vs. the nested-loop plan Spark picks for
-    the naive inequality join. Right payload columns come back prefixed
+    ties, carry right payload forward with last(ignorenulls) — the
+    forward direction just reverses the sort. ONE shuffle on key + ONE
+    sort — vs. the nested-loop plan Spark picks for the naive
+    inequality join. Right payload columns come back prefixed
     ``asof_``; ``how='inner'`` drops left rows with no match.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     payload = [c for c in right_cols if c != key_col]
     r = right.select(
@@ -161,10 +166,13 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so a
-    # right row AT the left row's timestamp is visible to it (<=).
+    # right row AT the left row's timestamp is visible to it (<= / >=);
+    # forward direction scans time in reverse so "last right seen" is
+    # the earliest right at-or-after the left row
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     # the payload is carried as ONE struct per right row, not one

@@ -110,6 +110,35 @@ def q73(spark, sf_dir):
 
 
 @register(
+    "q78_asof_forward",
+    "SELECT c.event_id AS click_id, c.user_id, c.ts, "
+    "v.event_id AS next_err_id, v.ts AS err_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') v "
+    "ON c.user_id = v.user_id AND v.ts >= c.ts",
+    "forward as-of join: each click → the EARLIEST error at-or-after "
+    "it by the same user (same union trick, time scanned in reverse)",
+)
+def q78(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error")
+    out = T.asof_join(
+        clicks, errors, "user_id", "ts", "ts", ["event_id", "ts"],
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("next_err_id"),
+        F.col("asof_ts").alias("err_ts"),
+    )
+
+
+@register(
     "q74_range_join",
     "SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts, "
     "c.event_id AS click_id, c.ts AS click_ts FROM events e JOIN events c "
