@@ -6,6 +6,8 @@ Spark operators so the two stay in lockstep.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kaj_query_engine_spark.operators import dedup as D
 from kaj_query_engine_spark.workload.core import t
 from kaj_query_engine_spark.workload.registry import register
@@ -106,6 +108,27 @@ def q52(spark, sf_dir):
 def q54(spark, sf_dir):
     pairs = D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")
     return D.cluster_duplicates(pairs)
+
+
+@register(
+    "q55_dedup_materialize",
+    "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+    "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) "
+    "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+    "JOIN keep USING (doc_id)",
+    "the dedup output itself: keep the min-id representative of every "
+    "exact-duplicate group and return the surviving documents — a "
+    "semi-join of the corpus against the keep-set (broadcastable at "
+    "any corpus size: |keep| <= |groups|)",
+)
+def q55(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    keep = D.exact_duplicates(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:

@@ -116,6 +116,36 @@ def q44(spark, sf_dir):
 
 
 @register(
+    "q46_profile_topk",
+    "SELECT col, val, n FROM ("
+    "SELECT col, val, n, row_number() OVER ("
+    "PARTITION BY col ORDER BY n DESC, val) AS rk FROM ("
+    "SELECT 'lang' AS col, lang AS val, count(*) AS n FROM documents GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'source', source, count(*) FROM documents GROUP BY 2)) "
+    "WHERE rk <= 3",
+    "data profiling: exact top-3 most frequent values per categorical "
+    "column (count + per-column row_number; ties broken by value)",
+)
+def q46(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counted = None
+    for col in ("lang", "source"):
+        c = d.groupBy(F.lit(col).alias("col"), F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        counted = c if counted is None else counted.unionByName(c)
+    w = W.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("col", "val", "n")
+    )
+
+
+@register(
     "q43_fingerprint",
     "SELECT doc_id, "
     "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
