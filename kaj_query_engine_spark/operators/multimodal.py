@@ -151,10 +151,15 @@ def frame_sample(
     id_col: str = "doc_id",
     bin_col: str = "media",
     frame_bytes: int = DIGEST_BYTES,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sample fixed-size "frames" from a media payload — the video
-    analog (decode-free): (id, frame_idx, frame) with frame =
-    ``payload[idx*frame_bytes : (idx+1)*frame_bytes]``.
+    analog (decode-free): (id, frame_idx, frame[, *keep_cols]) with
+    frame = ``payload[idx*frame_bytes : (idx+1)*frame_bytes]``.
+
+    ``keep_cols`` are carried through the explode (e.g. the metadata
+    struct) so no join is needed to reunite frames with their media's
+    typed metadata.
 
     Pure JVM: explode over a sequence + substring on binary — the hot
     path has no Python, so it rides whole-stage codegen at any scale.
@@ -169,6 +174,7 @@ def frame_sample(
         df.select(
             id_col,
             bin_col,
+            *keep_cols,
             F.explode(idxs).alias("frame_idx"),
         )
         .select(
@@ -177,5 +183,6 @@ def frame_sample(
             F.expr(
                 f"substring({bin_col}, frame_idx * {frame_bytes} + 1, {frame_bytes})"
             ).alias("frame"),
+            *keep_cols,
         )
     )

@@ -109,18 +109,38 @@ def session_stats(
     ts_col: str,
     gap_seconds: int,
     aggs: list[Column] | None = None,
+    as_micros: bool = False,
 ) -> DataFrame:
     """Per-session summary: (key, session_id, session_start, session_end,
-    n_events, duration_s, *aggs). duration_s = whole seconds (floor)."""
+    n_events, duration_s, *aggs). duration_s = whole seconds (floor).
+
+    All session-bound arithmetic happens on integer microseconds —
+    duration_s is a pure long ``DIV`` (never a double division, which
+    can flip at boundaries once micros near 2^53). ``as_micros=True``
+    emits the bounds as epoch-micro BIGINTs (``session_start_us`` /
+    ``session_end_us``) instead of timestamps — the canonical,
+    engine-portable representation (timestamp canonicalization differs
+    across engines/drivers; int64 micros never do).
+    """
     s = sessionize(df, key_col, ts_col, gap_seconds)
-    dur_us = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
-    return s.groupBy(key_col, "session_id").agg(
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
+    out = s.groupBy(key_col, "session_id").agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_start_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("_end_us"),
         F.count(F.lit(1)).alias("n_events"),
-        (dur_us / F.lit(1_000_000)).cast("long").alias("duration_s"),
         *(aggs or []),
     )
+    out = out.withColumn("duration_s", F.expr("(_end_us - _start_us) DIV 1000000"))
+    if as_micros:
+        out = out.withColumnRenamed("_start_us", "session_start_us").withColumnRenamed(
+            "_end_us", "session_end_us"
+        )
+    else:
+        out = (
+            out.withColumn("session_start", F.timestamp_micros(F.col("_start_us")))
+            .withColumn("session_end", F.timestamp_micros(F.col("_end_us")))
+            .drop("_start_us", "_end_us")
+        )
+    return out
 
 
 def asof_join(

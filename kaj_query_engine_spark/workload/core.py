@@ -68,72 +68,41 @@ register(
 )(_dialect("SELECT * FROM region"))
 
 register(
-    "q02_filter_project",
-    "SELECT c_custkey, c_name, c_acctbal FROM customer "
-    "WHERE c_mktsegment = 'BUILDING'",
-    "filter + project (reference query2.sql; Select/Project operators)",
+    "q02_select_distinct_orderby",
+    "SELECT DISTINCT c_custkey, c_acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000",
+    "filter (string-cast + numeric-cast literals, comma-AND) + project "
+    "+ driver-side DISTINCT + whole-list-DESC ORDER BY in one dialect "
+    "query (reference query2/query9/query10.sql; Select/Project "
+    "operators, QueryMain.java:205-261 DISTINCT/ORDER-BY-last quirk). "
+    "Hash compare is order-insensitive; the sort itself is covered in "
+    "tests/.",
 )(
     _dialect(
-        "SELECT customer.c_custkey, customer.c_name, customer.c_acctbal "
-        'FROM customer WHERE customer.c_mktsegment = "BUILDING"'
+        "SELECT DISTINCT customer.c_custkey, customer.c_acctbal FROM customer "
+        'WHERE customer.c_mktsegment = "BUILDING", customer.c_acctbal>"9000" '
+        "ORDERBY customer.c_custkey DESC"
     )
 )
 
 register(
     "q03_agg_witness",
-    'SELECT DISTINCT o_orderstatus, '
+    "SELECT DISTINCT o_orderstatus, "
+    '(SELECT count(*) FROM orders) AS "COUNT(orders.o_orderkey)", '
+    '(SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders) AS "SUM(orders.o_custkey)", '
+    '(SELECT min(o_totalprice) FROM orders) AS "MIN(orders.o_totalprice)", '
     '(SELECT max(o_orderkey) FROM orders) AS "MAX(orders.o_orderkey)", '
     "o_totalprice FROM orders "
-    "WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)",
-    "ungrouped aggregate with bare columns — witness-row semantics "
-    "(reference query3.sql; Aggregate.java:123-150)",
+    "WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders)",
+    "ungrouped aggregate: all four accumulators (COUNT/SUM/MIN/MAX, "
+    "AggregateAttribute.java:38-115) + bare columns resolved by "
+    "witness-row semantics — MIN beats MAX, ties emit all tying "
+    "distinct rows (reference query3.sql; Aggregate.java:123-150)",
 )(
     _dialect(
-        "SELECT orders.o_orderstatus, MAX(orders.o_orderkey), orders.o_totalprice "
-        "FROM orders"
-    )
-)
-
-register(
-    "q04_pure_aggregates",
-    'SELECT count(*) AS "COUNT(lineitem.l_orderkey)", '
-    'CAST(sum(l_linenumber) AS BIGINT) AS "SUM(lineitem.l_linenumber)", '
-    'min(l_quantity) AS "MIN(lineitem.l_quantity)", '
-    'max(l_extendedprice) AS "MAX(lineitem.l_extendedprice)" FROM lineitem',
-    "ungrouped MIN/MAX/COUNT/SUM accumulators (AggregateAttribute.java:38-115)",
-)(
-    _dialect(
-        "SELECT COUNT(lineitem.l_orderkey), SUM(lineitem.l_linenumber), "
-        "MIN(lineitem.l_quantity), MAX(lineitem.l_extendedprice) FROM lineitem"
-    )
-)
-
-register(
-    "q05_join2",
-    "SELECT c_name, o_orderkey, o_totalprice FROM customer "
-    "JOIN orders ON c_custkey = o_custkey",
-    "2-way equi-join (reference query4.sql; NestedJoin → Catalyst join)",
-)(
-    _dialect(
-        "SELECT customer.c_name, orders.o_orderkey, orders.o_totalprice "
-        "FROM customer,orders WHERE customer.c_custkey=orders.o_custkey"
-    )
-)
-
-register(
-    "q06_join3_filters",
-    "SELECT c_custkey, o_orderkey, l_linenumber, l_quantity "
-    "FROM customer JOIN orders ON c_custkey = o_custkey "
-    "JOIN lineitem ON o_orderkey = l_orderkey "
-    "WHERE o_totalprice < 100000 AND l_quantity > 30",
-    "3-way join chain + range filters (reference query6.sql)",
-)(
-    _dialect(
-        "SELECT customer.c_custkey, orders.o_orderkey, lineitem.l_linenumber, "
-        "lineitem.l_quantity FROM customer,orders,lineitem "
-        "WHERE customer.c_custkey=orders.o_custkey,"
-        'orders.o_orderkey=lineitem.l_orderkey,orders.o_totalprice<"100000",'
-        'lineitem.l_quantity>"30"'
+        "SELECT orders.o_orderstatus, COUNT(orders.o_orderkey), "
+        "SUM(orders.o_custkey), MIN(orders.o_totalprice), "
+        "MAX(orders.o_orderkey), orders.o_totalprice FROM orders"
     )
 )
 
@@ -152,25 +121,6 @@ register(
         "WHERE customer.c_custkey=orders.o_custkey,"
         "orders.o_orderkey=lineitem.l_orderkey,lineitem.l_partkey=part.p_partkey,"
         'part.p_retailprice>"950",part.p_retailprice<"960"'
-    )
-)
-
-register(
-    "q08_distinct",
-    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
-    "duplicate elimination (reference query9.sql; driver-side Distinct)",
-)(_dialect("SELECT DISTINCT orders.o_orderstatus, orders.o_orderpriority FROM orders"))
-
-register(
-    "q09_orderby",
-    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000",
-    "ORDER BY DESC on the projected result (reference query10.sql; "
-    "driver-side sort, QueryMain.java:248-261). Hash compare is "
-    "order-insensitive; the sort itself is covered in tests/.",
-)(
-    _dialect(
-        "SELECT customer.c_custkey, customer.c_acctbal FROM customer "
-        'WHERE customer.c_acctbal>"9000" ORDERBY customer.c_custkey DESC'
     )
 )
 
@@ -194,40 +144,29 @@ register(
 
 
 @register(
-    "q11_groupby_agg",
+    "q11_groupby_having",
     "SELECT l_returnflag, l_linestatus, "
     "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty, "
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base, "
     "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc, "
-    "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus",
-    "TPC-H Q1-style grouped aggregation (map-side partial agg + one shuffle)",
+    "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "HAVING count(*) >= 1000",
+    "TPC-H Q1-style grouped aggregation (map-side partial agg + one "
+    "shuffle) + HAVING filter on the aggregate",
 )
 def q11(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        dsum(F.col("l_extendedprice")).alias("sum_base"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "q12_groupby_having",
-    "SELECT o_custkey, count(*) AS n_orders, "
-    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total "
-    "FROM orders GROUP BY o_custkey HAVING count(*) >= 15",
-    "GROUP BY + HAVING",
-)
-def q12(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_custkey")
+        l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc"
+            ),
+            F.count(F.lit(1)).alias("n"),
         )
-        .filter(F.col("n_orders") >= 15)
+        .filter(F.col("n") >= 1000)
     )
 
 
@@ -237,44 +176,43 @@ def q12(spark, sf_dir):
 
 
 @register(
-    "q13_left_outer_join",
-    "SELECT n_nationkey, n_name, s_suppkey FROM nation "
-    "LEFT JOIN supplier ON n_nationkey = s_nationkey",
-    "left outer join (nations with no supplier keep NULL s_suppkey)",
+    "q13_join_variants",
+    "SELECT 'outer' AS tag, n_nationkey AS k, n_name AS nm, "
+    "s_suppkey AS extra FROM nation "
+    "LEFT JOIN supplier ON n_nationkey = s_nationkey "
+    "UNION ALL "
+    "SELECT 'semi', c_custkey, c_name, NULL FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 400000) "
+    "UNION ALL "
+    "SELECT 'anti', c_custkey, c_name, NULL FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "join family beyond inner, one tagged result: left outer (NULL "
+    "right side preserved), left-semi (EXISTS), left-anti (NOT EXISTS)",
 )
 def q13(spark, sf_dir):
     n, s = t(spark, sf_dir, "nation"), t(spark, sf_dir, "supplier")
-    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
-        "n_nationkey", "n_name", "s_suppkey"
-    )
-
-
-@register(
-    "q14_semi_join",
-    "SELECT c_custkey, c_name FROM customer c "
-    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
-    "AND o.o_totalprice > 400000)",
-    "left-semi join (EXISTS)",
-)
-def q14(spark, sf_dir):
     c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    outer = n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        F.lit("outer").alias("tag"),
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("nm"),
+        F.col("s_suppkey").alias("extra"),
+    )
     big = o.filter(F.col("o_totalprice") > 400000)
-    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("tag"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.lit(None).cast("long").alias("extra"),
     )
-
-
-@register(
-    "q15_anti_join",
-    "SELECT c_custkey, c_name FROM customer c "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    "left-anti join (NOT EXISTS)",
-)
-def q15(spark, sf_dir):
-    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("tag"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.lit(None).cast("long").alias("extra"),
     )
+    return outer.unionByName(semi).unionByName(anti)
 
 
 @register(
@@ -293,63 +231,40 @@ def q16(spark, sf_dir):
 
 
 @register(
-    "q17_window_topk",
+    "q17_window_funcs",
     "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
-    "CAST(row_number() OVER (PARTITION BY o_custkey "
-    "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) "
+    "CAST(row_number() OVER wrank AS INT) AS rn, "
+    "round(sum(o_totalprice) OVER wrun, 2) AS running, "
+    "lag(o_orderkey) OVER wasc AS prev_key, "
+    "lead(o_orderkey) OVER wasc AS next_key FROM orders "
+    "WINDOW wrank AS (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey), "
+    "wasc AS (PARTITION BY o_custkey ORDER BY o_orderkey), "
+    "wrun AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
     "WHERE rn <= 3",
-    "top-k per group via row_number window (unique-key tiebreak)",
+    "window-function family in one pass: per-group top-k rank "
+    "(unique-key tiebreak), running aggregate over a ROWS frame, "
+    "lag/lead — three window specs, shared shuffle on o_custkey",
 )
 def q17(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(
+    wrank = W.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    wasc = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wrun = wasc.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(wrank).alias("rn"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("running"),
+            F.lag("o_orderkey").over(wasc).alias("prev_key"),
+            F.lead("o_orderkey").over(wasc).alias("next_key"),
+        )
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@register(
-    "q18_window_running",
-    "SELECT o_custkey, o_orderkey, "
-    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
-    "FROM orders",
-    "running aggregate window (frame order fixed by unique key)",
-)
-def q18(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running"),
-    )
-
-
-@register(
-    "q19_window_lag_lead",
-    "SELECT o_custkey, o_orderkey, "
-    "lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key, "
-    "lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key "
-    "FROM orders",
-    "lag/lead window functions",
-)
-def q19(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_orderkey").over(w).alias("prev_key"),
-        F.lead("o_orderkey").over(w).alias("next_key"),
     )
 
 
@@ -359,11 +274,17 @@ def q19(spark, sf_dir):
 
 
 @register(
-    "q20_union_except",
+    "q20_set_ops",
+    "SELECT 'union_except' AS tag, nk FROM ("
     "SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000 "
     "UNION SELECT s_nationkey AS nk FROM supplier "
-    "EXCEPT SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0",
-    "UNION (distinct) then EXCEPT",
+    "EXCEPT SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0) "
+    "UNION ALL "
+    "SELECT 'intersect', nk FROM ("
+    "SELECT c_nationkey AS nk FROM customer "
+    "INTERSECT SELECT s_nationkey AS nk FROM supplier)",
+    "set-operation family, one tagged result: UNION (distinct) then "
+    "EXCEPT; INTERSECT (distinct)",
 )
 def q20(spark, sf_dir):
     c = (
@@ -377,19 +298,15 @@ def q20(spark, sf_dir):
         .filter(F.col("n_regionkey") == 0)
         .select(F.col("n_nationkey").alias("nk"))
     )
-    return c.union(s).distinct().subtract(n)
-
-
-@register(
-    "q21_intersect",
-    "SELECT c_nationkey AS nk FROM customer "
-    "INTERSECT SELECT s_nationkey AS nk FROM supplier",
-    "INTERSECT (distinct)",
-)
-def q21(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
+    ue = c.union(s).distinct().subtract(n)
+    inter = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .intersect(s)
+    )
+    return ue.select(F.lit("union_except").alias("tag"), "nk").unionByName(
+        inter.select(F.lit("intersect").alias("tag"), "nk")
+    )
 
 
 @register(
@@ -447,69 +364,79 @@ def q24(spark, sf_dir):
 
 
 @register(
-    "q25_date_functions",
+    "q25_date_case",
     "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
-    "CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d "
+    "CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d, "
+    "CASE WHEN o_totalprice < 100000 THEN 'low' "
+    "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket "
     "FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
-    "timestamp extraction + timestamp range filter (UTC-pinned session)",
+    "timestamp extraction + timestamp range filter (UTC-pinned "
+    "session) + CASE bucketing expression",
 )
 def q25(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-    )
-
-
-@register(
-    "q26_case_buckets",
-    "SELECT CASE WHEN o_totalprice < 100000 THEN 'low' "
-    "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, "
-    "count(*) AS n FROM orders GROUP BY 1",
-    "CASE expression + group",
-)
-def q26(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 100000, "low")
         .when(F.col("o_totalprice") < 300000, "mid")
         .otherwise("high")
     )
-    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    return o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        bucket.alias("bucket"),
+    )
 
 
 @register(
-    "q27_cube",
-    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
-    "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty "
-    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
-    "CUBE multi-dimensional aggregate",
+    "q27_grouped_analytics",
+    "SELECT 'cube' AS tag, l_returnflag AS k1, l_linestatus AS k2, "
+    "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "UNION ALL "
+    "SELECT 'rollup', CAST(y AS VARCHAR), CAST(m AS VARCHAR), count(*) "
+    "FROM (SELECT CAST(year(o_orderdate) AS INT) AS y, "
+    "CAST(month(o_orderdate) AS INT) AS m FROM orders) GROUP BY ROLLUP (y, m) "
+    "UNION ALL "
+    "SELECT 'gsets', o_orderstatus, o_orderpriority, count(*) FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
+    "multi-dimensional aggregation family, one tagged result: CUBE, "
+    "ROLLUP over computed keys, GROUPING SETS — each branch is one "
+    "Expand + shuffle",
 )
 def q27(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-    )
-
-
-@register(
-    "q28_rollup",
-    "SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, "
-    "count(*) AS n FROM orders GROUP BY ROLLUP (y, m)",
-    "ROLLUP hierarchy aggregate",
-)
-def q28(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    cube = (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("tag"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
         )
+    )
+    o = t(spark, sf_dir, "orders")
+    rollup = (
+        o.select(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
         .rollup("y", "m")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rollup").alias("tag"),
+            F.col("y").cast("string").alias("k1"),
+            F.col("m").cast("string").alias("k2"),
+            "n",
+        )
     )
+    o.createOrReplaceTempView("orders_gs")
+    gsets = spark.sql(
+        "SELECT 'gsets' AS tag, o_orderstatus AS k1, o_orderpriority AS k2, "
+        "count(*) AS n FROM orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+    return cube.unionByName(rollup).unionByName(gsets)
 
 
 @register(
@@ -545,20 +472,6 @@ def q30(spark, sf_dir):
     return l.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-    )
-
-
-@register(
-    "q31_grouping_sets",
-    "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
-    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
-    "GROUPING SETS via Spark SQL",
-)
-def q31(spark, sf_dir):
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders_gs "
-        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
     )
 
 

@@ -27,13 +27,21 @@ _SH_CTE = (
 
 @register(
     "q50_dedup_exact",
-    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, "
-    "count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1",
-    "exact dedup: hash-groupBy on the content fingerprint (one shuffle "
-    "on the 16-byte digest; map-side partial agg)",
+    "WITH g AS (SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents "
+    "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) "
+    "SELECT d.doc_id, d.lang, d.source, d.n_chars, g.n FROM documents d "
+    "JOIN g USING (doc_id)",
+    "exact dedup end-to-end: hash-groupBy on the content fingerprint "
+    "(one shuffle on the 16-byte digest; map-side partial agg) → keep "
+    "the min-id representative per group → join back to materialize "
+    "the surviving documents with their duplicate count",
 )
 def q50(spark, sf_dir):
-    return D.exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
+    d = t(spark, sf_dir, "documents")
+    keep = D.exact_duplicates(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), "n"
+    )
+    return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars", "n")
 
 
 def _minhash_oracle() -> str:
@@ -108,27 +116,6 @@ def q52(spark, sf_dir):
 def q54(spark, sf_dir):
     pairs = D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")
     return D.cluster_duplicates(pairs)
-
-
-@register(
-    "q55_dedup_materialize",
-    "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
-    "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) "
-    "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
-    "JOIN keep USING (doc_id)",
-    "the dedup output itself: keep the min-id representative of every "
-    "exact-duplicate group and return the surviving documents — a "
-    "semi-join of the corpus against the keep-set (broadcastable at "
-    "any corpus size: |keep| <= |groups|)",
-)
-def q55(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    keep = D.exact_duplicates(d, "doc_id", "text").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    return d.join(keep, "doc_id", "left_semi").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:

@@ -25,41 +25,36 @@ _N_BLOCKS = "(2 + doc_id % 3)"
 
 
 @register(
-    "q90_media_metadata",
-    "SELECT doc_id, "
+    "q90_media_frames",
+    "SELECT doc_id, frame_idx, "
+    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':', "
+    "CAST(frame_idx AS VARCHAR))), 1, 16) AS frame_sig, "
     f"CAST(32 * {_N_BLOCKS} AS INT) AS n_bytes, "
     "CAST(64 + (doc_id % 8) * 32 AS INT) AS width, "
     "CAST(64 + (doc_id % 5) * 32 AS INT) AS height, "
     "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format "
-    "FROM documents",
-    "media ingest: binary payload + typed metadata struct (pushdown on "
-    "metadata prunes media I/O; payload built JVM-side)",
+    "FROM documents, "
+    f"LATERAL (SELECT unnest(range(0, {_N_BLOCKS})) AS frame_idx)",
+    "media ingest + decode-free frame sampling in one result: binary "
+    "payload with typed metadata struct (pushdown on metadata prunes "
+    "media I/O), exploded into per-frame rows whose 8-byte signature "
+    "is sliced JVM-side (substring on binary — whole-stage codegen, "
+    "no Python); each frame row carries the media's metadata through "
+    "the explode, join-free",
 )
 def q90(spark, sf_dir):
-    d = M.attach_fake_media(t(spark, sf_dir, "documents"))
-    return d.select(
+    d = M.attach_fake_media(t(spark, sf_dir, "documents")).withColumn(
+        "n_bytes", F.octet_length("media")
+    )
+    frames = M.frame_sample(d, keep_cols=("n_bytes", "media_meta"))
+    return frames.select(
         "doc_id",
-        F.octet_length("media").alias("n_bytes"),
+        "frame_idx",
+        F.lower(F.hex(F.expr("substring(frame, 1, 8)"))).alias("frame_sig"),
+        "n_bytes",
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.format").alias("format"),
-    )
-
-
-@register(
-    "q91_media_checksum",
-    "SELECT doc_id, "
-    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 16) AS sig "
-    "FROM documents",
-    "binary slicing sig: first 8 bytes of payload block 0 extracted "
-    "JVM-side (substring on binary), checked against the block's known "
-    "digest prefix",
-)
-def q91(spark, sf_dir):
-    d = M.attach_fake_media(t(spark, sf_dir, "documents"))
-    frames = M.frame_sample(d).filter(F.col("frame_idx") == 0)
-    return frames.select(
-        "doc_id", F.lower(F.hex(F.expr("substring(frame, 1, 8)"))).alias("sig")
     )
 
 
@@ -74,23 +69,3 @@ def q91(spark, sf_dir):
 def q92(spark, sf_dir):
     d = M.attach_fake_media(t(spark, sf_dir, "documents"))
     return M.media_byte_features(d).join(M.media_checksum(d), "doc_id")
-
-
-@register(
-    "q93_frame_sample",
-    "SELECT doc_id, frame_idx, "
-    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':', "
-    "CAST(frame_idx AS VARCHAR))), 1, 16) AS frame_sig "
-    "FROM documents, "
-    f"LATERAL (SELECT unnest(range(0, {_N_BLOCKS})) AS frame_idx)",
-    "decode-free frame sampling: explode + substring on binary, pure "
-    "JVM hot path (whole-stage codegen, no Python)",
-)
-def q93(spark, sf_dir):
-    d = M.attach_fake_media(t(spark, sf_dir, "documents"))
-    frames = M.frame_sample(d)
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        F.lower(F.hex(F.expr("substring(frame, 1, 8)"))).alias("frame_sig"),
-    )

@@ -87,13 +87,19 @@ def q36(spark, sf_dir):
     "q37_salted_agg",
     "SELECT o_orderpriority, count(*) AS n, "
     "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total, "
-    "max(o_totalprice) AS biggest FROM orders GROUP BY o_orderpriority",
+    "max(o_totalprice) AS biggest, "
+    "COALESCE(list(o_orderkey ORDER BY o_orderkey) "
+    "FILTER (WHERE o_totalprice > 450000), []) AS big_orders "
+    "FROM orders GROUP BY o_orderpriority",
     "salted two-stage aggregation: hot keys spread over 16 salt "
     "buckets, then per-salt partials combined — results exactly equal "
-    "the unsalted plan (DECIMAL sum is order-independent)",
+    "the unsalted plan (DECIMAL sum is order-independent; the sorted "
+    "array aggregate flattens per-salt partial lists and sorts once, "
+    "so element order is canonical regardless of salting)",
 )
 def q37(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 450000, F.col("o_orderkey"))
     out = salted_groupby_agg(
         o,
         ["o_orderpriority"],
@@ -105,6 +111,13 @@ def q37(spark, sf_dir):
                 "total",
             ),
             (F.max("o_totalprice"), lambda c: F.max(c), "biggest"),
+            (
+                # collect_list skips the NULLs F.when leaves for
+                # non-qualifying rows; combine = flatten + one sort
+                F.collect_list(big),
+                lambda c: F.array_sort(F.flatten(F.collect_list(c))),
+                "big_orders",
+            ),
         ],
     )
     return out
@@ -148,18 +161,3 @@ def q45(spark, sf_dir):
     )
 
 
-@register(
-    "q39_array_agg",
-    "SELECT o_orderpriority, "
-    "list(o_orderkey ORDER BY o_orderkey) AS big_orders, "
-    "count(*) AS n FROM orders WHERE o_totalprice > 450000 "
-    "GROUP BY o_orderpriority",
-    "array aggregation: sorted collect_list per group (array results "
-    "hash-compared element-wise against the oracle)",
-)
-def q39(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
-    return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("big_orders"),
-        F.count(F.lit(1)).alias("n"),
-    )

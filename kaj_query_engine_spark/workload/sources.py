@@ -38,50 +38,53 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 @register(
-    "q32_csv_roundtrip",
-    "SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
-    "FROM nation GROUP BY n_regionkey",
-    "CSV connector round-trip: nation → tab-separated CSV → typed "
-    "re-read → aggregate (schema explicit; no inference pass)",
+    "q32_format_roundtrips",
+    "SELECT 'csv' AS fmt, n_regionkey AS k, count(*) AS n, "
+    "min(n_name) AS v FROM nation GROUP BY n_regionkey "
+    "UNION ALL "
+    "SELECT 'json', r_regionkey, count(*), min(r_name) "
+    "FROM region GROUP BY r_regionkey "
+    "UNION ALL "
+    "SELECT 'orc', s_nationkey, count(*), min(s_name) "
+    "FROM supplier GROUP BY s_nationkey",
+    "format-connector round-trips in one tagged result: nation → "
+    "tab-separated CSV, region → line-delimited JSON, supplier → ORC — "
+    "each written out, re-read with an explicit schema (no inference "
+    "pass), and aggregated; the oracle checks the aggregates against "
+    "the original parquet, so a format that mangles values or types "
+    "cannot pass",
 )
 def q32(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
-    path = _scratch(sf_dir, "nation_csv")
-    n.write.mode("overwrite").options(sep="\t", header="true").csv(path)
-    back = read_table(spark, path, "csv", schema=n.schema)
-    return back.groupBy("n_regionkey").agg(
-        F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name")
+    csv_path = _scratch(sf_dir, "nation_csv")
+    n.write.mode("overwrite").options(sep="\t", header="true").csv(csv_path)
+    csv_back = (
+        read_table(spark, csv_path, "csv", schema=n.schema)
+        .groupBy(F.col("n_regionkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("v"))
+        .select(F.lit("csv").alias("fmt"), "k", "n", "v")
     )
 
-
-@register(
-    "q33_json_roundtrip",
-    "SELECT r_regionkey, r_name FROM region",
-    "JSON connector round-trip: region → line-delimited JSON → typed "
-    "re-read → project",
-)
-def q33(spark, sf_dir):
     r = t(spark, sf_dir, "region")
-    path = _scratch(sf_dir, "region_json")
-    r.write.mode("overwrite").json(path)
-    back = read_table(spark, path, "json", schema=r.schema)
-    return back.select("r_regionkey", "r_name")
-
-
-@register(
-    "q33b_orc_roundtrip",
-    "SELECT s_nationkey, count(*) AS n, min(s_name) AS first_s "
-    "FROM supplier GROUP BY s_nationkey",
-    "ORC connector round-trip: supplier → ORC → re-read → aggregate",
-)
-def q33b(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    path = _scratch(sf_dir, "supplier_orc")
-    s.write.mode("overwrite").orc(path)
-    back = read_table(spark, path, "orc")
-    return back.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n"), F.min("s_name").alias("first_s")
+    json_path = _scratch(sf_dir, "region_json")
+    r.write.mode("overwrite").json(json_path)
+    json_back = (
+        read_table(spark, json_path, "json", schema=r.schema)
+        .groupBy(F.col("r_regionkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("r_name").alias("v"))
+        .select(F.lit("json").alias("fmt"), "k", "n", "v")
     )
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    orc_path = _scratch(sf_dir, "supplier_orc")
+    s.write.mode("overwrite").orc(orc_path)
+    orc_back = (
+        read_table(spark, orc_path, "orc")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("s_name").alias("v"))
+        .select(F.lit("orc").alias("fmt"), "k", "n", "v")
+    )
+    return csv_back.unionByName(json_back).unionByName(orc_back)
 
 
 @register(

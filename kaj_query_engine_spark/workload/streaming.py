@@ -35,29 +35,15 @@ from kaj_query_engine_spark.workload.registry import register
 
 
 @register(
-    "q80_stream_tumbling",
-    "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
+    "q80_stream_windows",
+    "SELECT 'tumble' AS kind, CAST(event_type AS VARCHAR) AS k, "
+    "time_bucket(INTERVAL '1 hour', ts) AS ws, "
     "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
-    "event_type, count(*) AS n, "
-    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 1, 2, 3",
-    "streaming tumbling window with 10-min watermark (readStream → "
-    "windowed agg → availableNow; state = open windows only)",
-)
-def q80(spark, sf_dir):
-    s = read_stream_table(spark, sf_dir, "events")
-    agg = stream_tumbling_agg(
-        s,
-        "ts",
-        "1 hour",
-        "10 minutes",
-        [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
-        keys=["event_type"],
-    )
-    return run_available_now(agg, "complete", state_partitions=8)
-
-
-@register(
-    "q81_stream_session_window",
+    "count(*) AS n, "
+    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 2, 3, 4 "
+    "UNION ALL "
+    "SELECT 'session', CAST(user_id AS VARCHAR), session_start, "
+    "session_end, n_events, sum_v FROM ("
     "WITH s AS (SELECT user_id, ts, value, CASE WHEN "
     "lag(epoch_us(ts)) OVER w IS NULL OR "
     "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 "
@@ -68,21 +54,48 @@ def q80(spark, sf_dir):
     "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
     "count(*) AS n_events, "
     f"{DSUM_V_SQL} AS sum_v "
-    "FROM g GROUP BY user_id, sid",
-    "streaming session windows (native F.session_window state, 30-min "
-    "gap; sessions leave the state store when the watermark passes)",
+    "FROM g GROUP BY user_id, sid)",
+    "streaming windowed aggregation, one tagged result: tumbling "
+    "1-hour windows per event_type + native session windows "
+    "(F.session_window state, 30-min gap) — both with a 10-min "
+    "watermark bounding the state store, run to completion via "
+    "availableNow (readStream → agg → memory sink)",
 )
-def q81(spark, sf_dir):
+def q80(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
-    agg = stream_session_stats(
+    tumble_agg = stream_tumbling_agg(
         s,
+        "ts",
+        "1 hour",
+        "10 minutes",
+        [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
+        keys=["event_type"],
+    )
+    tumble = run_available_now(tumble_agg, "complete", state_partitions=8).select(
+        F.lit("tumble").alias("kind"),
+        F.col("event_type").alias("k"),
+        "ws",
+        "we",
+        "n",
+        "sum_v",
+    )
+    sess_agg = stream_session_stats(
+        read_stream_table(spark, sf_dir, "events"),
         "user_id",
         "ts",
         "30 minutes",
         "10 minutes",
         aggs=[dsum(F.col("value")).alias("sum_v")],
     )
-    return run_available_now(agg, "complete", state_partitions=8)
+    sess = run_available_now(sess_agg, "complete", state_partitions=8).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("session_start").alias("ws"),
+        F.col("session_end").alias("we"),
+        F.col("n_events").alias("n"),
+        "sum_v",
+    )
+    return tumble.unionByName(sess)
 
 
 @register(

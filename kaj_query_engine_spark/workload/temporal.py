@@ -5,7 +5,11 @@ extensions; the reference grammar has no temporal constructs,
 
 Oracle notes: all timestamp arithmetic is integer microseconds
 (``unix_micros`` ↔ ``epoch_us``) so gap/band comparisons are exact on
-both engines; double sums go through DECIMAL before rounding.
+both engines; double sums go through DECIMAL before rounding. The
+sessionize output emits its session bounds as epoch-micro BIGINTs and
+a pure-long ``DIV`` duration — raw per-row timestamps + rounded
+doubles in one result proved canonicalization-sensitive in driver
+environments (round-1 q72 hash mismatch with zero differing values).
 """
 
 from __future__ import annotations
@@ -18,43 +22,41 @@ from kaj_query_engine_spark.workload.registry import register
 
 
 @register(
-    "q70_tumbling_window",
-    "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, "
+    "q70_windows",
+    "SELECT 'tumble' AS kind, time_bucket(INTERVAL '1 hour', ts) AS ws, "
     "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
     "event_type, count(*) AS n, "
-    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 1, 2, 3",
-    "hourly tumbling window per event_type (one shuffle on "
-    "(window, type); map-side partial agg)",
+    f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 2, 3, 4 "
+    "UNION ALL "
+    "SELECT 'slide', ws, ws + INTERVAL '1 hour', CAST(NULL AS VARCHAR), "
+    f"count(*), {DSUM_V_SQL} FROM ("
+    "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), "
+    "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws, "
+    "value FROM events) GROUP BY 2",
+    "tumbling (1h, per event_type) + sliding (1h every 30min) window "
+    "aggregation in one tagged result — each branch is one shuffle on "
+    "(window[, key]) with map-side partial agg",
 )
 def q70(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    return T.tumbling_window_agg(
+    tumble = T.tumbling_window_agg(
         e,
         "ts",
         "1 hour",
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
         keys=["event_type"],
-    )
-
-
-@register(
-    "q71_sliding_window",
-    "WITH s AS (SELECT unnest(["
-    "time_bucket(INTERVAL '30 minutes', ts), "
-    "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
-    "]) AS ws, value FROM events) "
-    "SELECT ws, ws + INTERVAL '1 hour' AS we, count(*) AS n, "
-    f"{DSUM_V_SQL} AS sum_v FROM s GROUP BY 1, 2",
-    "1-hour windows sliding every 30 min (each event in 2 windows)",
-)
-def q71(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    return T.sliding_window_agg(
+    ).select("ws", "we", "event_type", "n", "sum_v")
+    slide = T.sliding_window_agg(
         e,
         "ts",
         "1 hour",
         "30 minutes",
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
+    ).select(
+        "ws", "we", F.lit(None).cast("string").alias("event_type"), "n", "sum_v"
+    )
+    return tumble.withColumn("kind", F.lit("tumble")).unionByName(
+        slide.withColumn("kind", F.lit("slide"))
     )
 
 
@@ -67,75 +69,77 @@ def q71(spark, sf_dir):
     "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
     "g AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts "
     "ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
-    "SELECT user_id, session_id, min(ts) AS session_start, "
-    "max(ts) AS session_end, count(*) AS n_events, "
+    "SELECT user_id, session_id, "
+    "epoch_us(min(ts)) AS session_start_us, "
+    "epoch_us(max(ts)) AS session_end_us, count(*) AS n_events, "
     "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, "
     f"{DSUM_V_SQL} AS sum_v "
     "FROM g GROUP BY user_id, session_id",
     "sessionization (30-min gap) + per-session stats — gaps-and-islands "
-    "over ONE shuffle+sort on (user, ts), no self-join",
+    "over ONE shuffle+sort on (user, ts), no self-join; bounds emitted "
+    "as epoch-micro BIGINTs, duration via pure long DIV",
 )
 def q72(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    return T.session_stats(
-        e, "user_id", "ts", 1800, aggs=[dsum(F.col("value")).alias("sum_v")]
+    out = T.session_stats(
+        e,
+        "user_id",
+        "ts",
+        1800,
+        aggs=[dsum(F.col("value")).alias("sum_v")],
+        as_micros=True,
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "duration_s",
+        "sum_v",
     )
 
 
 @register(
     "q73_asof_join",
-    "SELECT c.event_id AS click_id, c.user_id, c.ts, "
-    "v.event_id AS view_id, v.ts AS view_ts "
+    "SELECT 'backward' AS dir, c.event_id AS click_id, c.user_id, c.ts, "
+    "v.event_id AS match_id, v.ts AS match_ts "
     "FROM (SELECT * FROM events WHERE event_type = 'click') c "
     "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-    "ON c.user_id = v.user_id AND v.ts <= c.ts",
-    "backward as-of join: each click ← latest prior view by the same "
-    "user. Union-trick implementation: ONE shuffle on user_id + one "
-    "sort, vs. the nested-loop plan a naive inequality join gets",
+    "ON c.user_id = v.user_id AND v.ts <= c.ts "
+    "UNION ALL "
+    "SELECT 'forward', c.event_id, c.user_id, c.ts, "
+    "v.event_id, v.ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') v "
+    "ON c.user_id = v.user_id AND v.ts >= c.ts",
+    "as-of join, both directions: each click ← latest prior view AND "
+    "→ earliest subsequent error by the same user. Union-trick "
+    "implementation: ONE shuffle on user_id + one sort per direction, "
+    "vs. the nested-loop plan a naive inequality join gets",
 )
 def q73(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = e.filter(F.col("event_type") == "view")
-    out = T.asof_join(clicks, views, "user_id", "ts", "ts", ["event_id", "ts"])
-    return out.select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        "ts",
-        F.col("asof_event_id").alias("view_id"),
-        F.col("asof_ts").alias("view_ts"),
-    )
 
+    def side(right_type: str, direction: str):
+        right = e.filter(F.col("event_type") == right_type)
+        out = T.asof_join(
+            clicks, right, "user_id", "ts", "ts", ["event_id", "ts"],
+            direction=direction,
+        )
+        return out.select(
+            F.lit(direction).alias("dir"),
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            F.col("asof_event_id").alias("match_id"),
+            F.col("asof_ts").alias("match_ts"),
+        )
 
-@register(
-    "q78_asof_forward",
-    "SELECT c.event_id AS click_id, c.user_id, c.ts, "
-    "v.event_id AS next_err_id, v.ts AS err_ts "
-    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
-    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') v "
-    "ON c.user_id = v.user_id AND v.ts >= c.ts",
-    "forward as-of join: each click → the EARLIEST error at-or-after "
-    "it by the same user (same union trick, time scanned in reverse)",
-)
-def q78(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    errors = e.filter(F.col("event_type") == "error")
-    out = T.asof_join(
-        clicks, errors, "user_id", "ts", "ts", ["event_id", "ts"],
-        direction="forward",
-    )
-    return out.select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        "ts",
-        F.col("asof_event_id").alias("next_err_id"),
-        F.col("asof_ts").alias("err_ts"),
-    )
+    return side("view", "backward").unionByName(side("error", "forward"))
 
 
 @register(

@@ -34,10 +34,16 @@ _RATIO = f"({_NSTOP} * 1.0 / {_NTOK})"
     "* 1.0 / "
     f"CAST({_NTOK} AS INT) AS avg_token_len, "
     f"{_NSTOP} * 1.0 / {_NTOK} AS stop_ratio, "
-    "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct "
+    "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct, "
+    "CAST(len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
+    ")) AS INT) AS n_bpe, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
     "FROM documents",
-    "per-document token statistics (token count, char count, avg token "
-    "length, stopword ratio, punctuation count) — all JVM-side exprs",
+    "per-document text profile in one scan: token/char counts, avg "
+    "token length, stopword ratio, punctuation count, BPE-style "
+    "pre-tokenizer count (GPT-2 regex pieces — the LLM-token budget "
+    "estimator), and the md5 content fingerprint — all JVM-side exprs",
 )
 def q40(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -49,24 +55,8 @@ def q40(spark, sf_dir):
         TXT.avg_token_len(txt).alias("avg_token_len"),
         TXT.stopword_ratio(txt).alias("stop_ratio"),
         TXT.punct_count(txt).alias("n_punct"),
-    )
-
-
-@register(
-    "q41_lang_guess",
-    "SELECT CASE "
-    f"WHEN {_RATIO} >= 0.10 THEN 'en' "
-    f"WHEN {_RATIO} >= 0.04 THEN 'mixed' "
-    "ELSE 'other' END AS lang_pred, count(*) AS n "
-    "FROM documents GROUP BY 1",
-    "stopword-density language heuristic + distribution",
-)
-def q41(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return (
-        d.select(TXT.lang_guess(F.col("text")).alias("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).alias("n"))
+        TXT.bpe_ish_token_count(txt).alias("n_bpe"),
+        TXT.doc_fingerprint(txt).alias("fp"),
     )
 
 
@@ -96,44 +86,37 @@ def q42(spark, sf_dir):
 
 
 @register(
-    "q44_bpe_token_count",
-    "SELECT doc_id, "
-    "CAST(len(regexp_extract_all(text, "
-    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
-    ")) AS INT) AS n_bpe, "
-    f"CAST({_NTOK} AS INT) AS n_ws "
-    "FROM documents",
-    "BPE-style pre-tokenizer count (GPT-2 regex pieces) next to the "
-    "whitespace count — the LLM-token budget estimator",
-)
-def q44(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TXT.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
-        TXT.token_count(F.col("text")).alias("n_ws"),
-    )
-
-
-@register(
     "q46_profile_topk",
     "SELECT col, val, n FROM ("
     "SELECT col, val, n, row_number() OVER ("
     "PARTITION BY col ORDER BY n DESC, val) AS rk FROM ("
     "SELECT 'lang' AS col, lang AS val, count(*) AS n FROM documents GROUP BY 2 "
     "UNION ALL "
-    "SELECT 'source', source, count(*) FROM documents GROUP BY 2)) "
+    "SELECT 'source', source, count(*) FROM documents GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'lang_pred', CASE "
+    f"WHEN {_RATIO} >= 0.10 THEN 'en' "
+    f"WHEN {_RATIO} >= 0.04 THEN 'mixed' "
+    "ELSE 'other' END, count(*) FROM documents GROUP BY 2)) "
     "WHERE rk <= 3",
     "data profiling: exact top-3 most frequent values per categorical "
-    "column (count + per-column row_number; ties broken by value)",
+    "column (count + per-column row_number; ties broken by value) — "
+    "including the computed stopword-density language-ID heuristic "
+    "(lang_pred), so the language classifier's distribution is checked "
+    "alongside the stored columns",
 )
 def q46(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
+    cols = [
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("lang_pred", TXT.lang_guess(F.col("text"))),
+    ]
     counted = None
-    for col in ("lang", "source"):
-        c = d.groupBy(F.lit(col).alias("col"), F.col(col).alias("val")).agg(
+    for name, expr in cols:
+        c = d.groupBy(F.lit(name).alias("col"), expr.alias("val")).agg(
             F.count(F.lit(1)).alias("n")
         )
         counted = c if counted is None else counted.unionByName(c)
@@ -143,15 +126,3 @@ def q46(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("col", "val", "n")
     )
-
-
-@register(
-    "q43_fingerprint",
-    "SELECT doc_id, "
-    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
-    "FROM documents",
-    "content fingerprint: md5 over casefolded, space-collapsed text",
-)
-def q43(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", TXT.doc_fingerprint(F.col("text")).alias("fp"))

