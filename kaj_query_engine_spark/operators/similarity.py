@@ -31,6 +31,12 @@ LSH_PLANES = 4  # 2^4 = 16 buckets
 LSH_SEED = 7
 EMB_DIM = 64
 
+# near-dup banded LSH: `bands` independent sign-hash tables of
+# `rows_per_band` hyperplanes each. A pair is a candidate iff it
+# collides in >= 1 band; recall at angle θ is 1-(1-(1-θ/π)^r)^b.
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 4
+
 
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -148,15 +154,108 @@ def lsh_topk(
     )
 
 
+def band_hyperplanes(
+    bands: int = NEARDUP_BANDS,
+    rows_per_band: int = NEARDUP_ROWS,
+    dim: int = EMB_DIM,
+    seed: int = LSH_SEED,
+) -> list[list[list[float]]]:
+    """`bands` tables of `rows_per_band` deterministic ±1 hyperplanes
+    (one seed stream, chunked — the oracle regenerates the same
+    literals)."""
+    flat = hyperplane_signs(bands * rows_per_band, dim, seed)
+    return [flat[b * rows_per_band : (b + 1) * rows_per_band] for b in range(bands)]
+
+
 def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = NEARDUP_BANDS,
+    rows_per_band: int = NEARDUP_ROWS,
+    seed: int = LSH_SEED,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Candidate pairs (i < j) with cosine >= threshold, candidates
+    from banded sign-LSH — the sub-quadratic scale path for
+    embedding-space near-duplicate detection.
+
+    Shape: each vector hashes to one bucket per band (JVM-side sign
+    bits, a map-only pass), bands explode to (band, bucket) rows
+    (N·bands total — never N²), and each occupied bucket is scored by
+    a vectorized numpy kernel that only compares *within* the bucket.
+    Work = Σ|bucket|² ≈ N²·2^-rows_per_band per band, so rows_per_band
+    tunes bucket size to the executor (r ≈ log2(N / target_bucket) at
+    cluster scale) and candidate volume falls geometrically with r.
+    A pair colliding in several bands is scored per collision with
+    bit-identical doubles, so the final ``distinct`` dedups exactly.
+
+    Semantics: output = all pairs that (a) share >= 1 band bucket and
+    (b) pass the threshold. Recall vs the exact all-pairs result at
+    angle θ is 1-(1-(1-θ/π)^r)^b — at a real near-dup threshold
+    (cos >= 0.9) the 4×4 default gives ~0.95; use
+    :func:`embedding_neardup_pairs_exact` as the exhaustive verifier.
+
+    Exactness (for the pairs emitted): the kernel accumulates dot
+    products dimension-by-dimension (one vectorized add per dim), so
+    every double matches the left-fold ``F.aggregate``/DuckDB
+    ``list_reduce`` oracle bit-for-bit — elementwise numpy ops are
+    IEEE-exact per element, and nothing reassociates the sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = band_hyperplanes(bands, rows_per_band, dim=dim, seed=seed)
+    e = df.select(
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    buckets = F.array(*[lsh_bucket(F.col("v"), band) for band in planes])
+    tagged = e.select(
+        "id", "v", F.posexplode(buckets).alias("band", "bucket")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"i": [], "j": [], "cos": []}).astype(
+                {"i": "int64", "j": "int64", "cos": "float64"}
+            )
+        m = np.stack(pdf["v"].to_numpy())
+        dim = m.shape[1]
+        # dimension-order accumulation == the left-fold dot product
+        dots = np.zeros((len(ids), len(ids)))
+        nrm2 = np.zeros(len(ids))
+        for d in range(dim):
+            dots += m[:, d : d + 1] * m[None, :, d]
+            nrm2 += m[:, d] * m[:, d]
+        cos = dots / (np.sqrt(nrm2)[:, None] * np.sqrt(nrm2)[None, :])
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(keep)
+        c = cos[ii, jj]
+        # HALF_UP away from zero, matching F.round / DuckDB round —
+        # np.round is half-to-even and can disagree at half boundaries
+        c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"i": ids[ii], "j": ids[jj], "cos": c6})
+
+    scored = tagged.groupBy("band", "bucket").applyInPandas(
+        score, "i long, j long, cos double"
+    )
+    # a pair sharing k bands appears k times with bit-identical cos
+    return scored.distinct()
+
+
+def embedding_neardup_pairs_exact(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
     blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (i < j) with cosine >= threshold — embedding-space
-    near-duplicate detection, as a *block-pair* self-join.
+    """All pairs (i < j) with cosine >= threshold — the *exhaustive*
+    near-dup baseline, as a *block-pair* self-join. Quadratic compute
+    by definition (every pair is scored): the ground-truth verifier
+    for :func:`embedding_neardup_pairs`, not the 100 TB path.
 
     Scale shape: rows land in B blocks (id mod B); each of the
     B·(B+1)/2 block pairs is one ``applyInPandas`` group that scores

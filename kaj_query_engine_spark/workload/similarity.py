@@ -97,15 +97,42 @@ def q61(spark, sf_dir):
     return S.lsh_topk(e, q, k=TOP_K)
 
 
+def _bucket_expr(v: str, band: list[list[float]]) -> str:
+    bits = []
+    for plane in band:
+        lit = "[" + ", ".join(str(s) for s in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN {_DOT_AB.format(a=v, b=lit)} > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _neardup_oracle(threshold: float) -> str:
+    """Mirror of the banded-LSH candidate filter: the oracle scores
+    exactly the pairs sharing >= 1 band bucket (the OR-join emits each
+    qualifying pair once, so no DISTINCT is needed oracle-side)."""
+    bands = S.band_hyperplanes()
+    cols = ", ".join(
+        f"{_bucket_expr('v', band)} AS b{i}" for i, band in enumerate(bands)
+    )
+    collide = " OR ".join(f"a.b{i} = b.b{i}" for i in range(len(bands)))
+    cos = f"{_DOT_AB.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)"
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"n AS (SELECT vec_id, v, {_norm('v')} AS nrm, {cols} FROM e) "
+        f"SELECT a.vec_id AS i, b.vec_id AS j, round({cos}, 6) AS cos "
+        f"FROM n a JOIN n b ON a.vec_id < b.vec_id AND ({collide}) "
+        f"WHERE {cos} >= {threshold}"
+    )
+
+
 @register(
     "q62_embedding_neardup",
-    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    f"n AS (SELECT vec_id, v, {_norm('v')} AS nrm FROM e) "
-    f"SELECT a.vec_id AS i, b.vec_id AS j, "
-    f"round({_DOT_AB.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cos "
-    "FROM n a JOIN n b ON a.vec_id < b.vec_id "
-    f"WHERE {_DOT_AB.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= 0.45",
-    "embedding-cosine near-duplicate pairs (threshold 0.45)",
+    _neardup_oracle(0.45),
+    "embedding-cosine near-duplicate pairs (threshold 0.45) via banded "
+    "sign-LSH candidates (4 bands x 4 hyperplanes) + exact in-bucket "
+    "numpy verification — sub-quadratic: only colliding pairs are "
+    "scored; the oracle applies the identical band filter",
 )
 def q62(spark, sf_dir):
     return S.embedding_neardup_pairs(

@@ -144,5 +144,27 @@ def test_embedding_neardup_finds_planted_pair(spark):
     df = spark.createDataFrame(
         [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
     )
-    out = {(r.i, r.j) for r in S.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    out = {
+        (r.i, r.j)
+        for r in S.embedding_neardup_pairs(df, threshold=0.9, dim=4).collect()
+    }
+    # near-identical vectors always share every band bucket (sign bits
+    # are equal for vectors this close), so LSH cannot drop the pair
     assert out == {(0, 1)}
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):
+    """The banded-LSH output is exactly {exact pairs} ∩ {band
+    collisions}: a subset of the exhaustive result with identical
+    cosines, and every pair it emits is emitted once."""
+    df, _ = vectors
+    lsh_rows = S.embedding_neardup_pairs(df, threshold=0.3).collect()
+    exact = {
+        (r.i, r.j): r.cos
+        for r in S.embedding_neardup_pairs_exact(df, threshold=0.3).collect()
+    }
+    assert len(lsh_rows) == len({(r.i, r.j) for r in lsh_rows})  # deduped
+    assert len(lsh_rows) > 0
+    for r in lsh_rows:
+        assert (r.i, r.j) in exact
+        assert r.cos == exact[(r.i, r.j)]  # bit-identical, not approx

@@ -33,6 +33,12 @@ CASES = {
     ),
     "q74_range_join": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q10_theta_join": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # banded-LSH near-dup: map-side bucketing + one hash shuffle into
+    # the in-bucket kernel — no join of any kind before the kernel
+    "q62_embedding_neardup": (
+        ["FlatMapGroupsInPandas", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
 }
 
 

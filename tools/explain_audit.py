@@ -85,6 +85,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["CartesianProduct"],
     ),
+    "q62_embedding_neardup": (
+        # banded-LSH candidates: bucketing is map-only, candidates meet
+        # the numpy kernel through ONE hash shuffle — never a self-join
+        ["FlatMapGroupsInPandas", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
 }
 
 
