@@ -113,28 +113,70 @@ def brute_force_topk(
     )
 
 
+def probe_exprs(bucket_col: str, planes: int) -> list[str]:
+    """SQL expressions for the multi-probe set of a sign bucket: the
+    bucket itself plus every Hamming-distance-1 neighbor (one bit
+    flipped). All probes are distinct strings, so a corpus vector's
+    single bucket matches at most one probe — no pair dedup needed."""
+    probes = [bucket_col]
+    for i in range(1, planes + 1):
+        flip = (
+            f"CASE WHEN substring({bucket_col}, {i}, 1) = '1' "
+            "THEN '0' ELSE '1' END"
+        )
+        probes.append(
+            f"concat(substring({bucket_col}, 1, {i - 1}), {flip}, "
+            f"substring({bucket_col}, {i + 1}, {planes - i}))"
+        )
+    return probes
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    planes: int = LSH_PLANES,
+    planes: int | None = None,
+    target_bucket: int = 1024,
+    multiprobe: bool = True,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket,
-    then exact cosine rank. Same output shape as brute_force_topk.
+    """Approximate top-k: candidates limited to the query's LSH bucket
+    (plus its Hamming-1 neighbor buckets when ``multiprobe``), then
+    exact cosine rank. Same output shape as brute_force_topk.
 
     Scale shape: corpus bucketing is a map-only pass; the join is an
-    equi-join on the bucket key (2^planes distinct values — at real
-    scale use more planes / multi-probe so buckets stay executor-sized).
+    equi-join of the corpus bucket against the broadcast, exploded
+    query probe set. ``planes=None`` sizes the table to the corpus —
+    planes = ceil(log2(N / target_bucket)) — so a bucket holds
+    ~``target_bucket`` vectors no matter how big the corpus is
+    (candidates per query ≈ (planes+1)·target_bucket with multi-probe,
+    constant in N), instead of the fixed-16-bucket shape whose
+    candidate set grows linearly. The sizing count is one cheap
+    column-pruned scan; pass ``planes`` explicitly to skip it (and to
+    pin the bucketing for an oracle mirror).
     """
+    import math
+
     from pyspark.sql import Window as W
 
-    signs = hyperplane_signs(planes)
+    if planes is None:
+        n = corpus.select(id_col).count()
+        planes = max(1, math.ceil(math.log2(max(2, n / target_bucket))))
+    signs = hyperplane_signs(planes, dim)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _dvec(F.col(vec_col)).alias("q_vec"),
     ).withColumn("bucket", lsh_bucket(F.col("q_vec"), signs))
+    if multiprobe:
+        q = q.select(
+            "q_id",
+            "q_vec",
+            F.explode(
+                F.array(*[F.expr(e) for e in probe_exprs("bucket", planes)])
+            ).alias("bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _dvec(F.col(vec_col)).alias("c_vec"),

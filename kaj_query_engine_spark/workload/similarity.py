@@ -57,8 +57,11 @@ def q60(spark, sf_dir):
     return S.brute_force_topk(e, q, k=TOP_K)
 
 
-def _lsh_oracle() -> str:
-    signs = S.hyperplane_signs()
+ANN_PLANES = 8  # 256 buckets; pinned so the oracle can mirror exactly
+
+
+def _lsh_oracle(planes: int = ANN_PLANES) -> str:
+    signs = S.hyperplane_signs(planes)
     plane_bits = []
     for plane in signs:
         lit = "[" + ", ".join(str(s) for s in plane) + "]::DOUBLE[]"
@@ -67,16 +70,18 @@ def _lsh_oracle() -> str:
             "THEN '1' ELSE '0' END"
         )
     bucket = " || ".join(plane_bits)
+    probes = "[" + ", ".join(S.probe_exprs("bucket", planes)) + "]"
     cos = (
         f"{_DOT_AB.format(a='q.q_vec', b='e.v')} / (q.q_nrm * {_norm('e.v')})"
     )
     return (
         "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         f"e AS (SELECT vec_id, v, {bucket} AS bucket FROM e0), "
-        "q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket, "
+        f"q AS (SELECT vec_id AS q_id, v AS q_vec, {probes} AS probes, "
         f"{_norm('v')} AS q_nrm FROM e WHERE vec_id < {N_QUERIES}), "
         f"scored AS (SELECT q.q_id, e.vec_id, {cos} AS c "
-        "FROM e JOIN q ON e.bucket = q.q_bucket WHERE e.vec_id <> q.q_id), "
+        "FROM e JOIN q ON list_contains(q.probes, e.bucket) "
+        "WHERE e.vec_id <> q.q_id), "
         "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
         "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
         "round(c, 6) AS cos FROM scored) "
@@ -87,14 +92,16 @@ def _lsh_oracle() -> str:
 @register(
     "q61_ann_lsh",
     _lsh_oracle(),
-    "LSH-bucketed ANN (4 fixed random hyperplanes → 16 sign buckets): "
-    "candidates restricted to the query's bucket, then exact rank — "
-    "the 100 TB scale path",
+    "LSH-bucketed ANN (8 fixed random hyperplanes → 256 sign buckets) "
+    "with Hamming-1 multi-probe: candidates restricted to the query's "
+    "probe buckets, then exact rank — the 100 TB scale path (planes "
+    "sizes buckets to the corpus; candidates per query stay constant "
+    "in N)",
 )
 def q61(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return S.lsh_topk(e, q, k=TOP_K)
+    return S.lsh_topk(e, q, k=TOP_K, planes=ANN_PLANES)
 
 
 def _bucket_expr(v: str, band: list[list[float]]) -> str:

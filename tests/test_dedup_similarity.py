@@ -124,6 +124,41 @@ def test_lsh_topk_is_exact_within_bucket(spark, vectors):
         assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
 
 
+def test_lsh_topk_adaptive_planes_and_multiprobe(spark, vectors):
+    """planes=None sizes the hash table from the corpus count; every
+    emitted neighbor's cosine is still the exact cosine, and multi-probe
+    only widens the candidate set (single-bucket results ⊆ probed)."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    # N=30, target 4 → planes = ceil(log2(7.5)) = 3
+    probed = S.lsh_topk(df, queries, k=5, target_bucket=4, dim=8)
+    brute = {
+        (r.q_id, r.vec_id): r.cos
+        for r in S.brute_force_topk(df, queries, k=1000).collect()
+    }
+    probed_rows = probed.collect()
+    assert len(probed_rows) > 0
+    for r in probed_rows:
+        assert math.isclose(r.cos, brute[(r.q_id, r.vec_id)], abs_tol=1e-6)
+    single = S.lsh_topk(
+        df, queries, k=5, target_bucket=4, multiprobe=False, dim=8
+    ).collect()
+    # multi-probe recall dominates single-bucket recall per query
+    per_q_probed = {q: sum(1 for r in probed_rows if r.q_id == q) for q in range(3)}
+    for q in range(3):
+        assert sum(1 for r in single if r.q_id == q) <= per_q_probed[q]
+
+
+def test_probe_exprs_distinct_hamming1(spark):
+    df = spark.createDataFrame([("1010",)], "bucket string")
+    probes = df.select(
+        F.array(*[F.expr(e) for e in S.probe_exprs("bucket", 4)]).alias("p")
+    ).collect()[0].p
+    assert probes[0] == "1010"
+    assert sorted(probes[1:]) == sorted(["0010", "1110", "1000", "1011"])
+    assert len(set(probes)) == 5
+
+
 def test_lsh_bucket_deterministic(spark, vectors):
     df, _ = vectors
     signs = S.hyperplane_signs()
@@ -158,7 +193,7 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):
     collisions}: a subset of the exhaustive result with identical
     cosines, and every pair it emits is emitted once."""
     df, _ = vectors
-    lsh_rows = S.embedding_neardup_pairs(df, threshold=0.3).collect()
+    lsh_rows = S.embedding_neardup_pairs(df, threshold=0.3, dim=8).collect()
     exact = {
         (r.i, r.j): r.cos
         for r in S.embedding_neardup_pairs_exact(df, threshold=0.3).collect()
