@@ -38,6 +38,10 @@ from kaj_query_engine_spark.functions.text import doc_fingerprint, word_shingles
 NUM_HASHES = 12
 NUM_BANDS = 4
 ROWS_PER_BAND = 3
+# junk-cluster guard: an LSH bucket wider than this is boilerplate
+# (empty docs, licence headers), and its C(w,2) pairs would dominate
+# the pair explosion — drop the whole bucket instead of pairing it
+MAX_BUCKET = 64
 
 
 def _bucket_pairs(ids_col: str = "ids"):
@@ -144,14 +148,18 @@ def minhash_lsh_candidates(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (d1 < d2) sharing at
-    least one LSH band bucket.
+    least one LSH band bucket no wider than ``max_bucket``.
 
     The pair join shuffles on (band, key) only; a hot bucket (skewed
-    key) is handled by AQE skew-join splitting. At 100 TB, cap bucket
-    width upstream (drop buckets with > N members as junk clusters)
-    before pairing — here data is small enough not to bother.
+    key) is handled by AQE skew-join splitting. The ``max_bucket`` cap
+    is the junk-cluster guard: a bucket of width w generates C(w,2)
+    pairs, so one boilerplate bucket of 10^6 docs would emit 5*10^11
+    pairs — dropping over-wide buckets keeps the output linear in the
+    number of *real* near-dup groups. ``None`` disables the cap (the
+    exhaustive-verification mode).
     """
     rows = num_hashes // num_bands
     bands = lsh_bands(
@@ -160,14 +168,17 @@ def minhash_lsh_candidates(
     # bucket-collect instead of a self-join: a self-join recomputes the
     # whole signature pipeline for each side (no ReusedExchange across
     # the join), while collect_list computes it ONCE and generates the
-    # in-bucket pairs with a JVM array expression. Buckets are small by
-    # LSH design; a pathological hot bucket (boilerplate shingles) is a
-    # junk cluster — at real scale filter `size(ids) <= cap` upstream.
+    # in-bucket pairs with a JVM array expression. collect_list still
+    # materializes a junk bucket's id array (8 bytes/doc — 8 MB for a
+    # 10^6-doc bucket, fine), but the cap stops the C(w,2) explosion
+    # that follows it.
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     return (
         buckets.select(_bucket_pairs().alias("p"))
         .select("p.d1", "p.d2")

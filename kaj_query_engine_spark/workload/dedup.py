@@ -63,10 +63,13 @@ def _minhash_oracle() -> str:
     return (
         f"{_SH_CTE}, "
         f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
-        f"bands AS ({band_selects}) "
+        f"bands AS ({band_selects}), "
+        "width AS (SELECT band, key, count(*) AS w FROM bands GROUP BY 1, 2) "
         "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
         "FROM bands a JOIN bands b "
-        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+        "JOIN width w ON a.band = w.band AND a.key = w.key "
+        f"AND w.w <= {D.MAX_BUCKET}"
     )
 
 
@@ -74,8 +77,9 @@ def _minhash_oracle() -> str:
     "q51_minhash_lsh",
     _minhash_oracle(),
     "MinHash (one md5 per shingle, 12 XOR-permutation min-hashes) + "
-    "LSH banding (4 bands x 3): candidate near-dup pairs without any "
-    "all-pairs comparison",
+    "LSH banding (4 bands x 3) with the junk-cluster bucket-width cap "
+    f"(<= {D.MAX_BUCKET} docs/bucket): candidate near-dup pairs "
+    "without any all-pairs comparison",
 )
 def q51(spark, sf_dir):
     return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -43,6 +43,23 @@ def test_minhash_identical_docs_always_candidates(spark, docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_bucket_cap_drops_junk_clusters(spark, docs):
+    """A bucket wider than max_bucket is boilerplate: none of its
+    C(w,2) pairs are emitted, while narrow buckets are unaffected."""
+    junk = "same boilerplate header text repeated in every single file"
+    df = docs([(i, junk) for i in range(6)] + [(10, "x y z w"), (11, "x y z w")])
+    capped = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_candidates(df, "id", "text", max_bucket=4).collect()
+    }
+    assert capped == {(10, 11)}  # junk sextet gone, real pair kept
+    uncapped = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_candidates(df, "id", "text", max_bucket=None).collect()
+    }
+    assert (10, 11) in uncapped and len(uncapped) == 15 + 1
+
+
 def test_minhash_signature_is_order_insensitive_set_hash(spark, docs):
     # signatures depend on the shingle SET → duplicated shingles don't change them
     t1 = "a b c d e f"
