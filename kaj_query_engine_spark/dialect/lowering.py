@@ -266,15 +266,20 @@ def _lower_ungrouped_agg(query: SQLQuery, df: DataFrame) -> DataFrame:
         )
         return out.dropDuplicates()
 
-    # COUNT/SUM/AVG only → bare columns come from the "first" input row
-    # (Aggregate.java:146-149). File order does not exist in a
-    # distributed engine; we take F.first(), documented as
-    # order-nondeterministic — parity tests pin inputs where the bare
-    # column is constant.
+    # COUNT/SUM/AVG only → the reference takes bare columns from the
+    # "first" input row (Aggregate.java:146-149). File order does not
+    # exist in a distributed engine, so we define the witness as the
+    # row with the lexicographically smallest bare-column tuple:
+    # min_by over the same key for every bare column is deterministic
+    # across runs, partitionings, and cluster sizes (rows tying on the
+    # key have identical bare tuples, so tie-breaking can't change the
+    # output). When the bare column is constant — the only case where
+    # the reference's answer is itself well-defined — this matches it.
+    bare_key = F.struct(*[_attr_col(a) for a in bare_attrs])
     firsts = df.agg(
         *agg_cols,
         F.count(F.lit(1)).alias("_n_in"),
-        *[F.first(_attr_col(a)).alias(a.column) for a in bare_attrs],
+        *[F.min_by(_attr_col(a), bare_key).alias(a.column) for a in bare_attrs],
     ).filter(F.col("_n_in") > 0)
     return firsts.select(
         *[

@@ -81,6 +81,62 @@ def test_random_aggregates_with_filter(engine, duck, agg, col, op, lit):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    op=st.sampled_from(OPS),
+    lit=st.integers(min_value=0, max_value=2500),
+)
+def test_count_with_nonconstant_bare_column_is_deterministic(
+    engine, duck, op, lit
+):
+    """COUNT/SUM-only aggregates with a NON-constant bare column: the
+    witness is the row with the smallest bare tuple (min_by), so the
+    answer is a pure function of the row set — any run, partitioning,
+    or cluster size agrees with the oracle's min()."""
+    q = (
+        "SELECT COUNT(bill_ref.amount), bill_ref.iid FROM bill_ref "
+        f'WHERE bill_ref.amount{op}"{lit}"'
+    )
+    sql = (
+        'SELECT CAST(count(*) AS BIGINT) AS "COUNT(bill_ref.amount)", '
+        "min(iid) AS iid FROM bill_ref "
+        f"WHERE amount {DUCK_OP.get(op, op)} {lit} HAVING count(*) > 0"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(OPS),
+    lit=st.integers(min_value=0, max_value=2500),
+)
+def test_sum_with_two_bare_columns_single_witness_row(engine, duck, op, lit):
+    """Both bare columns come from the SAME witness row (the
+    lexicographically smallest (iid, billid) tuple), not independent
+    mins."""
+    q = (
+        "SELECT SUM(bill_ref.amount), bill_ref.iid, bill_ref.billid "
+        f'FROM bill_ref WHERE bill_ref.amount{op}"{lit}"'
+    )
+    sql = (
+        "SELECT s.s AS \"SUM(bill_ref.amount)\", w.iid, w.billid FROM "
+        "(SELECT CAST(sum(amount) AS BIGINT) AS s FROM bill_ref "
+        f"WHERE amount {DUCK_OP.get(op, op)} {lit} HAVING count(*) > 0) s, "
+        "(SELECT iid, billid FROM bill_ref "
+        f"WHERE amount {DUCK_OP.get(op, op)} {lit} "
+        "ORDER BY iid, billid LIMIT 1) w"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     col=st.sampled_from(STR_COLS),
     op=st.sampled_from(OPS),
     lit=st.text(alphabet="abcdefgh", min_size=1, max_size=3),
