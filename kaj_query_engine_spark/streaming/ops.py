@@ -31,6 +31,7 @@ from __future__ import annotations
 import itertools
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -229,8 +230,12 @@ def stream_stateful_user_totals(
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # per-item quantization to micros == CAST(v AS DECIMAL(18,6))
-            micros += int((pdf[value_col] * 1_000_000).round().astype("int64").sum())
+            # per-item quantization to micros == CAST(v AS DECIMAL(18,6)):
+            # HALF_UP away from zero — pandas .round() is half-to-even
+            # and diverges from DECIMAL casts at exact half-micro values
+            scaled = pdf[value_col].to_numpy(dtype="float64") * 1_000_000.0
+            q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            micros += int(q.astype("int64").sum())
         state.update((n, micros))
         # exact HALF_UP to 2 decimals, matching round(DECIMAL, 2)
         cents = (abs(micros) + 5_000) // 10_000 * (1 if micros >= 0 else -1)

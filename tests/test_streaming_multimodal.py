@@ -75,6 +75,22 @@ def test_stateful_totals_equals_groupby(spark):
     assert got == want
 
 
+def test_stateful_totals_half_up_at_half_micro(spark, tmp_path):
+    """Values landing exactly on a half-micro must quantize HALF_UP
+    (away from zero) like CAST(v AS DECIMAL(18,6)) — banker's rounding
+    would give 2+2+4994 = 4998 micros (sum 0.00), HALF_UP gives
+    3+3+4994 = 5000 (sum 0.01)."""
+    d = str(tmp_path / "halfup")
+    spark.createDataFrame(
+        [(1, 2.5e-6), (1, 2.5e-6), (1, 0.004994)],
+        "user_id long, value double",
+    ).write.parquet(d)
+    s = spark.readStream.schema("user_id long, value double").parquet(d)
+    out = run_available_now(stream_stateful_user_totals(s), "update")
+    final = [r for r in out.collect() if r.n_events == 3]
+    assert final and final[0].sum_v == 0.01
+
+
 # ------------------------------------------------------------------
 # multimodal
 # ------------------------------------------------------------------
