@@ -37,13 +37,13 @@ from kaj_query_engine_spark.workload.registry import register
 @register(
     "q80_stream_windows",
     "SELECT 'tumble' AS kind, CAST(event_type AS VARCHAR) AS k, "
-    "time_bucket(INTERVAL '1 hour', ts) AS ws, "
-    "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_us, "
     "count(*) AS n, "
     f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 2, 3, 4 "
     "UNION ALL "
-    "SELECT 'session', CAST(user_id AS VARCHAR), session_start, "
-    "session_end, n_events, sum_v FROM ("
+    "SELECT 'session', CAST(user_id AS VARCHAR), epoch_us(session_start), "
+    "epoch_us(session_end), n_events, sum_v FROM ("
     "WITH s AS (SELECT user_id, ts, value, CASE WHEN "
     "lag(epoch_us(ts)) OVER w IS NULL OR "
     "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 "
@@ -74,8 +74,8 @@ def q80(spark, sf_dir):
     tumble = run_available_now(tumble_agg, "complete", state_partitions=8).select(
         F.lit("tumble").alias("kind"),
         F.col("event_type").alias("k"),
-        "ws",
-        "we",
+        F.unix_micros("ws").alias("ws_us"),
+        F.unix_micros("we").alias("we_us"),
         "n",
         "sum_v",
     )
@@ -90,8 +90,8 @@ def q80(spark, sf_dir):
     sess = run_available_now(sess_agg, "complete", state_partitions=8).select(
         F.lit("session").alias("kind"),
         F.col("user_id").cast("string").alias("k"),
-        F.col("session_start").alias("ws"),
-        F.col("session_end").alias("we"),
+        F.unix_micros("session_start").alias("ws_us"),
+        F.unix_micros("session_end").alias("we_us"),
         F.col("n_events").alias("n"),
         "sum_v",
     )
@@ -115,8 +115,8 @@ def q82(spark, sf_dir):
 
 @register(
     "q84_stream_stream_join",
-    "SELECT e.user_id, e.event_id AS l_event_id, e.ts AS l_ts, "
-    "c.event_id AS r_event_id, c.ts AS r_ts "
+    "SELECT e.user_id, e.event_id AS l_event_id, epoch_us(e.ts) AS l_ts_us, "
+    "c.event_id AS r_event_id, epoch_us(c.ts) AS r_ts_us "
     "FROM events e JOIN events c ON e.user_id = c.user_id "
     "AND epoch_us(c.ts) > epoch_us(e.ts) "
     "AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000 "
@@ -135,7 +135,13 @@ def q84(spark, sf_dir):
     )
     j = stream_interval_join(errors, clicks, "user_id", 600, "10 minutes")
     return run_available_now(
-        j.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"),
+        j.select(
+            "user_id",
+            "l_event_id",
+            F.unix_micros("l_ts").alias("l_ts_us"),
+            "r_event_id",
+            F.unix_micros("r_ts").alias("r_ts_us"),
+        ),
         "append",
         state_partitions=8,
     )

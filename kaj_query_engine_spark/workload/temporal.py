@@ -23,19 +23,22 @@ from kaj_query_engine_spark.workload.registry import register
 
 @register(
     "q70_windows",
-    "SELECT 'tumble' AS kind, time_bucket(INTERVAL '1 hour', ts) AS ws, "
-    "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we, "
+    "SELECT 'tumble' AS kind, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_us, "
     "event_type, count(*) AS n, "
     f"{DSUM_V_SQL} AS sum_v FROM events GROUP BY 2, 3, 4 "
     "UNION ALL "
-    "SELECT 'slide', ws, ws + INTERVAL '1 hour', CAST(NULL AS VARCHAR), "
-    f"count(*), {DSUM_V_SQL} FROM ("
+    "SELECT 'slide', epoch_us(ws), epoch_us(ws + INTERVAL '1 hour'), "
+    f"CAST(NULL AS VARCHAR), count(*), {DSUM_V_SQL} FROM ("
     "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), "
     "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws, "
-    "value FROM events) GROUP BY 2",
+    "value FROM events) GROUP BY ws",
     "tumbling (1h, per event_type) + sliding (1h every 30min) window "
     "aggregation in one tagged result — each branch is one shuffle on "
-    "(window[, key]) with map-side partial agg",
+    "(window[, key]) with map-side partial agg. Window bounds emitted "
+    "as epoch-micro BIGINTs (timestamps at a result boundary are "
+    "timezone-canonicalization-sensitive; int64 micros never are)",
 )
 def q70(spark, sf_dir):
     e = t(spark, sf_dir, "events")
@@ -45,7 +48,13 @@ def q70(spark, sf_dir):
         "1 hour",
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
         keys=["event_type"],
-    ).select("ws", "we", "event_type", "n", "sum_v")
+    ).select(
+        F.unix_micros("ws").alias("ws_us"),
+        F.unix_micros("we").alias("we_us"),
+        "event_type",
+        "n",
+        "sum_v",
+    )
     slide = T.sliding_window_agg(
         e,
         "ts",
@@ -53,7 +62,11 @@ def q70(spark, sf_dir):
         "30 minutes",
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
     ).select(
-        "ws", "we", F.lit(None).cast("string").alias("event_type"), "n", "sum_v"
+        F.unix_micros("ws").alias("ws_us"),
+        F.unix_micros("we").alias("we_us"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "sum_v",
     )
     return tumble.withColumn("kind", F.lit("tumble")).unionByName(
         slide.withColumn("kind", F.lit("slide"))
@@ -102,14 +115,15 @@ def q72(spark, sf_dir):
 
 @register(
     "q73_asof_join",
-    "SELECT 'backward' AS dir, c.event_id AS click_id, c.user_id, c.ts, "
-    "v.event_id AS match_id, v.ts AS match_ts "
+    "SELECT 'backward' AS dir, c.event_id AS click_id, c.user_id, "
+    "epoch_us(c.ts) AS ts_us, "
+    "v.event_id AS match_id, epoch_us(v.ts) AS match_ts_us "
     "FROM (SELECT * FROM events WHERE event_type = 'click') c "
     "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
     "ON c.user_id = v.user_id AND v.ts <= c.ts "
     "UNION ALL "
-    "SELECT 'forward', c.event_id, c.user_id, c.ts, "
-    "v.event_id, v.ts "
+    "SELECT 'forward', c.event_id, c.user_id, epoch_us(c.ts), "
+    "v.event_id, epoch_us(v.ts) "
     "FROM (SELECT * FROM events WHERE event_type = 'click') c "
     "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') v "
     "ON c.user_id = v.user_id AND v.ts >= c.ts",
@@ -134,9 +148,9 @@ def q73(spark, sf_dir):
             F.lit(direction).alias("dir"),
             F.col("event_id").alias("click_id"),
             "user_id",
-            "ts",
+            F.unix_micros("ts").alias("ts_us"),
             F.col("asof_event_id").alias("match_id"),
-            F.col("asof_ts").alias("match_ts"),
+            F.unix_micros("asof_ts").alias("match_ts_us"),
         )
 
     return side("view", "backward").unionByName(side("error", "forward"))
@@ -144,8 +158,9 @@ def q73(spark, sf_dir):
 
 @register(
     "q74_range_join",
-    "SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts, "
-    "c.event_id AS click_id, c.ts AS click_ts FROM events e JOIN events c "
+    "SELECT e.event_id AS err_id, e.user_id, epoch_us(e.ts) AS err_ts_us, "
+    "c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us "
+    "FROM events e JOIN events c "
     "ON e.user_id = c.user_id "
     "AND epoch_us(c.ts) > epoch_us(e.ts) "
     "AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000 "
@@ -166,15 +181,15 @@ def q74(spark, sf_dir):
     return out.select(
         F.col("event_id").alias("err_id"),
         "user_id",
-        F.col("ts").alias("err_ts"),
+        F.unix_micros("ts").alias("err_ts_us"),
         F.col("r_event_id").alias("click_id"),
-        F.col("r_ts").alias("click_ts"),
+        F.unix_micros("r_ts").alias("click_ts_us"),
     )
 
 
 @register(
     "q77_rolling_window",
-    "SELECT event_id, user_id, ts, "
+    "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
     "count(*) OVER w AS n_1h, "
     "CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) "
     "AS sum_1h FROM events WINDOW w AS ("
@@ -201,7 +216,13 @@ def q77(spark, sf_dir):
         ]
 
     out = T.rolling_window(e, "user_id", "ts", 3600, aggs)
-    return out.select("event_id", "user_id", "ts", "n_1h", "sum_1h")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_1h",
+        "sum_1h",
+    )
 
 
 @register(
@@ -231,19 +252,23 @@ def q76(spark, sf_dir):
 
 @register(
     "q75_time_rollup",
-    "SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_ts, "
+    "SELECT 'minute' AS level, epoch_us(date_trunc('minute', ts)) AS bucket_us, "
     "count(*) AS n, "
     "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_v "
     "FROM events GROUP BY 2 "
-    "UNION ALL SELECT 'hour', date_trunc('hour', ts), count(*), "
+    "UNION ALL SELECT 'hour', epoch_us(date_trunc('hour', ts)), count(*), "
     "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) "
     "FROM events GROUP BY 2 "
-    "UNION ALL SELECT 'day', date_trunc('day', ts), count(*), "
+    "UNION ALL SELECT 'day', epoch_us(date_trunc('day', ts)), count(*), "
     "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) "
     "FROM events GROUP BY 2",
     "hypertable-style multi-resolution rollup (minute→hour→day): raw "
     "table scanned once, coarser grains re-aggregated from finer "
-    "(exact DECIMAL re-summation)",
+    "(exact DECIMAL re-summation); buckets emitted as epoch-micro "
+    "BIGINTs",
 )
 def q75(spark, sf_dir):
-    return T.time_rollup(t(spark, sf_dir, "events"), "ts", "value")
+    out = T.time_rollup(t(spark, sf_dir, "events"), "ts", "value")
+    return out.select(
+        "level", F.unix_micros("bucket_ts").alias("bucket_us"), "n", "sum_v"
+    )

@@ -5,7 +5,13 @@ DuckDB over the same parquet dir, comparing row count, column names,
 and an order-insensitive value hash (columns sorted by name, floats
 rounded to 9 significant-ish decimals).
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter]
+Usage: python tools/check_correctness.py [sf_dir] [name_filter] [--vanilla]
+
+``--vanilla`` runs against a bone-stock SparkSession (no UTC pin, no
+AQE/Arrow/shuffle tuning, default 200 shuffle partitions) — the
+environment the external driver may hand us. Every query must be a
+pure function of the data, not of our session config; combine with
+``TZ=America/New_York`` to also vary the process timezone.
 """
 
 from __future__ import annotations
@@ -49,9 +55,23 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
-    spark = get_spark("check-correctness", master="local[8]", shuffle_partitions=8)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    name_filter = args[1] if len(args) > 1 else ""
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-correctness-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            "check-correctness", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
