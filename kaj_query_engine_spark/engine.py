@@ -29,6 +29,7 @@ class KajEngine:
         self.spark = spark
         self.catalog = Catalog(spark)
         self.strict_compat = strict_compat
+        self._stats_cache: dict[str, object] = {}
 
     def register(self, name: str, df: DataFrame) -> None:
         self.catalog.register(name, df)
@@ -46,6 +47,21 @@ class KajEngine:
         """Logical-plan pretty-print in the spirit of the reference's
         ``Debug.PPrint`` (``src/qp/operators/Debug.java:79-121``)."""
         return pprint_query(parse(query_text))
+
+    def explain_cost(self, query_text: str, join_type: str = "broadcast") -> str:
+        """Declared plan + estimated cost, mirroring the reference's
+        ``printFinalPlan`` + ``PlanCost`` (``src/QueryMain.java:142-180``,
+        ``src/qp/optimizer/PlanCost.java``). Table stats come from a
+        one-pass ``approx_count_distinct`` scan, cached per table (the
+        ``.stat``-file analog)."""
+        from kaj_query_engine_spark.plans.cost import collect_stats, explain_cost
+
+        q = parse(query_text)
+        for t in q.from_list:
+            tl = t.lower()
+            if tl not in self._stats_cache:
+                self._stats_cache[tl] = collect_stats(self.catalog.table(tl))
+        return explain_cost(q, self._stats_cache, join_type)
 
     def execute_to_file(self, query_text: str, out_path: str) -> float:
         """Run a query and write a tab-separated result file with a
