@@ -95,19 +95,38 @@ def media_byte_features(
     """
     schema = (
         f"{id_col} long, n_bytes int, first_byte_hex string, "
-        "mean_byte double, entropy double"
+        "mean_byte double, n_distinct_bytes int, mode_count int, "
+        "entropy double"
     )
+
+    def _mean6(b: bytes) -> float:
+        if not b:
+            return 0.0
+        # HALF_UP to 6 decimals (the engine-portable convention —
+        # Python's round() is half-to-even and can diverge from the
+        # oracle's round() at exact half boundaries)
+        x = sum(b) / len(b)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _hist(b: bytes) -> tuple[int, int]:
+        if not b:
+            return 0, 0
+        counts: dict[int, int] = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        return len(counts), max(counts.values())
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[bin_col]
+            hists = payloads.map(_hist)
             rows = {
                 id_col: pdf[id_col],
                 "n_bytes": payloads.map(len).astype("int32"),
                 "first_byte_hex": payloads.map(lambda b: b[:1].hex()),
-                "mean_byte": payloads.map(
-                    lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
-                ),
+                "mean_byte": payloads.map(_mean6),
+                "n_distinct_bytes": hists.map(lambda t: t[0]).astype("int32"),
+                "mode_count": hists.map(lambda t: t[1]).astype("int32"),
                 "entropy": payloads.map(_entropy),
             }
             yield pd.DataFrame(rows)

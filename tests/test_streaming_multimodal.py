@@ -115,11 +115,16 @@ def test_fake_media_payload_is_sha_blocks(media):
 def test_media_byte_features_consistent(media):
     feats = {r.doc_id: r for r in M.media_byte_features(media).collect()}
     payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    from collections import Counter
+
     for d, r in feats.items():
         p = payloads[d]
+        c = Counter(p)
         assert r.n_bytes == len(p)
         assert r.first_byte_hex == p[:1].hex()
         assert abs(r.mean_byte - sum(p) / len(p)) < 1e-5
+        assert r.n_distinct_bytes == len(c)
+        assert r.mode_count == max(c.values())
         assert 0.0 <= r.entropy <= 8.0  # byte entropy bound
 
 
