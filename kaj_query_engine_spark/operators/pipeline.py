@@ -1,0 +1,105 @@
+"""Training-data pipeline composition operators: deterministic
+stratified sampling and concat-and-chunk sequence packing.
+
+No reference counterpart (the reference is an SPJ engine,
+``/root/reference/src/qp/operators/OpType.java:9-15``) — this is the
+north-star extension surface: the two ops that turn a cleaned corpus
+into a training mix.
+
+Scale design:
+
+- **Sampling** is a map-only filter: keep a row iff a 60-bit md5-hash
+  of its id lands under the stratum's rate threshold. Deterministic
+  (same seed → same sample at any parallelism), exactly reproducible
+  in the DuckDB oracle via the same hex→int trick used by MinHash,
+  and requires no count/shuffle — at 100 TB the sample IS the scan.
+- **Packing** mirrors what LLM pretraining actually does: documents
+  are concatenated in a fixed order and split into ``max_tokens``
+  context windows. A single global order would serialize the cumsum,
+  so docs are first sharded by id-hash; each shard packs
+  independently (one window-sort per shard, all shards in parallel —
+  the shard is the unit a trainer reads). Output maps every doc to
+  its shard-local token offset and first/last context-window index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_SCALE = 1_000_000  # rate resolution: 1e-6
+
+
+def hash_unit(col: Column, seed: int) -> Column:
+    """Uniform value in [0, SAMPLE_SCALE) from a 60-bit md5 prefix —
+    the engine-portable hash (DuckDB mirror:
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT % scale``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(SAMPLE_SCALE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 17,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    P(keep) = rates[stratum], decided by id-hash — no RNG state, no
+    shuffle, stable across retries/partitionings (a distributed
+    trainer can re-derive exactly which docs are in the mix)."""
+    u = hash_unit(F.col(id_col), seed)
+    thresh = F.lit(int(default_rate * SAMPLE_SCALE))
+    expr = F.lit(None).cast("int")
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        expr = F.when(cond, int(v * SAMPLE_SCALE)).otherwise(expr)
+    expr = F.coalesce(expr, thresh)
+    return df.filter(u < expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    num_shards: int = 8,
+    seed: int = 17,
+) -> DataFrame:
+    """Concat-and-chunk packing: within each id-hash shard, documents
+    are laid end-to-end in id order and cut into ``max_tokens``
+    context windows. Adds (shard, offset, first_chunk, last_chunk):
+    doc's token span is [offset, offset + tokens) inside its shard's
+    stream, chunks = the window indices that span covers.
+
+    One hash-partitioned window sort per shard; shards are
+    independent, so parallelism = num_shards (size it to the cluster —
+    a trainer consumes shards independently anyway). No driver state,
+    no sequential pass over the corpus.
+    """
+    shard = F.pmod(hash_unit(F.col(id_col), seed + 1), F.lit(num_shards)).cast(
+        "int"
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "offset", F.sum(tokens_col).over(w) - F.col(tokens_col)
+    )
+    # pure long division (never a double in the middle) — offsets are
+    # non-negative so DIV == floor division on both engines. Callers
+    # guarantee tokens >= 1 (a 0-token doc would make last < first).
+    return out.withColumn(
+        "first_chunk", F.expr(f"offset DIV {max_tokens}")
+    ).withColumn(
+        "last_chunk",
+        F.expr(f"(offset + {tokens_col} - 1) DIV {max_tokens}"),
+    )

@@ -1,0 +1,84 @@
+"""Training-mix workload over ``documents`` — deterministic stratified
+sampling + concat-and-chunk sequence packing in one query
+(operators/pipeline.py; north-star extension, no reference
+counterpart). The oracle reproduces the id-hash sample and the
+shard-local window cumsum in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.functions import text as TXT
+from kaj_query_engine_spark.operators import pipeline as P
+from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.registry import register
+
+RATES = {"en": 0.8, "de": 0.5, "fr": 0.5}
+MAX_TOKENS = 256
+SHARDS = 4
+SEED = 17
+
+_NTOK = "len(string_split(trim(text), ' '))"
+
+
+def _hash_unit(expr: str, seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5(concat(CAST({expr} AS VARCHAR), ':', "
+        f"'{seed}')), 1, 15))::BIGINT % {P.SAMPLE_SCALE})"
+    )
+
+
+def _oracle() -> str:
+    rate_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {int(v * P.SAMPLE_SCALE)}"
+            for k, v in sorted(RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+    return (
+        f"WITH kept AS (SELECT doc_id, lang, {_NTOK} AS n_tokens "
+        f"FROM documents WHERE {_hash_unit('doc_id', SEED)} < {rate_case}), "
+        "sh AS (SELECT *, "
+        f"CAST({_hash_unit('doc_id', SEED + 1)} % {SHARDS} AS INT) AS shard "
+        "FROM kept), "
+        "packed AS (SELECT doc_id, lang, n_tokens, shard, "
+        "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset FROM sh) "
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, shard, "
+        "CAST(tok_offset AS BIGINT) AS tok_offset, "
+        f"tok_offset // {MAX_TOKENS} AS first_chunk, "
+        f"(tok_offset + n_tokens - 1) // {MAX_TOKENS} AS last_chunk "
+        "FROM packed"
+    )
+
+
+@register(
+    "q47_training_mix",
+    _oracle(),
+    "training-mix assembly: per-language deterministic hash sampling "
+    f"(en {RATES['en']}, de/fr {RATES['de']}, drop the rest — a "
+    "map-only filter, no RNG state, reproducible at any parallelism) "
+    f"then concat-and-chunk packing into {MAX_TOKENS}-token context "
+    f"windows inside {SHARDS} id-hash shards (one window-sort per "
+    "shard, shards pack in parallel — the unit a trainer reads)",
+)
+def q47(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    kept = P.stratified_sample(d, "doc_id", "lang", RATES, seed=SEED)
+    packed = P.pack_sequences(
+        kept, "doc_id", "n_tokens", MAX_TOKENS, num_shards=SHARDS, seed=SEED
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "shard",
+        F.col("offset").cast("long").alias("tok_offset"),
+        "first_chunk",
+        "last_chunk",
+    )

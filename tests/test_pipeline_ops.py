@@ -1,0 +1,68 @@
+"""Unit tests for the training-mix operators (operators/pipeline.py):
+deterministic stratified sampling and concat-and-chunk packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import pipeline as P
+
+
+def _docs(spark, n=200):
+    langs = ["en", "de", "fr", "zh"]
+    rows = [(i, langs[i % 4], 10 + i % 50) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+
+
+def test_sample_rates_and_determinism(spark):
+    d = _docs(spark, 2000)
+    out = P.stratified_sample(d, "doc_id", "lang", {"en": 1.0, "de": 0.5})
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += 1
+    assert by_lang.get("en") == 500  # rate 1.0 keeps every en doc
+    assert "fr" not in by_lang and "zh" not in by_lang  # default 0.0
+    assert 150 < by_lang.get("de", 0) < 350  # ~250 expected at 0.5
+    # deterministic: re-running and re-partitioning changes nothing
+    again = P.stratified_sample(
+        d.repartition(13), "doc_id", "lang", {"en": 1.0, "de": 0.5}
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_pack_sequences_contiguous_within_shard(spark):
+    d = _docs(spark, 300)
+    out = P.pack_sequences(d, "doc_id", "n_tokens", 128, num_shards=4).collect()
+    shards: dict[int, list] = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r)
+    assert set(shards) == {0, 1, 2, 3}
+    for rows in shards.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # offsets are the exact running sum: no gaps, no overlaps
+        expect = 0
+        for r in rows:
+            assert r.offset == expect
+            assert r.first_chunk == r.offset // 128
+            assert r.last_chunk == (r.offset + r.n_tokens - 1) // 128
+            assert r.first_chunk <= r.last_chunk
+            expect += r.n_tokens
+
+
+def test_pack_chunk_spans_boundary(spark):
+    d = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, n_tokens int"
+    )
+    out = {
+        r.doc_id: r
+        for r in P.pack_sequences(
+            d, "doc_id", "n_tokens", 128, num_shards=1
+        ).collect()
+    }
+    assert out[1].first_chunk == 0 and out[1].last_chunk == 0
+    assert out[2].first_chunk == 0 and out[2].last_chunk == 1  # straddles
+    assert out[3].first_chunk == 1 and out[3].last_chunk == 2
