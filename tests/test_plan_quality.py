@@ -39,6 +39,13 @@ CASES = {
         ["FlatMapGroupsInPandas", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # training mix: map-side hash sample filter + ONE hash exchange on
+    # shard into per-shard window sorts
+    "q47_training_mix": (
+        ["Window", "hashpartitioning(shard"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "rangepartitioning("],
+    ),
 }
 
 

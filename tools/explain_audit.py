@@ -91,6 +91,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    "q47_training_mix": (
+        # sampling is a map-side hash filter (no shuffle); packing is
+        # ONE hash exchange on shard into per-shard window sorts — no
+        # join, no global range sort
+        ["Window", "hashpartitioning(shard"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "rangepartitioning("],
+    ),
 }
 
 
