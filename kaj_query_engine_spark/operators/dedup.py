@@ -233,12 +233,21 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     with cluster = min id reachable — the step that turns near-dup
     PAIRS into dedup GROUPS (keep one doc per cluster).
 
-    Iterative min-label propagation, the Pregel-lite DataFrame shape:
-    each round joins labels to the (symmetrized) edge list, takes the
-    min neighbor label, and stops at a fixpoint. Rounds = graph
-    diameter (dup clusters are near-cliques → 2–3 rounds); each round
-    is one shuffle on id. The driver-side loop only checks a count —
-    no data is collected.
+    Iterative min-label propagation + pointer doubling, the
+    Pregel-lite DataFrame shape: each round joins labels to the
+    (symmetrized) edge list and takes the min neighbor label, then
+    shortcuts every label through its own label (cluster :=
+    cluster(cluster)), so label values race toward the component
+    minimum exponentially — rounds ≈ log2(diameter), not diameter.
+    Dup clusters are near-cliques (1–2 rounds) but one boilerplate
+    CHAIN of near-dups would otherwise cost diameter shuffles at
+    100 TB. Each round is two shuffles; the driver-side loop only
+    checks a count — no data is collected.
+
+    Each round's label frame is localCheckpoint-ed: the self-join
+    references it twice and the next round builds on it, so without
+    lineage truncation the logical plan triples per round and
+    Catalyst analysis time goes exponential by round ~8.
     """
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
@@ -248,7 +257,7 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -256,7 +265,9 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new_labels = (
+        # checkpointed: both sides of the pointer-doubling self-join
+        # read it (no recompute) AND its lineage is cut off
+        propagated = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -264,7 +275,23 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                     F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: cluster := cluster(cluster). Labels are
+        # node ids, so the lookup is a self-join; a chain's labels
+        # halve their distance to the component min every round.
+        jump = propagated.select(
+            F.col("id").alias("jid"), F.col("cluster").alias("jcluster")
+        )
+        new_labels = (
+            propagated.join(jump, propagated.cluster == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("jcluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -272,7 +299,6 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -283,12 +309,10 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             "(component diameter exceeds max_iters) — raise max_iters"
         )
     edges.unpersist()
-    # truncate the iteration lineage and release the loop's cache: the
-    # caller gets a self-contained result, not a DataFrame pinned to
-    # 2×diameter cached stages
-    out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    # labels is already a checkpointed leaf — self-contained, no
+    # lineage back into the loop; intermediate checkpoint RDDs are
+    # released by the ContextCleaner once unreferenced
+    return labels
 
 
 def simhash_fingerprints(

@@ -98,6 +98,20 @@ def test_cluster_duplicates_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_cluster_duplicates_long_chain_converges_logarithmically(spark):
+    """A 64-node path has diameter 63: plain min-propagation needs 63
+    rounds, pointer doubling must finish well inside 12."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "d1 long, d2 long"
+    )
+    out = {
+        r.id: r.cluster
+        for r in D.cluster_duplicates(pairs, max_iters=12).collect()
+    }
+    assert set(out) == set(range(64))
+    assert set(out.values()) == {0}
+
+
 # ------------------------------------------------------------------
 # similarity
 # ------------------------------------------------------------------
