@@ -1,17 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, both pure DataFrame ops (the arithmetic is JVM-side
+Three paths, all pure DataFrame ops (the arithmetic is JVM-side
 ``zip_with``/``aggregate`` — no Python in the hot path):
 
 - **Brute-force cosine top-k** — the exactness baseline. Cross join of
   a *broadcast* query set against the corpus: one pass over the corpus
   per batch of queries, no shuffle of the big side. At 100 TB this is
   the right shape when |queries| is small (the corpus never moves).
-- **LSH-bucketed (random hyperplane) ANN** — the scale path. Each
+- **LSH-bucketed (random hyperplane) ANN** — a scale path. Each
   vector gets a sign-bucket from B fixed hyperplanes; queries compare
   only within their bucket (candidates ≈ N/2^B), then exact-cosine
   rank. Hyperplanes are deterministic ±1 vectors derived from a fixed
   seed so results are reproducible and oracle-checkable.
+- **IVF-flat ANN** — the data-adaptive scale path. A deterministic
+  coarse quantizer (md5 seed-sampled centroids) partitions the corpus
+  into inverted lists; queries scan only their ``nprobe`` nearest
+  lists. List sizes follow the data distribution, which beats
+  data-oblivious hyperplanes on clustered corpora.
 
 Determinism for the oracle: the dot product folds left over the array
 in index order (``F.aggregate`` ↔ DuckDB ``list_reduce``), so the
@@ -186,6 +191,145 @@ def lsh_topk(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def seed_hash(col: Column) -> Column:
+    """Deterministic 60-bit hash of an id for centroid seed sampling
+    (portable: Spark ``conv(substr(md5(s),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(s),1,15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec): deterministic IVF coarse quantizer — the
+    ``n_centroids`` corpus vectors with the smallest md5-derived id
+    hash (a uniform random-without-replacement sample that any engine
+    can reproduce; no Lloyd iterations, so the oracle can mirror it
+    exactly). TakeOrdered keeps only K rows on the driver path, and
+    the result is broadcast everywhere it is used.
+    """
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            _dvec(F.col(vec_col)).alias("cvec"),
+            seed_hash(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_centroids)
+        .select("cid", "cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    target_list: int = 1024,
+) -> DataFrame:
+    """IVF-flat approximate top-k: (q_id, vec_id, rank, cos) — same
+    output shape as :func:`brute_force_topk` / :func:`lsh_topk`.
+
+    The third ANN path: an inverted-file index. Each corpus vector is
+    assigned to its nearest coarse centroid (its "list"); a query
+    scores only the vectors in its ``nprobe`` nearest lists. Unlike
+    LSH, list sizes adapt to the data distribution — dense regions get
+    split across nearby centroids rather than piling into one bucket.
+
+    Scale shape (index build = one corpus pass, query = candidate
+    lists only):
+    - centroids (K ≈ √N or N/target_list rows) are computed once and
+      **broadcast** — the corpus never shuffles to meet them;
+    - assignment is crossJoin(broadcast) → groupBy(id) with map-side
+      partial aggregation, so ~N rows cross the wire, not N·K;
+      at 100 TB the assignment would be *materialized* as the index
+      (write once, probe many);
+    - the probe join is an equi-join on cid against the broadcast
+      exploded (query × nprobe) side — candidates ≈ nprobe·N/K per
+      query, constant in N when K scales with N.
+
+    Determinism: centroid choice is the md5 seed sample
+    (:func:`ivf_centroids`), assignment/probe ranking breaks cosine
+    ties by centroid id, and all dot products are order-fixed
+    left-folds — every double matches the DuckDB oracle bit-for-bit.
+    """
+    import math
+
+    from pyspark.sql import Window as W
+
+    if n_centroids is None:
+        n = corpus.select(id_col).count()
+        # √N balances assignment cost (N·K) against list length (N/K);
+        # never let lists exceed ~target_list vectors
+        n_centroids = max(1, max(
+            math.ceil(math.sqrt(n)), math.ceil(n / target_list)
+        ))
+    if nprobe is None:
+        nprobe = max(1, n_centroids // 4)
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("c_vec")
+    )
+    # nearest centroid per corpus vector, ties → smallest cid. The
+    # min(struct(-cos, cid)) form aggregates map-side (partial agg), so
+    # only ~N rows shuffle; -cos ordering == cos DESC for IEEE doubles
+    # (cosines are finite; Spark orders -0.0 == 0.0 like DuckDB).
+    # first(c_vec) is deterministic here: the corpus has one row per
+    # id, so every row in the group carries the identical vector.
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "c_vec",
+            F.struct(
+                (-cosine(F.col("c_vec"), F.col("cvec"))).alias("ncos"),
+                F.col("cid").alias("cid"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("best"), F.first("c_vec").alias("c_vec"))
+        .select("vec_id", F.col("best.cid").alias("cid"), "c_vec")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _dvec(F.col(vec_col)).alias("q_vec")
+    )
+    wq = W.partitionBy("q_id").orderBy(
+        F.desc(cosine(F.col("q_vec"), F.col("cvec"))), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("q_id", "q_vec", "cid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -275,16 +275,23 @@ def q17(spark, sf_dir):
 
 @register(
     "q20_set_ops",
-    "SELECT 'union_except' AS tag, nk FROM ("
+    "SELECT 'union_except' AS tag, CAST(nk AS BIGINT) AS k, "
+    "CAST(1 AS BIGINT) AS n FROM ("
     "SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000 "
     "UNION SELECT s_nationkey AS nk FROM supplier "
     "EXCEPT SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0) "
     "UNION ALL "
-    "SELECT 'intersect', nk FROM ("
+    "SELECT 'intersect', CAST(nk AS BIGINT), CAST(1 AS BIGINT) FROM ("
     "SELECT c_nationkey AS nk FROM customer "
-    "INTERSECT SELECT s_nationkey AS nk FROM supplier)",
+    "INTERSECT SELECT s_nationkey AS nk FROM supplier) "
+    "UNION ALL "
+    "SELECT 'bag_hist', CAST(bag_n AS BIGINT), count(*) FROM ("
+    "SELECT count(*) AS bag_n FROM ("
+    "SELECT o_orderkey AS bk FROM orders UNION ALL "
+    "SELECT l_orderkey AS bk FROM lineitem) GROUP BY bk) GROUP BY bag_n",
     "set-operation family, one tagged result: UNION (distinct) then "
-    "EXCEPT; INTERSECT (distinct)",
+    "EXCEPT; INTERSECT (distinct); UNION ALL (bag semantics) + regroup "
+    "compressed to a per-multiplicity histogram",
 )
 def q20(spark, sf_dir):
     c = (
@@ -304,22 +311,36 @@ def q20(spark, sf_dir):
         .select(F.col("c_nationkey").alias("nk"))
         .intersect(s)
     )
-    return ue.select(F.lit("union_except").alias("tag"), "nk").unionByName(
-        inter.select(F.lit("intersect").alias("tag"), "nk")
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("bk"))
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("bk"))
+    bag_hist = (
+        o.unionAll(li)
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("bag_n"))
+        .groupBy("bag_n")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("bag_hist").alias("tag"),
+            F.col("bag_n").cast("long").alias("k"),
+            "n",
+        )
     )
-
-
-@register(
-    "q22_union_all_groupby",
-    "SELECT k, count(*) AS n FROM ("
-    "SELECT o_orderkey AS k FROM orders UNION ALL "
-    "SELECT l_orderkey AS k FROM lineitem) GROUP BY k",
-    "UNION ALL (bag semantics) + regroup",
-)
-def q22(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    l = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
-    return o.unionAll(l).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    one = F.lit(1).cast("long").alias("n")
+    return (
+        ue.select(
+            F.lit("union_except").alias("tag"),
+            F.col("nk").cast("long").alias("k"),
+            one,
+        )
+        .unionByName(
+            inter.select(
+                F.lit("intersect").alias("tag"),
+                F.col("nk").cast("long").alias("k"),
+                one,
+            )
+        )
+        .unionByName(bag_hist)
+    )
 
 
 # --------------------------------------------------------------------

@@ -104,6 +104,64 @@ def q61(spark, sf_dir):
     return S.lsh_topk(e, q, k=TOP_K, planes=ANN_PLANES)
 
 
+IVF_CENTROIDS = 16  # pinned so the oracle can mirror exactly
+IVF_NPROBE = 4
+
+
+def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> str:
+    seed_h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    cos_vc = (
+        f"{_DOT_AB.format(a='e.v', b='cent.cvec')} / "
+        f"({_norm('e.v')} * {_norm('cent.cvec')})"
+    )
+    cos_qc = (
+        f"{_DOT_AB.format(a='q.q_vec', b='cent.cvec')} / "
+        f"(q.q_nrm * {_norm('cent.cvec')})"
+    )
+    cos_qa = (
+        f"{_DOT_AB.format(a='p.q_vec', b='a.v')} / (p.q_nrm * {_norm('a.v')})"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "cent AS (SELECT vec_id AS cid, v AS cvec FROM e "
+        f"ORDER BY {seed_h}, vec_id LIMIT {n_centroids}), "
+        "asg AS (SELECT e.vec_id, e.v, cent.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, cent.cid) AS rn "
+        "FROM e CROSS JOIN cent), "
+        "a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS q_id, v AS q_vec, {_norm('v')} AS q_nrm "
+        f"FROM e WHERE vec_id < {N_QUERIES}), "
+        "qp AS (SELECT q.q_id, q.q_vec, q.q_nrm, cent.cid, row_number() OVER ("
+        f"PARTITION BY q.q_id ORDER BY {cos_qc} DESC, cent.cid) AS rn "
+        "FROM q CROSS JOIN cent), "
+        f"p AS (SELECT q_id, q_vec, q_nrm, cid FROM qp WHERE rn <= {nprobe}), "
+        f"scored AS (SELECT p.q_id, a.vec_id, {cos_qa} AS c "
+        "FROM a JOIN p ON a.cid = p.cid WHERE a.vec_id <> p.q_id), "
+        "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
+        "round(c, 6) AS cos FROM scored) "
+        f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {TOP_K}"
+    )
+
+
+@register(
+    "q63_ann_ivf",
+    _ivf_oracle(),
+    "IVF-flat ANN (16 md5-seed-sampled centroids, nprobe=4): corpus "
+    "assigned to inverted lists by nearest centroid (broadcast "
+    "centroids, map-side-partial argmax — ~N rows shuffle), queries "
+    "scan only their nprobe nearest lists; list sizes adapt to the "
+    "data distribution, and at 100 TB the assignment is the "
+    "materialized index (build once, probe many)",
+)
+def q63(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(
+        e, q, k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
 def _bucket_expr(v: str, band: list[list[float]]) -> str:
     bits = []
     for plane in band:

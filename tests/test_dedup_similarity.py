@@ -180,6 +180,65 @@ def test_lsh_topk_adaptive_planes_and_multiprobe(spark, vectors):
         assert sum(1 for r in single if r.q_id == q) <= per_q_probed[q]
 
 
+def test_ivf_topk_single_list_is_exact(spark, vectors):
+    """With one centroid every vector lands in the same inverted list,
+    so IVF degenerates to the brute-force result exactly."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    ivf = S.ivf_topk(df, queries, k=5, n_centroids=1, nprobe=1).collect()
+    brute = S.brute_force_topk(df, queries, k=5).collect()
+    key = lambda r: (r.q_id, r.rank)
+    assert sorted([(r.q_id, r.rank, r.vec_id) for r in ivf]) == sorted(
+        [(r.q_id, r.rank, r.vec_id) for r in brute]
+    )
+    bcos = {key(r): r.cos for r in brute}
+    for r in ivf:
+        assert math.isclose(r.cos, bcos[key(r)], abs_tol=1e-9)
+
+
+def test_ivf_topk_scores_are_exact_and_recall_reasonable(spark, vectors):
+    """IVF only restricts candidates — every emitted cosine equals the
+    exact cosine, and probing half the lists recovers most of the
+    true top-5."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    ivf = S.ivf_topk(df, queries, k=5, n_centroids=6, nprobe=3).collect()
+    brute = S.brute_force_topk(df, queries, k=1000)
+    exact = {(r.q_id, r.vec_id): r.cos for r in brute.collect()}
+    true5 = {
+        q: {r.vec_id for r in brute.collect() if r.q_id == q and r.rank <= 5}
+        for q in range(3)
+    }
+    hits = 0
+    for r in ivf:
+        assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
+        hits += r.vec_id in true5[r.q_id]
+    assert hits >= 8  # recall@5 >= ~0.53 over 3 queries, deterministic
+
+
+def test_ivf_topk_auto_sizing(spark, vectors):
+    """n_centroids=None sizes the quantizer from the corpus count
+    (sqrt-N) and still returns well-formed exact-scored rows."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 2)
+    out = S.ivf_topk(df, queries, k=3).collect()
+    assert len(out) > 0
+    exact = {
+        (r.q_id, r.vec_id): r.cos
+        for r in S.brute_force_topk(df, queries, k=1000).collect()
+    }
+    for r in out:
+        assert r.rank <= 3
+        assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
+
+
+def test_ivf_centroids_deterministic_seed_sample(spark, vectors):
+    df, _ = vectors
+    c1 = sorted(r.cid for r in S.ivf_centroids(df, 6).collect())
+    c2 = sorted(r.cid for r in S.ivf_centroids(df, 6).collect())
+    assert c1 == c2 and len(c1) == 6
+
+
 def test_probe_exprs_distinct_hamming1(spark):
     df = spark.createDataFrame([("1010",)], "bucket string")
     probes = df.select(

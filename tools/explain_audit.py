@@ -59,6 +59,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "q63_ann_ivf": (
+        # IVF: centroids + probe sets broadcast (corpus never shuffles
+        # to meet them), assignment argmax aggregates map-side partial
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "q73_asof_join": (
         # union trick: exactly ONE exchange (the window shuffle)
         ["Window", "Union"],
