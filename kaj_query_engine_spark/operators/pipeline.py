@@ -13,6 +13,12 @@ Scale design:
   (same seed → same sample at any parallelism), exactly reproducible
   in the DuckDB oracle via the same hex→int trick used by MinHash,
   and requires no count/shuffle — at 100 TB the sample IS the scan.
+- **Decontamination** is the benchmark-overlap gate every serious
+  pretraining pipeline runs (the GPT-3/PaLM n-gram check): the
+  benchmark side is tiny relative to the corpus, so its distinct
+  shingle set broadcasts and the corpus is one map-side explode +
+  partial-aggregated groupBy — the 100 TB side never shuffles its
+  text, only (id, hit) rows.
 - **Packing** mirrors what LLM pretraining actually does: documents
   are concatenated in a fixed order and split into ``max_tokens``
   context windows. A single global order would serialize the cumsum,
@@ -62,6 +68,53 @@ def stratified_sample(
         expr = F.when(cond, int(v * SAMPLE_SCALE)).otherwise(expr)
     expr = F.coalesce(expr, thresh)
     return df.filter(u < expr)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shingles, n_hit, contamination) for every training doc
+    that shares at least one word n-gram with the benchmark set — the
+    eval-contamination report; a pipeline drops (or flags) the hits.
+
+    Shape: the benchmark's distinct shingles are the broadcast build
+    side; the train side explodes its (already distinct, so n_hit
+    counts distinct grams) shingles map-only and partial-aggregates
+    per doc, so only matched (id, gram) rows reach the shuffle. At
+    100 TB the train corpus is never re-partitioned and docs with no
+    overlap cost nothing past the hash probe.
+    """
+    from kaj_query_engine_spark.functions import text as TXT
+
+    sh = TXT.word_shingles(F.col(text_col), n)
+    bench_sh = benchmark.select(F.explode(sh).alias("sh")).distinct()
+    # materialize the shingle array as a column BEFORE size/explode:
+    # n_shingles is a group key, and if the raw expression reaches the
+    # post-Generate projection it is re-evaluated once per exploded
+    # row (~|shingles|× the work). Two references to one alias stop
+    # CollapseProject from inlining it.
+    tr = train.select(
+        F.col(id_col).alias("id"), sh.alias("shingles")
+    ).select(
+        "id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("sh"),
+    )
+    return (
+        tr.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "id",
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
 
 
 def pack_sequences(

@@ -1,8 +1,9 @@
 """Training-mix workload over ``documents`` — deterministic stratified
-sampling + concat-and-chunk sequence packing in one query
-(operators/pipeline.py; north-star extension, no reference
-counterpart). The oracle reproduces the id-hash sample and the
-shard-local window cumsum in pure SQL.
+sampling + concat-and-chunk sequence packing in one query, plus
+benchmark n-gram decontamination (operators/pipeline.py; north-star
+extension, no reference counterpart). The oracles reproduce the
+id-hash sample, the shard-local window cumsum, and the shingle
+overlap in pure SQL.
 """
 
 from __future__ import annotations
@@ -82,3 +83,42 @@ def q47(spark, sf_dir):
         "first_chunk",
         "last_chunk",
     )
+
+
+DECON_N = 5  # word n-gram width (54-token docs ≈ a 13-gram at 1k tokens)
+BENCH_MOD, BENCH_REM = 19, 3  # benchmark split: doc_id % 19 == 3
+
+
+def _decon_oracle(n: int = DECON_N) -> str:
+    toks = "string_split(trim(text), ' ')"
+    shingles = (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )
+    return (
+        f"WITH b AS (SELECT DISTINCT unnest({shingles}) AS sh FROM documents "
+        f"WHERE doc_id % {BENCH_MOD} = {BENCH_REM}), "
+        f"tr AS (SELECT doc_id, {shingles} AS shingles FROM documents "
+        f"WHERE doc_id % {BENCH_MOD} <> {BENCH_REM}), "
+        "e AS (SELECT doc_id, len(shingles) AS n_shingles, "
+        "unnest(shingles) AS sh FROM tr) "
+        "SELECT doc_id AS id, CAST(n_shingles AS INT) AS n_shingles, "
+        "count(*) AS n_hit, count(*) * 1.0 / n_shingles AS contamination "
+        "FROM e JOIN b USING (sh) GROUP BY doc_id, n_shingles"
+    )
+
+
+@register(
+    "q48_decontaminate",
+    _decon_oracle(),
+    f"benchmark decontamination: flag training docs sharing a word "
+    f"{DECON_N}-gram with the held-out benchmark split (doc_id % "
+    f"{BENCH_MOD} == {BENCH_REM}) — the benchmark's distinct shingles "
+    "broadcast, the corpus explodes map-only and partial-aggregates, "
+    "so the 100 TB side never shuffles its text",
+)
+def q48(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == BENCH_REM)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != BENCH_REM)
+    return P.decontaminate(train, bench, n=DECON_N)

@@ -25,6 +25,12 @@ _AVGLEN = f"list_sum(list_transform({_TOKS}, x -> length(x))) * 1.0 / {_NTOK}"
 _RATIO = f"({_NSTOP} * 1.0 / {_NTOK})"
 
 
+_QUALITY = (
+    f"least(1.0, {_NTOK} * 1.0 / 50.0) * 0.4 + {_RATIO} * 0.3 + "
+    f"least(1.0, ({_AVGLEN}) / 8.0) * 0.3"
+)
+
+
 @register(
     "q40_text_stats",
     "SELECT doc_id, "
@@ -38,16 +44,25 @@ _RATIO = f"({_NSTOP} * 1.0 / {_NTOK})"
     "CAST(len(regexp_extract_all(text, "
     "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
     ")) AS INT) AS n_bpe, "
-    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    f"CASE WHEN ({_QUALITY}) >= 0.5 THEN round({_QUALITY}, 6) END AS quality "
     "FROM documents",
     "per-document text profile in one scan: token/char counts, avg "
     "token length, stopword ratio, punctuation count, BPE-style "
     "pre-tokenizer count (GPT-2 regex pieces — the LLM-token budget "
-    "estimator), and the md5 content fingerprint — all JVM-side exprs",
+    "estimator), the md5 content fingerprint, and the composite "
+    "quality score with its keep/drop gate (NULL = dropped) — all "
+    "JVM-side exprs",
 )
 def q40(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     txt = F.col("text")
+    n_tok = TXT.token_count(txt).cast("double")
+    raw = (
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
+        + TXT.stopword_ratio(txt) * 0.3
+        + F.least(F.lit(1.0), TXT.avg_token_len(txt) / F.lit(8.0)) * 0.3
+    )
     return d.select(
         "doc_id",
         TXT.token_count(txt).alias("n_tokens"),
@@ -57,31 +72,7 @@ def q40(spark, sf_dir):
         TXT.punct_count(txt).alias("n_punct"),
         TXT.bpe_ish_token_count(txt).alias("n_bpe"),
         TXT.doc_fingerprint(txt).alias("fp"),
-    )
-
-
-@register(
-    "q42_quality_score",
-    "SELECT doc_id, round("
-    f"least(1.0, {_NTOK} * 1.0 / 50.0) * 0.4 + {_RATIO} * 0.3 + "
-    f"least(1.0, ({_AVGLEN}) / 8.0) * 0.3, 6) AS quality "
-    "FROM documents WHERE "
-    f"(least(1.0, {_NTOK} * 1.0 / 50.0) * 0.4 + {_RATIO} * 0.3 + "
-    f"least(1.0, ({_AVGLEN}) / 8.0) * 0.3) >= 0.5",
-    "composite quality score + threshold filter (the keep/drop gate of "
-    "a training-data pipeline)",
-)
-def q42(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    n_tok = TXT.token_count(txt).cast("double")
-    raw = (
-        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
-        + TXT.stopword_ratio(txt) * 0.3
-        + F.least(F.lit(1.0), TXT.avg_token_len(txt) / F.lit(8.0)) * 0.3
-    )
-    return d.filter(raw >= 0.5).select(
-        "doc_id", F.round(raw, 6).alias("quality")
+        F.when(raw >= 0.5, F.round(raw, 6)).alias("quality"),
     )
 
 

@@ -66,3 +66,35 @@ def test_pack_chunk_spans_boundary(spark):
     assert out[1].first_chunk == 0 and out[1].last_chunk == 0
     assert out[2].first_chunk == 0 and out[2].last_chunk == 1  # straddles
     assert out[3].first_chunk == 1 and out[3].last_chunk == 2
+
+
+def test_decontaminate_flags_overlap_and_scores(spark):
+    """Doc 10 copies a benchmark passage (all shingles hit), doc 11
+    shares one 3-gram, doc 12 is clean and must not appear."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # full copy
+            (11, "zz yy alpha beta gamma xx ww"),    # one shared 3-gram
+            (12, "one two three four five six"),     # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in P.decontaminate(train, bench, n=3).collect()}
+    assert set(out) == {10, 11}
+    assert out[10].n_shingles == 3 and out[10].n_hit == 3
+    assert out[10].contamination == 1.0
+    assert out[11].n_shingles == 5 and out[11].n_hit == 1
+    assert abs(out[11].contamination - 0.2) < 1e-12
+
+
+def test_decontaminate_short_docs_drop_out(spark):
+    """Docs shorter than n words have no shingles: never flagged, and
+    no divide-by-zero."""
+    bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "a b"), (11, "")], "doc_id long, text string"
+    )
+    assert P.decontaminate(train, bench, n=3).count() == 0
