@@ -108,17 +108,28 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shingles) as an array<string> — the unit
-    of MinHash/Jaccard near-dedup. Guarded so docs shorter than n words
-    yield an empty array (F.sequence would otherwise run backwards)."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over an ALREADY-MATERIALIZED token-array
+    column — the unit of MinHash/Jaccard near-dedup and benchmark
+    decontamination. Guarded so docs shorter than n words yield an
+    empty array (F.sequence would otherwise run backwards).
+
+    ``toks`` must be a bound column, not the raw ``tokens(text)``
+    expression: higher-order lambdas run interpreted (outside codegen),
+    so an inlined split would re-run once per gram — ~10× slower on
+    50-token docs. Project ``tokens(text)`` to a column first.
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams straight from a text column. Convenience
+    form; hot paths should project :func:`tokens` first and use
+    :func:`shingles_of_tokens` (see its interpreted-lambda note)."""
+    return shingles_of_tokens(tokens(col), n)

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kaj_query_engine_spark.functions.text import doc_fingerprint, word_shingles
+from kaj_query_engine_spark.functions.text import (
+    doc_fingerprint,
+    shingles_of_tokens,
+    tokens,
+)
 
 # LSH defaults: 12 hashes = 4 bands x 3 rows → candidate threshold
 # (1/B)^(1/R) ≈ 0.63 Jaccard.
@@ -81,9 +85,13 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shuffle to one partition and serialize the compute.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    return (
+        df.repartition(n_parts, F.col(id_col))
+        # tokens materialize as a column BEFORE the shingle lambda:
+        # higher-order transforms run interpreted, so an inlined split
+        # would re-run once per gram (~10x on 50-token docs)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(shingles_of_tokens(F.col("toks"), n)).alias("sh"))
     )
 
 

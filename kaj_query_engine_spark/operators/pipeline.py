@@ -90,16 +90,20 @@ def decontaminate(
     """
     from kaj_query_engine_spark.functions import text as TXT
 
-    sh = TXT.word_shingles(F.col(text_col), n)
-    bench_sh = benchmark.select(F.explode(sh).alias("sh")).distinct()
-    # materialize the shingle array as a column BEFORE size/explode:
-    # n_shingles is a group key, and if the raw expression reaches the
-    # post-Generate projection it is re-evaluated once per exploded
-    # row (~|shingles|× the work). Two references to one alias stop
+    # tokens then shingles materialize as columns stepwise: the
+    # higher-order shingle lambda runs interpreted, so an inlined
+    # split would re-run once per gram; and n_shingles is a group key,
+    # so if the raw array expression reached the post-Generate
+    # projection it would be re-evaluated once per exploded row
+    # (~|shingles|x the work). Referencing one alias twice stops
     # CollapseProject from inlining it.
-    tr = train.select(
-        F.col(id_col).alias("id"), sh.alias("shingles")
-    ).select(
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks")
+        ).select("id", TXT.shingles_of_tokens(F.col("toks"), n).alias("shingles"))
+
+    bench_sh = _sh(benchmark).select(F.explode("shingles").alias("sh")).distinct()
+    tr = _sh(train).select(
         "id",
         F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("sh"),

@@ -97,6 +97,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    "q48_decontaminate": (
+        # benchmark shingles broadcast; corpus side explodes map-only
+        # and aggregates with a partial phase — no corpus self-join
+        ["BroadcastHashJoin", "Generate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
     "q47_training_mix": (
         # sampling is a map-side hash filter (no shuffle); packing is
         # ONE hash exchange on shard into per-shard window sorts — no
