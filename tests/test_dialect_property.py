@@ -151,3 +151,52 @@ def test_random_string_filters(engine, duck, col, op, lit):
         f"WHERE {col} {DUCK_OP.get(op, op)} '{lit}'"
     )
     assert_same_result(engine.sql(q), duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(OPS),
+    lit=st.integers(min_value=0, max_value=199),
+)
+def test_random_equi_join_with_filter(engine, duck, op, lit):
+    """Join + selection split: the comma-AND WHERE mixes an equi-join
+    predicate with a single-table filter; the lowering must route the
+    former to the join and push the latter to the scan."""
+    q = (
+        "SELECT customer_ref.cid, cart_ref.cartid FROM customer_ref, "
+        "cart_ref WHERE customer_ref.cid=cart_ref.cid, "
+        f'customer_ref.gender{op}"{lit % 2}"'
+    )
+    sql = (
+        "SELECT c.cid, k.cartid FROM customer_ref c JOIN cart_ref k "
+        f"ON c.cid = k.cid WHERE c.gender {DUCK_OP.get(op, op)} {lit % 2}"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["<", "<=", ">", ">=", "!="]),
+)
+def test_random_theta_join(engine, duck, op):
+    """Non-equi comparator joins (reference grammar allows any OP in
+    the join condition); row sets must match DuckDB's theta join."""
+    q = (
+        "SELECT customer_ref.cid, cart_ref.cartid FROM customer_ref, "
+        f"cart_ref WHERE customer_ref.cid{op}cart_ref.cid, "
+        'customer_ref.cid<"12", cart_ref.cartid<"12"'
+    )
+    sql = (
+        "SELECT c.cid, k.cartid FROM customer_ref c JOIN cart_ref k "
+        f"ON c.cid {DUCK_OP.get(op, op)} k.cid "
+        "WHERE c.cid < 12 AND k.cartid < 12"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
