@@ -4,11 +4,13 @@ from kaj_query_engine_spark.streaming.ops import (
     run_available_now,
     stream_session_stats,
     stream_stateful_user_totals,
+    stream_static_enrich,
     stream_tumbling_agg,
     streaming_dedup,
 )
 
 __all__ = [
+    "stream_static_enrich",
     "read_stream_table",
     "stream_interval_join",
     "run_available_now",

@@ -212,6 +212,32 @@ def stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against a
+    *batch* dimension table — the lookup/enrichment pattern (events ×
+    user table, docs × license table) that precedes most streaming
+    aggregations in production.
+
+    Scale shape: the static side is stateless for the stream (nothing
+    buffers in the state store — Spark re-plans the batch side per
+    micro-batch, picking up dimension updates) and a small dimension
+    becomes the broadcast build side, so the stream never shuffles.
+    Left join keeps stream rows with no dimension match (NULL-padded),
+    matching the batch left-join semantics the oracle can check.
+    """
+    cols = dim_cols if dim_cols is not None else [
+        c for c in dim.columns if c != key_col
+    ]
+    d = dim.select(key_col, *cols)
+    return stream.join(F.broadcast(d), key_col, how)
+
+
 def stream_stateful_user_totals(
     sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

@@ -27,10 +27,11 @@ from kaj_query_engine_spark.streaming import (
     stream_interval_join,
     stream_session_stats,
     stream_stateful_user_totals,
+    stream_static_enrich,
     stream_tumbling_agg,
     streaming_dedup,
 )
-from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum
+from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum, t
 from kaj_query_engine_spark.workload.registry import register
 
 
@@ -100,16 +101,29 @@ def q80(spark, sf_dir):
 
 @register(
     "q82_stream_dedup",
-    "SELECT event_type, count(*) AS n FROM ("
+    "SELECT event_type, c.c_mktsegment AS segment, count(*) AS n FROM ("
     "SELECT DISTINCT ON (user_id, event_type) user_id, event_type "
-    "FROM events ORDER BY user_id, event_type) GROUP BY event_type",
+    "FROM events ORDER BY user_id, event_type) d "
+    "LEFT JOIN customer c ON d.user_id = c.c_custkey "
+    "GROUP BY event_type, segment",
     "streaming exact dedup via dropDuplicatesWithinWatermark (state = "
-    "one entry per key inside the watermark horizon), then re-aggregate",
+    "one entry per key inside the watermark horizon), then stream-"
+    "static enrichment against the broadcast customer dimension "
+    "(stateless for the stream, re-planned per micro-batch), then "
+    "re-aggregate",
 )
 def q82(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
     d = streaming_dedup(s, ["user_id", "event_type"], "ts", "1 hour")
-    agg = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    e = stream_static_enrich(d, dim, "user_id")
+    agg = e.groupBy("event_type", "segment").agg(F.count(F.lit(1)).alias("n"))
     return run_available_now(agg, "complete", state_partitions=8)
 
 

@@ -102,6 +102,41 @@ def media(spark):
     return M.attach_fake_media(df)
 
 
+def test_stream_static_enrich_equals_batch_join(spark):
+    """Stream-static left join against a broadcast dimension produces
+    exactly the batch left-join result (unmatched rows NULL-padded)."""
+    from pyspark.sql import functions as F
+
+    from kaj_query_engine_spark.catalog import _read_parquet
+    from kaj_query_engine_spark.streaming import (
+        read_stream_table,
+        run_available_now,
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(0, 150, 2)],  # odd ids unmatched
+        "user_id long, segment string",
+    )
+    s = read_stream_table(spark, SF_DIR, "events")
+    out = run_available_now(
+        stream_static_enrich(s, dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    )
+    got = {r.segment: r.n for r in out.collect()}
+    batch = (
+        _read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .join(dim, "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expect = {r.segment: r.n for r in batch.collect()}
+    assert got == expect
+    assert None in expect  # odd user_ids really exercise the left join
+
+
 def test_fake_media_payload_is_sha_blocks(media):
     rows = {r.doc_id: bytes(r.media) for r in media.collect()}
     for d, payload in rows.items():
