@@ -293,3 +293,45 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):
     for r in lsh_rows:
         assert (r.i, r.j) in exact
         assert r.cos == exact[(r.i, r.j)]  # bit-identical, not approx
+
+
+def test_cluster_duplicates_random_graphs_match_union_find(spark):
+    """Randomized differential check: min-label + pointer doubling must
+    equal a plain Python union-find on arbitrary edge lists (cliques,
+    chains, stars, crossing components)."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {v: find(v) for v in sorted(touched)}
+        # union-find roots are not guaranteed minimal under path
+        # compression order; normalize to min-of-component
+        comp_min: dict[int, int] = {}
+        for v, r in expect.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[r] for v, r in expect.items()}
+
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r.id: r.cluster for r in D.cluster_duplicates(pairs).collect()
+        }
+        assert got == expect, f"trial {trial}"
