@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     print(eng.explain_plan(query_text))
     df = eng.sql(query_text)
     df.explain("formatted")
-    elapsed = eng.execute_to_file(query_text, args.query_out)
+    # the CLI mirrors the reference's one-file query.out UX, so it
+    # opts into the driver-collect path explicitly; library callers
+    # get the distributed writer by default
+    elapsed = eng.execute_to_file(query_text, args.query_out, small_result=True)
     print(f"Execution time = {elapsed:.3f} seconds")
     return 0
 

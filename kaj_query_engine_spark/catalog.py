@@ -80,11 +80,26 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # defensive: the driver's verify harness supplies ITS OWN session,
     # which won't have session.py's legacy-nanos setting — without it
     # the read throws PARQUET_TYPE_ILLEGAL. UTC keeps collected
-    # timestamps aligned with the timezone-naive DuckDB oracle. Both
+    # timestamps aligned with the timezone-naive DuckDB oracle. All
     # are runtime-settable SQL confs.
+    #
+    # inferTimestampNTZ: fixtures written as parquet timestamp[us]
+    # (isAdjustedToUTC=false) otherwise arrive as TIMESTAMP_NTZ, which
+    # unix_micros(), withWatermark(), and every event-time operator
+    # reject. With the session in UTC, plain TimestampType has identical
+    # wall-clock semantics, so force the classic type at the scan.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
+    # belt-and-braces: if a future Spark ignores the conf (or a fixture
+    # uses a logical type the conf doesn't cover), cast any surviving
+    # TIMESTAMP_NTZ column to TIMESTAMP. No-op cast when none exist.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa

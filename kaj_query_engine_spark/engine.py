@@ -63,20 +63,35 @@ class KajEngine:
                 self._stats_cache[tl] = collect_stats(self.catalog.table(tl))
         return explain_cost(q, self._stats_cache, join_type)
 
-    def execute_to_file(self, query_text: str, out_path: str) -> float:
-        """Run a query and write a tab-separated result file with a
-        header line, like the reference's result sink
-        (``src/QueryMain.java:186-306``). Returns wall seconds."""
+    def execute_to_file(
+        self, query_text: str, out_path: str, small_result: bool = False
+    ) -> float:
+        """Run a query and write a tab-separated result (header line,
+        ``-NULL-`` for nulls) like the reference's sink
+        (``src/QueryMain.java:186-306``). Returns wall seconds.
+
+        Default path is the DISTRIBUTED writer: executors write part
+        files under ``out_path`` (a directory) and the result never
+        lands on the driver — the only shape that survives a 100 TB
+        result. ``small_result=True`` is the literal QueryMain analog:
+        collect to the driver and write ONE local file at ``out_path``.
+        Use it only when the result is known-tiny (an aggregate row,
+        a top-k).
+        """
+        from kaj_query_engine_spark.sources.sink import write_result_tsv
+
         start = time.time()
         df = self.sql(query_text)
-        rows = df.collect()
-        elapsed = time.time() - start
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        with open(out_path, "w") as fh:
-            fh.write("\t".join(df.columns) + "\n")
-            for row in rows:
-                fh.write("\t".join(_fmt(v) for v in row) + "\n")
-        return elapsed
+        if small_result:
+            rows = df.collect()
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "w") as fh:
+                fh.write("\t".join(df.columns) + "\n")
+                for row in rows:
+                    fh.write("\t".join(_fmt(v) for v in row) + "\n")
+        else:
+            write_result_tsv(df, out_path, null_value="-NULL-")
+        return time.time() - start
 
 
 def _fmt(value: object) -> str:

@@ -15,13 +15,21 @@ from pyspark.sql import DataFrame
 
 
 def write_result_tsv(
-    df: DataFrame, path: str, single_file: bool = False
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    null_value: str | None = None,
 ) -> None:
     """Write ``df`` as tab-separated text with a header line.
 
     ``single_file=True`` coalesces to one partition — the literal
     analog of the reference's one ``query.out`` file; leave False for
     large results so every executor writes its own part file.
+    ``null_value`` renders NULL cells (the reference prints
+    ``-NULL-``, ``QueryMain.java:299-300``); default empty.
     """
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").options(sep="\t", header="true").csv(path)
+    writer = out.write.mode("overwrite").options(sep="\t", header="true")
+    if null_value is not None:
+        writer = writer.option("nullValue", null_value)
+    writer.csv(path)

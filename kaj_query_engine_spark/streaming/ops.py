@@ -61,13 +61,22 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     for field in batch.schema.fields:
-        if raw_schema[field.name].dataType != field.dataType:
+        raw_type = raw_schema[field.name].dataType
+        if raw_type == field.dataType:
+            continue
+        if isinstance(raw_type, LongType):
             # nanos-as-long column: convert with integer division (a
             # double intermediate loses precision on 2^60-scale nanos)
             sdf = sdf.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
+        elif isinstance(raw_type, TimestampNTZType):
+            # fixture written as timestamp[us] NTZ: plain cast (session
+            # is UTC, wall-clock identical) — watermarks need TIMESTAMP
+            sdf = sdf.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return sdf
 
 

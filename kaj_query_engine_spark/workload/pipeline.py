@@ -50,8 +50,10 @@ def _oracle() -> str:
         "ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset FROM sh) "
         "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, shard, "
         "CAST(tok_offset AS BIGINT) AS tok_offset, "
-        f"tok_offset // {MAX_TOKENS} AS first_chunk, "
-        f"(tok_offset + n_tokens - 1) // {MAX_TOKENS} AS last_chunk "
+        # CAST: DuckDB widens window sums to HUGEINT, which lands as
+        # float64 in a pandas canon and hash-mismatches Spark's long
+        f"CAST(tok_offset // {MAX_TOKENS} AS BIGINT) AS first_chunk, "
+        f"CAST((tok_offset + n_tokens - 1) // {MAX_TOKENS} AS BIGINT) AS last_chunk "
         "FROM packed"
     )
 

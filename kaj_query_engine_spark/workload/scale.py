@@ -88,8 +88,11 @@ def q36(spark, sf_dir):
     "SELECT o_orderpriority, count(*) AS n, "
     "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total, "
     "max(o_totalprice) AS biggest, "
-    "COALESCE(list(o_orderkey ORDER BY o_orderkey) "
-    "FILTER (WHERE o_totalprice > 450000), []) AS big_orders "
+    # big_orders is emitted as a comma-joined STRING, not an array: the
+    # driver's pandas-based canonicalizer cannot sort list-typed cells
+    # (TypeError: unhashable type 'list')
+    "COALESCE(array_to_string(list(o_orderkey ORDER BY o_orderkey) "
+    "FILTER (WHERE o_totalprice > 450000), ','), '') AS big_orders "
     "FROM orders GROUP BY o_orderpriority",
     "salted two-stage aggregation: hot keys spread over 16 salt "
     "buckets, then per-salt partials combined — results exactly equal "
@@ -113,9 +116,12 @@ def q37(spark, sf_dir):
             (F.max("o_totalprice"), lambda c: F.max(c), "biggest"),
             (
                 # collect_list skips the NULLs F.when leaves for
-                # non-qualifying rows; combine = flatten + one sort
+                # non-qualifying rows; combine = flatten + one sort,
+                # joined to a string for the harness (see oracle note)
                 F.collect_list(big),
-                lambda c: F.array_sort(F.flatten(F.collect_list(c))),
+                lambda c: F.array_join(
+                    F.array_sort(F.flatten(F.collect_list(c))), ","
+                ),
                 "big_orders",
             ),
         ],
@@ -145,19 +151,44 @@ def q38(spark, sf_dir):
 
 @register(
     "q45_sketch_aggregates",
-    None,  # sketch estimates differ per implementation → rows-only;
-    # tests/test_scale_ops.py bounds them against exact values
+    # sketch ESTIMATES differ per implementation, so the hash-checkable
+    # contract is the error bound, not the estimate: Spark computes both
+    # the sketch and the exact value and emits within-bound booleans;
+    # the oracle states the bounds hold. tests/test_scale_ops.py keeps
+    # the tighter numeric assertions.
+    "SELECT true AS nd_part_ok, true AS nd_supp_ok, "
+    "true AS p50_ok, true AS p99_ok",
     "sketch aggregates for 100 TB profiling: HyperLogLog++ distinct "
     "counts and quantile sketches — sublinear memory, one pass, "
-    "mergeable across partitions (the exact versions are q30/q38)",
+    "mergeable across partitions (the exact versions are q30/q38); "
+    "emitted as within-error-bound booleans vs the exact aggregates "
+    "so the result is implementation-independent and hash-checkable",
 )
 def q45(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.agg(
+    row = l.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_part"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_supp"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+        F.count_distinct("l_partkey").alias("nd_part_x"),
+        F.count_distinct("l_suppkey").alias("nd_supp_x"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_x"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_x"),
+    )
+
+    def _within(approx, exact, tol):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * F.lit(tol)
+        )
+
+    # 3×rsd ≈ 3σ for HLL++; percentile_approx(…, 10000) is deterministic
+    # and tight, 1% relative slack absorbs interpolation differences
+    return row.select(
+        _within("nd_part", "nd_part_x", 0.06).alias("nd_part_ok"),
+        _within("nd_supp", "nd_supp_x", 0.06).alias("nd_supp_ok"),
+        _within("p50_approx", "p50_x", 0.01).alias("p50_ok"),
+        _within("p99_approx", "p99_x", 0.01).alias("p99_ok"),
     )
 
 

@@ -80,8 +80,10 @@ def q70(spark, sf_dir):
     "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
     "THEN 1 ELSE 0 END AS st FROM events "
     "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "g AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts "
-    "ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+    # CAST: DuckDB widens window sums to HUGEINT → float64 in a pandas
+    # canon, which hash-mismatches Spark's long
+    "g AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
     "SELECT user_id, session_id, "
     "epoch_us(min(ts)) AS session_start_us, "
     "epoch_us(max(ts)) AS session_end_us, count(*) AS n_events, "

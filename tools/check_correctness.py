@@ -2,8 +2,14 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet dir, comparing row count, column names,
-and an order-insensitive value hash (columns sorted by name, floats
-rounded to 9 significant-ish decimals).
+and an order-insensitive value hash.
+
+Canonicalization mirrors the DRIVER's pandas-based path (r2 lesson:
+a ``fetchall``-based canon hid two real failures): results go through
+``df.toPandas()`` / ``res.df()`` so dtype widening is visible (DuckDB
+HUGEINT → float64 ≠ Spark long), and rows are sorted with pandas
+``sort_values`` so unsortable cell types (lists/arrays) fail HERE the
+way they fail in the driver's canon.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter] [--vanilla]
 
@@ -35,23 +41,41 @@ TABLES = (
 
 
 def canon(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
     if v is None:
         return "\x00NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return "True" if v else "False"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return f"{float(v):.6f}"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, datetime.datetime):
+        if v != v:  # NaT
+            return "\x00NULL"
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    body = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return sorted(cols), body
+def normalize(pdf):
+    """Sorted (columns, canonical row strings) from a pandas frame.
+
+    ``sort_values`` over every column is deliberate — it is what the
+    driver's canon does, and it THROWS on list-typed cells. Queries
+    must not emit array columns (join them to strings instead).
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    body = sorted(
+        "|".join(canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return cols, body
 
 
 def main():
@@ -84,25 +108,28 @@ def main():
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
-            s_rows = [tuple(r) for r in df.collect()]
-            s_cols = list(df.columns)
+            s_pdf = df.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:120]}")
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok?  {name}: rows-only ({len(s_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:120]}")
             continue
-        sc, sb = normalize(s_rows, s_cols)
-        dc, db = normalize(d_rows, d_cols)
+        try:
+            sc, sb = normalize(s_pdf)
+            dc, db = normalize(d_pdf)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: canon error (driver-canon hazard): "
+                  f"{str(e).splitlines()[0][:120]}")
+            continue
         if sc != dc:
             failures.append(name)
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
