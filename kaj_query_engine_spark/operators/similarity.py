@@ -283,7 +283,11 @@ def ivf_topk(
             math.ceil(math.sqrt(n)), math.ceil(n / target_list)
         ))
     if nprobe is None:
-        nprobe = max(1, n_centroids // 4)
+        # √K default: candidates/query ≈ nprobe·N/K = N/√K, so the
+        # scanned FRACTION (1/√K) shrinks as the index grows — the
+        # K/4 alternative pins it at 25% of the corpus forever, which
+        # is a non-starter at 100 TB. Callers tune up for recall.
+        nprobe = max(1, math.isqrt(n_centroids))
     cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
 
     c = corpus.select(
