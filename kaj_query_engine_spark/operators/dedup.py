@@ -81,10 +81,14 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shuffles raw docs instead of shingles — and the downstream
     ``groupBy(id)`` reuses the hash partitioning, so no second
     exchange of the exploded data. The partition count is pinned to
-    cluster parallelism: AQE would otherwise coalesce the tiny-bytes
-    shuffle to one partition and serialize the compute.
+    max(cluster parallelism, input partitions): AQE would otherwise
+    coalesce the tiny-bytes shuffle to one partition and serialize
+    the compute, while the input-partition floor keeps a 100 TB
+    corpus (far more splits than cores) from being squeezed DOWN to
+    core count and ballooning per-task explode output.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     return (
         df.repartition(n_parts, F.col(id_col))
         # tokens materialize as a column BEFORE the shingle lambda:
