@@ -62,6 +62,16 @@ def get_spark(
         # the driver fixtures store TIMESTAMP(NANOS), which Spark rejects
         # by default; read as long and let the catalog convert (catalog.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixtures may also arrive as timestamp[us] NTZ-annotated; the
+        # classic TIMESTAMP type (wall-clock-identical under the UTC
+        # session) keeps unix_micros()/watermarks analyzable (catalog.py
+        # re-asserts this per read for driver-supplied sessions)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # runtime bloom-filter pushdown: when a selective build side of
+        # a shuffle join can't be broadcast, inject its key bloom filter
+        # into the probe-side SCAN — at 100 TB this skips whole row
+        # groups of the fact table that a BHJ threshold can't touch
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,153 @@
+"""Empirical scale-up probe for the extension operators whose 100 TB
+story rests on a sub-quadratic candidate bound.
+
+Replicates the ``documents`` / ``embeddings`` fixtures K× (fresh ids,
+perturbed content so replicas don't all collide into one dup bucket)
+and times each operator at 1×, 4×, and 16×, then fits the scaling
+exponent  t ≈ c·N^e  from the largest step. An all-pairs
+implementation shows e → 2; the banded/bucketed paths should hold
+e ≈ 1 (plus constant Spark overhead, which pushes the small-N fit
+BELOW 1).
+
+Usage: python tools/scale_probe.py [sf_dir] [op_filter]
+Prints one JSON line per op: {"op": ..., "n": [...], "sec": [...],
+"exponent": e}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaj_query_engine_spark.catalog import _read_parquet
+from kaj_query_engine_spark.operators import dedup as D
+from kaj_query_engine_spark.operators import similarity as S
+from kaj_query_engine_spark.session import get_spark
+
+SCALES = (1, 4, 16)
+
+
+def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
+    """K copies with distinct ids; copies >0 get a per-copy token
+    appended so replicas are near- but not exact-duplicates (keeps the
+    dup-group structure of the base corpus instead of creating one
+    giant k-wide group per doc)."""
+    if k == 1:
+        return docs
+    n = docs.count()
+    rep = docs.crossJoin(F.broadcast(
+        docs.sparkSession.range(k).select(F.col("id").alias("copy"))
+    ))
+    return rep.select(
+        (F.col("doc_id") + F.col("copy") * F.lit(n)).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" c"), F.col("copy"))
+        ).alias("text"),
+        "lang",
+    )
+
+
+def replicate_vecs(vecs: DataFrame, k: int) -> DataFrame:
+    """K copies with distinct ids; copy c is the base vector ROTATED by
+    c positions — same norm, decorrelated direction, so the corpus
+    grows without multiplying the true near-dup pair count (identical
+    copies would add k²/2 REAL dup pairs per original, forcing any
+    correct algorithm quadratic in its own output)."""
+    if k == 1:
+        return vecs
+    n = vecs.count()
+    dim = S.EMB_DIM
+    rep = vecs.crossJoin(F.broadcast(
+        vecs.sparkSession.range(k).select(
+            (F.col("id") % dim).cast("int").alias("rot"),
+            F.col("id").alias("copy"),
+        )
+    ))
+    rotated = F.when(F.col("rot") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), F.col("rot") + 1, F.lit(dim) - F.col("rot")),
+            F.slice(F.col("embedding"), 1, F.col("rot")),
+        )
+    )
+    return rep.select(
+        (F.col("vec_id") + F.col("copy") * F.lit(n)).alias("vec_id"),
+        rotated.alias("embedding"),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    op_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    docs = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    vecs = _read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def run_minhash(k: int) -> None:
+        d = replicate_docs(docs, k)
+        D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    base_vecs = vecs.count()
+
+    def run_neardup(k: int) -> None:
+        v = replicate_vecs(vecs, k)
+        # the documented cluster-scale sizing: rows_per_band grows
+        # log2(N / target_bucket), holding expected bucket width (and
+        # so per-task kernel work) constant as the corpus grows
+        r = max(4, math.ceil(math.log2(max(base_vecs * k, 2) / 64)))
+        S.embedding_neardup_pairs(
+            v, threshold=0.95, rows_per_band=r
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_simhash(k: int) -> None:
+        d = replicate_docs(docs, k)
+        D.simhash_fingerprints(d, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_exact(k: int) -> None:
+        d = replicate_docs(docs, k)
+        D.exact_duplicates(d, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    ops = {
+        "minhash_lsh_pairs": run_minhash,
+        "embedding_neardup": run_neardup,
+        "simhash": run_simhash,
+        "exact_dedup": run_exact,
+    }
+    base_docs = docs.count()
+    for name, fn in ops.items():
+        if op_filter and op_filter not in name:
+            continue
+        fn(1)  # warm the plan shape so codegen isn't billed to 1x
+        secs, ns = [], []
+        for k in SCALES:
+            t0 = time.time()
+            fn(k)
+            secs.append(round(time.time() - t0, 2))
+            ns.append(base_docs * k)
+        # exponent from the largest step (least overhead-polluted)
+        e = math.log(secs[-1] / secs[-2]) / math.log(SCALES[-1] / SCALES[-2])
+        print(json.dumps({
+            "op": name, "n": ns, "sec": secs, "exponent": round(e, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
