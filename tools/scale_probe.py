@@ -125,11 +125,27 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def run_cluster(k: int) -> None:
+        d = replicate_docs(docs, k)
+        pairs = D.minhash_lsh_candidates(d, "doc_id", "text")
+        D.cluster_duplicates(pairs).write.format("noop").mode("overwrite").save()
+
+    def run_ann(k: int) -> None:
+        v = replicate_vecs(vecs, k)
+        q = vecs.limit(50)
+        # planes=None -> table sized ceil(log2(N/bucket)): candidate
+        # count per query stays ~constant as the corpus grows
+        S.lsh_topk(v, q, k=10, planes=None).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "embedding_neardup": run_neardup,
         "simhash": run_simhash,
         "exact_dedup": run_exact,
+        "dedup_clusters_cc": run_cluster,
+        "ann_lsh_topk": run_ann,
     }
     base_docs = docs.count()
     for name, fn in ops.items():
