@@ -1,0 +1,40 @@
+"""Registry-wide analysis smoke: every ``queries()`` entry must at
+least ANALYZE against the current fixtures (schema resolution runs
+the full analyzer — unresolved columns, type mismatches like the
+round-2 TIMESTAMP_NTZ/unix_micros clash, and missing tables all throw
+here). Seconds, not minutes: no job is executed for batch queries;
+streaming queries (which only analyze at start) are executed to
+completion but on the 500-row sf0.001 fixture.
+
+This is the first line of defense; the full value-level oracle sweep
+is tests/test_vanilla_env.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+_QUERIES = entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_analyzes(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    # touching .schema forces full analysis of the logical plan; for
+    # the streaming-backed queries the builder already ran the stream
+    # to completion, so this is just a cheap post-check
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_and_oracles_align(spark):
+    oracles = entry.oracle_sql()
+    missing = sorted(set(_QUERIES) - set(oracles))
+    assert not missing, (
+        f"queries without an oracle_sql entry (driver records a weaker "
+        f"rows-only check for these): {missing}"
+    )
+    extra = sorted(set(oracles) - set(_QUERIES))
+    assert not extra, f"oracle_sql entries with no query: {extra}"
