@@ -71,12 +71,14 @@ class KajEngine:
         (``src/QueryMain.java:186-306``). Returns wall seconds.
 
         Default path is the DISTRIBUTED writer: executors write part
-        files under ``out_path`` (a directory) and the result never
-        lands on the driver — the only shape that survives a 100 TB
-        result. ``small_result=True`` is the literal QueryMain analog:
-        collect to the driver and write ONE local file at ``out_path``.
-        Use it only when the result is known-tiny (an aggregate row,
-        a top-k).
+        files under ``out_path`` (a directory, one header per part)
+        and the result never lands on the driver — the only shape that
+        survives a 100 TB result. ``small_result=True`` is the literal
+        QueryMain analog: collect to the driver and write ONE local
+        file at ``out_path``. Use it only when the result is
+        known-tiny (an aggregate row, a top-k). Both paths emit the
+        same cell dialect — bare ``str(value)`` with ``-NULL-`` for
+        nulls, no CSV quoting (``raw=True`` on the distributed side).
         """
         from kaj_query_engine_spark.sources.sink import write_result_tsv
 
@@ -90,7 +92,7 @@ class KajEngine:
                 for row in rows:
                     fh.write("\t".join(_fmt(v) for v in row) + "\n")
         else:
-            write_result_tsv(df, out_path, null_value="-NULL-")
+            write_result_tsv(df, out_path, null_value="-NULL-", raw=True)
         return time.time() - start
 
 

@@ -81,14 +81,21 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shuffles raw docs instead of shingles — and the downstream
     ``groupBy(id)`` reuses the hash partitioning, so no second
     exchange of the exploded data. The partition count is pinned to
-    max(cluster parallelism, input partitions): AQE would otherwise
+    max(cluster parallelism, input file count): AQE would otherwise
     coalesce the tiny-bytes shuffle to one partition and serialize
-    the compute, while the input-partition floor keeps a 100 TB
-    corpus (far more splits than cores) from being squeezed DOWN to
-    core count and ballooning per-task explode output.
+    the compute, while the file-count floor keeps a 100 TB corpus
+    (far more splits than cores) from being squeezed DOWN to core
+    count and ballooning per-task explode output. ``inputFiles()`` is
+    a file-index listing — cheap, and unlike ``df.rdd`` it neither
+    materializes the physical plan nor reports the shuffle-partition
+    count (200 on a vanilla session) for post-shuffle inputs.
     """
     sc = df.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:
+        n_input = 0
+    n_parts = max(sc.defaultParallelism, n_input)
     return (
         df.repartition(n_parts, F.col(id_col))
         # tokens materialize as a column BEFORE the shingle lambda:

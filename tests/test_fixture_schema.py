@@ -116,14 +116,32 @@ def test_post_catalog_schema_is_pinned(catalog, table):
 
 
 def test_no_ntz_or_raw_nanos_survive(catalog):
-    """No TIMESTAMP_NTZ and no *_ts-looking int64 column anywhere."""
+    """No TIMESTAMP_NTZ anywhere, and every column that is a parquet
+    timestamp in the FOOTER (any unit/annotation — including columns
+    the driver adds later that PINNED doesn't know about) must land as
+    classic TimestampType, not raw int64 nanos or NTZ."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     for name in catalog.names():
-        for f in catalog.table(name).schema.fields:
-            t = f.dataType.simpleString()
+        actual = {
+            f.name: f.dataType.simpleString()
+            for f in catalog.table(name).schema.fields
+        }
+        for t in actual.values():
             assert t != "timestamp_ntz", (
-                f"{name}.{f.name} is TIMESTAMP_NTZ after catalog load — "
+                f"{name}: TIMESTAMP_NTZ survived catalog load — "
                 "unix_micros()/withWatermark() will throw on it"
             )
+        footer = pq.read_schema(os.path.join(SF_DIR, f"{name}.parquet"))
+        for field in footer:
+            if pa.types.is_timestamp(field.type):
+                assert actual.get(field.name) == "timestamp", (
+                    f"{name}.{field.name} is parquet timestamp[{field.type.unit}] "
+                    f"in the footer but {actual.get(field.name)!r} after catalog "
+                    "load — _read_parquet needs a normalization rule for this "
+                    "unit/annotation (round-2 failure mode)"
+                )
 
 
 def test_events_ts_values_are_plausible(catalog, spark):

@@ -2,12 +2,12 @@
 least ANALYZE against the current fixtures (schema resolution runs
 the full analyzer — unresolved columns, type mismatches like the
 round-2 TIMESTAMP_NTZ/unix_micros clash, and missing tables all throw
-here). Seconds, not minutes: no job is executed for batch queries;
-streaming queries (which only analyze at start) are executed to
-completion but on the 500-row sf0.001 fixture.
-
-This is the first line of defense; the full value-level oracle sweep
-is tests/test_vanilla_env.py.
+here). Most batch builders are lazy and only analyze, but some
+execute real work at build time (the iterative-CC fixpoint, ANN
+auto-sizing counts, layout/scratch writes, and the streaming queries
+run to completion) — all bounded by the 500-row sf0.001 fixture, so
+the whole sweep stays around a minute, far cheaper than the
+value-level oracle compare in tests/test_vanilla_env.py.
 """
 
 from __future__ import annotations

@@ -35,21 +35,31 @@ SCALES = (1, 4, 16)
 
 
 def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
-    """K copies with distinct ids; copies >0 get a per-copy token
-    appended so replicas are near- but not exact-duplicates (keeps the
-    dup-group structure of the base corpus instead of creating one
-    giant k-wide group per doc)."""
+    """K copies with distinct ids; copy c suffixes EVERY token with
+    ``_c<c>`` so copies share zero shingles with each other and with
+    the base — the corpus grows k× while the true near-dup pair count
+    grows only linearly (base pairs × k, replayed inside each copy).
+    An earlier version appended one trailing token, which left
+    copy-vs-copy 3-gram Jaccard at ~0.95 and made every copy pair a
+    REAL near-dup: true pairs grew as C(k,2) per doc and the probe
+    measured its own (legitimately quadratic) output, not the
+    algorithm."""
     if k == 1:
         return docs
     n = docs.count()
     rep = docs.crossJoin(F.broadcast(
         docs.sparkSession.range(k).select(F.col("id").alias("copy"))
     ))
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.trim(F.col("text")), " "),
+            lambda t: F.concat(t, F.lit("_c"), F.col("copy").cast("string")),
+        ),
+        " ",
+    )
     return rep.select(
         (F.col("doc_id") + F.col("copy") * F.lit(n)).alias("doc_id"),
-        F.when(F.col("copy") == 0, F.col("text")).otherwise(
-            F.concat(F.col("text"), F.lit(" c"), F.col("copy"))
-        ).alias("text"),
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(suffixed).alias("text"),
         "lang",
     )
 
@@ -83,28 +93,54 @@ def replicate_vecs(vecs: DataFrame, k: int) -> DataFrame:
 
 
 def main() -> None:
+    import tempfile
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     op_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = get_spark(
         "scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    docs = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    base_docs_df = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
-    vecs = _read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+    base_vecs_df = _read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
 
+    # materialize each replicated corpus to parquet BEFORE timing: the
+    # probe measures the OPERATOR, and a lazy replication expression
+    # (an interpreted per-token lambda) inlined under the operator's
+    # explode re-evaluates per gram — that harness artifact once read
+    # as a fake super-linear exponent on the minhash path. Real dedup
+    # reads a stored corpus anyway.
+    scratch = tempfile.mkdtemp(prefix="scale_probe_")
+    _doc_cache: dict[int, DataFrame] = {}
+    _vec_cache: dict[int, DataFrame] = {}
+
+    def docs(k: int) -> DataFrame:
+        if k not in _doc_cache:
+            p = f"{scratch}/docs_{k}"
+            replicate_docs(base_docs_df, k).write.mode("overwrite").parquet(p)
+            _doc_cache[k] = spark.read.parquet(p)
+        return _doc_cache[k]
+
+    def vecs(k: int) -> DataFrame:
+        if k not in _vec_cache:
+            p = f"{scratch}/vecs_{k}"
+            replicate_vecs(base_vecs_df, k).write.mode("overwrite").parquet(p)
+            _vec_cache[k] = spark.read.parquet(p)
+        return _vec_cache[k]
+
     def run_minhash(k: int) -> None:
-        d = replicate_docs(docs, k)
+        d = docs(k)
         D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
             "overwrite"
         ).save()
 
-    base_vecs = vecs.count()
+    base_vecs = base_vecs_df.count()
 
     def run_neardup(k: int) -> None:
-        v = replicate_vecs(vecs, k)
+        v = vecs(k)
         # the documented cluster-scale sizing: rows_per_band grows
         # log2(N / target_bucket), holding expected bucket width (and
         # so per-task kernel work) constant as the corpus grows
@@ -114,25 +150,25 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     def run_simhash(k: int) -> None:
-        d = replicate_docs(docs, k)
+        d = docs(k)
         D.simhash_fingerprints(d, "doc_id", "text").write.format("noop").mode(
             "overwrite"
         ).save()
 
     def run_exact(k: int) -> None:
-        d = replicate_docs(docs, k)
+        d = docs(k)
         D.exact_duplicates(d, "doc_id", "text").write.format("noop").mode(
             "overwrite"
         ).save()
 
     def run_cluster(k: int) -> None:
-        d = replicate_docs(docs, k)
+        d = docs(k)
         pairs = D.minhash_lsh_candidates(d, "doc_id", "text")
         D.cluster_duplicates(pairs).write.format("noop").mode("overwrite").save()
 
     def run_ann(k: int) -> None:
-        v = replicate_vecs(vecs, k)
-        q = vecs.limit(50)
+        v = vecs(k)
+        q = base_vecs_df.limit(50)
         # planes=None -> table sized ceil(log2(N/bucket)): candidate
         # count per query stays ~constant as the corpus grows
         S.lsh_topk(v, q, k=10, planes=None).write.format("noop").mode(
@@ -147,17 +183,18 @@ def main() -> None:
         "dedup_clusters_cc": run_cluster,
         "ann_lsh_topk": run_ann,
     }
-    base_docs = docs.count()
+    base_docs = base_docs_df.count()
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
             continue
+        base_n = base_vecs if name in ("embedding_neardup", "ann_lsh_topk") else base_docs
         fn(1)  # warm the plan shape so codegen isn't billed to 1x
         secs, ns = [], []
         for k in SCALES:
             t0 = time.time()
             fn(k)
             secs.append(round(time.time() - t0, 2))
-            ns.append(base_docs * k)
+            ns.append(base_n * k)
         # exponent from the largest step (least overhead-polluted)
         e = math.log(secs[-1] / secs[-2]) / math.log(SCALES[-1] / SCALES[-2])
         print(json.dumps({
