@@ -26,8 +26,23 @@ from kaj_query_engine_spark.engine import KajEngine
 from kaj_query_engine_spark.workload.registry import register
 
 
+import weakref
+
+# per-session fixture memo: every workload builder re-reading its
+# tables through _read_parquet costs a conf round-trip + parquet
+# footer probe + scan analysis (~0.1 s each, ~100 table-loads over
+# the 50-query bench). DataFrames are immutable plans, so handing the
+# same object back is safe; keying by the session object (weakly)
+# keeps nothing alive after the session is stopped.
+_FIXTURE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    per_session = _FIXTURE_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
+        per_session[key] = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    return per_session[key]
 
 
 # DuckDB oracle mirror of dsum() below — keep in lockstep
