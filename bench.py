@@ -41,6 +41,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, q in queries.items():
         # settle the JVM between queries: drop cached relations and
         # collect accumulated broadcast/shuffle garbage so a GC pause
@@ -52,6 +53,13 @@ def main() -> None:
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - start, 3)
+        # second run of the same shape: codegen/JIT already compiled,
+        # so this is the steady-state (cluster) per-query cost; the
+        # cold number stays the headline for cross-round continuity
+        start = time.time()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - start, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +69,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
