@@ -137,7 +137,11 @@ def q37(spark, sf_dir):
     "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
     "FROM lineitem GROUP BY l_returnflag",
     "exact linear-interpolated percentiles per group (Spark percentile "
-    "↔ DuckDB quantile_cont)",
+    "↔ DuckDB quantile_cont). Scale note: exact percentile buffers a "
+    "value→count map per group in the aggregation buffer, so it is a "
+    "small-group / verifier op — at 100 TB use the mergeable "
+    "percentile_approx sketch (q45), whose memory is fixed by the "
+    "accuracy parameter, not the data",
 )
 def q38(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
