@@ -4,6 +4,7 @@ from kaj_query_engine_spark.streaming.ops import (
     run_available_now,
     stream_session_stats,
     stream_stateful_user_totals,
+    stream_stateful_user_totals_tws,
     stream_static_enrich,
     stream_tumbling_agg,
     streaming_dedup,
@@ -16,6 +17,7 @@ __all__ = [
     "run_available_now",
     "stream_session_stats",
     "stream_stateful_user_totals",
+    "stream_stateful_user_totals_tws",
     "stream_tumbling_agg",
     "streaming_dedup",
 ]

@@ -18,7 +18,9 @@ incremental execution model:
   entry per key within the watermark horizon, not the full history.
 - **custom stateful operator**: ``applyInPandasWithState`` — per-key
   mutable state across micro-batches with Arrow-batched transfer
-  (running totals here; the same shape carries CEP/session machines).
+  (running totals here; the same shape carries CEP/session machines) —
+  plus the same operator on Spark 4's ``transformWithStateInPandas``
+  successor API (named state variables, timers, RocksDB-backed).
 
 Determinism note for the correctness gate: every pipeline here runs
 with ``trigger(availableNow=True)`` over a single fixture file — one
@@ -284,4 +286,73 @@ def stream_stateful_user_totals(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_stateful_user_totals_tws(
+    sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Same running totals as :func:`stream_stateful_user_totals`, on
+    Spark 4's ``transformWithStateInPandas`` — the successor stateful
+    API (SPARK-46815): named state variables on a processor handle
+    (value/list/map state, timers, TTL) instead of one opaque state
+    tuple, so an operator can evolve its state schema and register
+    per-key timers for CEP-style timeouts.
+
+    Requires (a) the RocksDB state store provider (the only provider
+    that backs transformWithState) — callers set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    before starting the query — and (b) the ``protobuf`` package,
+    which Spark's TWS state-protocol workers import
+    (``google.protobuf``); this container doesn't ship it, so the
+    operator raises ``NotImplementedError`` here and the test suite
+    skips it, while :func:`stream_stateful_user_totals` (GroupState
+    protocol, no protobuf) remains the tested default. Accumulation
+    semantics are identical to the applyInPandasWithState version:
+    exact integer micro-units, HALF_UP to 2 decimals at emit.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "Spark's state-protocol workers; it is not installed in this "
+            "environment. Use stream_stateful_user_totals (GroupState "
+            "protocol) instead."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType.fromDDL(f"{key_col} long, n_events long, sum_v double")
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, micros long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # per-item quantization to micros == CAST(v AS
+                # DECIMAL(18,6)) HALF_UP — same as the GroupState twin
+                scaled = pdf[value_col].to_numpy(dtype="float64") * 1_000_000.0
+                q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                micros += int(q.astype("int64").sum())
+            self._state.update((n, micros))
+            cents = (abs(micros) + 5_000) // 10_000 * (1 if micros >= 0 else -1)
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "sum_v": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy(key_col).transformWithStateInPandas(
+        _Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -102,6 +102,58 @@ def media(spark):
     return M.attach_fake_media(df)
 
 
+def test_stateful_totals_tws_matches_group_state_twin(spark):
+    """transformWithStateInPandas (Spark 4 successor API) must produce
+    byte-identical totals to the applyInPandasWithState operator.
+    Needs the RocksDB state store provider — the only one that backs
+    transformWithState — and the protobuf package for Spark's TWS
+    state-protocol workers; skipped (not failed) where protobuf isn't
+    installed, like the codec-gated media decode."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf",
+    )
+    from kaj_query_engine_spark.streaming import stream_stateful_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key)
+    spark.conf.set(key, rocks)
+    try:
+        s = read_stream_table(spark, SF_DIR, "events")
+        tws = run_available_now(
+            stream_stateful_user_totals_tws(s), "update", state_partitions=4
+        ).collect()
+    finally:
+        spark.conf.set(key, prev)
+    s = read_stream_table(spark, SF_DIR, "events")
+    legacy = run_available_now(
+        stream_stateful_user_totals(s), "update", state_partitions=4
+    ).collect()
+    as_set = lambda rows: {(r.user_id, r.n_events, r.sum_v) for r in rows}
+    assert as_set(tws) == as_set(legacy)
+    assert len(tws) > 0
+
+
+def test_stateful_totals_tws_guard_without_protobuf(spark):
+    """Without protobuf the TWS operator must fail fast with a clear
+    NotImplementedError naming the GroupState fallback — not crash a
+    streaming worker mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf installed; guard not reachable")
+    except ImportError:
+        pass
+    from kaj_query_engine_spark.streaming import stream_stateful_user_totals_tws
+
+    s = read_stream_table(spark, SF_DIR, "events")
+    with pytest.raises(NotImplementedError, match="stream_stateful_user_totals"):
+        stream_stateful_user_totals_tws(s)
+
+
 def test_stream_static_enrich_equals_batch_join(spark):
     """Stream-static left join against a broadcast dimension produces
     exactly the batch left-join result (unmatched rows NULL-padded)."""
