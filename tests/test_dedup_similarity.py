@@ -232,6 +232,30 @@ def test_ivf_topk_auto_sizing(spark, vectors):
         assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
 
 
+def test_ivf_build_fast_agrees_and_serves_queries(spark, vectors):
+    """The Arrow/numpy matmul build must (a) produce the same
+    inverted-list assignment as the oracle-checked left-fold build on
+    the test vectors and (b) back ivf_query with exact cosines."""
+    df, _ = vectors
+    c1, a1 = S.ivf_build(df, n_centroids=6)
+    c2, a2 = S.ivf_build_fast(df, n_centroids=6)
+    j = a1.select("vec_id", "cid").join(
+        a2.select("vec_id", F.col("cid").alias("cid2")), "vec_id"
+    )
+    rows = j.collect()
+    assert len(rows) == df.count()
+    assert all(r.cid == r.cid2 for r in rows)
+    queries = df.filter(F.col("vec_id") < 2)
+    out = S.ivf_query(c2, a2, queries, k=3, nprobe=3).collect()
+    assert len(out) > 0
+    exact = {
+        (r.q_id, r.vec_id): r.cos
+        for r in S.brute_force_topk(df, queries, k=1000).collect()
+    }
+    for r in out:
+        assert math.isclose(r.cos, exact[(r.q_id, r.vec_id)], abs_tol=1e-6)
+
+
 def test_ivf_centroids_deterministic_seed_sample(spark, vectors):
     df, _ = vectors
     c1 = sorted(r.cid for r in S.ivf_centroids(df, 6).collect())

@@ -175,6 +175,49 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def run_decontaminate(k: int) -> None:
+        from kaj_query_engine_spark.operators import pipeline as P
+
+        d = docs(k)
+        # benchmark side stays FIXED (the base corpus's held-out split):
+        # at 100 TB the benchmark suite doesn't grow with the corpus
+        bench = base_docs_df.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+        P.decontaminate(d, bench).write.format("noop").mode("overwrite").save()
+
+    def run_pack(k: int) -> None:
+        from kaj_query_engine_spark.functions import text as TXT
+        from kaj_query_engine_spark.operators import pipeline as P
+
+        d = docs(k).select(
+            "doc_id", TXT.token_count(F.col("text")).alias("n_tokens")
+        )
+        P.pack_sequences(d, "doc_id", "n_tokens", 256, num_shards=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # IVF is build-once / query-many: materialize the index per k
+    # (as a 100 TB deployment would) and time ONLY the query path —
+    # timing build+query per call measures the O(N·K) assignment
+    # every time and reads e≈1.7, which is the anti-pattern, not the
+    # operator (see ivf_build's docstring).
+    _ivf_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+    def ivf_index(k: int):
+        if k not in _ivf_cache:
+            cent, assigned = S.ivf_build(vecs(k))
+            cp, ap = f"{scratch}/ivf_cent_{k}", f"{scratch}/ivf_assigned_{k}"
+            cent.write.mode("overwrite").parquet(cp)
+            assigned.write.mode("overwrite").partitionBy("cid").parquet(ap)
+            _ivf_cache[k] = (spark.read.parquet(cp), spark.read.parquet(ap))
+        return _ivf_cache[k]
+
+    def run_ivf(k: int) -> None:
+        cent, assigned = ivf_index(k)
+        q = base_vecs_df.limit(50)
+        S.ivf_query(cent, assigned, q, k=10, nprobe=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "embedding_neardup": run_neardup,
@@ -182,12 +225,23 @@ def main() -> None:
         "exact_dedup": run_exact,
         "dedup_clusters_cc": run_cluster,
         "ann_lsh_topk": run_ann,
+        "decontaminate": run_decontaminate,
+        "seq_packing": run_pack,
+        "ann_ivf_topk": run_ivf,
     }
     base_docs = base_docs_df.count()
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
             continue
-        base_n = base_vecs if name in ("embedding_neardup", "ann_lsh_topk") else base_docs
+        if name == "ann_ivf_topk":
+            # build-once cost must stay OUTSIDE the query timing
+            for kk in SCALES:
+                ivf_index(kk)
+        base_n = (
+            base_vecs
+            if name in ("embedding_neardup", "ann_lsh_topk", "ann_ivf_topk")
+            else base_docs
+        )
         fn(1)  # warm the plan shape so codegen isn't billed to 1x
         secs, ns = [], []
         for k in SCALES:
