@@ -95,19 +95,25 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
+    # norms hoisted (|v| once per vector, not per pair): the aggregate
+    # lambdas run interpreted, and cosine() would re-fold both norms
+    # for every (query, corpus) pair — same doubles, 3× less work
     q = queries.select(
         F.col(id_col).alias("q_id"), _dvec(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -173,24 +179,35 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _dvec(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), signs))
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), signs)).withColumn(
+        "q_nrm", norm(F.col("q_vec"))
+    )
     if multiprobe:
         q = q.select(
             "q_id",
             "q_vec",
+            "q_nrm",
             F.explode(
                 F.array(*[F.expr(e) for e in probe_exprs("bucket", planes)])
             ).alias("bucket"),
         )
+    # norms hoisted — see brute_force_topk
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _dvec(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), signs))
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), signs)).withColumn(
+        "c_nrm", norm(F.col("c_vec"))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
