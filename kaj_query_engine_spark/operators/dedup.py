@@ -239,9 +239,13 @@ def ngram_jaccard_pairs(
     # raw int/int division — a single IEEE op, bit-identical across
     # engines; rounding a clean rational can flip at half-boundaries
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    # NO broadcast hint here: `counts` has one row per corpus document,
+    # so at 100 TB it cannot be a build side on the driver/executors.
+    # The joins are equi-keyed — AQE picks a shuffled hash join (or
+    # broadcasts on its own if runtime stats say the side is small)
     return (
-        common.join(F.broadcast(c1), "d1")
-        .join(F.broadcast(c2), "d2")
+        common.join(c1, "d1")
+        .join(c2, "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -26,6 +26,10 @@ Determinism note for the correctness gate: every pipeline here runs
 with ``trigger(availableNow=True)`` over a single fixture file — one
 micro-batch, so watermarking never drops fixture rows and results are
 exactly the batch semantics (which is what the DuckDB oracle checks).
+The *incremental* semantics — late-row dropping, state eviction, dedup
+state expiry — are exercised separately by
+``tests/test_streaming_eviction.py``, which streams multi-file input
+with ``maxFilesPerTrigger=1`` and asserts on state-store metrics.
 """
 
 from __future__ import annotations
