@@ -11,7 +11,23 @@ many-file).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _py_str_timestamp(c: Column) -> Column:
+    """Render a timestamp exactly like Python ``str(datetime)``: the
+    fractional part is six lpad'ed digits when microsecond != 0 and
+    ABSENT when it is zero — no single Java ``timestampFormat`` pattern
+    can express that conditional, so the raw sink formats explicitly.
+    ``pmod`` keeps the remainder positive for pre-epoch timestamps.
+    """
+    base = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    micro = F.pmod(F.unix_micros(c), F.lit(1_000_000))
+    return F.when(micro == F.lit(0), base).otherwise(
+        F.concat(base, F.lit("."), F.lpad(micro.cast("string"), 6, "0"))
+    )
 
 
 def write_result_tsv(
@@ -29,15 +45,37 @@ def write_result_tsv(
     part carries its own header line).
     ``null_value`` renders NULL cells (the reference prints
     ``-NULL-``, ``QueryMain.java:299-300``); default empty.
-    ``raw=True`` disables CSV quoting/escaping so cells are emitted as
-    bare strings exactly like the reference's ``str(value)`` sink —
-    byte-compatible with the driver-collect path, at the (inherited)
-    cost that an embedded tab breaks the column grid.
+    ``raw=True`` emits cells like the reference's ``str(value)`` sink
+    (and the driver-collect path in ``engine.execute_to_file``): no
+    CSV quoting/escaping, empty strings as empty cells (not ``""``),
+    timestamps in Python ``str(datetime)`` form (fraction only when
+    nonzero). Known residual divergence from ``str(value)``: doubles
+    that Java renders in scientific notation (``1.0E20`` vs Python's
+    ``1e+20``) — cast such columns to DECIMAL/string upstream if they
+    must round-trip byte-identically. Inherited from the reference:
+    an embedded tab breaks the column grid.
     """
     out = df.coalesce(1) if single_file else df
+    if raw:
+        # timestamp cells must match str(datetime); NTZ first casts to
+        # TIMESTAMP (UTC session -> identical wall clock)
+        for f in out.schema.fields:
+            if isinstance(f.dataType, TimestampNTZType):
+                out = out.withColumn(
+                    f.name, _py_str_timestamp(F.col(f.name).cast("timestamp"))
+                )
+            elif isinstance(f.dataType, TimestampType):
+                out = out.withColumn(f.name, _py_str_timestamp(F.col(f.name)))
     writer = out.write.mode("overwrite").options(sep="\t", header="true")
     if null_value is not None:
         writer = writer.option("nullValue", null_value)
     if raw:
-        writer = writer.option("quote", "").option("escapeQuotes", "false")
+        writer = (
+            writer.option("quote", "")
+            .option("escapeQuotes", "false")
+            # the write-side default renders empty strings as literal
+            # "" even with quoting disabled; the reference prints them
+            # as empty cells
+            .option("emptyValue", "")
+        )
     writer.csv(path)
