@@ -386,16 +386,19 @@ def ivf_build_fast(
             best = np.argmax(cos, axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].astype("int64"),
+                    "vec_id": pdf[id_col],
                     "cid": cids[best],
                     "c_vec": list(V),
                     "c_nrm": vn,
                 }
             )
 
+    # contract parity with ivf_build: the id column keeps ITS type
+    # (string ids and such pass through), not a hardcoded int64
+    id_type = corpus.schema[id_col].dataType.simpleString()
     assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign,
-        schema="vec_id long, cid long, c_vec array<double>, c_nrm double",
+        schema=f"vec_id {id_type}, cid long, c_vec array<double>, c_nrm double",
     )
     # cid dtype parity with ivf_build (centroid cid is int from the
     # seed-sample rank)
@@ -494,6 +497,14 @@ def ivf_topk(
     for one-shot use; a repeated-query deployment calls build once,
     materializes ``assigned`` partitioned by cid, and serves with
     ivf_query only (see ivf_build's scale note).
+
+    .. note:: CHANGED DEFAULT (round 3): when ``nprobe`` is None,
+       ivf_query probes ``isqrt(n_centroids)`` lists, not the previous
+       ``n_centroids // 4`` — at K=100 that is 10 lists instead of 25,
+       i.e. lower recall but a scanned *fraction* that shrinks as the
+       index grows (K/4 pins it at 25% of the corpus forever, a
+       non-starter at 100 TB). Callers that relied on the old recall
+       level should pass ``nprobe`` explicitly.
 
     Determinism: centroid choice is the md5 seed sample
     (:func:`ivf_centroids`), assignment/probe ranking breaks cosine

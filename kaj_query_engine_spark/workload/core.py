@@ -37,11 +37,29 @@ import weakref
 _FIXTURE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
+def _fixture_token(path: str) -> tuple:
+    """Cheap staleness token: the driver regenerates fixture parquet
+    BETWEEN rounds, and a memoized DataFrame analyzed against the old
+    footer would then scan with a stale schema. stat() of the parquet
+    dir/file (mtime ticks on rewrite) invalidates the memo entry."""
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _FIXTURE_MEMO.setdefault(spark, {})
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, _fixture_token(path))
     if key not in per_session:
-        per_session[key] = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        # drop any entry for an older generation of the same table
+        for stale in [k for k in per_session if k[:2] == (sf_dir, name)]:
+            del per_session[stale]
+        per_session[key] = _read_parquet(spark, path)
     return per_session[key]
 
 

@@ -58,7 +58,14 @@ def canon(v):
     if isinstance(v, datetime.datetime):
         if v != v:  # NaT
             return "\x00NULL"
+        # midnight timestamps canonicalize like plain dates: Spark
+        # hands DATE columns back as datetime.date while DuckDB .df()
+        # hands datetime64 Timestamps — both sides must meet in one form
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):  # after datetime (its subclass)
+        return v.strftime("%Y-%m-%d")
     return str(v)
 
 
