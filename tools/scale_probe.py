@@ -196,18 +196,25 @@ def main() -> None:
         ).mode("overwrite").save()
 
     # IVF is build-once / query-many: materialize the index per k
-    # (as a 100 TB deployment would) and time ONLY the query path —
+    # (as a 100 TB deployment would — ivf_build_fast, then parquet
+    # partitioned by cid) and time build and query SEPARATELY —
     # timing build+query per call measures the O(N·K) assignment
     # every time and reads e≈1.7, which is the anti-pattern, not the
-    # operator (see ivf_build's docstring).
+    # operator (see ivf_build's docstring). The build line carries its
+    # own exponent (superlinear by design: K grows as max(sqrt(N),
+    # N/1024), so build is O(N·K) paid ONCE); the query line is the
+    # per-request cost and must stay ≈ flat.
     _ivf_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
+    ivf_build_secs: dict[int, float] = {}
 
     def ivf_index(k: int):
         if k not in _ivf_cache:
-            cent, assigned = S.ivf_build(vecs(k))
+            t0 = time.time()
+            cent, assigned = S.ivf_build_fast(vecs(k))
             cp, ap = f"{scratch}/ivf_cent_{k}", f"{scratch}/ivf_assigned_{k}"
             cent.write.mode("overwrite").parquet(cp)
             assigned.write.mode("overwrite").partitionBy("cid").parquet(ap)
+            ivf_build_secs[k] = round(time.time() - t0, 2)
             _ivf_cache[k] = (spark.read.parquet(cp), spark.read.parquet(ap))
         return _ivf_cache[k]
 
@@ -215,6 +222,71 @@ def main() -> None:
         cent, assigned = ivf_index(k)
         q = base_vecs_df.limit(50)
         S.ivf_query(cent, assigned, q, k=10, nprobe=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # ---- power-law-key (skew) probes -------------------------------
+    # Replication above grows the corpus uniformly; these two grow a
+    # SKEWED workload: a hot-key aggregation (half of all rows share
+    # one key) and connected components over a hub graph (a few nodes
+    # with degree ~N/100). A salting/AQE story that only holds on
+    # uniform keys would read superlinear here.
+    SKEW_BASE_ROWS = 200_000
+    _skew_cache: dict[int, DataFrame] = {}
+    _hub_cache: dict[int, DataFrame] = {}
+
+    def skewed_rows(k: int) -> DataFrame:
+        """Rows with a pathological key histogram: 50% land on key 0,
+        the rest spread uniformly over 100k keys; value uniform."""
+        if k not in _skew_cache:
+            n = SKEW_BASE_ROWS * k
+            df = spark.range(n).select(
+                F.when((F.rand(seed=7) < 0.5), F.lit(0))
+                .otherwise((F.rand(seed=11) * 100_000).cast("long"))
+                .alias("key"),
+                F.rand(seed=13).alias("v"),
+            )
+            p = f"{scratch}/skew_{k}"
+            df.write.mode("overwrite").parquet(p)
+            _skew_cache[k] = spark.read.parquet(p)
+        return _skew_cache[k]
+
+    def hub_edges(k: int) -> DataFrame:
+        """Hub-graph edge list (d1, d2): 100 blocks regardless of N, so
+        hub degree grows as N/100 (the skew) while graph diameter stays
+        fixed (CC rounds must NOT grow with N)."""
+        if k not in _hub_cache:
+            n = SKEW_BASE_ROWS * k // 4
+            block = max(1, n // 100)
+            df = spark.range(1, n).select(
+                F.col("id").alias("d1"),
+                # star edge to the block hub; hubs chain to the
+                # previous hub so the graph is one component
+                F.when(
+                    F.col("id") % block != 0, F.col("id") - F.col("id") % block
+                )
+                .otherwise(F.col("id") - block)
+                .alias("d2"),
+            )
+            p = f"{scratch}/hub_{k}"
+            df.write.mode("overwrite").parquet(p)
+            _hub_cache[k] = spark.read.parquet(p)
+        return _hub_cache[k]
+
+    def run_salted_skew(k: int) -> None:
+        from kaj_query_engine_spark.operators import skew as SK
+
+        SK.salted_groupby_agg(
+            skewed_rows(k),
+            ["key"],
+            [
+                (F.sum("v"), F.sum, "sum_v"),
+                (F.count(F.lit(1)), F.sum, "n"),
+            ],
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_cc_skew(k: int) -> None:
+        D.cluster_duplicates(hub_edges(k)).write.format("noop").mode(
             "overwrite"
         ).save()
 
@@ -227,21 +299,32 @@ def main() -> None:
         "ann_lsh_topk": run_ann,
         "decontaminate": run_decontaminate,
         "seq_packing": run_pack,
-        "ann_ivf_topk": run_ivf,
+        "ivf_query_materialized": run_ivf,
+        "salted_agg_skewed": run_salted_skew,
+        "cc_skewed": run_cc_skew,
     }
     base_docs = base_docs_df.count()
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
             continue
-        if name == "ann_ivf_topk":
+        if name == "ivf_query_materialized":
             # build-once cost must stay OUTSIDE the query timing
             for kk in SCALES:
                 ivf_index(kk)
-        base_n = (
-            base_vecs
-            if name in ("embedding_neardup", "ann_lsh_topk", "ann_ivf_topk")
-            else base_docs
-        )
+            print(json.dumps({
+                "op": "ivf_build_fast_materialize",
+                "n": [base_vecs * kk for kk in SCALES],
+                "sec": [ivf_build_secs[kk] for kk in SCALES],
+                "note": "one-time index build+write (O(N*K), amortized)",
+            }))
+        if name == "salted_agg_skewed":
+            base_n = SKEW_BASE_ROWS
+        elif name == "cc_skewed":
+            base_n = SKEW_BASE_ROWS // 4
+        elif name in ("embedding_neardup", "ann_lsh_topk", "ivf_query_materialized"):
+            base_n = base_vecs
+        else:
+            base_n = base_docs
         fn(1)  # warm the plan shape so codegen isn't billed to 1x
         secs, ns = [], []
         for k in SCALES:
