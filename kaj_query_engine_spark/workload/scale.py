@@ -31,22 +31,47 @@ def _tag(sf_dir: str) -> str:
 
 @register(
     "q35_partition_pruning",
-    "SELECT event_type, count(*) AS n, "
+    "SELECT event_type AS grp, count(*) AS n, "
     f"{DSUM_V_SQL} AS sum_v FROM events "
-    "WHERE event_type IN ('click', 'error') GROUP BY event_type",
-    "Hive-partitioned layout: events written partitionBy(event_type), "
-    "filter becomes PartitionFilters — non-matching directories never "
-    "opened (vs PushedFilters, which still reads row groups)",
+    "WHERE event_type IN ('click', 'error') GROUP BY event_type "
+    "UNION ALL "
+    "SELECT 'zorder_slab' AS grp, count(*) AS n, "
+    f"{DSUM_V_SQL} AS sum_v FROM events "
+    "WHERE user_id BETWEEN 20 AND 40 AND value BETWEEN 50 AND 150",
+    "layout-driven pruning, both kinds: branch A reads a Hive-"
+    "partitioned copy (partitionBy(event_type)) where the filter "
+    "becomes PartitionFilters — non-matching directories never opened; "
+    "branch B reads a Z-order-clustered copy (Morton key over "
+    "(user_id, value)) where each file covers a compact rectangle of "
+    "the 2-D key space, so parquet min/max footer stats skip files for "
+    "a predicate on EITHER clustered column — single-column sorting "
+    "only prunes its own column",
 )
 def q35(spark, sf_dir):
+    from kaj_query_engine_spark.sources.layout import write_zordered
+
     path = str(_SCRATCH / _tag(sf_dir) / "events_by_type")
     write_partitioned(t(spark, sf_dir, "events"), path, ["event_type"])
     e = read_partitioned(spark, path)
-    return (
+    a = (
         e.filter(F.col("event_type").isin("click", "error"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v"))
+        .select(F.col("event_type").alias("grp"), "n", "sum_v")
     )
+    zpath = str(_SCRATCH / _tag(sf_dir) / "events_zorder")
+    write_zordered(
+        t(spark, sf_dir, "events").select("user_id", "value"),
+        zpath,
+        ["user_id", "value"],
+    )
+    z = spark.read.parquet(zpath)
+    b = (
+        z.filter(F.col("user_id").between(20, 40) & F.col("value").between(50, 150))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v"))
+        .select(F.lit("zorder_slab").alias("grp"), "n", "sum_v")
+    )
+    return a.unionAll(b)
 
 
 @register(

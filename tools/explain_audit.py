@@ -76,8 +76,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "q35_partition_pruning": (
-        # layout filter prunes directories, not just row groups
-        ["PartitionFilters: [event_type"],
+        # branch A: layout filter prunes directories, not just row
+        # groups; branch B: both Z-order-clustered columns reach the
+        # scan as pushed range predicates (file skipping via footer
+        # min/max over the Morton-compact files)
+        [
+            "PartitionFilters: [event_type",
+            "GreaterThanOrEqual(user_id,20)",
+            "GreaterThanOrEqual(value,50.0)",
+        ],
         [],
     ),
     "q36_bucketed_join": (
