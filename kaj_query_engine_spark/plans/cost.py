@@ -88,9 +88,15 @@ class PlanCost:
     Scan → Select (free, on the fly) → Join chain (cost by strategy),
     mirroring the reference's traversal (``PlanCost.java:71-85``)."""
 
-    def __init__(self, stats: dict[str, TableStats], join_type: str = "broadcast"):
+    def __init__(
+        self,
+        stats: dict[str, TableStats],
+        join_type: str = "broadcast",
+        strict_compat: bool = False,
+    ):
         self.stats = {k.lower(): v for k, v in stats.items()}
         self.join_type = join_type
+        self.strict_compat = strict_compat
         self.num_buff = 10  # BufferManager.getBuffersPerJoin() analog
 
     def estimate(self, q: SQLQuery) -> CostEstimate:
@@ -117,8 +123,25 @@ class PlanCost:
                 out = math.ceil(n - n / v)
             else:
                 out = math.ceil(0.5 * n)
-            for col in dv[tl]:
-                dv[tl][col] = min(dv[tl][col], max(1, out))
+            if self.strict_compat:
+                # Reproduce the reference's selectivity-propagation BUG
+                # verbatim (PlanCost.java:204-209): the loop computes
+                # ``newvalue = ceil(outtuples/intuples * oldvalue)`` —
+                # the intended uniform rescale — but then executes
+                # ``ht.put(attri, outtuples)``, so every attribute's
+                # distinct count becomes the OUTPUT ROW COUNT. For a
+                # low-cardinality column (V(gender)=2) a selection that
+                # keeps 100 rows RAISES its distinct count to 100,
+                # deflating every later join-cardinality estimate that
+                # divides by max(V_l, V_r). Bit-faithful display for
+                # compat mode; never the default.
+                for col in dv[tl]:
+                    dv[tl][col] = max(1, out)
+            else:
+                # corrected propagation: distinct counts can only
+                # shrink with the surviving rows
+                for col in dv[tl]:
+                    dv[tl][col] = min(dv[tl][col], max(1, out))
             rows[tl] = max(0, out)
             details.append(
                 f"Select({c.lhs.qualified()}{c.op.value}…): → {rows[tl]} rows"
@@ -198,13 +221,21 @@ class PlanCost:
 
 
 def explain_cost(
-    q: SQLQuery, stats: dict[str, TableStats], join_type: str = "broadcast"
+    q: SQLQuery,
+    stats: dict[str, TableStats],
+    join_type: str = "broadcast",
+    strict_compat: bool = False,
 ) -> str:
     """``printFinalPlan``-style rendering: the declared plan, the
     estimated page-I/O cost, and the estimated output rows
     (``QueryMain.java:142-180`` prints the plan then
-    ``Expected cost: <pc.getCost(root)>``)."""
-    est = PlanCost(stats, join_type).estimate(q)
+    ``Expected cost: <pc.getCost(root)>``).
+
+    ``strict_compat=True`` reproduces the reference's
+    selectivity-propagation bug (see ``PlanCost.estimate``) so the
+    cost display matches the reference number-for-number; the default
+    uses the corrected propagation."""
+    est = PlanCost(stats, join_type, strict_compat=strict_compat).estimate(q)
     lines = [
         "----------------------Execution Plan----------------",
         pprint_query(q),

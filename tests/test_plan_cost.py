@@ -108,3 +108,40 @@ def test_collect_stats_counts(spark):
     assert st.num_cols == 2
     # HLL++ is exact at tiny cardinalities
     assert st.distinct["b"] == 3
+
+
+def test_strict_compat_reproduces_reference_selectivity_bug():
+    """PlanCost.java:204-209 computes the uniform rescale
+    ``newvalue = ceil(out/in * oldvalue)`` and then puts OUTTUPLES
+    into the distinct-value table instead — every attribute's V(A)
+    becomes the selection's output row count, RAISING V for
+    low-cardinality columns. strict_compat pins that bit-faithfully;
+    the default keeps the corrected can-only-shrink propagation."""
+    q = (
+        "SELECT customer.cid FROM customer,orders "
+        'WHERE customer.segment="A",customer.cid=orders.cid'
+    )
+    # selection first: 1000/10 = 100 rows survive
+    fixed = PlanCost(STATS).estimate(parse(q))
+    buggy = PlanCost(STATS, strict_compat=True).estimate(parse(q))
+    # corrected: V(cid) = min(1000, 100) = 100 -> join 100*5000/500
+    # (orders side V wins the max) ... max(V_l=100, V_r=500) = 500
+    assert fixed.rows == math.ceil(100 * 5000 / 500)
+    # buggy: EVERY customer attribute's V becomes 100 (same here for
+    # cid, but segment's V=10 is also clobbered UP to 100) — observable
+    # through a second selection on segment giving 1/100 selectivity
+    q2 = (
+        "SELECT customer.cid FROM customer "
+        'WHERE customer.segment="A",customer.segment="B"'
+    )
+    fixed2 = PlanCost(STATS).estimate(parse(q2))
+    buggy2 = PlanCost(STATS, strict_compat=True).estimate(parse(q2))
+    # corrected: second segment= filter sees V=min(10,100)=10 -> 100/10
+    assert fixed2.rows == 10
+    # reference bug: V(segment) was clobbered to 100 -> 100/100 = 1
+    assert buggy2.rows == 1
+    assert buggy.rows == fixed.rows  # same here: V(cid) ties at 100
+
+    # the flag reaches the rendered display too
+    out = explain_cost(parse(q2), STATS, strict_compat=True)
+    assert "~1 rows" in out
