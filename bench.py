@@ -62,19 +62,21 @@ def main() -> None:
         warm[name] = round(time.time() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "total_warm": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "total_warm": round(sum(warm.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # the driver keeps only the TAIL of stdout in BENCH_r{N}.json, which
+    # truncates the per-query map — persist the full result to a
+    # committed artifact so per-query cold/warm times survive each round
+    out_path = Path(__file__).resolve().parent / "bench_out.json"
+    out_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
 
 
 if __name__ == "__main__":
