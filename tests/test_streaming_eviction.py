@@ -205,6 +205,51 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
     assert series and series[-1] < max(series)
 
 
+def test_session_windows_close_and_evict(spark, tmp_path):
+    """Session windows (dynamic gap) leave the state store once the
+    watermark passes their end+gap, and closed sessions emit exactly
+    their member events."""
+    from kaj_query_engine_spark.streaming import stream_session_stats
+
+    stream_dir = _write_stream_files(
+        tmp_path,
+        [
+            # batch 0: user 1 opens a session with 2 events 30s apart
+            # (inside the 1-minute gap -> one session)
+            [(1, "10:00:00"), (1, "10:00:30")],
+            # batch 1: a NEW user-1 session 10 minutes later; advances
+            # the eviction wm to 10:09 for batch 2
+            [(1, "10:10:00")],
+            # batch 2 (filler): eviction wm 10:09 > session-1 end+gap
+            # (10:01:30) -> first session emits and leaves the store
+            [(2, "10:20:00")],
+            # batch 3: push the wm past the 10:10 session as well
+            [(3, "11:00:00")],
+        ],
+    )
+    rows, progress = _run_batched(
+        spark,
+        stream_dir,
+        lambda s: stream_session_stats(s, "user_id", "ts", "1 minute", "1 minute"),
+        output_mode="append",
+    )
+    emitted = sorted(
+        (r["user_id"], r["session_start"].strftime("%H:%M:%S"), r["n_events"])
+        for r in rows
+    )
+    # all sessions the final wm (10:59) passed are closed: both user-1
+    # sessions and user-2's 10:20 one; only the 11:00 session is still
+    # open -> withheld by append mode
+    assert emitted == [
+        (1, "10:00:00", 2),
+        (1, "10:10:00", 1),
+        (2, "10:20:00", 1),
+    ]
+    assert _state_metric(progress, "numRowsRemoved") >= 2
+    series = _state_rows_series(progress)
+    assert series and series[-1] < max(series)
+
+
 def test_multi_batch_totals_match_single_batch(spark, tmp_path):
     """Regression guard: splitting input across micro-batches must not
     change a watermarked aggregation's on-time results (same rows in

@@ -166,6 +166,16 @@ def main() -> None:
         pairs = D.minhash_lsh_candidates(d, "doc_id", "text")
         D.cluster_duplicates(pairs).write.format("noop").mode("overwrite").save()
 
+    def run_ngram(k: int) -> None:
+        # the exact verifier path: quadratic only WITHIN shared-shingle
+        # buckets; replicas share zero shingles, so this must stay
+        # near-linear (round 4 removed its corpus-sized broadcast
+        # hints — this line is the regression guard for that change)
+        d = docs(k)
+        D.ngram_jaccard_pairs(d, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_ann(k: int) -> None:
         v = vecs(k)
         q = base_vecs_df.limit(50)
@@ -296,6 +306,7 @@ def main() -> None:
         "simhash": run_simhash,
         "exact_dedup": run_exact,
         "dedup_clusters_cc": run_cluster,
+        "ngram_jaccard_exact": run_ngram,
         "ann_lsh_topk": run_ann,
         "decontaminate": run_decontaminate,
         "seq_packing": run_pack,
