@@ -11,7 +11,10 @@ BELOW 1).
 
 Usage: python tools/scale_probe.py [sf_dir] [op_filter]
 Prints one JSON line per op: {"op": ..., "n": [...], "sec": [...],
-"exponent": e}.
+"exponent": e} — and appends the same lines (with sf_dir and a
+sequence stamp) to ``probe_out.jsonl`` at the repo root, so each
+round's measured exponents survive as a committed artifact the same
+way ``bench_out.json`` does.
 """
 
 from __future__ import annotations
@@ -90,6 +93,16 @@ def replicate_vecs(vecs: DataFrame, k: int) -> DataFrame:
         (F.col("vec_id") + F.col("copy") * F.lit(n)).alias("vec_id"),
         rotated.alias("embedding"),
     )
+
+
+_OUT_PATH = Path(__file__).resolve().parent.parent / "probe_out.jsonl"
+
+
+def _emit(record: dict, sf_dir: str) -> None:
+    """Print one probe line and append it to the committed artifact."""
+    print(json.dumps(record))
+    with _OUT_PATH.open("a") as fh:
+        fh.write(json.dumps({**record, "sf_dir": sf_dir}) + "\n")
 
 
 def main() -> None:
@@ -322,12 +335,12 @@ def main() -> None:
             # build-once cost must stay OUTSIDE the query timing
             for kk in SCALES:
                 ivf_index(kk)
-            print(json.dumps({
+            _emit({
                 "op": "ivf_build_fast_materialize",
                 "n": [base_vecs * kk for kk in SCALES],
                 "sec": [ivf_build_secs[kk] for kk in SCALES],
                 "note": "one-time index build+write (O(N*K), amortized)",
-            }))
+            }, sf_dir)
         if name == "salted_agg_skewed":
             base_n = SKEW_BASE_ROWS
         elif name == "cc_skewed":
@@ -345,9 +358,9 @@ def main() -> None:
             ns.append(base_n * k)
         # exponent from the largest step (least overhead-polluted)
         e = math.log(secs[-1] / secs[-2]) / math.log(SCALES[-1] / SCALES[-2])
-        print(json.dumps({
+        _emit({
             "op": name, "n": ns, "sec": secs, "exponent": round(e, 2),
-        }))
+        }, sf_dir)
 
 
 if __name__ == "__main__":
