@@ -134,9 +134,11 @@ class PlanCost:
                 # keeps 100 rows RAISES its distinct count to 100,
                 # deflating every later join-cardinality estimate that
                 # divides by max(V_l, V_r). Bit-faithful display for
-                # compat mode; never the default.
+                # compat mode (including storing a raw 0 when the
+                # estimate is 0 rows — use sites guard their own
+                # divisions); never the default.
                 for col in dv[tl]:
-                    dv[tl][col] = max(1, out)
+                    dv[tl][col] = out
             else:
                 # corrected propagation: distinct counts can only
                 # shrink with the surviving rows

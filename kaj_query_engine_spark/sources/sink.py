@@ -52,8 +52,12 @@ def write_result_tsv(
     nonzero). Known residual divergence from ``str(value)``: doubles
     that Java renders in scientific notation (``1.0E20`` vs Python's
     ``1e+20``) — cast such columns to DECIMAL/string upstream if they
-    must round-trip byte-identically. Inherited from the reference:
-    an embedded tab breaks the column grid.
+    must round-trip byte-identically. Timestamp byte-compatibility
+    with the driver-collect path additionally assumes the PROCESS
+    timezone equals the session timezone (UTC here): ``collect()``
+    localizes TimestampType with the process tz while this sink uses
+    the session tz. Inherited from the reference: an embedded tab
+    breaks the column grid.
     """
     out = df.coalesce(1) if single_file else df
     if raw:

@@ -37,11 +37,14 @@ import weakref
 _FIXTURE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
-def _fixture_token(path: str) -> tuple:
-    """Cheap staleness token: the driver regenerates fixture parquet
-    BETWEEN rounds, and a memoized DataFrame analyzed against the old
-    footer would then scan with a stale schema. stat() of the parquet
-    dir/file (mtime ticks on rewrite) invalidates the memo entry."""
+def source_token(path: str) -> tuple:
+    """Cheap staleness token for anything derived from a fixture file:
+    the driver regenerates fixture parquet BETWEEN rounds, and a
+    memoized DataFrame (or a materialized layout copy) derived from
+    the old file would otherwise be served stale. stat() of the
+    parquet dir/file (mtime ticks on rewrite) invalidates. Shared by
+    the fixture memo here and the q35 layout cache in workload.scale —
+    one rule, one implementation."""
     import os
 
     try:
@@ -54,7 +57,7 @@ def _fixture_token(path: str) -> tuple:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _FIXTURE_MEMO.setdefault(spark, {})
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name, _fixture_token(path))
+    key = (sf_dir, name, source_token(path))
     if key not in per_session:
         # drop any entry for an older generation of the same table
         for stale in [k for k in per_session if k[:2] == (sf_dir, name)]:

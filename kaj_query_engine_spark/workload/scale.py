@@ -32,27 +32,22 @@ def _tag(sf_dir: str) -> str:
 def _layout_current(src: str, dst: str) -> bool:
     """True if the layout copy at ``dst`` was derived from the current
     ``src`` fixture. Layout economics are write-once/read-many — the
-    copy is rebuilt only when the source parquet changes (mtime+size
-    token, same staleness rule as the fixture memo in workload.core)."""
-    import os
+    copy is rebuilt only when the source parquet changes, using the
+    SAME staleness token as the fixture memo (workload.core
+    ``source_token``)."""
+    from kaj_query_engine_spark.workload.core import source_token
 
     marker = Path(dst) / "_src_token"
-    try:
-        st = os.stat(src)
-        token = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
+    token = repr(source_token(src))
+    if token == "('missing',)":
         return False
-    if marker.exists() and marker.read_text() == token:
-        return True
-    return False
+    return marker.exists() and marker.read_text() == token
 
 
 def _stamp_layout(src: str, dst: str) -> None:
-    import os
+    from kaj_query_engine_spark.workload.core import source_token
 
-    st = os.stat(src)
-    marker = Path(dst) / "_src_token"
-    marker.write_text(f"{st.st_mtime_ns}:{st.st_size}")
+    (Path(dst) / "_src_token").write_text(repr(source_token(src)))
 
 
 @register(

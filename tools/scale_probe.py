@@ -99,10 +99,13 @@ _OUT_PATH = Path(__file__).resolve().parent.parent / "probe_out.jsonl"
 
 
 def _emit(record: dict, sf_dir: str) -> None:
-    """Print one probe line and append it to the committed artifact."""
+    """Print one probe line and append it to the committed artifact,
+    stamped so runs at the same sf_dir stay distinguishable."""
     print(json.dumps(record))
     with _OUT_PATH.open("a") as fh:
-        fh.write(json.dumps({**record, "sf_dir": sf_dir}) + "\n")
+        fh.write(
+            json.dumps({**record, "sf_dir": sf_dir, "at": int(time.time())}) + "\n"
+        )
 
 
 def main() -> None:
@@ -327,10 +330,31 @@ def main() -> None:
         "salted_agg_skewed": run_salted_skew,
         "cc_skewed": run_cc_skew,
     }
+    # which generator feeds each op — inputs are materialized for ALL
+    # scales BEFORE an op's timing loop, so the timed region never
+    # includes corpus generation/writes (the probe's own protocol; an
+    # earlier version paid docs(4)/docs(16) replication inside the
+    # first doc-op's timing)
+    op_inputs = {
+        "minhash_lsh_pairs": docs,
+        "embedding_neardup": vecs,
+        "simhash": docs,
+        "exact_dedup": docs,
+        "dedup_clusters_cc": docs,
+        "ngram_jaccard_exact": docs,
+        "ann_lsh_topk": vecs,
+        "decontaminate": docs,
+        "seq_packing": docs,
+        "ivf_query_materialized": vecs,
+        "salted_agg_skewed": skewed_rows,
+        "cc_skewed": hub_edges,
+    }
     base_docs = base_docs_df.count()
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
             continue
+        for kk in SCALES:
+            op_inputs[name](kk)
         if name == "ivf_query_materialized":
             # build-once cost must stay OUTSIDE the query timing
             for kk in SCALES:
