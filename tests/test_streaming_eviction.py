@@ -59,7 +59,7 @@ def _write_stream_files(tmp_path, batches):
     """Write one parquet file per batch with strictly increasing mtimes
     so the file source (oldest-mtime-first) processes them in order."""
     stream_dir = tmp_path / "stream"
-    stream_dir.mkdir()
+    stream_dir.mkdir(parents=True)
     base = 1_700_000_000
     for i, rows in enumerate(batches):
         path = stream_dir / f"batch_{i:03d}.parquet"
@@ -245,6 +245,60 @@ def test_session_windows_close_and_evict(spark, tmp_path):
         (1, "10:10:00", 1),
         (2, "10:20:00", 1),
     ]
+    assert _state_metric(progress, "numRowsRemoved") >= 2
+    series = _state_rows_series(progress)
+    assert series and series[-1] < max(series)
+
+
+def test_stream_stream_join_evicts_buffered_state(spark, tmp_path):
+    """A watermarked interval join buffers both sides in the state
+    store only as long as watermark + join window require: matched
+    pairs emit across micro-batches and old buffered rows are evicted
+    once the watermark passes them."""
+    from kaj_query_engine_spark.streaming import stream_interval_join
+
+    l_dir = _write_stream_files(
+        tmp_path / "left_root",
+        [[(1, "10:00:00")], [(1, "10:30:00")], [(2, "11:00:00")]],
+    )
+    r_dir = _write_stream_files(
+        tmp_path / "right_root",
+        [[(1, "10:00:30")], [(1, "10:30:10")], [(2, "11:00:01")]],
+    )
+
+    def read_side(d):
+        return (
+            spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    joined = stream_interval_join(
+        read_side(l_dir), read_side(r_dir), "user_id", 60, "1 minute"
+    )
+    name = f"kaj_evict_q{next(_QN)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        rows = spark.table(name).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # every staged pair is within (0, 60s] of its left row -> 3 matches
+    pairs = sorted(
+        (r["user_id"], r["l_ts"].strftime("%H:%M:%S")) for r in rows
+    )
+    assert pairs == [(1, "10:00:00"), (1, "10:30:00"), (2, "11:00:00")]
+    # buffered rows from the 10:00 (and 10:30) batches left the state
+    # store once the watermark passed their horizon
     assert _state_metric(progress, "numRowsRemoved") >= 2
     series = _state_rows_series(progress)
     assert series and series[-1] < max(series)
