@@ -5,6 +5,7 @@ that the fixture-scale oracle diff can't pin down."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -359,3 +360,46 @@ def test_cluster_duplicates_random_graphs_match_union_find(spark):
             r.id: r.cluster for r in D.cluster_duplicates(pairs).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_ann_recall_on_fixture_embeddings(spark):
+    """Measured recall@10 on the real embeddings fixture (500 vecs, 20
+    queries) — the quality half of the ANN story (exactness of emitted
+    scores is pinned above; this pins how much of the true top-k the
+    candidate restriction keeps). Deterministic: hyperplanes and the
+    centroid seed-sample are seed-fixed functions of the data.
+
+    Measured this round: LSH multi-probe 1.0 on both sf0.001/sf0.01;
+    IVF nprobe=8 (of ~23 lists) 0.54-0.63 — floors asserted with
+    margin. Probing every list degenerates IVF to exact (recall 1.0),
+    pinning the recall-vs-work knob's endpoints.
+    """
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    vecs = _read_parquet(spark, f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = vecs.limit(20)
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(vecs, queries, k=10).collect()
+    }
+    lsh = {
+        (r.q_id, r.vec_id) for r in S.lsh_topk(vecs, queries, k=10).collect()
+    }
+    assert len(lsh & brute) / len(brute) >= 0.9
+    cent, assigned = S.ivf_build(vecs)
+    n_lists = cent.count()
+    ivf = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_query(cent, assigned, queries, k=10, nprobe=8).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.45
+    exhaustive = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_query(
+            cent, assigned, queries, k=10, nprobe=n_lists
+        ).collect()
+    }
+    assert exhaustive == brute
