@@ -118,6 +118,36 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "rangepartitioning("],
     ),
+    "q37_salted_agg": (
+        # two-stage salted aggregation: both stages are hash
+        # aggregates with map-side partials; no join, no global sort
+        ["HashAggregate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+         "rangepartitioning("],
+    ),
+    "q45_sketch_aggregates": (
+        # sketch pass stays a single partial-aggregated scan pipeline —
+        # the r3 restructure keeps the N-distinct Expand out of the plan
+        ["HashAggregate", "partial_"],
+        ["Expand", "CartesianProduct"],
+    ),
+    "q51_minhash_lsh": (
+        # minhash bands bucket via explode + groupBy (map-only until
+        # the band-bucket exchange); pair generation never self-joins
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    "q72_sessionize": (
+        # sessionization: per-user windows over ONE hash exchange —
+        # never a global range sort
+        ["Window", "hashpartitioning("],
+        ["CartesianProduct", "rangepartitioning("],
+    ),
+    "q75_time_rollup": (
+        # time-bucket rollup aggregates with a map-side partial phase
+        ["HashAggregate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
