@@ -403,3 +403,31 @@ def test_ann_recall_on_fixture_embeddings(spark):
         ).collect()
     }
     assert exhaustive == brute
+
+
+def test_minhash_candidate_recall_on_fixture_documents(spark):
+    """Measured candidate recall of MinHash+LSH against the exact
+    n-gram Jaccard verifier on the real documents fixture — the dedup
+    analog of the ANN recall floor above. Measured this round: 27/28
+    true pairs (0.964) at sf0.001, 25/25 (1.0) at sf0.01, threshold
+    0.4 — a single near-threshold pair slipping a banding is expected
+    LSH behavior; the floor guards against a hashing/banding
+    regression that silently drops whole duplicate groups."""
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = _read_parquet(spark, f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    cand = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in D.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert exact, "fixture should contain true near-dup pairs"
+    assert len(cand & exact) / len(exact) >= 0.9
