@@ -29,25 +29,33 @@ def _tag(sf_dir: str) -> str:
     return Path(sf_dir).name.replace(".", "_")
 
 
-def _layout_current(src: str, dst: str) -> bool:
-    """True if the layout copy at ``dst`` was derived from the current
-    ``src`` fixture. Layout economics are write-once/read-many — the
-    copy is rebuilt only when the source parquet changes, using the
-    SAME staleness token as the fixture memo (workload.core
-    ``source_token``)."""
+def _layout_token(src: str, params: str) -> str:
+    """Staleness token for a layout copy: the SOURCE token (same rule
+    as the fixture memo, ``workload.core.source_token``) plus a
+    layout-params component, so changing the clustering scheme (not
+    just the data) also invalidates the copy. Callers compute this
+    BEFORE the layout write and stamp that same value after — if the
+    driver regenerates the fixture mid-write, the stamped (old) token
+    no longer matches the new source and the next call rebuilds."""
     from kaj_query_engine_spark.workload.core import source_token
 
-    marker = Path(dst) / "_src_token"
-    token = repr(source_token(src))
-    if token == "('missing',)":
+    return f"{params}|{source_token(src)!r}"
+
+
+def _layout_current(token: str, dst: str) -> bool:
+    """True if the layout copy at ``dst`` carries ``token`` AND holds
+    actual data files (a marker surviving a partial cleanup must not
+    vouch for an empty directory)."""
+    if "missing" in token:
         return False
-    return marker.exists() and marker.read_text() == token
+    marker = Path(dst) / "_src_token"
+    if not (marker.exists() and marker.read_text() == token):
+        return False
+    return any(True for _ in Path(dst).rglob("part-*"))
 
 
-def _stamp_layout(src: str, dst: str) -> None:
-    from kaj_query_engine_spark.workload.core import source_token
-
-    (Path(dst) / "_src_token").write_text(repr(source_token(src)))
+def _stamp_layout(token: str, dst: str) -> None:
+    (Path(dst) / "_src_token").write_text(token)
 
 
 @register(
@@ -73,9 +81,10 @@ def q35(spark, sf_dir):
 
     src = f"{sf_dir}/events.parquet"
     path = str(_SCRATCH / _tag(sf_dir) / "events_by_type")
-    if not _layout_current(src, path):
+    ptoken = _layout_token(src, "hive:event_type:v1")
+    if not _layout_current(ptoken, path):
         write_partitioned(t(spark, sf_dir, "events"), path, ["event_type"])
-        _stamp_layout(src, path)
+        _stamp_layout(ptoken, path)
     e = read_partitioned(spark, path)
     a = (
         e.filter(F.col("event_type").isin("click", "error"))
@@ -84,13 +93,14 @@ def q35(spark, sf_dir):
         .select(F.col("event_type").alias("grp"), "n", "sum_v")
     )
     zpath = str(_SCRATCH / _tag(sf_dir) / "events_zorder")
-    if not _layout_current(src, zpath):
+    ztoken = _layout_token(src, "zorder:user_id,value:v1")
+    if not _layout_current(ztoken, zpath):
         write_zordered(
             t(spark, sf_dir, "events").select("user_id", "value"),
             zpath,
             ["user_id", "value"],
         )
-        _stamp_layout(src, zpath)
+        _stamp_layout(ztoken, zpath)
     z = spark.read.parquet(zpath)
     b = (
         z.filter(F.col("user_id").between(20, 40) & F.col("value").between(50, 150))

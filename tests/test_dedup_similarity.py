@@ -5,7 +5,6 @@ that the fixture-scale oracle diff can't pin down."""
 from __future__ import annotations
 
 import math
-import os
 
 import numpy as np
 import pytest
@@ -13,6 +12,7 @@ from pyspark.sql import functions as F
 
 from kaj_query_engine_spark.operators import dedup as D
 from kaj_query_engine_spark.operators import similarity as S
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture()
@@ -376,8 +376,7 @@ def test_ann_recall_on_fixture_embeddings(spark):
     """
     from kaj_query_engine_spark.catalog import _read_parquet
 
-    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    vecs = _read_parquet(spark, f"{sf}/embeddings.parquet").select(
+    vecs = _read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     queries = vecs.limit(20)
@@ -415,8 +414,7 @@ def test_minhash_candidate_recall_on_fixture_documents(spark):
     regression that silently drops whole duplicate groups."""
     from kaj_query_engine_spark.catalog import _read_parquet
 
-    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    docs = _read_parquet(spark, f"{sf}/documents.parquet").select(
+    docs = _read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
     exact = {

@@ -44,10 +44,13 @@ def test_source_token_missing_file(tmp_path):
 
 
 def test_layout_cache_rebuilds_on_source_change(spark, tmp_path):
-    """The q35 layout cache shares the same token: a rewritten source
-    invalidates the marker and the layout copy is rebuilt."""
+    """The q35 layout cache shares the same source token: a rewritten
+    source, a changed layout-params string, or a marker with no data
+    files behind it all invalidate the copy; tokens computed BEFORE
+    the write stamp the generation they actually read."""
     from kaj_query_engine_spark.workload.scale import (
         _layout_current,
+        _layout_token,
         _stamp_layout,
     )
 
@@ -55,11 +58,21 @@ def test_layout_cache_rebuilds_on_source_change(spark, tmp_path):
     dst = tmp_path / "layout_copy"
     dst.mkdir()
     _write(src, [1, 2, 3])
-    assert not _layout_current(src, str(dst))
-    _stamp_layout(src, str(dst))
-    assert _layout_current(src, str(dst))
-    # rewrite the source -> stale
+    tok = _layout_token(src, "hive:x:v1")
+    # marker present but NO data files -> not current
+    _stamp_layout(tok, str(dst))
+    assert not _layout_current(tok, str(dst))
+    # with a data file it is current
+    _write(str(dst / "part-00000.parquet"), [1])
+    assert _layout_current(tok, str(dst))
+    # different layout params -> different token -> stale
+    assert not _layout_current(_layout_token(src, "zorder:x:v1"), str(dst))
+    # rewrite the source -> the OLD stamped token no longer matches
     _write(src, [9, 9, 9])
     st = os.stat(src)
     os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
-    assert not _layout_current(src, str(dst))
+    assert not _layout_current(_layout_token(src, "hive:x:v1"), str(dst))
+    # missing source -> never current
+    assert not _layout_current(
+        _layout_token(str(tmp_path / "gone.parquet"), "hive:x:v1"), str(dst)
+    )

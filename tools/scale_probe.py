@@ -380,8 +380,12 @@ def main() -> None:
             fn(k)
             secs.append(round(time.time() - t0, 2))
             ns.append(base_n * k)
-        # exponent from the largest step (least overhead-polluted)
-        e = math.log(secs[-1] / secs[-2]) / math.log(SCALES[-1] / SCALES[-2])
+        # exponent from the largest step (least overhead-polluted);
+        # floor the rounded timings so a sub-10ms step can't divide or
+        # log by zero
+        e = math.log(max(secs[-1], 0.01) / max(secs[-2], 0.01)) / math.log(
+            SCALES[-1] / SCALES[-2]
+        )
         _emit({
             "op": name, "n": ns, "sec": secs, "exponent": round(e, 2),
         }, sf_dir)
