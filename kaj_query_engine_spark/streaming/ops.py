@@ -241,16 +241,22 @@ def stream_static_enrich(
 
     Scale shape: the static side is stateless for the stream (nothing
     buffers in the state store — Spark re-plans the batch side per
-    micro-batch, picking up dimension updates) and a small dimension
-    becomes the broadcast build side, so the stream never shuffles.
-    Left join keeps stream rows with no dimension match (NULL-padded),
-    matching the batch left-join semantics the oracle can check.
+    micro-batch, picking up dimension updates). NO broadcast hint on
+    the dimension: nothing in this API bounds its size, and a hint
+    overrides autoBroadcastJoinThreshold — at 100 TB a grown dimension
+    would OOM every executor instead of degrading to a shuffled hash
+    join. The join is equi-keyed, so each micro-batch's planner
+    broadcasts on its own while the dimension's size estimate is under
+    the threshold (the common enrichment case) and shuffles when it
+    isn't. Left join keeps stream rows with no dimension match
+    (NULL-padded), matching the batch left-join semantics the oracle
+    can check.
     """
     cols = dim_cols if dim_cols is not None else [
         c for c in dim.columns if c != key_col
     ]
     d = dim.select(key_col, *cols)
-    return stream.join(F.broadcast(d), key_col, how)
+    return stream.join(d, key_col, how)
 
 
 def stream_stateful_user_totals(

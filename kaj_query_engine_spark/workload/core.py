@@ -546,15 +546,22 @@ def q30(spark, sf_dir):
     "JOIN lineitem ON o_orderkey = l_orderkey "
     "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey",
     "flagship: selective dim filter → fact join → grouped revenue "
-    "(broadcast the filtered customer side; single shuffle on o_orderkey)",
+    "(size-based join strategy; single shuffle on o_orderkey)",
 )
 def q00(spark, sf_dir):
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
+    # NO broadcast hint on `c`: filtered customer is ~1/5 of an O(N)
+    # dimension, so at 100 TB it cannot be a build side — and a hint
+    # OVERRIDES autoBroadcastJoinThreshold, turning graceful SHJ/SMJ
+    # degradation into an executor OOM. The join is equi-keyed; AQE
+    # broadcasts from runtime stats while the side is actually small
+    # (the explain_audit gate pins BHJ at test scale) and degrades to
+    # a shuffled join when it isn't.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
