@@ -10,6 +10,7 @@ results, only physical distribution).
 from __future__ import annotations
 
 from pathlib import Path
+from typing import NamedTuple
 
 from pyspark.sql import functions as F
 
@@ -29,7 +30,17 @@ def _tag(sf_dir: str) -> str:
     return Path(sf_dir).name.replace(".", "_")
 
 
-def _layout_token(src: str, params: str) -> str:
+class _LayoutToken(NamedTuple):
+    """Staleness token for a layout copy. ``source_missing`` is carried
+    structurally (not inferred from the rendered text) so a params
+    string that happens to contain 'missing' can never poison the
+    cache-validity check."""
+
+    text: str
+    source_missing: bool
+
+
+def _layout_token(src: str, params: str) -> _LayoutToken:
     """Staleness token for a layout copy: the SOURCE token (same rule
     as the fixture memo, ``workload.core.source_token``) plus a
     layout-params component, so changing the clustering scheme (not
@@ -39,23 +50,24 @@ def _layout_token(src: str, params: str) -> str:
     no longer matches the new source and the next call rebuilds."""
     from kaj_query_engine_spark.workload.core import source_token
 
-    return f"{params}|{source_token(src)!r}"
+    tok = source_token(src)
+    return _LayoutToken(f"{params}|{tok!r}", tok == ("missing",))
 
 
-def _layout_current(token: str, dst: str) -> bool:
+def _layout_current(token: _LayoutToken, dst: str) -> bool:
     """True if the layout copy at ``dst`` carries ``token`` AND holds
     actual data files (a marker surviving a partial cleanup must not
     vouch for an empty directory)."""
-    if "missing" in token:
+    if token.source_missing:
         return False
     marker = Path(dst) / "_src_token"
-    if not (marker.exists() and marker.read_text() == token):
+    if not (marker.exists() and marker.read_text() == token.text):
         return False
     return any(True for _ in Path(dst).rglob("part-*"))
 
 
-def _stamp_layout(token: str, dst: str) -> None:
-    (Path(dst) / "_src_token").write_text(token)
+def _stamp_layout(token: _LayoutToken, dst: str) -> None:
+    (Path(dst) / "_src_token").write_text(token.text)
 
 
 @register(

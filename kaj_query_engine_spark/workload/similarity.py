@@ -144,21 +144,76 @@ def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> s
     )
 
 
+def materialized_ivf_index(spark, sf_dir):
+    """Build-once IVF index for the ``embeddings`` fixture: returns
+    ``(centroids, assigned)`` read from a parquet materialization under
+    ``.scratch`` — ``assigned`` written ``partitionBy(cid)`` so each
+    inverted list is its own directory and a probe join reads only the
+    probed lists. Rebuilt only when the staleness token says the source
+    fixture (or the index params) changed — the same amortization rule
+    as q35's layout copies; every later call in the session (and every
+    later session over the same fixture) serves from disk.
+
+    The build uses :func:`ivf_build` (the JVM left-fold path) so the
+    materialized cosines stay bit-identical to the DuckDB oracle; a
+    production pipeline building real indexes would swap in
+    :func:`ivf_build_fast` (numpy matmul per Arrow batch) — identical
+    contract, last-bit cosine differences.
+    """
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    base = _SCRATCH / _tag(sf_dir)
+    cpath, apath = str(base / "ivf_centroids"), str(base / "ivf_assigned")
+    token = _layout_token(src, f"ivf:{IVF_CENTROIDS}:v1")
+    if not (_layout_current(token, cpath) and _layout_current(token, apath)):
+        cent, assigned = S.ivf_build(
+            t(spark, sf_dir, "embeddings"), n_centroids=IVF_CENTROIDS
+        )
+        cent.write.mode("overwrite").parquet(cpath)
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(apath)
+        _stamp_layout(token, cpath)
+        _stamp_layout(token, apath)
+    return spark.read.parquet(cpath), spark.read.parquet(apath)
+
+
+def _ivf_oracle_tagged() -> str:
+    ivf4, ivf_full = _ivf_oracle(nprobe=IVF_NPROBE), _ivf_oracle(
+        nprobe=IVF_CENTROIDS
+    )
+    return (
+        f"SELECT 'probe4' AS path, * FROM ({ivf4}) "
+        f"UNION ALL SELECT 'probe_all' AS path, * FROM ({ivf_full})"
+    )
+
+
 @register(
     "q63_ann_ivf",
-    _ivf_oracle(),
-    "IVF-flat ANN (16 md5-seed-sampled centroids, nprobe=4): corpus "
-    "assigned to inverted lists by nearest centroid (broadcast "
-    "centroids, map-side-partial argmax — ~N rows shuffle), queries "
-    "scan only their nprobe nearest lists; list sizes adapt to the "
-    "data distribution, and at 100 TB the assignment is the "
-    "materialized index (build once, probe many)",
+    _ivf_oracle_tagged(),
+    "IVF-flat ANN served from a MATERIALIZED index (16 md5-seed-"
+    "sampled centroids; assignment parquet partitioned by cid, built "
+    "once behind the q35-style staleness token — the O(N*K) build "
+    "never runs per query): branch 'probe4' scans the 4 nearest "
+    "inverted lists per query, branch 'probe_all' probes every list "
+    "(exact search served from the same index, the recall ceiling); "
+    "list sizes adapt to the data distribution, and at 100 TB the "
+    "cid-partitioned layout means a probe touches only its lists' "
+    "directories",
 )
 def q63(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return S.ivf_topk(
-        e, q, k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    cent, assigned = materialized_ivf_index(spark, sf_dir)
+    probe4 = S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_NPROBE)
+    probe_all = S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_CENTROIDS)
+    return probe4.select(F.lit("probe4").alias("path"), "*").unionAll(
+        probe_all.select(F.lit("probe_all").alias("path"), "*")
     )
 
 

@@ -429,3 +429,59 @@ def test_minhash_candidate_recall_on_fixture_documents(spark):
     }
     assert exact, "fixture should contain true near-dup pairs"
     assert len(cand & exact) / len(exact) >= 0.9
+
+
+def test_materialized_ivf_serves_identically_to_fresh_build(spark, tmp_path):
+    """Build-once/serve-many parity: q63's materialized index (parquet,
+    partitionBy(cid), staleness-token guarded) must serve top-k results
+    IDENTICAL to a fresh in-session ivf_build + ivf_query — the
+    materialization may change physical layout only, never results.
+    Also pins the scale property that makes the layout worth it:
+    dynamic partition pruning turns the probe join into
+    PartitionFilters on the index scan (only probed lists read)."""
+    from kaj_query_engine_spark.workload.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        materialized_ivf_index,
+    )
+    from kaj_query_engine_spark.workload.core import t
+
+    e = t(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+
+    cent_f, asg_f = S.ivf_build(e, n_centroids=IVF_CENTROIDS)
+    fresh = S.ivf_query(cent_f, asg_f, q, k=TOP_K, nprobe=IVF_NPROBE)
+    cent_m, asg_m = materialized_ivf_index(spark, SF_DIR)
+    served = S.ivf_query(cent_m, asg_m, q, k=TOP_K, nprobe=IVF_NPROBE)
+
+    assert sorted(
+        [(r.q_id, r.rank, r.vec_id, r.cos) for r in fresh.collect()], key=lambda x: x[:2]
+    ) == sorted(
+        [(r.q_id, r.rank, r.vec_id, r.cos) for r in served.collect()], key=lambda x: x[:2]
+    )
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, (
+        "probe join over the cid-partitioned index should trigger "
+        "dynamic partition pruning"
+    )
+
+
+def test_materialized_ivf_rebuilds_only_on_stale_token(spark):
+    """Second call with an unchanged source serves from disk: the index
+    directories carry the stamped token and are NOT rewritten (mtime
+    stable across calls)."""
+    import os
+    from pathlib import Path
+
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+    from kaj_query_engine_spark.workload.similarity import materialized_ivf_index
+
+    materialized_ivf_index(spark, SF_DIR)
+    apath = _SCRATCH / _tag(SF_DIR) / "ivf_assigned"
+    before = max(p.stat().st_mtime_ns for p in Path(apath).rglob("part-*"))
+    materialized_ivf_index(spark, SF_DIR)
+    after = max(p.stat().st_mtime_ns for p in Path(apath).rglob("part-*"))
+    assert before == after

@@ -60,9 +60,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "q63_ann_ivf": (
-        # IVF: centroids + probe sets broadcast (corpus never shuffles
-        # to meet them), assignment argmax aggregates map-side partial
-        ["BroadcastHashJoin", "partial_"],
+        # IVF served from the materialized cid-partitioned index:
+        # probe sets broadcast (the index never shuffles to meet
+        # them), and dynamic partition pruning turns the probe join
+        # into PartitionFilters on the index scan — only the probed
+        # lists' directories are read
+        ["BroadcastHashJoin", "dynamicpruningexpression"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "q73_asof_join": (
