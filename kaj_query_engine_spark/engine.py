@@ -100,3 +100,68 @@ def _fmt(value: object) -> str:
     if value is None:
         return "-NULL-"  # mirrors QueryMain.java:299-300
     return str(value)
+
+
+class KajEngineGolden(KajEngine):
+    """Strict-compat engine with a byte-level reference sink: the
+    output dialect of ``QueryMain.executeQuery``/``printSchema``/
+    ``printTuple`` (``src/QueryMain.java:186-306``) exactly —
+    ``tab.col`` header tokens each followed by TWO spaces (aggregates
+    as ``AGG(tab.col)``), every data cell followed by a tab, nulls as
+    ``-NULL-``. Used by the golden-file tests that byte-diff this
+    engine against the compiled reference engine's ``query.out``.
+    """
+
+    def __init__(self, spark: SparkSession):
+        super().__init__(spark, strict_compat=True)
+
+    def header_tokens(self, query_text: str) -> list[str]:
+        """The reference result header for ``query_text``: projection
+        order when a project list exists; for ``SELECT *`` the join
+        output schema — each table's columns in schema order, tables
+        concatenated in the same component-merge order ``lower()``
+        builds its join tree in (``dialect/lowering.py``), which is the
+        order Spark concatenates join output columns in. The reference
+        prints ITS optimizer's join order here (randomized per run), so
+        a byte-compare permutes columns by these unique qualified
+        names first."""
+        from kaj_query_engine_spark.dialect.ast import AggType
+
+        q = parse(query_text)
+        if q.project_list:
+            return [
+                a.display() if a.agg is not AggType.NONE else a.qualified()
+                for a in q.project_list
+            ]
+        # SELECT *: replay lower()'s component merge over table names
+        order: dict[str, list[str]] = {n.lower(): [n] for n in q.from_list}
+        root: dict[str, str] = {n.lower(): n.lower() for n in q.from_list}
+        for cond in q.joins:
+            lc, rc = root[cond.lhs.table.lower()], root[cond.rhs.table.lower()]
+            if lc == rc:
+                continue
+            order[lc] += order[rc]
+            for k, r in root.items():
+                if r == rc:
+                    root[k] = lc
+            del order[rc]
+        return [
+            f"{name}.{col}"
+            for chain in order.values()
+            for name in chain
+            for col in self.catalog.table(name.lower()).columns
+        ]
+
+    def execute_to_golden(self, query_text: str, out_path: str) -> list[str]:
+        """Run ``query_text`` and write ONE local file in the exact
+        QueryMain byte dialect (driver-collect — reference-scale
+        results are tiny by construction). Returns the header tokens.
+        """
+        tokens = self.header_tokens(query_text)
+        rows = self.sql(query_text).collect()
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as fh:
+            fh.write("".join(t + "  " for t in tokens) + "\n")
+            for row in rows:
+                fh.write("".join(_fmt(v) + "\t" for v in row) + "\n")
+        return tokens

@@ -1,0 +1,154 @@
+"""Golden-file byte-compare against the COMPILED reference engine.
+
+Compiles ``/root/reference`` (copied to a temp dir — the reference
+tree is read-only), generates its test database with ``RandomDB`` +
+``ConvertTxtToTbl``, runs ``QueryMain`` on every shipped test query
+(query1-7, 9, 10 — there is no query8), then runs the SAME dialect
+text over the SAME generated data through :class:`KajEngineGolden`
+and byte-diffs the two result files.
+
+What "byte-diff" means here, and why:
+
+- The reference's ``RandomOptimizer`` randomizes join order per run
+  (``src/qp/optimizer/RandomOptimizer.java``), which makes BOTH the
+  column order of ``SELECT *`` join results (schema = concat in join
+  order) and the row order of its output nondeterministic across its
+  own runs. So the comparison is exact bytes modulo exactly those two
+  documented freedoms: columns are aligned by their unique qualified
+  header tokens, rows compared as a sorted multiset of rendered lines.
+- For queries whose header order IS deterministic (explicit project
+  lists, single-table ``SELECT *``) the header line must match
+  byte-for-byte, including the reference's two-space token separators
+  (``src/QueryMain.java:276-290``) and per-cell trailing tabs
+  (``printTuple``, ``src/QueryMain.java:292-306``).
+
+Env-skipped when no JDK is present.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import pytest
+
+REF = "/root/reference"
+TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL")
+QUERIES = (1, 2, 3, 4, 5, 6, 7, 9, 10)
+# explicit project list or single-table FROM → deterministic header
+DETERMINISTIC_HEADER = {1, 2, 3, 7, 9}
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="JDK not available to compile the reference engine",
+)
+
+
+def _run(args, cwd, timeout=300):
+    proc = subprocess.run(
+        args, cwd=cwd, capture_output=True, text=True, timeout=timeout
+    )
+    assert proc.returncode == 0, (
+        f"{' '.join(args)} failed:\n{proc.stdout}\n{proc.stderr}"
+    )
+    return proc
+
+
+@pytest.fixture(scope="session")
+def ref_work(tmp_path_factory):
+    """Compile the reference, generate its DB, run all test queries;
+    returns the work dir holding ``queryN.sql``, ``<T>.det/.txt`` and
+    the reference's ``refN.out`` result files."""
+    ws = tmp_path_factory.mktemp("refgolden")
+    for d in ("src", "lib", "testcases"):
+        shutil.copytree(f"{REF}/{d}", ws / d)
+    (ws / "classes").mkdir()
+    _run(
+        [
+            "javac", "-d", "classes", "-classpath", "lib",
+            "-sourcepath", "src", "src/QueryMain.java",
+            "src/ConvertTxtToTbl.java", "src/RandomDB.java",
+        ],
+        cwd=ws,
+    )
+    work = ws / "work"
+    work.mkdir()
+    for f in (ws / "testcases").iterdir():
+        shutil.copy(f, work / f.name)
+    cp = f"{ws}/classes:{ws}/lib"
+    for t in TABLES:
+        _run(["java", "-cp", cp, "RandomDB", t, "100"], cwd=work)
+        _run(["java", "-cp", cp, "ConvertTxtToTbl", t], cwd=work)
+    for q in QUERIES:
+        # args: queryfile resultfile pagesize numbuffer <5th arg skips
+        # the interactive continue prompt, QueryMain.java:166-180>
+        _run(
+            [
+                "java", "-cp", cp, "QueryMain", f"query{q}.sql",
+                f"ref{q}.out", "8192", "1000", "auto",
+            ],
+            cwd=work,
+        )
+    return work
+
+
+@pytest.fixture(scope="session")
+def golden_engine(spark, ref_work):
+    """KajEngineGolden over the REFERENCE-generated data: each
+    ``<T>.txt`` (tab-separated, trailing tab per row) read with the
+    ``.det`` schema — INTEGER→int, STRING→string, exactly the typing
+    ``ConvertTxtToTbl`` applies."""
+    from kaj_query_engine_spark.engine import KajEngineGolden
+    from kaj_query_engine_spark.sources.datagen import load_det
+
+    typ = {"INTEGER": "int", "STRING": "string", "REAL": "float"}
+    eng = KajEngineGolden(spark)
+    for t in TABLES:
+        det = load_det(str(ref_work / f"{t}.det"))
+        ddl = ", ".join(f"{c.name} {typ[c.dtype]}" for c in det.columns)
+        df = (
+            spark.read.schema(ddl + ", _trail string")
+            .csv(str(ref_work / f"{t}.txt"), sep="\t")
+            .drop("_trail")  # every data row ends with a tab
+        )
+        eng.register(t.lower(), df)
+    return eng
+
+
+def _split(raw: bytes) -> tuple[str, list[str]]:
+    header, _, body = raw.decode().partition("\n")
+    lines = [ln for ln in body.split("\n") if ln != ""]
+    return header, lines
+
+
+def _tokens(header: str) -> list[str]:
+    return [t for t in header.split("  ") if t]
+
+
+@pytest.mark.parametrize("qnum", QUERIES)
+def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
+    qtext = (ref_work / f"query{qnum}.sql").read_text()
+    out_path = ref_work / f"mine{qnum}.out"
+    golden_engine.execute_to_golden(qtext, str(out_path))
+
+    ref_header, ref_lines = _split((ref_work / f"ref{qnum}.out").read_bytes())
+    my_header, my_lines = _split(out_path.read_bytes())
+    ref_toks, my_toks = _tokens(ref_header), _tokens(my_header)
+
+    if qnum in DETERMINISTIC_HEADER:
+        assert my_header == ref_header  # byte-exact, two-space dialect
+    else:
+        # join order (and with it SELECT * column order) is the
+        # reference optimizer's per-run random choice — align columns
+        # by qualified name, which must be the same unique set
+        assert sorted(my_toks) == sorted(ref_toks)
+
+    perm = [ref_toks.index(t) for t in my_toks]
+
+    def realign(line: str) -> str:
+        cells = line.split("\t")[:-1]  # trailing tab → drop empty tail
+        return "".join(cells[p] + "\t" for p in perm)
+
+    assert sorted(realign(ln) for ln in ref_lines) == sorted(my_lines), (
+        f"query{qnum}: result multiset differs from the reference engine"
+    )
