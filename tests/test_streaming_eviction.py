@@ -47,6 +47,29 @@ from kaj_query_engine_spark.streaming import (
 
 _QN = itertools.count()
 
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    """Run every eviction scenario on BOTH state-store providers: the
+    default HDFS-backed in-memory store and RocksDB (the deployable
+    backend once state exceeds executor heap). Watermark eviction and
+    late-row drop are provider-owned behaviors — ``numRowsRemoved``
+    comes from the store's commit path — so provider parity here is a
+    semantic claim, not a config detail."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if request.param == "rocksdb":
+        spark.conf.set(key, _ROCKSDB)
+        try:
+            yield request.param
+        finally:
+            spark.conf.unset(key)
+    else:
+        yield request.param
+
 
 def _ts(s: str):
     """'10:01:30' -> pandas Timestamp on a fixed date (UTC wall clock)."""
@@ -118,7 +141,7 @@ def _state_rows_series(progress):
     ]
 
 
-def test_window_agg_drops_late_row_and_evicts_state(spark, tmp_path):
+def test_window_agg_drops_late_row_and_evicts_state(spark, tmp_path, state_provider):
     """A row older than the watermark is dropped from its (already
     closed) window, and closed windows leave the state store."""
     stream_dir = _write_stream_files(
@@ -165,7 +188,7 @@ def test_window_agg_drops_late_row_and_evicts_state(spark, tmp_path):
     assert series and series[-1] < max(series)
 
 
-def test_dedup_within_watermark_expires_state(spark, tmp_path):
+def test_dedup_within_watermark_expires_state(spark, tmp_path, state_provider):
     """dropDuplicatesWithinWatermark dedups only within the horizon:
     a duplicate inside it is dropped, a re-arrival after state expiry
     passes through, and expired keys leave the state store."""
@@ -205,7 +228,7 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
     assert series and series[-1] < max(series)
 
 
-def test_session_windows_close_and_evict(spark, tmp_path):
+def test_session_windows_close_and_evict(spark, tmp_path, state_provider):
     """Session windows (dynamic gap) leave the state store once the
     watermark passes their end+gap, and closed sessions emit exactly
     their member events."""
@@ -250,7 +273,7 @@ def test_session_windows_close_and_evict(spark, tmp_path):
     assert series and series[-1] < max(series)
 
 
-def test_stream_stream_join_evicts_buffered_state(spark, tmp_path):
+def test_stream_stream_join_evicts_buffered_state(spark, tmp_path, state_provider):
     """A watermarked interval join buffers both sides in the state
     store only as long as watermark + join window require: matched
     pairs emit across micro-batches and old buffered rows are evicted
@@ -304,7 +327,7 @@ def test_stream_stream_join_evicts_buffered_state(spark, tmp_path):
     assert series and series[-1] < max(series)
 
 
-def test_multi_batch_totals_match_single_batch(spark, tmp_path):
+def test_multi_batch_totals_match_single_batch(spark, tmp_path, state_provider):
     """Regression guard: splitting input across micro-batches must not
     change a watermarked aggregation's on-time results (same rows in
     one file vs three), i.e. incremental execution is exactly batch
