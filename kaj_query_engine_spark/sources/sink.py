@@ -30,6 +30,34 @@ def _py_str_timestamp(c: Column) -> Column:
     )
 
 
+def _warn_if_tz_mismatch(df: DataFrame) -> None:
+    """Raw mode's timestamp byte-compatibility with the driver-collect
+    path assumes process tz == ``spark.sql.session.timeZone`` (see the
+    docstring below). A documented assumption should fail LOUDLY, so
+    warn when it doesn't hold and the frame actually carries
+    TimestampType (NTZ is wall-clock, unaffected)."""
+    if not any(isinstance(f.dataType, TimestampType) for f in df.schema.fields):
+        return
+    import datetime
+    import warnings
+    from zoneinfo import ZoneInfo
+
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    try:
+        now_utc = datetime.datetime.now(tz=ZoneInfo("UTC"))
+        session_off = ZoneInfo(session_tz).utcoffset(now_utc)
+        process_off = now_utc.astimezone().utcoffset()
+    except Exception:
+        return  # unparseable tz id — nothing reliable to compare
+    if session_off != process_off:
+        warnings.warn(
+            f"raw TSV sink: session timezone {session_tz!r} differs from "
+            "the process timezone — TimestampType cells will not be "
+            "byte-compatible with driver-collect str(datetime) output",
+            stacklevel=3,
+        )
+
+
 def write_result_tsv(
     df: DataFrame,
     path: str,
@@ -61,6 +89,7 @@ def write_result_tsv(
     """
     out = df.coalesce(1) if single_file else df
     if raw:
+        _warn_if_tz_mismatch(df)
         # timestamp cells must match str(datetime); NTZ first casts to
         # TIMESTAMP (UTC session -> identical wall clock)
         for f in out.schema.fields:

@@ -69,3 +69,35 @@ def test_raw_sink_ntz_timestamps_match(spark, tmp_path):
     write_result_tsv(df, out, null_value="-NULL-", raw=True)
     (line,) = _read_tsv_dir(out)
     assert line == "1\t2024-06-01 12:00:00.123456"
+
+
+def test_raw_sink_warns_on_session_process_tz_mismatch(spark, tmp_path):
+    """The raw sink's TimestampType byte-compatibility assumes process
+    tz == session tz; when they diverge the documented assumption must
+    fail loudly (a warning), and stay silent when they match or when
+    no TimestampType column is present."""
+    import warnings
+
+    from kaj_query_engine_spark.sources.sink import write_result_tsv
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 10, 30))], "id long, ts timestamp"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            write_result_tsv(df, str(tmp_path / "o1"), raw=True)
+        assert any("byte-compatible" in str(w.message) for w in caught)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # matching tz (the session default is the process tz in tests) and
+    # timestamp-free frames stay silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        write_result_tsv(df, str(tmp_path / "o2"), raw=True)
+        write_result_tsv(
+            df.select("id"), str(tmp_path / "o3"), raw=True
+        )
+    assert not [w for w in caught if "byte-compatible" in str(w.message)]

@@ -40,6 +40,14 @@ TABLES = (
 ).split()
 
 
+# count of datetime cells collapsed to bare dates by canon() — the
+# tolerance that lets Spark DATE meet DuckDB datetime64 also masks a
+# genuine TIMESTAMP↔DATE type regression, so the main loop surfaces a
+# per-query note whenever the branch fired (deliberate tolerance, kept
+# visible; see ADVICE round 4)
+_midnight_collapses = 0
+
+
 def canon(v):
     import numpy as np
 
@@ -62,6 +70,8 @@ def canon(v):
         # hands DATE columns back as datetime.date while DuckDB .df()
         # hands datetime64 Timestamps — both sides must meet in one form
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            global _midnight_collapses
+            _midnight_collapses += 1
             return v.strftime("%Y-%m-%d")
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):  # after datetime (its subclass)
@@ -129,6 +139,8 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:120]}")
             continue
+        global _midnight_collapses
+        _midnight_collapses = 0
         try:
             sc, sb = normalize(s_pdf)
             dc, db = normalize(d_pdf)
@@ -152,7 +164,13 @@ def main():
             print(f"   spark: {diff[1][:200]}")
             print(f"   duck : {diff[2][:200]}")
         else:
-            print(f"PASS {name} ({len(sb)} rows, {time.time()-t0:.1f}s)")
+            note = (
+                f" [note: {_midnight_collapses} midnight timestamps "
+                "canonicalized to dates]"
+                if _midnight_collapses
+                else ""
+            )
+            print(f"PASS {name} ({len(sb)} rows, {time.time()-t0:.1f}s){note}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 

@@ -85,8 +85,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         # min/max over the Morton-compact files)
         [
             "PartitionFilters: [event_type",
-            "GreaterThanOrEqual(user_id,20)",
-            "GreaterThanOrEqual(value,50.0)",
+            # pin the PREDICATE reaching the scan, not the literal's
+            # rendering (Spark-version-dependent formatting)
+            "GreaterThanOrEqual(user_id,",
+            "GreaterThanOrEqual(value,",
         ],
         [],
     ),

@@ -316,6 +316,94 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # ---- flagship join under power-law o_custkey -------------------
+    # q00's shape (fact ⋈ fact on orderkey, then ⋈ customer on
+    # custkey, grouped revenue) with HALF of all orders on one hot
+    # customer — the round-5 de-hinted plan's worst case. Broadcast is
+    # disabled so the customer join must SHUFFLE on the skewed key
+    # (the 100 TB situation where the dim outgrows the broadcast
+    # threshold), and AQE's skew-join split is the mechanism under
+    # test: the probe records both the scaling exponent and whether
+    # the executed plan actually split the hot partition (skew=true).
+    FLAG_BASE_ORDERS = 100_000
+    _flag_cache: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+    _flag_notes: dict[str, object] = {}
+
+    def flagship_tables(k: int):
+        if k not in _flag_cache:
+            n = FLAG_BASE_ORDERS * k
+            orders = spark.range(n).select(
+                F.col("id").alias("o_orderkey"),
+                F.when(F.rand(seed=5) < 0.5, F.lit(0))
+                .otherwise((F.rand(seed=9) * (n // 10)).cast("long"))
+                .alias("o_custkey"),
+                (F.rand(seed=3) * 1000).alias("o_totalprice"),
+            )
+            lines = spark.range(n * 4).select(
+                (F.col("id") % n).alias("l_orderkey"),
+                (F.rand(seed=17) * 100).alias("l_extendedprice"),
+                (F.rand(seed=19) * 0.1).alias("l_discount"),
+            )
+            cust = spark.range(max(n // 10, 5)).select(
+                F.col("id").alias("c_custkey"),
+                (F.col("id") % 5).alias("c_segment"),
+            )
+            out = []
+            for nm, df in (("orders", orders), ("lines", lines), ("cust", cust)):
+                p = f"{scratch}/flag_{nm}_{k}"
+                df.write.mode("overwrite").parquet(p)
+                out.append(spark.read.parquet(p))
+            _flag_cache[k] = tuple(out)
+        return _flag_cache[k]
+
+    def run_flagship_skew(k: int) -> None:
+        confs = {
+            # broadcast OFF: the dim has outgrown the threshold, the
+            # plan must degrade to a shuffled join — not OOM (this is
+            # exactly what removing the F.broadcast hint buys)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            # miniature-scale skew thresholds (defaults are 256 MB /
+            # factor 5 — calibrated for real clusters); the MECHANISM
+            # is what's probed, thresholds are deployment tuning
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        }
+        saved = {c: spark.conf.get(c, None) for c in confs}
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        try:
+            orders, lines, cust = flagship_tables(k)
+            c = cust.filter(F.col("c_segment") == 0)  # hot key kept
+            joined = (
+                lines.join(orders, lines.l_orderkey == orders.o_orderkey)
+                .join(c, orders.o_custkey == c.c_custkey)
+                .groupBy("o_orderkey")
+                .agg(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("revenue")
+                )
+            )
+            # 1-row global reduce so collect() executes THIS plan and
+            # the final AQE physical plan (skew splits included) is
+            # inspectable on it
+            out = joined.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("revenue").alias("total"),
+            )
+            out.collect()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            _flag_notes["skew_split_fired"] = "skew=true" in plan
+        finally:
+            for c, v in saved.items():
+                if v is None:
+                    spark.conf.unset(c)
+                else:
+                    spark.conf.set(c, v)
+
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "embedding_neardup": run_neardup,
@@ -329,6 +417,7 @@ def main() -> None:
         "ivf_query_materialized": run_ivf,
         "salted_agg_skewed": run_salted_skew,
         "cc_skewed": run_cc_skew,
+        "flagship_join_skewed": run_flagship_skew,
     }
     # which generator feeds each op — inputs are materialized for ALL
     # scales BEFORE an op's timing loop, so the timed region never
@@ -348,6 +437,7 @@ def main() -> None:
         "ivf_query_materialized": vecs,
         "salted_agg_skewed": skewed_rows,
         "cc_skewed": hub_edges,
+        "flagship_join_skewed": flagship_tables,
     }
     base_docs = base_docs_df.count()
     for name, fn in ops.items():
@@ -369,6 +459,8 @@ def main() -> None:
             base_n = SKEW_BASE_ROWS
         elif name == "cc_skewed":
             base_n = SKEW_BASE_ROWS // 4
+        elif name == "flagship_join_skewed":
+            base_n = FLAG_BASE_ORDERS
         elif name in ("embedding_neardup", "ann_lsh_topk", "ivf_query_materialized"):
             base_n = base_vecs
         else:
@@ -386,9 +478,47 @@ def main() -> None:
         e = math.log(max(secs[-1], 0.01) / max(secs[-2], 0.01)) / math.log(
             SCALES[-1] / SCALES[-2]
         )
+        record = {"op": name, "n": ns, "sec": secs, "exponent": round(e, 2)}
+        if name == "flagship_join_skewed":
+            record["skew_split_fired"] = _flag_notes.get("skew_split_fired")
+            assert record["skew_split_fired"], (
+                "AQE did not split the hot o_custkey partition — "
+                "check skewJoin thresholds vs partition sizes"
+            )
+        _emit(record, sf_dir)
+
+    # ---- MinHash recall under growth --------------------------------
+    # The recall floor in tests/test_dedup_similarity.py is pinned at
+    # fixture size; band/row parameters must HOLD it as the corpus
+    # grows, so re-pin it here at 4x replication against the exact
+    # Jaccard verifier (replicas share zero shingles, so the true-pair
+    # set is the base pairs replayed inside each copy).
+    recall_name = "minhash_recall_4x"
+    if not op_filter or op_filter in recall_name:
+        d4 = docs(4)
+        exact = {
+            tuple(sorted((r.d1, r.d2)))
+            for r in D.ngram_jaccard_pairs(
+                d4, "doc_id", "text", threshold=0.4
+            ).select("d1", "d2").collect()
+        }
+        cand = {
+            tuple(sorted((r.d1, r.d2)))
+            for r in D.minhash_lsh_candidates(d4, "doc_id", "text")
+            .select("d1", "d2")
+            .collect()
+        }
+        recall = len(cand & exact) / max(len(exact), 1)
         _emit({
-            "op": name, "n": ns, "sec": secs, "exponent": round(e, 2),
+            "op": recall_name,
+            "n_true_pairs": len(exact),
+            "recall": round(recall, 4),
+            "floor": 0.9,
         }, sf_dir)
+        assert exact, "4x corpus should contain true near-dup pairs"
+        assert recall >= 0.9, (
+            f"MinHash candidate recall degraded under growth: {recall:.3f}"
+        )
 
 
 if __name__ == "__main__":
