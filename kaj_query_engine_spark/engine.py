@@ -157,11 +157,31 @@ class KajEngineGolden(KajEngine):
         QueryMain byte dialect (driver-collect — reference-scale
         results are tiny by construction). Returns the header tokens.
         """
+        from pyspark.sql import types as T
+
+        from kaj_query_engine_spark.sources.javafmt import (
+            java_double_str,
+            java_float_str,
+        )
+
         tokens = self.header_tokens(query_text)
-        rows = self.sql(query_text).collect()
+        df = self.sql(query_text)
+        # REAL cells print through Java Float.toString in the reference
+        # (QueryMain.java:296-297) — "1.0E-4", not Python's "0.0001"
+        cell_fmt = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.FloatType):
+                cell_fmt.append(lambda v: _fmt(v) if v is None else java_float_str(v))
+            elif isinstance(f.dataType, T.DoubleType):
+                cell_fmt.append(lambda v: _fmt(v) if v is None else java_double_str(v))
+            else:
+                cell_fmt.append(_fmt)
+        rows = df.collect()
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as fh:
             fh.write("".join(t + "  " for t in tokens) + "\n")
             for row in rows:
-                fh.write("".join(_fmt(v) + "\t" for v in row) + "\n")
+                fh.write(
+                    "".join(fmt(v) + "\t" for fmt, v in zip(cell_fmt, row)) + "\n"
+                )
         return tokens

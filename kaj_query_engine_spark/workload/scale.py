@@ -70,6 +70,24 @@ def _stamp_layout(token: _LayoutToken, dst: str) -> None:
     (Path(dst) / "_src_token").write_text(token.text)
 
 
+def _bucketed(spark, sf_dir, src_name, table, cols, bucket_col) -> None:
+    """Ensure a bucketed catalog table over ``<sf_dir>/<src_name>`` —
+    written ONCE per fixture generation (same staleness-token rule as
+    the layout copies; the marker lives inside the warehouse table
+    directory, where Spark ignores underscore-prefixed files). Bucket
+    metadata exists only in the session catalog, so a fresh session
+    rewrites once even if the files survived — the amortization is
+    per-session + per-generation, which is what the bench measures."""
+    src = f"{sf_dir}/{src_name}.parquet"
+    token = _layout_token(src, f"bucket:{bucket_col}:8:v1")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    dst = str(Path(warehouse.removeprefix("file:")) / table.lower())
+    if spark.catalog.tableExists(table) and _layout_current(token, dst):
+        return
+    write_bucketed(t(spark, sf_dir, src_name).select(*cols), table, bucket_col)
+    _stamp_layout(token, dst)
+
+
 @register(
     "q35_partition_pruning",
     "SELECT event_type AS grp, count(*) AS n, "
@@ -135,13 +153,9 @@ def q35(spark, sf_dir):
 def q36(spark, sf_dir):
     tag = _tag(sf_dir)
     ct, ot = f"customer_b_{tag}", f"orders_b_{tag}"
-    write_bucketed(
-        t(spark, sf_dir, "customer").select("c_custkey", "c_name"), ct, "c_custkey"
-    )
-    write_bucketed(
-        t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-        ot,
-        "o_custkey",
+    _bucketed(spark, sf_dir, "customer", ct, ["c_custkey", "c_name"], "c_custkey")
+    _bucketed(
+        spark, sf_dir, "orders", ot, ["o_custkey", "o_totalprice"], "o_custkey"
     )
     c, o = spark.table(ct), spark.table(ot)
     # merge hint: prove the bucketed SMJ path (broadcast would hide it)

@@ -33,10 +33,10 @@ import subprocess
 import pytest
 
 REF = "/root/reference"
-TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL")
+TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL", "PRICES")
 QUERIES = (1, 2, 3, 4, 5, 6, 7, 9, 10)
 # explicit project list or single-table FROM → deterministic header
-DETERMINISTIC_HEADER = {1, 2, 3, 7, 9}
+DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2"}
 
 pytestmark = pytest.mark.skipif(
     shutil.which("javac") is None or shutil.which("java") is None,
@@ -75,11 +75,25 @@ def ref_work(tmp_path_factory):
     work.mkdir()
     for f in (ws / "testcases").iterdir():
         shutil.copy(f, work / f.name)
+    # REAL-column coverage: the shipped testcases are INTEGER/STRING
+    # only, so float rendering (Java Float.toString) would go
+    # unexercised — add a table with a REAL column and two queries
+    (work / "PRICES.det").write_text(
+        "3\n28\n"
+        "pid INTEGER 200 PK 4\n"
+        "price REAL 2500 NK 4\n"
+        "label STRING 10 NK 20\n"
+    )
+    (work / "queryR1.sql").write_text("SELECT *\nFROM PRICES")
+    (work / "queryR2.sql").write_text(
+        "SELECT PRICES.pid,PRICES.price\nFROM PRICES\n"
+        'WHERE PRICES.price>"1200"'
+    )
     cp = f"{ws}/classes:{ws}/lib"
     for t in TABLES:
         _run(["java", "-cp", cp, "RandomDB", t, "100"], cwd=work)
         _run(["java", "-cp", cp, "ConvertTxtToTbl", t], cwd=work)
-    for q in QUERIES:
+    for q in (*QUERIES, "R1", "R2"):
         # args: queryfile resultfile pagesize numbuffer <5th arg skips
         # the interactive continue prompt, QueryMain.java:166-180>
         _run(
@@ -125,7 +139,7 @@ def _tokens(header: str) -> list[str]:
     return [t for t in header.split("  ") if t]
 
 
-@pytest.mark.parametrize("qnum", QUERIES)
+@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2"))
 def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
     qtext = (ref_work / f"query{qnum}.sql").read_text()
     out_path = ref_work / f"mine{qnum}.out"
@@ -152,3 +166,75 @@ def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
     assert sorted(realign(ln) for ln in ref_lines) == sorted(my_lines), (
         f"query{qnum}: result multiset differs from the reference engine"
     )
+
+
+_FUZZ_JAVA = """
+public class PrintFloats {
+    public static void main(String[] args) {
+        java.util.Random r = new java.util.Random(42);
+        for (int i = 0; i < 8000; i++) {
+            int bits = r.nextInt();
+            float f = Float.intBitsToFloat(bits);
+            if (Float.isNaN(f)) continue;
+            System.out.println("F\\t" + bits + "\\t" + Float.toString(f));
+        }
+        for (int i = 0; i < 8000; i++) {
+            float f = 2500f * r.nextFloat();
+            System.out.println(
+                "F\\t" + Float.floatToIntBits(f) + "\\t" + Float.toString(f));
+        }
+        for (int i = 0; i < 8000; i++) {
+            long bits = r.nextLong();
+            double d = Double.longBitsToDouble(bits);
+            if (Double.isNaN(d)) continue;
+            System.out.println("D\\t" + bits + "\\t" + Double.toString(d));
+        }
+        for (int i = 0; i < 8000; i++) {
+            double d = 2500d * r.nextDouble();
+            System.out.println(
+                "D\\t" + Double.doubleToLongBits(d) + "\\t" + Double.toString(d));
+        }
+    }
+}
+"""
+
+
+def test_java_float_renderers_fuzz_parity(tmp_path):
+    """Fuzz the pure-Python Java-float renderers against the real JVM:
+    byte-identical for every value in the decimal range
+    [1e-3, 1e7) — the range all RandomDB REAL data lives in — on any
+    JDK, and round-trip-equal in the scientific range (JDK <= 18's
+    legacy FloatingDecimal emits extra non-shortest digits there;
+    JDK 19+ matches byte-for-byte)."""
+    import numpy as np
+
+    from kaj_query_engine_spark.sources.javafmt import (
+        java_double_str,
+        java_float_str,
+    )
+
+    (tmp_path / "PrintFloats.java").write_text(_FUZZ_JAVA)
+    _run(["javac", "PrintFloats.java"], cwd=tmp_path)
+    proc = _run(["java", "PrintFloats"], cwd=tmp_path)
+    n_inrange = 0
+    for line in proc.stdout.splitlines():
+        kind, bits_s, jstr = line.split("\t")
+        ftype = np.float32 if kind == "F" else np.float64
+        if kind == "F":
+            v = np.int32(int(bits_s)).view(np.float32)
+            mine = java_float_str(v)
+        else:
+            v = np.int64(int(bits_s)).view(np.float64)
+            mine = java_double_str(v)
+        a = abs(float(v))
+        if v == 0 or 1e-3 <= a < 1e7:
+            n_inrange += 1
+            assert mine == jstr, f"{kind} bits={bits_s}: java={jstr} mine={mine}"
+        else:
+            # scientific range: both strings must round-trip to the
+            # same value at the type's own precision; exact bytes
+            # depend on the JDK (<=18 prints extra non-shortest digits)
+            mv = ftype(mine.replace("Infinity", "inf"))
+            jv = ftype(jstr.replace("Infinity", "inf"))
+            assert mv == jv, f"{kind} bits={bits_s}: java={jstr} mine={mine}"
+    assert n_inrange > 5000  # the byte-exact claim actually got exercised
