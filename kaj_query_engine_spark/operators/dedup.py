@@ -267,10 +267,27 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     100 TB. Each round is two shuffles; the driver-side loop only
     checks a count — no data is collected.
 
-    Each round's label frame is localCheckpoint-ed: the self-join
-    references it twice and the next round builds on it, so without
-    lineage truncation the logical plan triples per round and
-    Catalyst analysis time goes exponential by round ~8.
+    Per-round cost is TWO Spark jobs (this dominates wall clock when
+    components are small and rounds are pure overhead, and bounds
+    scheduler pressure at 100 TB):
+
+    - one action materializes the round's labels behind a
+      ``localCheckpoint`` (the checkpoint bounds lineage — each
+      round's plan starts from the previous round's materialized
+      leaf, so Catalyst analysis stays O(1) per round instead of
+      going exponential by round ~8). The mid-round propagate frame
+      is NOT checkpointed: the pointer-doubling self-join reads it
+      twice, which merely duplicates one cheap in-job join subtree
+      while keeping the job count down;
+    - one 1-row aggregate implements the convergence test. Labels
+      are non-increasing per node (every update is ``least(old,
+      ...)``), so the label SUM strictly decreases until fixpoint
+      and "sum unchanged" ⟺ "no node changed" — an O(1)-output
+      map-side-partial agg instead of the previous
+      join-labels-to-labels changed-row count. DECIMAL(38,0)
+      accumulation keeps the sum exact for ~1e12 nodes with 1e12-
+      sized ids (int64 would overflow at that scale and a silently
+      wrapped sum could fake convergence).
     """
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
@@ -282,23 +299,24 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("cluster", F.col("id"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        # checkpointed: both sides of the pointer-doubling self-join
-        # read it (no recompute) AND its lineage is cut off
-        propagated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .localCheckpoint(eager=True)
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+            ).alias("cluster"),
         )
         # pointer doubling: cluster := cluster(cluster). Labels are
         # node ids, so the lookup is a self-join; a chain's labels
@@ -316,15 +334,11 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         edges.unpersist()
         raise RuntimeError(
