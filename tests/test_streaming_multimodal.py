@@ -236,3 +236,42 @@ def test_media_checksum_matches_hashlib(media):
 def test_decode_media_is_stubbed(media):
     with pytest.raises(NotImplementedError):
         M.decode_media(media)
+
+
+def test_stream_static_enrich_small_dim_still_broadcasts(spark):
+    """Round 5 removed the F.broadcast hint from stream_static_enrich
+    (a hint overrides the size threshold and would OOM on a grown
+    dimension at scale). This pins the other half of that trade: the
+    per-micro-batch planner must still CHOOSE a broadcast join on its
+    own when the dimension is small — the common enrichment case pays
+    no shuffle."""
+    from pyspark.sql import functions as F
+
+    from kaj_query_engine_spark.catalog import _read_parquet
+    from kaj_query_engine_spark.streaming import (
+        read_stream_table,
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(0, 150, 2)],
+        "user_id long, segment string",
+    )
+    s = read_stream_table(spark, SF_DIR, "events")
+    q = (
+        stream_static_enrich(s, dim, "user_id")
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # explainInternal(extended=False) renders the LAST executed
+        # micro-batch's physical plan
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    # AQE's rendering also includes the pre-adaptive initial plan
+    # (which may show a sort-merge join) — the claim is that the
+    # FINAL executed plan contains the broadcast join
+    assert "BroadcastHashJoin" in plan, plan
