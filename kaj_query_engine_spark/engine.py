@@ -134,9 +134,16 @@ class KajEngineGolden(KajEngine):
                 for a in q.project_list
             ]
         # SELECT *: replay lower()'s component merge over table names
+        from kaj_query_engine_spark.dialect.lowering import LoweringError
+
         order: dict[str, list[str]] = {n.lower(): [n] for n in q.from_list}
         root: dict[str, str] = {n.lower(): n.lower() for n in q.from_list}
         for cond in q.joins:
+            for side in (cond.lhs.table, cond.rhs.table):
+                if side.lower() not in root:
+                    # same diagnostic lower() raises for this input —
+                    # never a bare KeyError from the header replay
+                    raise LoweringError(f"unknown table in join: {cond}")
             lc, rc = root[cond.lhs.table.lower()], root[cond.rhs.table.lower()]
             if lc == rc:
                 continue

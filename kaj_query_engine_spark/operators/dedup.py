@@ -287,7 +287,10 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
       join-labels-to-labels changed-row count. DECIMAL(38,0)
       accumulation keeps the sum exact for ~1e12 nodes with 1e12-
       sized ids (int64 would overflow at that scale and a silently
-      wrapped sum could fake convergence).
+      wrapped sum could fake convergence). The sum witness applies
+      only to exact-numeric id types; string/other ids fall back to
+      the join-based changed count (one extra job per round) rather
+      than trust a lossy cast.
     """
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
@@ -300,12 +303,34 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # The label-sum convergence test is only sound when labels are
+    # exact numerics (the DECIMAL cast is lossless and the sum is a
+    # strictly monotone witness of change). For other id types (string
+    # doc ids are legitimate here — min() is lexicographic) fall back
+    # to the join-based changed-row count: one extra job per round,
+    # never a silent wrong answer from a lossy cast.
+    from pyspark.sql import types as _T
+
+    id_type = edges.schema["a"].dataType
+    numeric_ids = isinstance(
+        id_type,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType, _T.DecimalType),
+    )
+
     def label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
 
-    prev_sum = label_sum(labels)
+    def changed_rows(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -334,11 +359,15 @@ def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(new_labels)
+        if numeric_ids:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = changed_rows(new_labels, labels) == 0
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     else:
         edges.unpersist()
         raise RuntimeError(

@@ -38,6 +38,15 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def warehouse_table_dir(spark: SparkSession, table: str) -> Path:
+    """Filesystem directory of a managed catalog table — the ONE place
+    this resolution lives; cache-staleness guards that stamp markers
+    into the table dir must agree byte-for-byte with the directory
+    ``write_bucketed`` cleans."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return Path(warehouse.removeprefix("file:")) / table.lower()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -52,8 +61,7 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a prior session's managed-table directory may survive the
     # (in-memory) catalog; saveAsTable refuses to reuse the location
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = Path(warehouse.removeprefix("file:")) / table.lower()
+    leftover = warehouse_table_dir(spark, table)
     if leftover.exists():
         shutil.rmtree(leftover)
     writer = (

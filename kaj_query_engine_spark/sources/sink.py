@@ -45,7 +45,11 @@ def _warn_if_tz_mismatch(df: DataFrame) -> None:
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     try:
         now_utc = datetime.datetime.now(tz=ZoneInfo("UTC"))
-        session_off = ZoneInfo(session_tz).utcoffset(now_utc)
+        # convert the aware instant INTO the session zone — calling
+        # utcoffset(now_utc) directly would misread the UTC wall clock
+        # as zone-local time and compute the offset at the wrong
+        # instant inside DST transition windows
+        session_off = now_utc.astimezone(ZoneInfo(session_tz)).utcoffset()
         process_off = now_utc.astimezone().utcoffset()
     except Exception:
         return  # unparseable tz id — nothing reliable to compare

@@ -78,10 +78,16 @@ def _bucketed(spark, sf_dir, src_name, table, cols, bucket_col) -> None:
     metadata exists only in the session catalog, so a fresh session
     rewrites once even if the files survived — the amortization is
     per-session + per-generation, which is what the bench measures."""
+    from kaj_query_engine_spark.sources.layout import warehouse_table_dir
+
     src = f"{sf_dir}/{src_name}.parquet"
-    token = _layout_token(src, f"bucket:{bucket_col}:8:v1")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    dst = str(Path(warehouse.removeprefix("file:")) / table.lower())
+    # the token carries EVERY layout-defining parameter (projection,
+    # bucket key/count, per-bucket sort) so changing any of them
+    # invalidates the cached table instead of serving a stale layout
+    token = _layout_token(
+        src, f"bucket:{','.join(cols)}:{bucket_col}:n8:sorted:v1"
+    )
+    dst = str(warehouse_table_dir(spark, table))
     if spark.catalog.tableExists(table) and _layout_current(token, dst):
         return
     write_bucketed(t(spark, sf_dir, src_name).select(*cols), table, bucket_col)

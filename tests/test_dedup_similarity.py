@@ -485,3 +485,17 @@ def test_materialized_ivf_rebuilds_only_on_stale_token(spark):
     materialized_ivf_index(spark, SF_DIR)
     after = max(p.stat().st_mtime_ns for p in Path(apath).rglob("part-*"))
     assert before == after
+
+
+def test_cluster_duplicates_string_ids(spark):
+    """Connected components must work for non-numeric ids (string doc
+    ids are legitimate): a 4-chain and an isolated pair cluster to
+    their lexicographic minima. Guards the numeric-only label-sum
+    convergence shortcut — string ids take the join-based changed
+    count, not a lossy DECIMAL cast."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "d1 string, d2 string",
+    )
+    got = {r.id: r.cluster for r in D.cluster_duplicates(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}

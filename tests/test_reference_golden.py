@@ -139,8 +139,25 @@ def _tokens(header: str) -> list[str]:
     return [t for t in header.split("  ") if t]
 
 
+def _real_tokens(ref_work) -> set[str]:
+    """Qualified header tokens of REAL-typed columns, from the .det
+    specs — the cells whose byte rendering is JDK-version-dependent in
+    the scientific range (see ``sources/javafmt.py``)."""
+    from kaj_query_engine_spark.sources.datagen import load_det
+
+    out = set()
+    for t in TABLES:
+        det = load_det(str(ref_work / f"{t}.det"))
+        out.update(f"{t}.{c.name}" for c in det.columns if c.dtype == "REAL")
+    return out
+
+
 @pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2"))
 def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
+    import numpy as np
+
+    from kaj_query_engine_spark.sources.javafmt import java_float_str
+
     qtext = (ref_work / f"query{qnum}.sql").read_text()
     out_path = ref_work / f"mine{qnum}.out"
     golden_engine.execute_to_golden(qtext, str(out_path))
@@ -158,12 +175,29 @@ def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
         assert sorted(my_toks) == sorted(ref_toks)
 
     perm = [ref_toks.index(t) for t in my_toks]
+    # REAL cells: canonicalize BOTH files through the shortest-digit
+    # renderer. In the decimal range [1e-3, 1e7) — where RandomDB
+    # values land except a ~4e-7/row tail — this is the identity on
+    # every JDK (fuzz-pinned below); in the tail, JDK <= 18 prints
+    # extra non-shortest digits for the SAME float32 value, which
+    # must not read as a value mismatch. Parsing is correctly rounded
+    # on both sides, so canonicalization never masks a real
+    # difference in value.
+    real_idx = {i for i, t in enumerate(my_toks) if t in _real_tokens(ref_work)}
+
+    def canon(cells: list[str]) -> str:
+        return "".join(
+            (java_float_str(np.float32(c)) if i in real_idx and c != "-NULL-" else c)
+            + "\t"
+            for i, c in enumerate(cells)
+        )
 
     def realign(line: str) -> str:
         cells = line.split("\t")[:-1]  # trailing tab → drop empty tail
-        return "".join(cells[p] + "\t" for p in perm)
+        return canon([cells[p] for p in perm])
 
-    assert sorted(realign(ln) for ln in ref_lines) == sorted(my_lines), (
+    mine = [canon(ln.split("\t")[:-1]) for ln in my_lines]
+    assert sorted(realign(ln) for ln in ref_lines) == sorted(mine), (
         f"query{qnum}: result multiset differs from the reference engine"
     )
 

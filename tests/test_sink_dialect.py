@@ -92,11 +92,18 @@ def test_raw_sink_warns_on_session_process_tz_mismatch(spark, tmp_path):
         assert any("byte-compatible" in str(w.message) for w in caught)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    # matching tz (the session default is the process tz in tests) and
-    # timestamp-free frames stay silent
+    # silent cases: a timestamp-free frame never warns, and a frame
+    # with timestamps stays silent when session tz == process tz —
+    # the latter only assertable when this machine's process tz
+    # actually matches the session's UTC pin
+    from zoneinfo import ZoneInfo
+
+    now = datetime.datetime.now(tz=ZoneInfo("UTC"))
+    process_is_utc = now.astimezone().utcoffset() == datetime.timedelta(0)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        write_result_tsv(df, str(tmp_path / "o2"), raw=True)
+        if process_is_utc:
+            write_result_tsv(df, str(tmp_path / "o2"), raw=True)
         write_result_tsv(
             df.select("id"), str(tmp_path / "o3"), raw=True
         )

@@ -245,9 +245,6 @@ def test_stream_static_enrich_small_dim_still_broadcasts(spark):
     per-micro-batch planner must still CHOOSE a broadcast join on its
     own when the dimension is small — the common enrichment case pays
     no shuffle."""
-    from pyspark.sql import functions as F
-
-    from kaj_query_engine_spark.catalog import _read_parquet
     from kaj_query_engine_spark.streaming import (
         read_stream_table,
         stream_static_enrich,

@@ -143,6 +143,9 @@ def main():
         _midnight_collapses = 0
         try:
             sc, sb = normalize(s_pdf)
+            # snapshot after the SPARK frame only — the oracle frame
+            # hits the same branch and would double the surfaced count
+            spark_midnights = _midnight_collapses
             dc, db = normalize(d_pdf)
         except Exception as e:
             failures.append(name)
@@ -165,9 +168,9 @@ def main():
             print(f"   duck : {diff[2][:200]}")
         else:
             note = (
-                f" [note: {_midnight_collapses} midnight timestamps "
+                f" [note: {spark_midnights} midnight timestamps "
                 "canonicalized to dates]"
-                if _midnight_collapses
+                if spark_midnights
                 else ""
             )
             print(f"PASS {name} ({len(sb)} rows, {time.time()-t0:.1f}s){note}")
