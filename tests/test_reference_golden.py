@@ -36,7 +36,7 @@ REF = "/root/reference"
 TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL", "PRICES")
 QUERIES = (1, 2, 3, 4, 5, 6, 7, 9, 10)
 # explicit project list or single-table FROM → deterministic header
-DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2"}
+DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2", "R3"}
 
 pytestmark = pytest.mark.skipif(
     shutil.which("javac") is None or shutil.which("java") is None,
@@ -89,11 +89,18 @@ def ref_work(tmp_path_factory):
         "SELECT PRICES.pid,PRICES.price\nFROM PRICES\n"
         'WHERE PRICES.price>"1200"'
     )
+    # witness-quirk coverage (SURVEY §2.3.1): with BOTH aggregates
+    # present the reference emits the row(s) whose value in the FIRST
+    # MIN column equals the global minimum — MIN beats MAX
+    (work / "queryR3.sql").write_text(
+        "SELECT CUSTOMER.cid, MIN(CART.cartid), MAX(CART.cartid), "
+        "CART.status\nFROM CUSTOMER,CART\nWHERE CUSTOMER.cid=CART.cid"
+    )
     cp = f"{ws}/classes:{ws}/lib"
     for t in TABLES:
         _run(["java", "-cp", cp, "RandomDB", t, "100"], cwd=work)
         _run(["java", "-cp", cp, "ConvertTxtToTbl", t], cwd=work)
-    for q in (*QUERIES, "R1", "R2"):
+    for q in (*QUERIES, "R1", "R2", "R3"):
         # args: queryfile resultfile pagesize numbuffer <5th arg skips
         # the interactive continue prompt, QueryMain.java:166-180>
         _run(
@@ -152,7 +159,7 @@ def _real_tokens(ref_work) -> set[str]:
     return out
 
 
-@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2"))
+@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3"))
 def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
     import numpy as np
 

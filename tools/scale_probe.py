@@ -468,6 +468,17 @@ def main() -> None:
         fn(1)  # warm the plan shape so codegen isn't billed to 1x
         secs, ns = [], []
         for k in SCALES:
+            # settle the JVM before each timed step: drop cached
+            # relations and force a GC so the ASYNC ContextCleaner
+            # work left by a previous op (notably CC's per-round
+            # localCheckpoint RDDs) is not billed to this op's bracket
+            # — before this barrier, the two ops scheduled right after
+            # the CC probes read e≈2.0/1.3 from cleanup interference
+            # while an isolated re-run of the same op at the same
+            # scale read sub-linear with identical plans
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            time.sleep(0.5)
             t0 = time.time()
             fn(k)
             secs.append(round(time.time() - t0, 2))
