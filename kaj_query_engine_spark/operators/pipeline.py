@@ -70,12 +70,77 @@ def stratified_sample(
     return df.filter(u < expr)
 
 
+def _bloom_hash(s: Column, i: int) -> Column:
+    """i-th bloom hash of a shingle: an independently-salted xxhash64.
+    k separate hashes (not double hashing h1 + i*h2) because ANSI mode
+    rejects the wrapping add/multiply that scheme needs."""
+    return F.xxhash64(F.concat(s, F.lit(f"\x01bloom{i}")))
+
+
+def _benchmark_bloom(bench_sh: DataFrame, n_bits: int, k: int) -> bytes:
+    """Bloom bitset (bytes, LSB-first within each byte) over the
+    benchmark shingle set, built from the SAME JVM hashes the probe
+    expression computes — so membership has NO false negatives by
+    construction.
+
+    Returned as ``bytes`` so the plan embeds ONE BinaryType literal:
+    an array<long> literal of the same bitset costs ~8 s of
+    per-element py4j calls plus a 16k-child CreateArray analysis
+    (measured) — a single binary literal is one call, one node.
+
+    The collect is bounded: a benchmark suite is fixed-size by
+    definition (the same reason its distinct shingles are a broadcast
+    build side), and k longs per gram is far smaller than the
+    broadcast itself.
+    """
+    rows = bench_sh.select(
+        *[_bloom_hash(F.col("sh"), i).alias(f"h{i}") for i in range(k)]
+    ).collect()
+    bitset = bytearray(n_bits // 8)
+    for r in rows:
+        for i in range(k):
+            b = r[i] % n_bits  # Python % is non-negative, like F.pmod
+            bitset[b >> 3] |= 1 << (b & 7)
+    return bytes(bitset)
+
+
+def _bloom_member(bits: Column, n_bits: int, k: int):
+    """Element predicate for ``F.filter``: true iff all k bloom bits
+    of the shingle are set. Pure JVM expressions (xxhash64, substr on
+    the binary bitset, hex→int, shifts), evaluated per array element
+    inside the higher-order filter."""
+
+    def test(s: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(k):
+            b = F.pmod(_bloom_hash(s, i), F.lit(n_bits))
+            # the bitset byte: substr on BINARY yields a 1-byte
+            # binary; hex + base-16 conv is the JVM-side byte→int
+            byte = F.conv(
+                F.hex(F.substr(bits, F.shiftright(b, 3).cast("int") + F.lit(1), F.lit(1))),
+                16,
+                10,
+            ).cast("int")
+            # shiftright by a COLUMN amount: the SQL builtin accepts
+            # it; call_function bypasses the int-literal-only Python
+            # signature
+            bit = F.call_function(
+                "shiftright", byte, b.bitwiseAND(F.lit(7)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            cond = cond & (bit == F.lit(1))
+        return cond
+
+    return test
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    bloom_bits: int | None = 1 << 20,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """(id, n_shingles, n_hit, contamination) for every training doc
     that shares at least one word n-gram with the benchmark set — the
@@ -87,6 +152,17 @@ def decontaminate(
     per doc, so only matched (id, gram) rows reach the shuffle. At
     100 TB the train corpus is never re-partitioned and docs with no
     overlap cost nothing past the hash probe.
+
+    Bloom prefilter (``bloom_bits`` is not None, the default): the
+    benchmark set's bloom bitset is embedded as a plan literal and
+    each doc's shingle array is filtered BEFORE the explode, so only
+    probable hits materialize as rows — contamination is rare, so
+    this removes ~all of the exploded-row volume (the measured cost
+    center) while the exact join afterwards discards the bloom's
+    false positives. Results are bit-identical to the exact path:
+    bloom membership has no false negatives (build and probe use the
+    same JVM hashes), and ``n_shingles`` is taken from the UNfiltered
+    array. ``bloom_bits=None`` disables the prefilter.
     """
     from kaj_query_engine_spark.functions import text as TXT
 
@@ -103,10 +179,16 @@ def decontaminate(
         ).select("id", TXT.shingles_of_tokens(F.col("toks"), n).alias("shingles"))
 
     bench_sh = _sh(benchmark).select(F.explode("shingles").alias("sh")).distinct()
+    exploded = F.col("shingles")
+    if bloom_bits is not None:
+        bits = F.lit(_benchmark_bloom(bench_sh, bloom_bits, bloom_k))
+        exploded = F.filter(
+            F.col("shingles"), _bloom_member(bits, bloom_bits, bloom_k)
+        )
     tr = _sh(train).select(
         "id",
         F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("sh"),
+        F.explode(exploded).alias("sh"),
     )
     return (
         tr.join(F.broadcast(bench_sh), "sh")

@@ -98,3 +98,35 @@ def test_decontaminate_short_docs_drop_out(spark):
         [(10, "a b"), (11, "")], "doc_id long, text string"
     )
     assert P.decontaminate(train, bench, n=3).count() == 0
+
+
+def test_decontaminate_bloom_prefilter_is_exact(spark):
+    """The bloom prefilter must be invisible in results: identical
+    rows with and without it on a corpus where most docs DON'T overlap
+    (the pruning case) and some do (no false negatives), including a
+    tiny bitset that forces real false positives through to the exact
+    join."""
+    from kaj_query_engine_spark.operators import pipeline as P
+
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark prompt about spark engines")],
+        "doc_id long, text string",
+    )
+    rows = [(i, f"unrelated text number {i} with filler words") for i in range(40)]
+    rows += [
+        (50, "a doc quoting the benchmark prompt about spark engines verbatim"),
+        (51, "held out benchmark prompt appears here too"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(df):
+        return sorted(
+            (r.id, r.n_shingles, r.n_hit, round(r.contamination, 9))
+            for r in df.collect()
+        )
+
+    exact = norm(P.decontaminate(train, bench, n=3, bloom_bits=None))
+    bloomed = norm(P.decontaminate(train, bench, n=3))
+    tiny = norm(P.decontaminate(train, bench, n=3, bloom_bits=256, bloom_k=2))
+    assert exact == bloomed == tiny
+    assert exact, "fixture must actually contain contaminated docs"
