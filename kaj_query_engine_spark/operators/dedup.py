@@ -251,6 +251,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate
+    pairs: (d1, d2, jaccard) with jaccard >= threshold.
+
+    This is the 100 TB dedup composition: ``minhash_lsh_candidates``
+    (sub-quadratic, recall-pinned) proposes pairs, THIS verifies them
+    exactly — per-pair cost is two equi-join probes plus one in-memory
+    array intersection, so total work is O(candidates), never
+    O(corpus²) and never the inverted-index Σ|bucket|² of
+    :func:`ngram_jaccard_pairs` (which reads above-linear on corpora
+    whose vocabulary saturates — see PERF.md's round-5 probe notes;
+    that operator remains the moderate-scale / ground-truth path).
+
+    Jaccard doubles are bit-identical to ngram_jaccard_pairs: the same
+    distinct-shingle sets, the same int/int division.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", shingles_of_tokens(F.col("toks"), n).alias("shingles"))
+    a = sh.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
+    b = sh.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
+    common = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    jac = F.col("common") / (
+        F.size(F.col("sh1")) + F.size(F.col("sh2")) - F.col("common")
+    )
+    return (
+        pairs.select("d1", "d2")
+        .join(a, "d1")
+        .join(b, "d2")
+        .withColumn("common", common)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def cluster_duplicates(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over candidate-pair edges → (id, cluster)
     with cluster = min id reachable — the step that turns near-dup

@@ -44,7 +44,10 @@ def q50(spark, sf_dir):
     return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars", "n")
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """The MinHash+LSH candidate-pair CTE chain (everything after
+    ``_SH_CTE``), ending in ``cand(d1, d2)`` — shared between the
+    standalone q51 oracle and the composed verify branch of q52."""
     k, b, r = D.NUM_HASHES, D.NUM_BANDS, D.ROWS_PER_BAND
     base = "('0x' || substr(md5(sh), 1, 15))::BIGINT"
     sig_cols = ", ".join(
@@ -61,16 +64,19 @@ def _minhash_oracle() -> str:
         for i in range(b)
     )
     return (
-        f"{_SH_CTE}, "
         f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
         f"bands AS ({band_selects}), "
-        "width AS (SELECT band, key, count(*) AS w FROM bands GROUP BY 1, 2) "
-        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "width AS (SELECT band, key, count(*) AS w FROM bands GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
         "FROM bands a JOIN bands b "
         "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
         "JOIN width w ON a.band = w.band AND a.key = w.key "
-        f"AND w.w <= {D.MAX_BUCKET}"
+        f"AND w.w <= {D.MAX_BUCKET})"
     )
+
+
+def _minhash_oracle() -> str:
+    return f"{_SH_CTE}, {_minhash_cand_ctes()} SELECT d1, d2 FROM cand"
 
 
 @register(
@@ -87,20 +93,36 @@ def q51(spark, sf_dir):
 
 @register(
     "q52_ngram_jaccard",
-    f"{_SH_CTE}, "
+    f"{_SH_CTE}, {_minhash_cand_ctes()}, "
     "cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
     "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common "
-    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-    "SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "allp AS (SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
     "FROM pairs JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id "
-    "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4",
-    "exact 3-gram Jaccard pairs >= 0.4 via shingle inverted-index join "
-    "(the verifier for LSH candidates). Raw int/int division — "
-    "bit-identical across engines, no rounding",
+    "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4), "
+    "vcommon AS (SELECT c.d1, c.d2, count(*) AS common FROM cand c "
+    "JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh "
+    "GROUP BY 1, 2), "
+    "ver AS (SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
+    "FROM vcommon JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id "
+    "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4) "
+    "SELECT 'all' AS path, * FROM allp "
+    "UNION ALL SELECT 'pipeline' AS path, * FROM ver",
+    "exact 3-gram Jaccard pairs >= 0.4, two tagged branches: 'all' is "
+    "the inverted-index exact verifier over the whole corpus (ground "
+    "truth; above-linear on vocabulary-saturating corpora), "
+    "'pipeline' is the 100 TB composition — MinHash+LSH candidates "
+    "verified exactly per pair (two equi-join probes + one array "
+    "intersection per candidate; O(candidates), never all-pairs). "
+    "Raw int/int division — bit-identical across engines, no rounding",
 )
 def q52(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.4
+    d = t(spark, sf_dir, "documents")
+    allp = D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4)
+    cand = D.minhash_lsh_candidates(d, "doc_id", "text")
+    ver = D.verify_candidate_pairs(d, cand, "doc_id", "text", threshold=0.4)
+    return allp.select(F.lit("all").alias("path"), "*").unionAll(
+        ver.select(F.lit("pipeline").alias("path"), "*")
     )
 
 

@@ -499,3 +499,31 @@ def test_cluster_duplicates_string_ids(spark):
     )
     got = {r.id: r.cluster for r in D.cluster_duplicates(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_verify_candidate_pairs_matches_exact_verifier(spark):
+    """The candidate-verify composition must agree bit-for-bit with
+    the inverted-index exact verifier on every pair it emits, and must
+    emit exactly the candidate ∩ exact set (no pair invented, none
+    above threshold dropped)."""
+    from kaj_query_engine_spark.catalog import _read_parquet
+
+    docs = _read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    }
+    cand = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    cand_set = {(r.d1, r.d2) for r in cand.collect()}
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in D.verify_candidate_pairs(
+            docs, cand, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    assert set(got) == set(exact) & cand_set
+    for k, v in got.items():
+        assert v == exact[k]  # identical double, not just close
+    assert got, "fixture should contain verified near-dup pairs"

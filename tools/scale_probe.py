@@ -182,6 +182,17 @@ def main() -> None:
         pairs = D.minhash_lsh_candidates(d, "doc_id", "text")
         D.cluster_duplicates(pairs).write.format("noop").mode("overwrite").save()
 
+    def run_verified_pipeline(k: int) -> None:
+        # the 100 TB dedup composition: LSH candidates + exact
+        # per-pair verification — work is O(candidates), so this must
+        # stay ~linear even where the full inverted-index verifier
+        # reads above-linear (vocabulary-saturating corpora)
+        d = docs(k)
+        cand = D.minhash_lsh_candidates(d, "doc_id", "text")
+        D.verify_candidate_pairs(d, cand, "doc_id", "text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def run_ngram(k: int) -> None:
         # the exact verifier path: quadratic only WITHIN shared-shingle
         # buckets; replicas share zero shingles, so this must stay
@@ -411,6 +422,7 @@ def main() -> None:
         "exact_dedup": run_exact,
         "dedup_clusters_cc": run_cluster,
         "ngram_jaccard_exact": run_ngram,
+        "minhash_verified_pipeline": run_verified_pipeline,
         "ann_lsh_topk": run_ann,
         "decontaminate": run_decontaminate,
         "seq_packing": run_pack,
@@ -431,6 +443,7 @@ def main() -> None:
         "exact_dedup": docs,
         "dedup_clusters_cc": docs,
         "ngram_jaccard_exact": docs,
+        "minhash_verified_pipeline": docs,
         "ann_lsh_topk": vecs,
         "decontaminate": docs,
         "seq_packing": docs,
