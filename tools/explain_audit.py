@@ -136,6 +136,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "partial_"],
         ["Expand", "CartesianProduct"],
     ),
+    "q52_ngram_jaccard": (
+        # both branches equi-join shaped: the inverted-index bucket
+        # explode (Generate) + partial aggregates; the pipeline
+        # branch's per-candidate verify joins are hash/merge equi
+        # joins — never a cartesian or nested-loop pair blowup
+        ["Generate", "HashAggregate", "partial_", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "q51_minhash_lsh": (
         # minhash bands bucket via explode + groupBy (map-only until
         # the band-bucket exchange); pair generation never self-joins
