@@ -14,7 +14,7 @@ workload oracles mirror each one in DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny English stopword set used by the language heuristic and quality
@@ -133,3 +133,22 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     form; hot paths should project :func:`tokens` first and use
     :func:`shingles_of_tokens` (see its interpreted-lambda note)."""
     return shingles_of_tokens(tokens(col), n)
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles) — one distinct-shingle ARRAY per document, the
+    shared front half of decontamination and candidate-pair
+    verification (the exploded form is ``operators.dedup.shingle_table``).
+
+    Two-step select on purpose: ``tokens(text)`` materializes as a
+    column BEFORE the shingle lambda (higher-order transforms run
+    interpreted, so an inlined split would re-run once per gram), and
+    downstream code that both ``size()``-es and explodes the array
+    must reference this one alias twice so CollapseProject cannot
+    inline the expensive expression into a post-Generate projection.
+    """
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", shingles_of_tokens(F.col("toks"), n).alias("shingles"))

@@ -274,9 +274,23 @@ def verify_candidate_pairs(
     Jaccard doubles are bit-identical to ngram_jaccard_pairs: the same
     distinct-shingle sets, the same int/int division.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    ).select("id", shingles_of_tokens(F.col("toks"), n).alias("shingles"))
+    from kaj_query_engine_spark.functions.text import shingle_arrays
+
+    # shingle ONLY the docs that appear in some candidate pair — the
+    # corpus is semi-joined down first, so tokenize/shingle compute is
+    # bounded by the candidate set, not corpus size (candidates <<
+    # corpus is the whole premise of the composition)
+    need = (
+        pairs.select(F.col("d1").alias("_need_id"))
+        .unionByName(pairs.select(F.col("d2").alias("_need_id")))
+        .distinct()
+    )
+    sh = shingle_arrays(
+        df.join(need, F.col(id_col) == F.col("_need_id"), "semi"),
+        id_col,
+        text_col,
+        n,
+    )
     a = sh.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
     b = sh.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
     common = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))

@@ -77,6 +77,13 @@ def _bloom_hash(s: Column, i: int) -> Column:
     return F.xxhash64(F.concat(s, F.lit(f"\x01bloom{i}")))
 
 
+def _round_bits(n_bits: int) -> int:
+    """Bitset sizes round UP to whole bytes — a non-multiple-of-8
+    size would index one byte past the bytearray for tail bits (and
+    the probe's substr would read past the literal)."""
+    return max(8, (n_bits + 7) // 8 * 8)
+
+
 def _benchmark_bloom(bench_sh: DataFrame, n_bits: int, k: int) -> bytes:
     """Bloom bitset (bytes, LSB-first within each byte) over the
     benchmark shingle set, built from the SAME JVM hashes the probe
@@ -93,6 +100,10 @@ def _benchmark_bloom(bench_sh: DataFrame, n_bits: int, k: int) -> bytes:
     build side), and k longs per gram is far smaller than the
     broadcast itself.
     """
+    # build and probe MUST agree on n_bits (a silent round here with
+    # an unrounded probe would modulo into bits that were never set —
+    # false negatives); callers round via _round_bits first
+    assert n_bits % 8 == 0 and n_bits > 0, "n_bits must be a positive multiple of 8"
     rows = bench_sh.select(
         *[_bloom_hash(F.col("sh"), i).alias(f"h{i}") for i in range(k)]
     ).collect()
@@ -133,6 +144,29 @@ def _bloom_member(bits: Column, n_bits: int, k: int):
     return test
 
 
+def benchmark_bloom_bitset(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 4,
+) -> bytes:
+    """Build the benchmark-shingle bloom bitset ONCE for reuse across
+    many :func:`decontaminate` calls (pass it as ``bloom_bitset``).
+    Runs a real (small) Spark job: scan + shingle + distinct + k
+    hashes + collect over the benchmark side. ``bloom_bits`` rounds up
+    to whole bytes."""
+    from kaj_query_engine_spark.functions.text import shingle_arrays
+
+    bench_sh = (
+        shingle_arrays(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    return _benchmark_bloom(bench_sh, _round_bits(bloom_bits), bloom_k)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -141,6 +175,7 @@ def decontaminate(
     n: int = 5,
     bloom_bits: int | None = 1 << 20,
     bloom_k: int = 4,
+    bloom_bitset: bytes | None = None,
 ) -> DataFrame:
     """(id, n_shingles, n_hit, contamination) for every training doc
     that shares at least one word n-gram with the benchmark set — the
@@ -163,27 +198,30 @@ def decontaminate(
     bloom membership has no false negatives (build and probe use the
     same JVM hashes), and ``n_shingles`` is taken from the UNfiltered
     array. ``bloom_bits=None`` disables the prefilter.
-    """
-    from kaj_query_engine_spark.functions import text as TXT
 
-    # tokens then shingles materialize as columns stepwise: the
-    # higher-order shingle lambda runs interpreted, so an inlined
-    # split would re-run once per gram; and n_shingles is a group key,
-    # so if the raw array expression reached the post-Generate
-    # projection it would be re-evaluated once per exploded row
-    # (~|shingles|x the work). Referencing one alias twice stops
-    # CollapseProject from inlining it.
+    .. note:: building the bitset is EAGER — it runs a small Spark
+       job over the benchmark side at plan-construction time (the
+       literal must exist before the plan does). Repeated callers
+       should build once with :func:`benchmark_bloom_bitset` and pass
+       ``bloom_bitset=`` (``bloom_bits``/``bloom_k`` must then match
+       the build). ``bloom_bits`` rounds up to whole bytes.
+    """
+    from kaj_query_engine_spark.functions.text import shingle_arrays
+
     def _sh(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks")
-        ).select("id", TXT.shingles_of_tokens(F.col("toks"), n).alias("shingles"))
+        return shingle_arrays(df, id_col, text_col, n)
 
     bench_sh = _sh(benchmark).select(F.explode("shingles").alias("sh")).distinct()
     exploded = F.col("shingles")
     if bloom_bits is not None:
-        bits = F.lit(_benchmark_bloom(bench_sh, bloom_bits, bloom_k))
+        n_bits = _round_bits(bloom_bits)
+        bitset = (
+            bloom_bitset
+            if bloom_bitset is not None
+            else _benchmark_bloom(bench_sh, n_bits, bloom_k)
+        )
         exploded = F.filter(
-            F.col("shingles"), _bloom_member(bits, bloom_bits, bloom_k)
+            F.col("shingles"), _bloom_member(F.lit(bitset), n_bits, bloom_k)
         )
     tr = _sh(train).select(
         "id",

@@ -128,5 +128,14 @@ def test_decontaminate_bloom_prefilter_is_exact(spark):
     exact = norm(P.decontaminate(train, bench, n=3, bloom_bits=None))
     bloomed = norm(P.decontaminate(train, bench, n=3))
     tiny = norm(P.decontaminate(train, bench, n=3, bloom_bits=256, bloom_k=2))
-    assert exact == bloomed == tiny
+    # non-multiple-of-8 sizes round up to whole bytes (build and probe
+    # agree), and a prebuilt bitset serves identically
+    odd = norm(P.decontaminate(train, bench, n=3, bloom_bits=251, bloom_k=2))
+    pre = P.benchmark_bloom_bitset(bench, n=3, bloom_bits=251, bloom_k=2)
+    reused = norm(
+        P.decontaminate(
+            train, bench, n=3, bloom_bits=251, bloom_k=2, bloom_bitset=pre
+        )
+    )
+    assert exact == bloomed == tiny == odd == reused
     assert exact, "fixture must actually contain contaminated docs"
