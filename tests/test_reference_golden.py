@@ -36,7 +36,9 @@ REF = "/root/reference"
 TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL", "PRICES")
 QUERIES = (1, 2, 3, 4, 5, 6, 7, 9, 10)
 # explicit project list or single-table FROM → deterministic header
-DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2", "R3"}
+DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2", "R3", "R4", "R5"}
+# single-table total-order ORDERBY → row order is deterministic too
+ORDERED_ROWS = {"R4", "R5"}
 
 pytestmark = pytest.mark.skipif(
     shutil.which("javac") is None or shutil.which("java") is None,
@@ -96,11 +98,21 @@ def ref_work(tmp_path_factory):
         "SELECT CUSTOMER.cid, MIN(CART.cartid), MAX(CART.cartid), "
         "CART.status\nFROM CUSTOMER,CART\nWHERE CUSTOMER.cid=CART.cid"
     )
+    # ORDERBY coverage with a total order (float prices are a.s.
+    # distinct) — these two are compared IN ORDER, byte-for-byte,
+    # pinning the whole-list ASC default and the DESC flag
+    (work / "queryR4.sql").write_text(
+        "SELECT *\nFROM PRICES\nORDERBY PRICES.price"
+    )
+    (work / "queryR5.sql").write_text(
+        "SELECT PRICES.pid,PRICES.price\nFROM PRICES\n"
+        "ORDERBY PRICES.price DESC"
+    )
     cp = f"{ws}/classes:{ws}/lib"
     for t in TABLES:
         _run(["java", "-cp", cp, "RandomDB", t, "100"], cwd=work)
         _run(["java", "-cp", cp, "ConvertTxtToTbl", t], cwd=work)
-    for q in (*QUERIES, "R1", "R2", "R3"):
+    for q in (*QUERIES, "R1", "R2", "R3", "R4", "R5"):
         # args: queryfile resultfile pagesize numbuffer <5th arg skips
         # the interactive continue prompt, QueryMain.java:166-180>
         _run(
@@ -159,7 +171,7 @@ def _real_tokens(ref_work) -> set[str]:
     return out
 
 
-@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3"))
+@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3", "R4", "R5"))
 def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
     import numpy as np
 
@@ -204,9 +216,17 @@ def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
         return canon([cells[p] for p in perm])
 
     mine = [canon(ln.split("\t")[:-1]) for ln in my_lines]
-    assert sorted(realign(ln) for ln in ref_lines) == sorted(mine), (
-        f"query{qnum}: result multiset differs from the reference engine"
-    )
+    theirs = [realign(ln) for ln in ref_lines]
+    if qnum in ORDERED_ROWS:
+        # ORDERBY over a total order: the reference's emitted ROW
+        # ORDER is deterministic — compare in sequence, not as a set
+        assert theirs == mine, (
+            f"query{qnum}: ordered rows differ from the reference engine"
+        )
+    else:
+        assert sorted(theirs) == sorted(mine), (
+            f"query{qnum}: result multiset differs from the reference engine"
+        )
 
 
 _FUZZ_JAVA = """
