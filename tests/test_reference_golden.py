@@ -171,37 +171,27 @@ def _real_tokens(ref_work) -> set[str]:
     return out
 
 
-@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3", "R4", "R5"))
-def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
+def _assert_parity(
+    ref_work, ref_bytes: bytes, my_bytes: bytes, *,
+    deterministic_header: bool, ordered: bool, label: str,
+):
+    """Core byte-parity assertion shared by the shipped-query tests
+    and the random-query fuzzer (see the module docstring for what is
+    compared exactly vs modulo the reference's own randomness)."""
     import numpy as np
 
     from kaj_query_engine_spark.sources.javafmt import java_float_str
 
-    qtext = (ref_work / f"query{qnum}.sql").read_text()
-    out_path = ref_work / f"mine{qnum}.out"
-    golden_engine.execute_to_golden(qtext, str(out_path))
-
-    ref_header, ref_lines = _split((ref_work / f"ref{qnum}.out").read_bytes())
-    my_header, my_lines = _split(out_path.read_bytes())
+    ref_header, ref_lines = _split(ref_bytes)
+    my_header, my_lines = _split(my_bytes)
     ref_toks, my_toks = _tokens(ref_header), _tokens(my_header)
 
-    if qnum in DETERMINISTIC_HEADER:
-        assert my_header == ref_header  # byte-exact, two-space dialect
+    if deterministic_header:
+        assert my_header == ref_header, label  # byte-exact, two-space dialect
     else:
-        # join order (and with it SELECT * column order) is the
-        # reference optimizer's per-run random choice — align columns
-        # by qualified name, which must be the same unique set
-        assert sorted(my_toks) == sorted(ref_toks)
+        assert sorted(my_toks) == sorted(ref_toks), label
 
     perm = [ref_toks.index(t) for t in my_toks]
-    # REAL cells: canonicalize BOTH files through the shortest-digit
-    # renderer. In the decimal range [1e-3, 1e7) — where RandomDB
-    # values land except a ~4e-7/row tail — this is the identity on
-    # every JDK (fuzz-pinned below); in the tail, JDK <= 18 prints
-    # extra non-shortest digits for the SAME float32 value, which
-    # must not read as a value mismatch. Parsing is correctly rounded
-    # on both sides, so canonicalization never masks a real
-    # difference in value.
     real_idx = {i for i, t in enumerate(my_toks) if t in _real_tokens(ref_work)}
 
     def canon(cells: list[str]) -> str:
@@ -217,16 +207,28 @@ def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
 
     mine = [canon(ln.split("\t")[:-1]) for ln in my_lines]
     theirs = [realign(ln) for ln in ref_lines]
-    if qnum in ORDERED_ROWS:
-        # ORDERBY over a total order: the reference's emitted ROW
-        # ORDER is deterministic — compare in sequence, not as a set
-        assert theirs == mine, (
-            f"query{qnum}: ordered rows differ from the reference engine"
-        )
+    if ordered:
+        assert theirs == mine, f"{label}: ordered rows differ from the reference"
     else:
         assert sorted(theirs) == sorted(mine), (
-            f"query{qnum}: result multiset differs from the reference engine"
+            f"{label}: result multiset differs from the reference engine"
         )
+
+
+@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3", "R4", "R5"))
+def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
+    qtext = (ref_work / f"query{qnum}.sql").read_text()
+    out_path = ref_work / f"mine{qnum}.out"
+    golden_engine.execute_to_golden(qtext, str(out_path))
+    _assert_parity(
+        ref_work,
+        (ref_work / f"ref{qnum}.out").read_bytes(),
+        out_path.read_bytes(),
+        deterministic_header=qnum in DETERMINISTIC_HEADER,
+        ordered=qnum in ORDERED_ROWS,
+        label=f"query{qnum}",
+    )
+
 
 
 _FUZZ_JAVA = """
@@ -299,3 +301,154 @@ def test_java_float_renderers_fuzz_parity(tmp_path):
             jv = ftype(jstr.replace("Infinity", "inf"))
             assert mv == jv, f"{kind} bits={bits_s}: java={jstr} mine={mine}"
     assert n_inrange > 5000  # the byte-exact claim actually got exercised
+
+
+# ------------------------------------------------------------------
+# Random-query differential fuzz vs the compiled reference
+# ------------------------------------------------------------------
+
+_FK_CHAIN = [
+    ("CUSTOMER", "cid", "CART", "cid"),
+    ("CART", "cartid", "CARTDETAILS", "cartid"),
+    ("CARTDETAILS", "iid", "BILL", "iid"),
+]
+# aggregates whose accumulator types byte-match ours (see
+# AggregateAttribute.java: REAL SUM/AVG accumulate in Java float and
+# COUNT only increments under the INT branch — excluded)
+_AGG_BY_TYPE = {
+    "INTEGER": ["MIN", "MAX", "SUM", "COUNT"],
+    "STRING": ["MIN", "MAX"],
+    "REAL": ["MIN", "MAX"],
+}
+
+
+def _load_schemas(ref_work):
+    from kaj_query_engine_spark.sources.datagen import load_det
+
+    out = {}
+    for t in TABLES:
+        det = load_det(str(ref_work / f"{t}.det"))
+        out[t] = [(c.name, c.dtype, c.range) for c in det.columns]
+    return out
+
+
+def _gen_query(rng, schemas) -> tuple[str, bool]:
+    """One random reference-dialect query; returns (text,
+    deterministic_header). Stays inside the grammar AND inside the
+    subset where the reference's own semantics are deterministic and
+    byte-reproducible (see _AGG_BY_TYPE; ORDERBY only over projected
+    non-aggregate outputs; joins only along the FK chain)."""
+
+    def lit_for(dtype, rng_size):
+        if dtype == "INTEGER":
+            return str(rng.randrange(0, rng_size + 10))
+        if dtype == "REAL":
+            return f"{rng.uniform(0, rng_size):.2f}"
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(3)
+        )
+
+    def cond(table, cols):
+        name, dtype, rng_size = rng.choice(cols)
+        op = rng.choice(["<", ">", "<=", ">=", "=", "!="])
+        return f'{table}.{name}{op}"{lit_for(dtype, rng_size)}"'
+
+    shape = rng.random()
+    if shape < 0.40:  # single-table select/project/filter
+        table = rng.choice(list(schemas))
+        cols = schemas[table]
+        if rng.random() < 0.4:
+            proj, det_header = "*", True
+        else:
+            k = rng.randrange(1, len(cols) + 1)
+            picked = rng.sample(cols, k)
+            proj = ",".join(f"{table}.{c[0]}" for c in picked)
+            det_header, cols_out = True, picked
+        distinct = "DISTINCT " if rng.random() < 0.3 and proj != "*" else ""
+        where = [cond(table, cols) for _ in range(rng.randrange(0, 3))]
+        q = f"SELECT {distinct}{proj}\nFROM {table}"
+        if where:
+            q += "\nWHERE " + ",".join(where)
+        if rng.random() < 0.4:
+            ob_cols = cols if proj == "*" else cols_out
+            key = rng.choice(ob_cols)[0]
+            q += f"\nORDERBY {table}.{key}"
+            if rng.random() < 0.5:
+                q += " DESC"
+        return q, det_header
+    if shape < 0.75:  # FK-chain join
+        start = rng.randrange(0, len(_FK_CHAIN))
+        length = rng.randrange(1, len(_FK_CHAIN) - start + 1)
+        links = _FK_CHAIN[start : start + length]
+        tables = [links[0][0]] + [l[2] for l in links]
+        joins = [f"{l[0]}.{l[1]}={l[2]}.{l[3]}" for l in links]
+        sels = []
+        for _ in range(rng.randrange(0, 2)):
+            tb = rng.choice(tables)
+            sels.append(cond(tb, schemas[tb]))
+        if rng.random() < 0.5:
+            proj, det_header = "*", False
+        else:
+            pool = [(tb, c) for tb in tables for c in schemas[tb]]
+            k = rng.randrange(1, min(5, len(pool)) + 1)
+            proj = ",".join(f"{tb}.{c[0]}" for tb, c in rng.sample(pool, k))
+            det_header = True
+        q = (
+            f"SELECT {proj}\nFROM {','.join(tables)}\n"
+            f"WHERE {','.join(joins + sels)}"
+        )
+        return q, det_header
+    # single-table aggregates (+ optional bare witness columns)
+    table = rng.choice(list(schemas))
+    cols = schemas[table]
+    aggs = []
+    for _ in range(rng.randrange(1, 3)):
+        name, dtype, _r = rng.choice(cols)
+        aggs.append(f"{rng.choice(_AGG_BY_TYPE[dtype])}({table}.{name})")
+    bare = [
+        f"{table}.{rng.choice(cols)[0]}" for _ in range(rng.randrange(0, 3))
+    ]
+    # the reference witness row is only deterministic when a MIN or
+    # MAX exists (else "first input row" = file order, which Spark
+    # does not reproduce); guarantee one
+    if not any(a.startswith(("MIN(", "MAX(")) for a in aggs):
+        name, dtype, _r = rng.choice(cols)
+        aggs.append(f"MIN({table}.{name})")
+    proj = ",".join(dict.fromkeys(bare + aggs))  # dedupe, keep order
+    q = f"SELECT {proj}\nFROM {table}"
+    if rng.random() < 0.5:
+        q += f"\nWHERE {cond(table, cols)}"
+    return q, True
+
+
+def test_random_query_differential_fuzz(golden_engine, ref_work):
+    """40 seeded random dialect queries, each executed by BOTH engines
+    on the same generated data and byte-compared like the shipped
+    queries. The reference must accept every generated query (the
+    generator stays inside its grammar); our engine must match it."""
+    import random
+
+    rng = random.Random(20260814)
+    schemas = _load_schemas(ref_work)
+    ws = ref_work.parent
+    cp = f"{ws}/classes:{ws}/lib"
+    for i in range(40):
+        qtext, det_header = _gen_query(rng, schemas)
+        (ref_work / f"queryF{i}.sql").write_text(qtext)
+        _run(
+            [
+                "java", "-cp", cp, "QueryMain", f"queryF{i}.sql",
+                f"refF{i}.out", "8192", "1000", "auto",
+            ],
+            cwd=ref_work,
+        )
+        my_path = ref_work / f"mineF{i}.out"
+        golden_engine.execute_to_golden(qtext, str(my_path))
+        _assert_parity(
+            ref_work,
+            (ref_work / f"refF{i}.out").read_bytes(),
+            my_path.read_bytes(),
+            deterministic_header=det_header,
+            ordered=False,
+            label=f"fuzz[{i}]: {qtext!r}",
+        )
