@@ -452,3 +452,36 @@ def test_random_query_differential_fuzz(golden_engine, ref_work):
             ordered=False,
             label=f"fuzz[{i}]: {qtext!r}",
         )
+
+
+def test_groupby_error_parity_with_reference(golden_engine, ref_work):
+    """GROUPBY parses but is unimplemented in the reference: QueryMain
+    exits 1 printing 'GroupBy is not implemented.'
+    (RandomInitialPlan.java:50-53). Strict-compat mode must refuse the
+    same queries with the same message — checked against the real
+    engine's behavior, not just our own constant."""
+    import subprocess
+
+    qtext = (
+        "SELECT CUSTOMER.cid, MAX(CART.cartid)\nFROM CUSTOMER,CART\n"
+        "WHERE CUSTOMER.cid=CART.cid\nGROUPBY CUSTOMER.cid"
+    )
+    (ref_work / "queryG.sql").write_text(qtext)
+    ws = ref_work.parent
+    proc = subprocess.run(
+        [
+            "java", "-cp", f"{ws}/classes:{ws}/lib", "QueryMain",
+            "queryG.sql", "refG.out", "8192", "1000", "auto",
+        ],
+        cwd=ref_work,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 1
+    assert "GroupBy is not implemented." in (proc.stderr + proc.stdout)
+
+    from kaj_query_engine_spark.dialect.lowering import LoweringError
+
+    with pytest.raises(LoweringError, match="GroupBy is not implemented."):
+        golden_engine.sql(qtext)
