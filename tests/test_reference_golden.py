@@ -36,9 +36,9 @@ REF = "/root/reference"
 TABLES = ("CUSTOMER", "CART", "CARTDETAILS", "BILL", "PRICES")
 QUERIES = (1, 2, 3, 4, 5, 6, 7, 9, 10)
 # explicit project list or single-table FROM → deterministic header
-DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2", "R3", "R4", "R5"}
+DETERMINISTIC_HEADER = {1, 2, 3, 7, 9, "R1", "R2", "R3", "R4", "R5", "R6"}
 # single-table total-order ORDERBY → row order is deterministic too
-ORDERED_ROWS = {"R4", "R5"}
+ORDERED_ROWS = {"R4", "R5", "R6"}
 
 pytestmark = pytest.mark.skipif(
     shutil.which("javac") is None or shutil.which("java") is None,
@@ -108,11 +108,18 @@ def ref_work(tmp_path_factory):
         "SELECT PRICES.pid,PRICES.price\nFROM PRICES\n"
         "ORDERBY PRICES.price DESC"
     )
+    # multi-key ORDERBY with the whole-list DESC quirk (SURVEY
+    # §2.3.6): DESC applies to EVERY key, and cid (PK) makes the
+    # order total, so rows compare in sequence
+    (work / "queryR6.sql").write_text(
+        "SELECT *\nFROM CUSTOMER\n"
+        "ORDERBY CUSTOMER.gender,CUSTOMER.cid DESC"
+    )
     cp = f"{ws}/classes:{ws}/lib"
     for t in TABLES:
         _run(["java", "-cp", cp, "RandomDB", t, "100"], cwd=work)
         _run(["java", "-cp", cp, "ConvertTxtToTbl", t], cwd=work)
-    for q in (*QUERIES, "R1", "R2", "R3", "R4", "R5"):
+    for q in (*QUERIES, "R1", "R2", "R3", "R4", "R5", "R6"):
         # args: queryfile resultfile pagesize numbuffer <5th arg skips
         # the interactive continue prompt, QueryMain.java:166-180>
         _run(
@@ -215,7 +222,7 @@ def _assert_parity(
         )
 
 
-@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3", "R4", "R5"))
+@pytest.mark.parametrize("qnum", (*QUERIES, "R1", "R2", "R3", "R4", "R5", "R6"))
 def test_reference_golden_byte_parity(golden_engine, ref_work, qnum):
     qtext = (ref_work / f"query{qnum}.sql").read_text()
     out_path = ref_work / f"mine{qnum}.out"
