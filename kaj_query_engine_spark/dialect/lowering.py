@@ -26,6 +26,12 @@ Replicated semantics (SURVEY.md §2.3):
    comparator to equality like the reference executor
    (``src/qp/utils/Tuple.java:50-61``); default executes the parsed
    theta-join correctly.
+6. same-table attr-op-attr selections: the reference parses them,
+   reclassifies them as selections without fixing the JOIN optype, and
+   then silently drops them (crashing when they are a join-less
+   query's only conditions) — ``strict_compat=True`` replicates the
+   drop (raising loudly for the crash case); default executes the
+   comparison correctly (see the inline note in :func:`lower`).
 """
 
 from __future__ import annotations
@@ -107,6 +113,7 @@ def lower(
             raise LoweringError(f"duplicate table in FROM: {name}")
         tables[key] = catalog.table(key).alias(key)
 
+    applied_selections = 0
     for cond in query.selections:
         key = cond.lhs.table.lower()
         if key not in tables:
@@ -114,10 +121,37 @@ def lower(
         df = tables[key]
         lhs = _attr_col(cond.lhs)
         if isinstance(cond.rhs, Attribute):
+            if strict_compat:
+                # Reference quirk (found by the golden fuzzer): the
+                # parser marks attr-op-attr conditions JOIN
+                # (parser.cup:190-195), SQLQuery reclassifies
+                # same-table ones as selections WITHOUT resetting the
+                # optype (SQLQuery.java:59-66), and createSelectOp
+                # only builds operators for optype SELECT
+                # (RandomInitialPlan.java:112-123) — so the reference
+                # silently DROPS these conditions, and NPEs when they
+                # are the only selections of a join-less query (the
+                # never-assigned Select root stays null). Strict mode
+                # replicates the drop; the null-root crash surfaces
+                # below as a loud error instead of an NPE.
+                continue
             rhs: Column = _attr_col(cond.rhs)  # same-table attr comparison
         else:
             rhs = _literal_as(_field_type(df, cond.lhs.column), cond.rhs)
         tables[key] = df.filter(_OP_FN[cond.op](lhs, rhs))
+        applied_selections += 1
+    if (
+        strict_compat
+        and query.selections
+        and applied_selections == 0
+        and not query.joins
+    ):
+        raise LoweringError(
+            "reference parity: a join-less query whose only WHERE "
+            "conditions are same-table attribute comparisons crashes "
+            "the reference (null Select root, RandomInitialPlan.java:"
+            "126-129) — the conditions are dropped, never executed"
+        )
 
     # -- joins ----------------------------------------------------------
     # Merge tables along join conditions (connected components); any

@@ -252,3 +252,41 @@ def test_pprint(engine):
     )
     assert s.startswith("OrderBy(Project(Join(")
     assert "Select(Scan(cart_ref)" in s
+
+
+def test_same_table_attr_comparison_executes_in_default_mode(engine, duck):
+    run(
+        engine,
+        duck,
+        "SELECT customer_ref.cid, customer_ref.gender FROM customer_ref "
+        "WHERE customer_ref.cid=customer_ref.gender",
+        "SELECT cid, gender FROM customer_ref WHERE cid = gender",
+    )
+
+
+def test_strict_compat_drops_same_table_attr_comparison(spark, ref_tables, duck):
+    """Reference quirk §2.3.8 (found by the golden fuzzer): same-table
+    attr-op-attr selections are silently dropped — the condition never
+    becomes a Select operator — so in strict mode the query behaves as
+    if the condition were absent; and when such conditions are a
+    join-less query's ONLY WHERE clause (the shape that NPEs the real
+    engine) strict mode raises loudly instead."""
+    from kaj_query_engine_spark.dialect.lowering import LoweringError
+
+    eng = KajEngine(spark, strict_compat=True)
+    for name, (df, _r, _c) in ref_tables.items():
+        eng.register(name, df)
+    assert_same_result(
+        eng.sql(
+            "SELECT customer_ref.cid, customer_ref.gender FROM customer_ref "
+            'WHERE customer_ref.cid=customer_ref.gender,customer_ref.cid<"50"'
+        ),
+        duck,
+        # the attr=attr conjunct is DROPPED by the reference
+        "SELECT cid, gender FROM customer_ref WHERE cid < 50",
+    )
+    with pytest.raises(LoweringError, match="null Select root"):
+        eng.sql(
+            "SELECT customer_ref.cid FROM customer_ref "
+            "WHERE customer_ref.cid=customer_ref.gender"
+        )

@@ -358,6 +358,14 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
     def cond(table, cols):
         name, dtype, rng_size = rng.choice(cols)
         op = rng.choice(["<", ">", "<=", ">=", "=", "!="])
+        if rng.random() < 0.15:
+            # same-table attr-op-attr selection (Select.java evaluates
+            # typed attr comparisons); same dtype so both engines
+            # dispatch the same comparison
+            peers = [c for c in cols if c[1] == dtype and c[0] != name]
+            if peers:
+                other = rng.choice(peers)[0]
+                return f"{table}.{name}{op}{table}.{other}"
         return f'{table}.{name}{op}"{lit_for(dtype, rng_size)}"'
 
     shape = rng.random()
@@ -373,6 +381,14 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
             det_header, cols_out = True, picked
         distinct = "DISTINCT " if rng.random() < 0.3 and proj != "*" else ""
         where = [cond(table, cols) for _ in range(rng.randrange(0, 3))]
+        if where and all('"' not in w for w in where):
+            # a join-less query whose ONLY conditions are same-table
+            # attr-op-attr crashes the REFERENCE (quirk §2.3.8's null
+            # Select root) — always pair them with a literal condition
+            # so the reference survives and the silent-drop parity is
+            # what gets exercised
+            name, dtype, rng_size = rng.choice(cols)
+            where.append(f'{table}.{name}<="{lit_for(dtype, rng_size)}"')
         q = f"SELECT {distinct}{proj}\nFROM {table}"
         if where:
             q += "\nWHERE " + ",".join(where)
@@ -388,11 +404,21 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
         length = rng.randrange(1, len(_FK_CHAIN) - start + 1)
         links = _FK_CHAIN[start : start + length]
         tables = [links[0][0]] + [l[2] for l in links]
-        joins = [f"{l[0]}.{l[1]}={l[2]}.{l[3]}" for l in links]
+        # theta ops on JOIN conditions: the reference EXECUTOR coerces
+        # every join comparator to equality (Tuple.isEquals,
+        # SURVEY §2.3.2) — strict-compat replicates it, so a '<' join
+        # must byte-match an '=' join against the real engine
+        joins = [
+            f"{l[0]}.{l[1]}"
+            f"{rng.choice(['=', '<', '>', '<=']) if rng.random() < 0.2 else '='}"
+            f"{l[2]}.{l[3]}"
+            for l in links
+        ]
         sels = []
         for _ in range(rng.randrange(0, 2)):
             tb = rng.choice(tables)
             sels.append(cond(tb, schemas[tb]))
+        distinct = ""
         if rng.random() < 0.5:
             proj, det_header = "*", False
         else:
@@ -400,8 +426,10 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
             k = rng.randrange(1, min(5, len(pool)) + 1)
             proj = ",".join(f"{tb}.{c[0]}" for tb, c in rng.sample(pool, k))
             det_header = True
+            if rng.random() < 0.25:
+                distinct = "DISTINCT "
         q = (
-            f"SELECT {proj}\nFROM {','.join(tables)}\n"
+            f"SELECT {distinct}{proj}\nFROM {','.join(tables)}\n"
             f"WHERE {','.join(joins + sels)}"
         )
         return q, det_header
@@ -424,7 +452,10 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
     proj = ",".join(dict.fromkeys(bare + aggs))  # dedupe, keep order
     q = f"SELECT {proj}\nFROM {table}"
     if rng.random() < 0.5:
-        q += f"\nWHERE {cond(table, cols)}"
+        c = cond(table, cols)
+        while '"' not in c:  # lone attr-op-attr crashes the reference
+            c = cond(table, cols)
+        q += f"\nWHERE {c}"
     return q, True
 
 
