@@ -225,9 +225,21 @@ def lower(
         for a in query.orderby_list:
             name = a.column if a.column in out_cols else a.display()
             if name not in out_cols:
+                if strict_compat:
+                    # reference parity: QueryMain resolves ORDERBY keys
+                    # by string match against the OUTPUT schema and
+                    # simply doesn't add unmatched ones to the sort
+                    # index list (QueryMain.java:209-216) — a key
+                    # outside the projection is silently skipped
+                    # (verified against the compiled engine: rc 0,
+                    # sorted by the surviving keys only). Default mode
+                    # raises — silently ignoring a requested sort key
+                    # is a bug, not a feature.
+                    continue
                 raise LoweringError(f"ORDERBY key not in output schema: {a.qualified()}")
             keys.append(F.col(name).desc() if query.is_desc else F.col(name).asc())
-        df = df.orderBy(*keys)
+        if keys:
+            df = df.orderBy(*keys)
     return df
 
 

@@ -290,3 +290,30 @@ def test_strict_compat_drops_same_table_attr_comparison(spark, ref_tables, duck)
             "SELECT customer_ref.cid FROM customer_ref "
             "WHERE customer_ref.cid=customer_ref.gender"
         )
+
+
+def test_strict_compat_skips_unresolvable_orderby_keys(spark, ref_tables, duck):
+    """Reference parity: ORDERBY keys outside the output schema are
+    silently dropped from the sort (QueryMain.java:209-216) — content
+    is unchanged and surviving keys still sort; default mode raises."""
+    from kaj_query_engine_spark.dialect.lowering import LoweringError
+
+    eng = KajEngine(spark, strict_compat=True)
+    for name, (df, _r, _c) in ref_tables.items():
+        eng.register(name, df)
+    out = eng.sql(
+        "SELECT customer_ref.cid, customer_ref.gender FROM customer_ref "
+        "ORDERBY customer_ref.gender,customer_ref.lastname"
+    ).collect()
+    genders = [r.gender for r in out]
+    assert genders == sorted(genders)  # surviving key still sorts
+    assert len(out) == 150  # fixture row count — content unchanged
+
+    default_eng = KajEngine(spark)
+    for name, (df, _r, _c) in ref_tables.items():
+        default_eng.register(name, df)
+    with pytest.raises(LoweringError, match="ORDERBY key not in output"):
+        default_eng.sql(
+            "SELECT customer_ref.cid FROM customer_ref "
+            "ORDERBY customer_ref.lastname"
+        )

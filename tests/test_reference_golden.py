@@ -393,7 +393,14 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
         if where:
             q += "\nWHERE " + ",".join(where)
         if rng.random() < 0.4:
-            ob_cols = cols if proj == "*" else cols_out
+            if rng.random() < 0.2:
+                # ORDERBY key OUTSIDE the output schema: the reference
+                # silently skips it (QueryMain.java:209-216) — parity
+                # is "no error, content unchanged" (order is unchecked
+                # for these multiset-compared queries)
+                ob_cols = cols
+            else:
+                ob_cols = cols if proj == "*" else cols_out
             key = rng.choice(ob_cols)[0]
             q += f"\nORDERBY {table}.{key}"
             if rng.random() < 0.5:
