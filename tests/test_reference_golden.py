@@ -456,13 +456,16 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
     if not any(a.startswith(("MIN(", "MAX(")) for a in aggs):
         name, dtype, _r = rng.choice(cols)
         aggs.append(f"MIN({table}.{name})")
-    proj = ",".join(dict.fromkeys(bare + aggs))  # dedupe, keep order
-    q = f"SELECT {proj}\nFROM {table}"
+    parts = list(dict.fromkeys(bare + aggs))  # dedupe, keep order
+    distinct = "DISTINCT " if rng.random() < 0.2 else ""
+    q = f"SELECT {distinct}{','.join(parts)}\nFROM {table}"
     if rng.random() < 0.5:
         c = cond(table, cols)
         while '"' not in c:  # lone attr-op-attr crashes the reference
             c = cond(table, cols)
         q += f"\nWHERE {c}"
+    if bare and rng.random() < 0.2:
+        q += f"\nORDERBY {rng.choice(bare)}"
     return q, True
 
 
