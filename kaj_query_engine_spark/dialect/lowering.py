@@ -115,26 +115,29 @@ def lower(
 
     applied_selections = 0
     for cond in query.selections:
+        if strict_compat and isinstance(cond.rhs, Attribute):
+            # Reference quirk (found by the golden fuzzer): the
+            # parser marks attr-op-attr conditions JOIN
+            # (parser.cup:190-195), SQLQuery reclassifies
+            # same-table ones as selections WITHOUT resetting the
+            # optype (SQLQuery.java:59-66), and createSelectOp
+            # only builds operators for optype SELECT
+            # (RandomInitialPlan.java:112-123) — so the reference
+            # silently DROPS these conditions, and NPEs when they
+            # are the only selections of a join-less query (the
+            # never-assigned Select root stays null). Strict mode
+            # replicates the drop BEFORE any table validation (the
+            # reference never looks the table up for a dropped
+            # condition, so even a non-FROM table passes); the
+            # null-root crash surfaces below as a loud error
+            # instead of an NPE.
+            continue
         key = cond.lhs.table.lower()
         if key not in tables:
             raise LoweringError(f"unknown table in condition: {cond.lhs.table}")
         df = tables[key]
         lhs = _attr_col(cond.lhs)
         if isinstance(cond.rhs, Attribute):
-            if strict_compat:
-                # Reference quirk (found by the golden fuzzer): the
-                # parser marks attr-op-attr conditions JOIN
-                # (parser.cup:190-195), SQLQuery reclassifies
-                # same-table ones as selections WITHOUT resetting the
-                # optype (SQLQuery.java:59-66), and createSelectOp
-                # only builds operators for optype SELECT
-                # (RandomInitialPlan.java:112-123) — so the reference
-                # silently DROPS these conditions, and NPEs when they
-                # are the only selections of a join-less query (the
-                # never-assigned Select root stays null). Strict mode
-                # replicates the drop; the null-root crash surfaces
-                # below as a loud error instead of an NPE.
-                continue
             rhs: Column = _attr_col(cond.rhs)  # same-table attr comparison
         else:
             rhs = _literal_as(_field_type(df, cond.lhs.column), cond.rhs)
@@ -220,27 +223,54 @@ def lower(
     if query.is_distinct:
         df = df.distinct()
     if query.orderby_list:
-        out_cols = set(df.columns)
         keys = []
         for a in query.orderby_list:
-            name = a.column if a.column in out_cols else a.display()
-            if name not in out_cols:
+            col = _resolve_orderby_key(query, a, tables, df)
+            if col is None:
                 if strict_compat:
                     # reference parity: QueryMain resolves ORDERBY keys
-                    # by string match against the OUTPUT schema and
-                    # simply doesn't add unmatched ones to the sort
-                    # index list (QueryMain.java:209-216) — a key
-                    # outside the projection is silently skipped
+                    # by QUALIFIED string match against the OUTPUT
+                    # schema and simply doesn't add unmatched ones to
+                    # the sort index list (QueryMain.java:209-216) — a
+                    # key outside the projection is silently skipped
                     # (verified against the compiled engine: rc 0,
                     # sorted by the surviving keys only). Default mode
                     # raises — silently ignoring a requested sort key
                     # is a bug, not a feature.
                     continue
                 raise LoweringError(f"ORDERBY key not in output schema: {a.qualified()}")
-            keys.append(F.col(name).desc() if query.is_desc else F.col(name).asc())
+            keys.append(col.desc() if query.is_desc else col.asc())
         if keys:
             df = df.orderBy(*keys)
     return df
+
+
+def _resolve_orderby_key(query: SQLQuery, a: Attribute, tables, df) -> Column | None:
+    """ORDERBY key → sort Column, or None when the key does not appear
+    in the output schema. Resolution is by QUALIFIED attribute like the
+    reference's ``attr.toString().equals(...)`` match — a bare-name
+    match would sort ``CART.remarks`` when ``CARTDETAILS.remarks`` was
+    asked for (tables are matched case-insensitively, the dialect's
+    norm). Matches resolve POSITIONALLY against the project list, so
+    duplicate output names (``CUSTOMER.cid, CART.cid``) stay
+    unambiguous; ``SELECT *`` keys resolve through the per-table
+    aliases, which survive the join."""
+    from kaj_query_engine_spark.dialect.ast import AggType
+
+    if query.project_list:
+        for i, p in enumerate(query.project_list):
+            if (
+                p.agg is a.agg
+                and p.table.lower() == a.table.lower()
+                and p.column == a.column
+            ):
+                return df[i]
+        return None
+    # SELECT *: every table's every column is in the output schema
+    key = a.table.lower()
+    if a.agg is AggType.NONE and key in tables and a.column in tables[key].columns:
+        return _attr_col(a)
+    return None
 
 
 def _agg_expr(attr: Attribute, df: DataFrame) -> Column:

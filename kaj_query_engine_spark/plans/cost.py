@@ -114,6 +114,13 @@ class PlanCost:
             details.append(f"Scan({t}): {st.num_rows} rows")
         # selections: on-the-fly, no I/O cost (PlanCost.java:168-170)
         for c in q.selections:
+            if self.strict_compat and isinstance(c.rhs, Attribute):
+                # the reference never builds a Select operator for a
+                # same-table attr-op-attr condition (quirk §2.3.8), so
+                # its cost walk never sees one — strict estimates must
+                # not charge selectivity for a condition the engine
+                # drops
+                continue
             tl = c.lhs.table.lower()
             n = rows[tl]
             v = max(1, dv[tl].get(c.lhs.column.lower(), n))

@@ -165,17 +165,37 @@ def _tokens(header: str) -> list[str]:
     return [t for t in header.split("  ") if t]
 
 
+_REAL_TOKENS_CACHE: dict[str, set[str]] = {}
+
+
 def _real_tokens(ref_work) -> set[str]:
     """Qualified header tokens of REAL-typed columns, from the .det
     specs — the cells whose byte rendering is JDK-version-dependent in
-    the scientific range (see ``sources/javafmt.py``)."""
+    the scientific range (see ``sources/javafmt.py``). Cached per work
+    dir (the set is re-consulted by every parity assertion)."""
     from kaj_query_engine_spark.sources.datagen import load_det
 
-    out = set()
-    for t in TABLES:
-        det = load_det(str(ref_work / f"{t}.det"))
-        out.update(f"{t}.{c.name}" for c in det.columns if c.dtype == "REAL")
-    return out
+    key = str(ref_work)
+    if key not in _REAL_TOKENS_CACHE:
+        out = set()
+        for t in TABLES:
+            det = load_det(str(ref_work / f"{t}.det"))
+            out.update(f"{t}.{c.name}" for c in det.columns if c.dtype == "REAL")
+        _REAL_TOKENS_CACHE[key] = out
+    return _REAL_TOKENS_CACHE[key]
+
+
+def _is_real_token(tok: str, real: set[str]) -> bool:
+    """True for REAL-valued cells: bare qualified names AND MIN/MAX
+    aggregates over them (header form ``AGG(T.col)`` — the aggregate
+    of a REAL column is still a float32 cell, and MIN() in particular
+    selects the value most likely to sit in the sub-1e-3 scientific
+    tail where old-JDK rendering diverges)."""
+    if tok in real:
+        return True
+    if tok.endswith(")") and "(" in tok:
+        return tok[tok.index("(") + 1 : -1] in real
+    return False
 
 
 def _assert_parity(
@@ -199,7 +219,8 @@ def _assert_parity(
         assert sorted(my_toks) == sorted(ref_toks), label
 
     perm = [ref_toks.index(t) for t in my_toks]
-    real_idx = {i for i, t in enumerate(my_toks) if t in _real_tokens(ref_work)}
+    real = _real_tokens(ref_work)
+    real_idx = {i for i, t in enumerate(my_toks) if _is_real_token(t, real)}
 
     def canon(cells: list[str]) -> str:
         return "".join(
@@ -359,9 +380,12 @@ def _gen_query(rng, schemas) -> tuple[str, bool]:
         name, dtype, rng_size = rng.choice(cols)
         op = rng.choice(["<", ">", "<=", ">=", "=", "!="])
         if rng.random() < 0.15:
-            # same-table attr-op-attr selection (Select.java evaluates
-            # typed attr comparisons); same dtype so both engines
-            # dispatch the same comparison
+            # same-table attr-op-attr selection: quirk §2.3.8 — BOTH
+            # engines drop it (the reference never builds the Select
+            # operator; strict-compat replicates), so what this pins
+            # is the silent-drop parity, not comparison semantics.
+            # Same dtype kept so the query would also be well-typed
+            # for the reference's (never-reached) checkCondition.
             peers = [c for c in cols if c[1] == dtype and c[0] != name]
             if peers:
                 other = rng.choice(peers)[0]
