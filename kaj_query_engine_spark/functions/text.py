@@ -102,6 +102,152 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(bpe_ish_tokens(col))
 
 
+def alpha_word_frac_of(toks: Column) -> Column:
+    """Fraction of words with at least one ASCII letter, over an
+    already-materialized token-array column (Gopher rule A1.1: pages
+    where <80% of words have an alphabetic character are dropped)."""
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return n_alpha / F.size(toks)
+
+
+def alpha_word_frac(col: Column) -> Column:
+    """Convenience form over raw text. Hot paths should project
+    :func:`tokens` to a column first and use
+    :func:`alpha_word_frac_of` (interpreted-lambda note on
+    :func:`shingles_of_tokens`)."""
+    return alpha_word_frac_of(tokens(col))
+
+
+def rep_token_frac_of(toks: Column) -> Column:
+    """Token-repetition ratio: 1 − distinct/total tokens. The
+    word-level analogue of Gopher's duplicate-line fraction —
+    boilerplate and keyword-stuffed pages score high."""
+    return 1.0 - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+
+
+def rep_token_frac(col: Column) -> Column:
+    return rep_token_frac_of(tokens(col))
+
+
+def raw_shingles_of_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (duplicates kept — contrast
+    :func:`shingles_of_tokens`, which dedups for set-similarity).
+    The repetition filters need the multiset.
+
+    ``toks`` MUST be a bound column: the lambda body references it
+    (``F.slice``), and higher-order lambdas run interpreted, so an
+    inlined ``tokens(text)`` would re-split once per gram — measured
+    ~8× on q40 when this family first shipped against raw text.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_gram_frac_of(toks: Column, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction: 1 − distinct/total n-grams
+    (Gopher's duplicate-n-gram family, A1.1). 0.0 for docs shorter
+    than n words. ``toks`` must be a bound column (see
+    :func:`raw_shingles_of_tokens`)."""
+    grams = raw_shingles_of_tokens(toks, n)
+    return F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) * 1.0 / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_gram_frac(col: Column, n: int = 2) -> Column:
+    """Convenience form over raw text — ONLY for small inputs: the
+    token array is a subexpression here, so the per-gram slice
+    re-splits the text (interpreted lambdas don't CSE). Hot paths
+    project :func:`tokens` first and call :func:`dup_gram_frac_of`."""
+    return dup_gram_frac_of(tokens(col), n)
+
+
+def n_sentences(col: Column) -> Column:
+    """Sentence count ≈ number of terminal-punctuation runs. The C4
+    '≥3 sentences' rule's denominator."""
+    return F.size(F.regexp_extract_all(col, F.lit("[.!?]+"), 0))
+
+
+# PII patterns — ASCII-conservative so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte. Order matters for redaction:
+# emails first (an email's host would otherwise half-match as a
+# phone/ip), then ipv4, then phone.
+PII_PATTERNS = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+# one alternation so counting is a single regex pass; Java regex and
+# RE2 both resolve alternation leftmost-FIRST (not POSIX-longest), and
+# matches consume text, so an email's host can't re-match as phone/ip
+PII_ANY = "|".join(pat for _tag, pat in PII_PATTERNS)
+
+
+def pii_count(col: Column) -> Column:
+    """Total count of email / IPv4 / phone-shaped substrings (one
+    combined-alternation scan; no substring is counted twice)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_ANY), 0))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / phone-shaped substrings with <TAG>
+    placeholders, in :data:`PII_PATTERNS` order."""
+    out = col
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def gopher_ok_of(toks: Column) -> Column:
+    """Gopher quality-rule gate (Rae et al. 2021, appendix A1.1 —
+    public thresholds) over a bound token-array column: 50 ≤ word
+    count ≤ 100 000, 3 ≤ mean word length ≤ 10, ≥80% of words contain
+    a letter, ≥2 stopword hits. (The repetition rules are exposed
+    separately as :func:`rep_token_frac_of` / :func:`dup_gram_frac_of`
+    so callers pick thresholds per corpus.)"""
+    n_tok = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len / n_tok
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return (
+        (n_tok >= 50)
+        & (n_tok <= 100_000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (alpha_word_frac_of(toks) >= 0.8)
+        & (n_stop >= 2)
+    )
+
+
+def gopher_ok(col: Column) -> Column:
+    return gopher_ok_of(tokens(col))
+
+
+def c4_ok(col: Column) -> Column:
+    """C4 page-level cleanup gate (Raffel et al. 2020, §2.2 — public
+    rules): ≥3 sentences, ≥5 words, no curly brace, no 'lorem
+    ipsum'."""
+    low = F.lower(col)
+    return (
+        (n_sentences(col) >= 3)
+        & (token_count(col) >= 5)
+        & ~low.contains("{")
+        & ~low.contains("lorem ipsum")
+    )
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of casefolded, whitespace-collapsed
     text. The exact-dedup key."""

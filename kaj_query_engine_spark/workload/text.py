@@ -30,6 +30,30 @@ _QUALITY = (
     f"least(1.0, ({_AVGLEN}) / 8.0) * 0.3"
 )
 
+# quality-filter oracle fragments (mirroring functions/text.py's
+# Gopher/C4/PII builders — see their docstrings for the published
+# rules; patterns are ASCII-conservative so Java regex and RE2 agree)
+_NALPHA = f"len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]')))"
+_GRAMS2 = (
+    f"list_transform(range(1, {_NTOK}), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])"
+)
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PHONE = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+_NPII = f"len(regexp_extract_all(text, '{_EMAIL}|{_IPV4}|{_PHONE}'))"
+_NSENT = "len(regexp_extract_all(text, '[.!?]+'))"
+_GOPHER = (
+    f"{_NTOK} >= 50 AND {_NTOK} <= 100000 AND ({_AVGLEN}) >= 3.0 "
+    f"AND ({_AVGLEN}) <= 10.0 AND {_NALPHA} / {_NTOK} >= 0.8 "
+    f"AND {_NSTOP} >= 2"
+)
+_C4 = (
+    f"{_NSENT} >= 3 AND {_NTOK} >= 5 "
+    "AND NOT contains(lower(text), '{') "
+    "AND NOT contains(lower(text), 'lorem ipsum')"
+)
+
 
 @register(
     "q40_text_stats",
@@ -45,34 +69,85 @@ _QUALITY = (
     "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
     ")) AS INT) AS n_bpe, "
     "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
-    f"CASE WHEN ({_QUALITY}) >= 0.5 THEN round({_QUALITY}, 6) END AS quality "
+    f"CASE WHEN ({_QUALITY}) >= 0.5 THEN round({_QUALITY}, 6) END AS quality, "
+    f"{_NALPHA} / {_NTOK} AS alpha_frac, "
+    f"1.0 - len(list_distinct({_TOKS})) * 1.0 / {_NTOK} AS rep_frac, "
+    f"CASE WHEN {_NTOK} >= 2 THEN "
+    f"1.0 - len(list_distinct({_GRAMS2})) * 1.0 / ({_NTOK} - 1) "
+    "ELSE 0.0 END AS dup2_frac, "
+    f"CAST({_NSENT} AS INT) AS n_sent, "
+    f"CAST({_NPII} AS INT) AS n_pii, "
+    f"({_GOPHER}) AS gopher_ok, "
+    f"({_C4}) AS c4_ok "
     "FROM documents",
     "per-document text profile in one scan: token/char counts, avg "
     "token length, stopword ratio, punctuation count, BPE-style "
     "pre-tokenizer count (GPT-2 regex pieces — the LLM-token budget "
-    "estimator), the md5 content fingerprint, and the composite "
-    "quality score with its keep/drop gate (NULL = dropped) — all "
-    "JVM-side exprs",
+    "estimator), the md5 content fingerprint, the composite "
+    "quality score with its keep/drop gate (NULL = dropped), and the "
+    "published-rule filter signals a pretraining pipeline gates on: "
+    "alphabetic-word fraction, token/2-gram repetition ratios "
+    "(Gopher's duplicate-content family), sentence count, PII "
+    "match count (email/ipv4/phone), and the Gopher and C4 rule "
+    "gates — all JVM-side exprs",
 )
 def q40(spark, sf_dir):
+    # two-step select: ``tokens(text)`` materializes as a column FIRST
+    # — the 2-gram builder's lambda body slices the token array, and
+    # interpreted lambdas don't CSE, so an inlined split re-runs once
+    # per gram (measured 8× on this query; same hazard as
+    # functions/text.shingle_arrays)
     d = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    n_tok = TXT.token_count(txt).cast("double")
-    raw = (
-        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
-        + TXT.stopword_ratio(txt) * 0.3
-        + F.least(F.lit(1.0), TXT.avg_token_len(txt) / F.lit(8.0)) * 0.3
+    # small-input / large-compute shape (same as dedup.shingle_table):
+    # the per-row regex+lambda work dwarfs the scan, and a few-MB
+    # parquet file arrives as ONE split, serializing all of it on a
+    # single core — spread over cluster parallelism first, floored by
+    # the input file count so a 100 TB corpus is never squeezed DOWN
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, len(d.inputFiles())
     )
-    return d.select(
+    txt = F.col("text")
+    step = d.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id", "text", TXT.tokens(txt).alias("toks")
+    )
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    avg_len = total_len / n_tok
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TXT.EN_STOPWORDS)))
+    stop_ratio = n_stop / n_tok
+    raw = (
+        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0)) * 0.4
+        + stop_ratio * 0.3
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
+    )
+    low = F.lower(txt)
+    return step.select(
         "doc_id",
-        TXT.token_count(txt).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         TXT.char_count(txt).alias("n_chars"),
-        TXT.avg_token_len(txt).alias("avg_token_len"),
-        TXT.stopword_ratio(txt).alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
         TXT.punct_count(txt).alias("n_punct"),
         TXT.bpe_ish_token_count(txt).alias("n_bpe"),
         TXT.doc_fingerprint(txt).alias("fp"),
         F.when(raw >= 0.5, F.round(raw, 6)).alias("quality"),
+        TXT.alpha_word_frac_of(toks).alias("alpha_frac"),
+        TXT.rep_token_frac_of(toks).alias("rep_frac"),
+        TXT.dup_gram_frac_of(toks, 2).alias("dup2_frac"),
+        TXT.n_sentences(txt).cast("int").alias("n_sent"),
+        TXT.pii_count(txt).cast("int").alias("n_pii"),
+        TXT.gopher_ok_of(toks).alias("gopher_ok"),
+        (
+            (TXT.n_sentences(txt) >= 3)
+            & (n_tok >= 5)
+            & ~low.contains("{")
+            & ~low.contains("lorem ipsum")
+        ).alias("c4_ok"),
     )
 
 
