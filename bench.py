@@ -46,7 +46,12 @@ def main() -> None:
     # runs measure query cost, not one-time layout setup — exactly the
     # amortization a deployed cluster enjoys (layouts written at ingest,
     # queried for months)
-    for name in ("q35_partition_pruning", "q36_bucketed_join", "q63_ann_ivf"):
+    for name in (
+        "q35_partition_pruning",
+        "q36_bucketed_join",
+        "q63_ann_ivf",
+        "q51_minhash_lsh",  # materialized band-bucket index (incr branch)
+    ):
         if name in queries:
             queries[name].spark(spark, sf_dir)
 

@@ -205,6 +205,120 @@ def minhash_lsh_candidates(
     )
 
 
+def band_bucket_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Corpus-side LSH band-bucket index for INCREMENTAL dedup:
+    (band, key, ids, w) — one row per occupied bucket, ids sorted for
+    determinism. A new batch of documents can then be deduped against
+    the corpus without recomputing a single corpus shingle
+    (:func:`incremental_lsh_candidates`).
+
+    Over-wide buckets (w > max_bucket — boilerplate/junk clusters) are
+    kept as TOMBSTONES: ``ids`` is nulled but ``w`` is recorded. The
+    cap is defined on the bucket's *combined* width, and a bucket that
+    is already junk corpus-side can only grow — so its member ids are
+    dead weight — but silently dropping the row would make the bucket
+    look EMPTY to a later batch, and two new docs landing in it would
+    pair up even though the full-corpus run would have dropped them.
+    Single-member buckets are kept (a future batch doc may land there).
+
+    Index size is one row per occupied bucket (≤ B rows per doc),
+    independent of document length — ~32 bytes + 8·w per row.
+    """
+    rows = num_hashes // num_bands
+    bands = lsh_bands(
+        minhash_signatures(df, id_col, text_col, num_hashes, n),
+        num_bands,
+        rows,
+    )
+    w = F.size("ids")
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .select(
+            "band",
+            "key",
+            F.when(w <= max_bucket, F.col("ids")).alias("ids"),
+            w.alias("w"),
+        )
+    )
+
+
+def incremental_lsh_candidates(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs for an INCOMING batch against an
+    existing corpus, given the corpus's :func:`band_bucket_index` —
+    the "new crawl arrives" path. Emits every candidate pair involving
+    at least one batch doc (batch×corpus and batch×batch), and is
+    EXACTLY ``minhash_lsh_candidates(old ∪ batch)`` restricted to
+    those pairs (differentially pinned in tests): signatures are
+    per-document, bucket membership is the union of index ids and
+    batch ids, and the junk cap applies to the combined width (the
+    tombstone rows make over-wide corpus buckets visible without
+    storing their ids).
+
+    Shuffle inventory at 100 TB: the corpus index is scanned ONCE,
+    map-only — its join key set (the batch's band keys) is broadcast,
+    so no corpus-sized shuffle exists anywhere; everything after the
+    probe join is bounded by the batch size. Corpus compute (md5 over
+    every shingle — the dominant cost of a from-scratch run) is never
+    repeated. The probe's build side is the batch bucket table —
+    bounded per ingest like ANN query sets, so the explicit broadcast
+    cannot grow with the corpus.
+    """
+    rows = num_hashes // num_bands
+    nb = lsh_bands(
+        minhash_signatures(batch, id_col, text_col, num_hashes, n),
+        num_bands,
+        rows,
+    )
+    newb = nb.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("id")).alias("new_ids")
+    )
+    # ONE corpus pass: semi-probe the index with the batch's keys
+    # (broadcast — bounded by batch size), producing a HIT table no
+    # larger than the batch bucket table; the left join that attaches
+    # old_ids/w to each batch bucket is then tiny-vs-tiny
+    hits = index.join(F.broadcast(newb.select("band", "key")), ["band", "key"])
+    combined = newb.join(hits, ["band", "key"], "left")
+    id_type = newb.schema["new_ids"].dataType
+    old_ids = F.coalesce(F.col("ids"), F.array().cast(id_type))
+    w_comb = F.size("new_ids") + F.coalesce(F.col("w"), F.lit(0))
+    pairs_arr = F.concat(
+        F.expr(
+            "filter(flatten(transform(new_ids, x -> transform(new_ids, "
+            "y -> struct(x AS d1, y AS d2)))), p -> p.d1 < p.d2)"
+        ),
+        F.expr(
+            "filter(flatten(transform(new_ids, x -> transform(_old_ids, "
+            "y -> struct(least(x, y) AS d1, greatest(x, y) AS d2)))), "
+            "p -> p.d1 < p.d2)"
+        ),
+    )
+    return (
+        combined.withColumn("_old_ids", old_ids)
+        .filter(w_comb <= max_bucket)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -76,7 +76,46 @@ def _minhash_cand_ctes() -> str:
 
 
 def _minhash_oracle() -> str:
-    return f"{_SH_CTE}, {_minhash_cand_ctes()} SELECT d1, d2 FROM cand"
+    # 'incr' is definitionally the full candidate set restricted to
+    # pairs involving a batch doc (doc_id % 5 = 0) — the Spark side
+    # computes it NEVER touching the old docs' text (materialized
+    # band-bucket index), and the equality of the two constructions is
+    # what the hash check proves
+    return (
+        f"{_SH_CTE}, {_minhash_cand_ctes()} "
+        "SELECT 'all' AS path, d1, d2 FROM cand "
+        "UNION ALL SELECT 'incr' AS path, d1, d2 FROM cand "
+        "WHERE d1 % 5 = 0 OR d2 % 5 = 0"
+    )
+
+
+def materialized_band_index(spark, sf_dir):
+    """Build-once LSH band-bucket index over the OLD docs (doc_id
+    % 5 != 0) — parquet under ``.scratch`` behind the q35-style
+    staleness token, so the corpus-side signature compute runs once
+    per fixture generation and every batch thereafter probes it from
+    disk (the q63 materialized-IVF amortization, applied to dedup)."""
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    path = str(_SCRATCH / _tag(sf_dir) / "band_index")
+    token = _layout_token(
+        src,
+        f"bands:{D.NUM_HASHES}:{D.NUM_BANDS}:{D.MAX_BUCKET}:split5:v1",
+    )
+    if not _layout_current(token, path):
+        old = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        D.band_bucket_index(old, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(path)
+        _stamp_layout(token, path)
+    return spark.read.parquet(path)
 
 
 @register(
@@ -84,11 +123,27 @@ def _minhash_oracle() -> str:
     _minhash_oracle(),
     "MinHash (one md5 per shingle, 12 XOR-permutation min-hashes) + "
     "LSH banding (4 bands x 3) with the junk-cluster bucket-width cap "
-    f"(<= {D.MAX_BUCKET} docs/bucket): candidate near-dup pairs "
-    "without any all-pairs comparison",
+    f"(<= {D.MAX_BUCKET} docs/bucket). Branch 'all': candidate "
+    "near-dup pairs over the whole corpus, no all-pairs comparison. "
+    "Branch 'incr': the incremental-ingest path — docs with doc_id % "
+    "5 = 0 play an incoming crawl batch, deduped against the rest of "
+    "the corpus via its MATERIALIZED band-bucket index (built once "
+    "behind the staleness token; over-wide buckets tombstoned so the "
+    "junk cap stays exact on combined width) — one map-only corpus "
+    "scan, zero corpus recompute, everything else batch-bounded",
 )
 def q51(spark, sf_dir):
-    return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text")
+    d = t(spark, sf_dir, "documents")
+    full = D.minhash_lsh_candidates(d, "doc_id", "text")
+    incr = D.incremental_lsh_candidates(
+        materialized_band_index(spark, sf_dir),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    )
+    return full.select(F.lit("all").alias("path"), "d1", "d2").unionAll(
+        incr.select(F.lit("incr").alias("path"), "d1", "d2")
+    )
 
 
 @register(

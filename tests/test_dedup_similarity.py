@@ -61,6 +61,87 @@ def test_minhash_bucket_cap_drops_junk_clusters(spark, docs):
     assert (10, 11) in uncapped and len(uncapped) == 15 + 1
 
 
+def _incr_vs_full(spark, df, split):
+    """Incremental candidates (index over old + batch of new) must
+    equal the full-corpus candidate set restricted to pairs involving
+    a new doc — the definitional contract of the incremental path."""
+    old = df.filter(~split(F.col("id")))
+    new = df.filter(split(F.col("id")))
+    index = D.band_bucket_index(old, "id", "text")
+    incr = {
+        (r.d1, r.d2)
+        for r in D.incremental_lsh_candidates(index, new, "id", "text").collect()
+    }
+    new_ids = {r.id for r in new.select("id").collect()}
+    full = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_candidates(df, "id", "text").collect()
+        if r.d1 in new_ids or r.d2 in new_ids
+    }
+    return incr, full
+
+
+def test_incremental_candidates_match_full_run(spark, docs):
+    # near-dup families straddling the old/new split, plus noise docs
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, base + f" variant"))
+        elif i % 3 == 1:
+            rows.append((i, base + " another tail phrase here"))
+        else:
+            rows.append((i, f"unrelated document number {i} with its own words {i * 7}"))
+    df = docs(rows)
+    incr, full = _incr_vs_full(spark, df, lambda c: c % 5 == 0)
+    assert incr == full and incr  # non-trivial and identical
+
+
+def test_incremental_candidates_match_full_on_fixture(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    incr, full = _incr_vs_full(spark, df, lambda c: c % 5 == 0)
+    assert incr == full
+
+
+def test_incremental_tombstones_keep_junk_cap_exact(spark, docs):
+    # 70 identical old docs (> MAX_BUCKET=64): the full run drops the
+    # bucket entirely, so two new copies of the same text must produce
+    # NO pairs — only the tombstone row (ids nulled, width kept) lets
+    # the incremental path see that the bucket is junk
+    junk = [(i, "boilerplate licence header text repeated verbatim") for i in range(70)]
+    old = docs(junk)
+    new = docs([(100, junk[0][1]), (101, junk[0][1])])
+    index = D.band_bucket_index(old, "id", "text")
+    tomb = index.filter(F.col("ids").isNull())
+    assert tomb.count() > 0 and tomb.agg(F.max("w")).collect()[0][0] == 70
+    incr = D.incremental_lsh_candidates(index, new, "id", "text")
+    assert incr.count() == 0
+    # sanity: the same two new docs against a small clean corpus pair up
+    clean_index = D.band_bucket_index(docs([(0, junk[0][1])]), "id", "text")
+    assert (
+        D.incremental_lsh_candidates(clean_index, new, "id", "text").count() == 3
+    )  # (0,100), (0,101), (100,101)
+
+
+def test_incremental_cap_counts_combined_width(spark, docs):
+    # old bucket exactly at the cap: adding ONE new member pushes the
+    # combined width over MAX_BUCKET, so no pairs may be emitted even
+    # though the corpus-side bucket still stores its ids
+    text = "shared near duplicate content for the capped bucket case"
+    old = docs([(i, text) for i in range(D.MAX_BUCKET)])
+    index = D.band_bucket_index(old, "id", "text")
+    assert index.filter(F.col("ids").isNull()).count() == 0
+    incr = D.incremental_lsh_candidates(index, docs([(500, text)]), "id", "text")
+    assert incr.count() == 0
+    # one fewer old member -> combined width == cap -> pairs flow
+    index2 = D.band_bucket_index(docs([(i, text) for i in range(D.MAX_BUCKET - 1)]), "id", "text")
+    incr2 = D.incremental_lsh_candidates(index2, docs([(500, text)]), "id", "text")
+    assert incr2.count() == D.MAX_BUCKET - 1
+
+
 def test_minhash_signature_is_order_insensitive_set_hash(spark, docs):
     # signatures depend on the shingle SET → duplicated shingles don't change them
     t1 = "a b c d e f"

@@ -146,8 +146,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "q51_minhash_lsh": (
         # minhash bands bucket via explode + groupBy (map-only until
-        # the band-bucket exchange); pair generation never self-joins
-        ["Generate", "HashAggregate"],
+        # the band-bucket exchange); pair generation never self-joins.
+        # The incr branch probes the materialized band index with the
+        # batch's keys BROADCAST (batch-bounded side), so the corpus
+        # index scan is map-only — an SMJ anywhere would mean a
+        # corpus-sized sort/shuffle snuck in
+        ["Generate", "HashAggregate", "BroadcastHashJoin", "Union"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     ),
     "q72_sessionize": (
