@@ -205,6 +205,29 @@ def minhash_lsh_candidates(
     )
 
 
+def incremental_exact_matches(
+    index: DataFrame, batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Batch docs byte-identical (after casefold/space-collapse) to an
+    existing corpus document, given the corpus's
+    :func:`exact_duplicates` output as a materialized fingerprint
+    index: (id, keep_id, n_old) — the batch doc, the corpus
+    representative it duplicates, and how many corpus copies exist.
+
+    The exact-layer companion of :func:`incremental_lsh_candidates`,
+    same probe shape: batch fingerprints are broadcast (batch-bounded
+    side) into ONE map-only scan of the index — no corpus shuffle, no
+    corpus recompute. Batch-internal duplicates are not this
+    operator's job (run :func:`exact_duplicates` on the batch).
+    """
+    bfp = batch.select(
+        F.col(id_col).alias("id"), doc_fingerprint(F.col(text_col)).alias("h")
+    )
+    return index.join(F.broadcast(bfp), "h").select(
+        "id", "keep_id", F.col("n").alias("n_old")
+    )
+
+
 def band_bucket_index(
     df: DataFrame,
     id_col: str,

@@ -1,5 +1,6 @@
 from kaj_query_engine_spark.streaming.ops import (
     read_stream_table,
+    stream_corpus_filter,
     stream_interval_join,
     run_available_now,
     stream_session_stats,
@@ -13,6 +14,7 @@ from kaj_query_engine_spark.streaming.ops import (
 __all__ = [
     "stream_static_enrich",
     "read_stream_table",
+    "stream_corpus_filter",
     "stream_interval_join",
     "run_available_now",
     "stream_session_stats",

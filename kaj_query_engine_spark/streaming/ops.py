@@ -259,6 +259,31 @@ def stream_static_enrich(
     return stream.join(d, key_col, how)
 
 
+def stream_corpus_filter(
+    stream: DataFrame, fp_index: DataFrame, text_col: str
+) -> DataFrame:
+    """New-documents filter for a document-ingest stream: drop every
+    incoming doc whose content fingerprint already exists in the
+    corpus (stream-static LEFT ANTI join against the corpus's
+    materialized ``exact_duplicates`` index) — the streaming face of
+    the incremental-ingest dedup family.
+
+    Scale shape: STATELESS for the stream — an anti join against a
+    static side buffers nothing in the state store, and the static
+    side is re-planned per micro-batch, so an index refreshed by a
+    nightly compaction is picked up without restarting the query. The
+    corpus index is scanned per micro-batch (the same map-only probe
+    economics as the batch path when the planner broadcasts the
+    micro-batch's fingerprints); within-stream duplicates are NOT
+    dropped here — that is watermark-bounded
+    :func:`streaming_dedup`'s job, with bounded state.
+    """
+    from kaj_query_engine_spark.functions.text import doc_fingerprint
+
+    with_fp = stream.withColumn("h", doc_fingerprint(F.col(text_col)))
+    return with_fp.join(fp_index.select("h"), "h", "left_anti").drop("h")
+
+
 def stream_stateful_user_totals(
     sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

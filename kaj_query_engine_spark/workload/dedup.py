@@ -118,6 +118,33 @@ def materialized_band_index(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+def materialized_fp_index(spark, sf_dir):
+    """Build-once exact-dedup fingerprint index over the OLD docs
+    (doc_id % 5 != 0): the :func:`operators.dedup.exact_duplicates`
+    output (h, n, keep_id) as parquet under ``.scratch`` behind the
+    staleness token — the exact-layer sibling of
+    :func:`materialized_band_index`, shared by the batch probe
+    operator and the streaming corpus filter (q82's 'docs' branch)."""
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    path = str(_SCRATCH / _tag(sf_dir) / "fp_index")
+    token = _layout_token(src, "fp:split5:v1")
+    if not _layout_current(token, path):
+        old = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        D.exact_duplicates(old, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(path)
+        _stamp_layout(token, path)
+    return spark.read.parquet(path)
+
+
 @register(
     "q51_minhash_lsh",
     _minhash_oracle(),

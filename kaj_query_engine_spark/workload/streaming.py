@@ -99,20 +99,38 @@ def q80(spark, sf_dir):
     return tumble.unionByName(sess)
 
 
+_FP = "md5(regexp_replace(lower(trim({t}.text)), '\\s+', ' ', 'g'))"
+
+
 @register(
     "q82_stream_dedup",
-    "SELECT event_type, c.c_mktsegment AS segment, count(*) AS n FROM ("
+    "SELECT 'events' AS path, event_type AS g1, "
+    "c.c_mktsegment AS g2, count(*) AS n FROM ("
     "SELECT DISTINCT ON (user_id, event_type) user_id, event_type "
     "FROM events ORDER BY user_id, event_type) d "
     "LEFT JOIN customer c ON d.user_id = c.c_custkey "
-    "GROUP BY event_type, segment",
-    "streaming exact dedup via dropDuplicatesWithinWatermark (state = "
-    "one entry per key inside the watermark horizon), then stream-"
-    "static enrichment against the broadcast customer dimension "
-    "(stateless for the stream, re-planned per micro-batch), then "
-    "re-aggregate",
+    "GROUP BY g1, g2 "
+    "UNION ALL "
+    "SELECT 'docs', lang, source, count(*) FROM documents d "
+    "WHERE doc_id % 5 = 0 AND NOT EXISTS ("
+    "SELECT 1 FROM documents o WHERE o.doc_id % 5 != 0 "
+    f"AND {_FP.format(t='o')} = {_FP.format(t='d')}) "
+    "GROUP BY 2, 3",
+    "streaming dedup, two branches. 'events': "
+    "dropDuplicatesWithinWatermark (state = one entry per key inside "
+    "the watermark horizon), then stream-static enrichment against "
+    "the customer dimension (stateless for the stream, re-planned per "
+    "micro-batch), then re-aggregate. 'docs': the incremental-ingest "
+    "stream — incoming docs (doc_id % 5 = 0 plays the landing "
+    "directory) anti-joined against the corpus's MATERIALIZED "
+    "fingerprint index (stream-static LEFT ANTI — stateless, index "
+    "refresh picked up per micro-batch), survivors counted by "
+    "lang/source",
 )
 def q82(spark, sf_dir):
+    from kaj_query_engine_spark.streaming import stream_corpus_filter
+    from kaj_query_engine_spark.workload.dedup import materialized_fp_index
+
     s = read_stream_table(spark, sf_dir, "events")
     d = streaming_dedup(s, ["user_id", "event_type"], "ts", "1 hour")
     dim = (
@@ -123,8 +141,23 @@ def q82(spark, sf_dir):
         )
     )
     e = stream_static_enrich(d, dim, "user_id")
-    agg = e.groupBy("event_type", "segment").agg(F.count(F.lit(1)).alias("n"))
-    return run_available_now(agg, "complete", state_partitions=8)
+    agg = e.groupBy(
+        F.col("event_type").alias("g1"), F.col("segment").alias("g2")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    events = run_available_now(agg, "complete", state_partitions=8)
+
+    docs = read_stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    surv = stream_corpus_filter(docs, materialized_fp_index(spark, sf_dir), "text")
+    agg2 = surv.groupBy(
+        F.col("lang").alias("g1"), F.col("source").alias("g2")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    new_docs = run_available_now(agg2, "complete", state_partitions=8)
+
+    return events.select(F.lit("events").alias("path"), "*").unionAll(
+        new_docs.select(F.lit("docs").alias("path"), "*")
+    )
 
 
 @register(

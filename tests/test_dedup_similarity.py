@@ -142,6 +142,21 @@ def test_incremental_cap_counts_combined_width(spark, docs):
     assert incr2.count() == D.MAX_BUCKET - 1
 
 
+def test_incremental_exact_matches(spark, docs):
+    # corpus: two copies of A (keep_id=0), one B; batch: one more A
+    # (normalization applies), one new C
+    old = docs(
+        [(0, "Doc alpha  text"), (1, "doc ALPHA text"), (2, "doc beta text")]
+    )
+    index = D.exact_duplicates(old, "id", "text")
+    batch = docs([(10, "DOC  alpha TEXT"), (11, "doc gamma text")])
+    got = {
+        (r.id, r.keep_id, r.n_old)
+        for r in D.incremental_exact_matches(index, batch, "id", "text").collect()
+    }
+    assert got == {(10, 0, 2)}
+
+
 def test_minhash_signature_is_order_insensitive_set_hash(spark, docs):
     # signatures depend on the shingle SET → duplicated shingles don't change them
     t1 = "a b c d e f"

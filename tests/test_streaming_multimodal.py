@@ -60,6 +60,37 @@ def test_streaming_dedup_keeps_one_per_key(spark):
     assert out.collect()[0].n == n_users
 
 
+def test_stream_corpus_filter_drops_known_fingerprints(spark, tmp_path):
+    # corpus knows A (two normalized copies) and B; the stream lands
+    # A-again (normalized differently), B-again, and new C/D — only
+    # the genuinely-new docs survive the anti join
+    from kaj_query_engine_spark.operators import dedup as D
+    from kaj_query_engine_spark.streaming import stream_corpus_filter
+
+    corpus = spark.createDataFrame(
+        [(0, "Doc alpha  text"), (1, "doc ALPHA text"), (2, "doc beta text")],
+        "id long, text string",
+    )
+    index = D.exact_duplicates(corpus, "id", "text")
+    land = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [
+            (10, "DOC  alpha TEXT"),
+            (11, "doc beta  TEXT"),
+            (12, "doc gamma text"),
+            (13, "doc delta text"),
+        ],
+        "id long, text string",
+    ).write.parquet(land)
+    stream = spark.readStream.schema("id long, text string").parquet(land)
+    out = run_available_now(
+        stream_corpus_filter(stream, index, "text"), "append"
+    )
+    assert {r.id for r in out.collect()} == {12, 13}
+    # fingerprint column is internal — the survivor schema is the input's
+    assert out.columns == ["id", "text"]
+
+
 def test_stateful_totals_equals_groupby(spark):
     s = read_stream_table(spark, SF_DIR, "events")
     out = run_available_now(stream_stateful_user_totals(s), "update")
