@@ -96,6 +96,102 @@ def test_redaction_is_idempotent_and_order_safe(docs_df):
         assert r["a"] == r["b"]
 
 
+_PII_ALPHABET = "ab .@-{}!?\n0123456789"
+
+
+def _parity_check(spark, texts):
+    """Spark builders vs the exact q40 oracle fragments in DuckDB on
+    the given texts — the Java-regex ↔ RE2 agreement check."""
+    from kaj_query_engine_spark.workload import text as WT
+
+    rows = list(enumerate(texts))
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = (
+        "SELECT doc_id, "
+        f"CAST({WT._NSENT} AS INT) AS n_sent, "
+        f"CAST({WT._NPII} AS INT) AS n_pii, "
+        f"1.0 - len(list_distinct({WT._TOKS})) * 1.0 / {WT._NTOK} AS rep_frac, "
+        f"({WT._C4}) AS c4_ok "
+        "FROM documents ORDER BY doc_id"
+    )
+    oracle = {r[0]: r[1:] for r in con.sql(sql).fetchall()}
+    got = {
+        r["doc_id"]: r
+        for r in docs_df.select(
+            "doc_id",
+            TXT.n_sentences(F.col("text")).cast("int").alias("n_sent"),
+            TXT.pii_count(F.col("text")).cast("int").alias("n_pii"),
+            TXT.rep_token_frac(F.col("text")).alias("rep_frac"),
+            TXT.c4_ok(F.col("text")).alias("c4_ok"),
+        ).collect()
+    }
+    for doc_id, (n_sent, n_pii, rep, c4) in oracle.items():
+        s = got[doc_id]
+        assert s["n_sent"] == n_sent, (doc_id, texts[doc_id])
+        assert s["n_pii"] == n_pii, (doc_id, texts[doc_id])
+        if rep is None:
+            assert s["rep_frac"] is None, (doc_id, texts[doc_id])
+        else:
+            assert s["rep_frac"] == pytest.approx(rep), (doc_id, texts[doc_id])
+        assert s["c4_ok"] == c4, (doc_id, texts[doc_id])
+
+
+def test_regex_dialect_parity_on_adversarial_text(spark):
+    """Random strings over a PII-shaped alphabet (digits, @, dots,
+    dashes, braces, newlines) — every half-formed email/ip/phone
+    fragment must classify identically in Spark (Java regex) and the
+    DuckDB oracle (RE2)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.text(alphabet=_PII_ALPHABET, min_size=1, max_size=60),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(texts):
+        _parity_check(spark, texts)
+
+    run()
+
+
+def test_redaction_count_coherence_on_random_text(spark):
+    """pii_count == 0 exactly when redaction is the identity, and
+    redaction is idempotent — on random PII-shaped text."""
+    import random
+
+    rng = random.Random(7)
+    frags = ["a@b.co", "10.0.0.1", "555-123-4567", "a.b", "@", "12",
+             "x-y", " ", "q"]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randrange(1, 8)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    out = df.select(
+        "text",
+        TXT.pii_count(F.col("text")).alias("n"),
+        TXT.redact_pii(F.col("text")).alias("r1"),
+        TXT.redact_pii(TXT.redact_pii(F.col("text"))).alias("r2"),
+    ).collect()
+    n_hit = 0
+    for r in out:
+        assert r["r1"] == r["r2"], r["text"]  # idempotent
+        assert (r["n"] == 0) == (r["r1"] == r["text"]), r["text"]
+        n_hit += r["n"] > 0
+    assert n_hit > 100  # the generator actually produced PII
+
+
 def test_oracle_fragments_match_spark_on_varying_text(docs_df):
     """Run q40's ACTUAL oracle SQL fragments in DuckDB over the
     constructed docs and compare cell-for-cell with the Spark
