@@ -75,6 +75,14 @@ def _minhash_cand_ctes() -> str:
     )
 
 
+def _minhash_pairs_sql() -> str:
+    """The plain whole-corpus candidate-pair query — q54's transitive-
+    closure oracle embeds this inside ``WITH RECURSIVE pairs AS (...)``,
+    where a top-level UNION ALL would be (mis)read as a recursive CTE
+    definition, so it must stay union-free."""
+    return f"{_SH_CTE}, {_minhash_cand_ctes()} SELECT d1, d2 FROM cand"
+
+
 def _minhash_oracle() -> str:
     # 'incr' is definitionally the full candidate set restricted to
     # pairs involving a batch doc (doc_id % 5 = 0) — the Spark side
@@ -210,7 +218,7 @@ def q52(spark, sf_dir):
 
 @register(
     "q54_dedup_clusters",
-    f"WITH RECURSIVE pairs AS ({_minhash_oracle()}), "
+    f"WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}), "
     "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
     "UNION SELECT d2, d1 FROM pairs), "
     "reach AS (SELECT a, b FROM edges "
