@@ -144,6 +144,100 @@ def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> s
     )
 
 
+# int8 quantization oracle mirror (operators.similarity.quantize_vectors):
+# scale = max|x|/127, q_i = floor(x_i/scale + 0.5) — half-up, NOT
+# banker's (DuckDB round() is half-away and Spark bround() half-even;
+# floor(+0.5) is the one form both engines express identically)
+_QSCALE = "list_max(list_transform({v}, x -> abs(x))) / 127.0"
+
+
+def _qvec(v: str) -> str:
+    return (
+        f"CASE WHEN ({_QSCALE.format(v=v)}) > 0 THEN "
+        f"list_transform({v}, x -> CAST(floor(x / ({_QSCALE.format(v=v)}) "
+        "+ 0.5) AS BIGINT)) "
+        f"ELSE list_transform({v}, x -> CAST(0 AS BIGINT)) END"
+    )
+
+
+def _quant_ivf_oracle(n_centroids: int, nprobe: int) -> str:
+    """The quantized-scoring IVF branch: identical centroid choice,
+    assignment, and probe selection as :func:`_ivf_oracle` (exact
+    float vectors), but candidate scoring on int8-quantized vectors —
+    scales cancel in cosine, so the score is integer dots over
+    quantized components."""
+    seed_h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    cos_vc = (
+        f"{_DOT_AB.format(a='e.v', b='cent.cvec')} / "
+        f"({_norm('e.v')} * {_norm('cent.cvec')})"
+    )
+    cos_qc = (
+        f"{_DOT_AB.format(a='q.q_vec', b='cent.cvec')} / "
+        f"(q.q_nrm * {_norm('cent.cvec')})"
+    )
+    qcos = (
+        f"{_DOT_AB.format(a='p.q_qv', b='a.qv')} * 1.0 / (p.q_qnrm * a.qnrm)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "cent AS (SELECT vec_id AS cid, v AS cvec FROM e "
+        f"ORDER BY {seed_h}, vec_id LIMIT {n_centroids}), "
+        "asg AS (SELECT e.vec_id, e.v, cent.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, cent.cid) AS rn "
+        "FROM e CROSS JOIN cent), "
+        f"a0 AS (SELECT vec_id, {_qvec('v')} AS qv, cid FROM asg WHERE rn = 1), "
+        f"a AS (SELECT vec_id, qv, {_norm('qv')} AS qnrm, cid FROM a0), "
+        f"q AS (SELECT vec_id AS q_id, v AS q_vec, {_norm('v')} AS q_nrm "
+        f"FROM e WHERE vec_id < {N_QUERIES}), "
+        f"qq0 AS (SELECT q_id, {_qvec('q_vec')} AS q_qv FROM q), "
+        f"qq AS (SELECT q_id, q_qv, {_norm('q_qv')} AS q_qnrm FROM qq0), "
+        "qp AS (SELECT q.q_id, cent.cid, row_number() OVER ("
+        f"PARTITION BY q.q_id ORDER BY {cos_qc} DESC, cent.cid) AS rn "
+        "FROM q CROSS JOIN cent), "
+        "p AS (SELECT qp.q_id, qq.q_qv, qq.q_qnrm, qp.cid FROM qp "
+        f"JOIN qq ON qp.q_id = qq.q_id WHERE qp.rn <= {nprobe}), "
+        f"scored AS (SELECT p.q_id, a.vec_id, {qcos} AS c "
+        "FROM a JOIN p ON a.cid = p.cid WHERE a.vec_id <> p.q_id), "
+        "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
+        "round(c, 6) AS cos FROM scored) "
+        f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {TOP_K}"
+    )
+
+
+def materialized_quantized_ivf_index(spark, sf_dir):
+    """Build-once int8-quantized inverted file, DERIVED from the same
+    assignment as :func:`materialized_ivf_index` (list membership must
+    not drift between the float and quantized branches): (cid, vec_id,
+    qvec, scale, qnrm) parquet partitioned by cid under ``.scratch``.
+    At 100 TB this is the index actually served — 8× less bytes per
+    probed list — with the float index retained corpus-side for
+    rescoring tiers."""
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    path = str(_SCRATCH / _tag(sf_dir) / "ivf_quantized")
+    token = _layout_token(src, f"ivfq:{IVF_CENTROIDS}:v1")
+    if not _layout_current(token, path):
+        _, assigned = materialized_ivf_index(spark, sf_dir)
+        qa = S.quantize_vectors(
+            assigned.select("vec_id", F.col("c_vec").alias("embedding")),
+            "vec_id",
+            "embedding",
+        )
+        qa.join(assigned.select("vec_id", "cid"), "vec_id").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(path)
+        _stamp_layout(token, path)
+    return spark.read.parquet(path)
+
+
 def materialized_ivf_index(spark, sf_dir):
     """Build-once IVF index for the ``embeddings`` fixture: returns
     ``(centroids, assigned)`` read from a parquet materialization under
@@ -187,9 +281,11 @@ def _ivf_oracle_tagged() -> str:
     ivf4, ivf_full = _ivf_oracle(nprobe=IVF_NPROBE), _ivf_oracle(
         nprobe=IVF_CENTROIDS
     )
+    quant = _quant_ivf_oracle(IVF_CENTROIDS, IVF_NPROBE)
     return (
         f"SELECT 'probe4' AS path, * FROM ({ivf4}) "
-        f"UNION ALL SELECT 'probe_all' AS path, * FROM ({ivf_full})"
+        f"UNION ALL SELECT 'probe_all' AS path, * FROM ({ivf_full}) "
+        f"UNION ALL SELECT 'quant' AS path, * FROM ({quant})"
     )
 
 
@@ -204,7 +300,10 @@ def _ivf_oracle_tagged() -> str:
     "(exact search served from the same index, the recall ceiling); "
     "list sizes adapt to the data distribution, and at 100 TB the "
     "cid-partitioned layout means a probe touches only its lists' "
-    "directories",
+    "directories; branch 'quant' serves the same probes from the "
+    "int8-QUANTIZED inverted file (8x smaller lists; scales cancel "
+    "in cosine, so scoring is deterministic integer arithmetic — "
+    "identical list choice, quantized scores, oracle-exact)",
 )
 def q63(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -212,8 +311,12 @@ def q63(spark, sf_dir):
     cent, assigned = materialized_ivf_index(spark, sf_dir)
     probe4 = S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_NPROBE)
     probe_all = S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_CENTROIDS)
-    return probe4.select(F.lit("probe4").alias("path"), "*").unionAll(
-        probe_all.select(F.lit("probe_all").alias("path"), "*")
+    qidx = materialized_quantized_ivf_index(spark, sf_dir)
+    quant = S.ivf_query_quantized(cent, qidx, q, k=TOP_K, nprobe=IVF_NPROBE)
+    return (
+        probe4.select(F.lit("probe4").alias("path"), "*")
+        .unionAll(probe_all.select(F.lit("probe_all").alias("path"), "*"))
+        .unionAll(quant.select(F.lit("quant").alias("path"), "*"))
     )
 
 

@@ -360,6 +360,83 @@ def test_ivf_centroids_deterministic_seed_sample(spark, vectors):
     assert c1 == c2 and len(c1) == 6
 
 
+def test_quantize_roundtrip_and_bounds(spark, vectors):
+    vectors, _ = vectors
+    qv = S.quantize_vectors(vectors, "vec_id", "embedding")
+    rows = qv.collect()
+    assert rows and all(
+        max(abs(x) for x in r.qvec) <= 127 for r in rows
+    )
+    # every vector's max-|component| quantizes to ±127 exactly
+    assert all(max(abs(x) for x in r.qvec) == 127 for r in rows if r.scale > 0)
+    # pack → parquet → unpack is identity
+    packed = S.pack_qvecs(qv)
+    back = {r.vec_id: r.qvec for r in S.unpack_qvecs(packed).collect()}
+    for r in rows:
+        assert back[r.vec_id] == r.qvec
+
+
+def test_quantized_cosine_tracks_exact(spark, vectors):
+    import itertools
+
+    vectors, _ = vectors
+    vecs = {r.vec_id: np.array(r.embedding) for r in vectors.collect()}
+    q = {r.vec_id: (np.array(r.qvec), r.scale) for r in
+         S.quantize_vectors(vectors, "vec_id", "embedding").collect()}
+    for a, b in itertools.islice(itertools.combinations(sorted(vecs), 2), 200):
+        va, vb = vecs[a], vecs[b]
+        exact = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        qa, qb = q[a][0], q[b][0]
+        quant = float(qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb)))
+        # int8 on 64 dims: componentwise error <= 0.5/127 of the max
+        # component — observed cosine drift stays well under 0.03
+        assert abs(exact - quant) < 0.03, (a, b, exact, quant)
+
+
+def test_quantized_index_is_smaller_on_disk(spark, tmp_path):
+    from pathlib import Path
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = str(tmp_path / "full")
+    packed = str(tmp_path / "packed")
+    e.select("vec_id", "embedding").write.parquet(full)
+    S.pack_qvecs(
+        S.quantize_vectors(e, "vec_id", "embedding").select(
+            "vec_id", "qvec", "scale"
+        )
+    ).write.parquet(packed)
+
+    def psize(p):
+        return sum(f.stat().st_size for f in Path(p).rglob("part-*"))
+
+    ratio = psize(packed) / psize(full)
+    # float64[64] ≈ 512 B/vec vs 64 B blob + scale; parquet encoding
+    # narrows the gap but the blob layout must stay well under half
+    assert ratio < 0.5, ratio
+
+
+def test_quantized_ivf_recall_vs_exact(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(e, q, k=10).collect()
+    }
+    cent, assigned = S.ivf_build(e, n_centroids=16)
+    qidx = S.quantize_vectors(
+        assigned.select("vec_id", F.col("c_vec").alias("embedding"))
+    ).join(assigned.select("vec_id", "cid"), "vec_id")
+    # probe EVERY list: isolates quantization loss from probe loss
+    got = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_query_quantized(cent, qidx, q, k=10, nprobe=16).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_probe_exprs_distinct_hamming1(spark):
     df = spark.createDataFrame([("1010",)], "bucket string")
     probes = df.select(
