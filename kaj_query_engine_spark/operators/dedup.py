@@ -326,7 +326,11 @@ def incremental_lsh_candidates(
     # larger than the batch bucket table; the left join that attaches
     # old_ids/w to each batch bucket is then tiny-vs-tiny
     hits = index.join(F.broadcast(newb.select("band", "key")), ["band", "key"])
-    combined = newb.join(hits, ["band", "key"], "left")
+    # hits is explicitly broadcast too: it is no larger than the batch
+    # bucket table (semi-probed by its keys), but its left-join partner
+    # is the checkpointed batch RDD, whose UNKNOWN stats would
+    # otherwise default the planner to a sort-merge join
+    combined = newb.join(F.broadcast(hits), ["band", "key"], "left")
     id_type = newb.schema["new_ids"].dataType
     old_ids = F.coalesce(F.col("ids"), F.array().cast(id_type))
     w_comb = F.size("new_ids") + F.coalesce(F.col("w"), F.lit(0))

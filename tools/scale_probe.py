@@ -290,6 +290,42 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def quantized_index_bytes() -> None:
+        """Storage-ratio evidence for the int8 inverted file: derive
+        the quantized+packed index from each scale's float index and
+        emit on-disk bytes of both — the 8× claim, measured as the
+        corpus grows (parquet encoding narrows raw 8× to ~whatever
+        this records)."""
+        from pathlib import Path as _P
+
+        ratios, fb, qb = [], [], []
+        for k in SCALES:
+            _, assigned = ivf_index(k)
+            qp = f"{scratch}/ivf_quant_{k}"
+            qa = S.quantize_vectors(
+                assigned.select("vec_id", F.col("c_vec").alias("embedding"))
+            )
+            S.pack_qvecs(
+                qa.join(assigned.select("vec_id", "cid"), "vec_id")
+            ).write.mode("overwrite").partitionBy("cid").parquet(qp)
+
+            def _bytes(p):
+                return sum(f.stat().st_size for f in _P(p).rglob("part-*"))
+
+            f_bytes = _bytes(f"{scratch}/ivf_assigned_{k}")
+            q_bytes = _bytes(qp)
+            fb.append(f_bytes)
+            qb.append(q_bytes)
+            ratios.append(round(q_bytes / f_bytes, 3))
+        _emit({
+            "op": "quantized_index_bytes",
+            "n": [base_vecs * kk for kk in SCALES],
+            "float_bytes": fb,
+            "int8_bytes": qb,
+            "ratio": ratios,
+            "note": "on-disk inverted-file size, float64 vs packed int8",
+        }, sf_dir)
+
     # ---- power-law-key (skew) probes -------------------------------
     # Replication above grows the corpus uniformly; these two grow a
     # SKEWED workload: a hot-key aggregation (half of all rows share
@@ -509,6 +545,7 @@ def main() -> None:
                 "sec": [ivf_build_secs[kk] for kk in SCALES],
                 "note": "one-time index build+write (O(N*K), amortized)",
             }, sf_dir)
+            quantized_index_bytes()
         if name == "salted_agg_skewed":
             base_n = SKEW_BASE_ROWS
         elif name == "cc_skewed":
