@@ -274,6 +274,62 @@ def band_bucket_index(
     )
 
 
+def merge_band_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Admit a batch into an existing :func:`band_bucket_index`
+    WITHOUT rebuilding it: returns the index of ``old ∪ batch``
+    (equality with a from-scratch build is differentially pinned in
+    tests). The last step of the ingest lifecycle — probe
+    (:func:`incremental_lsh_candidates`), drop dups, merge survivors
+    in; the next batch probes the merged index.
+
+    Shuffle shape: ONE full-outer equi-join on (band, key). The
+    corpus-side cost is a shuffle of index ROWS (≈32 B + 8·w each),
+    never a recompute of corpus signatures — and with the index
+    parquet bucketed by its join key the exchange drops out entirely.
+    Buckets whose merged width exceeds the cap become (or stay)
+    tombstones: width is always additive, ids are kept only while the
+    bucket is alive, so junk never accumulates bytes.
+    """
+    nb = lsh_bands(
+        minhash_signatures(batch, id_col, text_col, num_hashes, n),
+        num_bands,
+        num_hashes // num_bands,
+    )
+    add = nb.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("id")).alias("new_ids")
+    )
+    id_type = add.schema["new_ids"].dataType
+    merged_w = F.coalesce(F.col("w"), F.lit(0)) + F.coalesce(
+        F.size("new_ids"), F.lit(0)
+    )
+    # a tombstoned old bucket (ids NULL, w > cap) must stay dead even
+    # though the merged array below would only hold the new ids
+    alive = (merged_w <= max_bucket) & (
+        F.col("w").isNull() | F.col("ids").isNotNull()
+    )
+    merged_ids = F.array_sort(
+        F.concat(
+            F.coalesce(F.col("ids"), F.array().cast(id_type)),
+            F.coalesce(F.col("new_ids"), F.array().cast(id_type)),
+        )
+    )
+    return index.join(add, ["band", "key"], "full_outer").select(
+        "band",
+        "key",
+        F.when(alive, merged_ids).alias("ids"),
+        merged_w.alias("w"),
+    )
+
+
 def incremental_lsh_candidates(
     index: DataFrame,
     batch: DataFrame,

@@ -633,6 +633,58 @@ def ivf_query_quantized(
     )
 
 
+def ivf_query_rescored(
+    cent: DataFrame,
+    qassigned: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int | None = None,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Two-tier retrieval: the int8 inverted file proposes
+    ``k·overfetch`` candidates per query (:func:`ivf_query_quantized`
+    — the bandwidth-cheap tier), then ONLY those candidates are
+    rescored with exact float cosine and the final top-k ranked on
+    exact scores. The production serving pattern: the quantized tier's
+    recall at a fraction of the bytes, the float tier's precision at
+    candidate-bounded cost.
+
+    Scale shape: the float index is touched ONCE, map-only — the
+    candidate id set (|queries|·k·overfetch rows) is broadcast into
+    its scan; no corpus shuffle, no full-corpus float reads.
+    """
+    from pyspark.sql import Window as W
+
+    cand = ivf_query_quantized(
+        cent, qassigned, queries, id_col, vec_col, k * overfetch, nprobe
+    ).select("q_id", "vec_id")
+    qe = queries.select(
+        F.col(id_col).alias("q_id"), _dvec(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    rescored = (
+        assigned.select("vec_id", "c_vec", "c_nrm")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qe), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def pack_qvecs(df: DataFrame, qvec_col: str = "qvec") -> DataFrame:
     """Replace the int8 array column with a packed BINARY blob (one
     byte per dimension) — the wire/storage format. Arrow-batched numpy

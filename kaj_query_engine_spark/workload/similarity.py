@@ -160,7 +160,7 @@ def _qvec(v: str) -> str:
     )
 
 
-def _quant_ivf_oracle(n_centroids: int, nprobe: int) -> str:
+def _quant_ivf_oracle(n_centroids: int, nprobe: int, top: int = TOP_K) -> str:
     """The quantized-scoring IVF branch: identical centroid choice,
     assignment, and probe selection as :func:`_ivf_oracle` (exact
     float vectors), but candidate scoring on int8-quantized vectors —
@@ -201,6 +201,25 @@ def _quant_ivf_oracle(n_centroids: int, nprobe: int) -> str:
         "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
         "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
         "round(c, 6) AS cos FROM scored) "
+        f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {top}"
+    )
+
+
+def _rescored_ivf_oracle(n_centroids: int, nprobe: int, overfetch: int = 4) -> str:
+    """Two-tier oracle: the quantized branch at k·overfetch proposes,
+    exact float cosine over ONLY those candidates re-ranks."""
+    cand = _quant_ivf_oracle(n_centroids, nprobe, TOP_K * overfetch)
+    cos = f"{_DOT_AB.format(a='q.q_vec', b='e.v')} / (q.q_nrm * {_norm('e.v')})"
+    return (
+        f"WITH qc AS ({cand}), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, v AS q_vec, {_norm('v')} AS q_nrm "
+        f"FROM e WHERE vec_id < {N_QUERIES}), "
+        f"rescored AS (SELECT qc.q_id, qc.vec_id, {cos} AS c FROM qc "
+        "JOIN q ON qc.q_id = q.q_id JOIN e ON qc.vec_id = e.vec_id), "
+        "r AS (SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS rank, "
+        "round(c, 6) AS cos FROM rescored) "
         f"SELECT q_id, vec_id, rank, cos FROM r WHERE rank <= {TOP_K}"
     )
 
@@ -282,10 +301,12 @@ def _ivf_oracle_tagged() -> str:
         nprobe=IVF_CENTROIDS
     )
     quant = _quant_ivf_oracle(IVF_CENTROIDS, IVF_NPROBE)
+    resc = _rescored_ivf_oracle(IVF_CENTROIDS, IVF_NPROBE)
     return (
         f"SELECT 'probe4' AS path, * FROM ({ivf4}) "
         f"UNION ALL SELECT 'probe_all' AS path, * FROM ({ivf_full}) "
-        f"UNION ALL SELECT 'quant' AS path, * FROM ({quant})"
+        f"UNION ALL SELECT 'quant' AS path, * FROM ({quant}) "
+        f"UNION ALL SELECT 'rescored' AS path, * FROM ({resc})"
     )
 
 
@@ -303,7 +324,11 @@ def _ivf_oracle_tagged() -> str:
     "directories; branch 'quant' serves the same probes from the "
     "int8-QUANTIZED inverted file (8x smaller lists; scales cancel "
     "in cosine, so scoring is deterministic integer arithmetic — "
-    "identical list choice, quantized scores, oracle-exact)",
+    "identical list choice, quantized scores, oracle-exact); branch "
+    "'rescored' is the two-tier serving pattern: the quantized tier "
+    "proposes 4x overfetched candidates, exact float cosine re-ranks "
+    "ONLY those (candidate ids broadcast into one map-only float-"
+    "index scan)",
 )
 def q63(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -313,10 +338,14 @@ def q63(spark, sf_dir):
     probe_all = S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_CENTROIDS)
     qidx = materialized_quantized_ivf_index(spark, sf_dir)
     quant = S.ivf_query_quantized(cent, qidx, q, k=TOP_K, nprobe=IVF_NPROBE)
+    resc = S.ivf_query_rescored(
+        cent, qidx, assigned, q, k=TOP_K, nprobe=IVF_NPROBE
+    )
     return (
         probe4.select(F.lit("probe4").alias("path"), "*")
         .unionAll(probe_all.select(F.lit("probe_all").alias("path"), "*"))
         .unionAll(quant.select(F.lit("quant").alias("path"), "*"))
+        .unionAll(resc.select(F.lit("rescored").alias("path"), "*"))
     )
 
 

@@ -142,6 +142,59 @@ def test_incremental_cap_counts_combined_width(spark, docs):
     assert incr2.count() == D.MAX_BUCKET - 1
 
 
+def _index_as_set(df):
+    return {
+        (r.band, r.key, tuple(r.ids) if r.ids is not None else None, r.w)
+        for r in df.collect()
+    }
+
+
+def test_merge_band_index_equals_rebuild(spark, docs):
+    # mixed case: shared buckets, batch-only buckets, a bucket pushed
+    # over the cap by the merge, and an already-tombstoned bucket
+    junk = "junk bucket boilerplate text repeated everywhere verbatim"
+    near = "the quick brown fox jumps over the lazy dog tonight"
+    old_rows = (
+        [(i, junk) for i in range(70)]  # tombstoned at build
+        + [(100 + i, near) for i in range(D.MAX_BUCKET - 1)]  # at cap-1
+        + [(500, "a unique old document all by itself here")]
+    )
+    new_rows = [
+        (1000, junk),  # lands in the tombstone: must stay dead
+        (1001, near),  # pushes the near bucket to exactly the cap
+        (1002, near),  # ...and this one past it -> tombstone
+        (1003, "an entirely new topic never seen before"),
+    ]
+    old, new = docs(old_rows), docs(new_rows)
+    merged = D.merge_band_index(
+        D.band_bucket_index(old, "id", "text"), new, "id", "text"
+    )
+    rebuilt = D.band_bucket_index(old.unionByName(new), "id", "text")
+    assert _index_as_set(merged) == _index_as_set(rebuilt)
+    # and the merged index serves the next batch identically to a
+    # rebuilt one (closing the ingest loop)
+    probe = docs([(2000, near), (2001, "another new topic")])
+    got_m = D.incremental_lsh_candidates(merged, probe, "id", "text")
+    got_r = D.incremental_lsh_candidates(rebuilt, probe, "id", "text")
+    assert {(r.d1, r.d2) for r in got_m.collect()} == {
+        (r.d1, r.d2) for r in got_r.collect()
+    }
+
+
+def test_merge_band_index_equals_rebuild_on_fixture(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    old = df.filter(F.col("id") % 5 != 0)
+    new = df.filter(F.col("id") % 5 == 0)
+    merged = D.merge_band_index(
+        D.band_bucket_index(old, "id", "text"), new, "id", "text"
+    )
+    rebuilt = D.band_bucket_index(df, "id", "text")
+    assert _index_as_set(merged) == _index_as_set(rebuilt)
+
+
 def test_incremental_exact_matches(spark, docs):
     # corpus: two copies of A (keep_id=0), one B; batch: one more A
     # (normalization applies), one new C
@@ -435,6 +488,40 @@ def test_quantized_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_rescored_tier_ranks_by_exact_cosine(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    cent, assigned = S.ivf_build(e, n_centroids=16)
+    qidx = S.quantize_vectors(
+        assigned.select("vec_id", F.col("c_vec").alias("embedding"))
+    ).join(assigned.select("vec_id", "cid"), "vec_id")
+    quant = {
+        (r.q_id, r.vec_id): r.cos
+        for r in S.ivf_query_quantized(cent, qidx, q, k=40, nprobe=16).collect()
+    }
+    resc = S.ivf_query_rescored(
+        cent, qidx, assigned, q, k=10, nprobe=16, overfetch=4
+    ).collect()
+    exact = {
+        (r.q_id, r.vec_id): r.cos
+        for r in S.brute_force_topk(e, q, k=1000).collect()
+    }
+    # rescored results come FROM the quantized candidate set, carry
+    # the EXACT cosine, and are ranked by it
+    by_q = {}
+    for r in resc:
+        assert (r.q_id, r.vec_id) in quant
+        assert r.cos == pytest.approx(exact[(r.q_id, r.vec_id)], abs=1e-6)
+        by_q.setdefault(r.q_id, []).append((r.rank, r.cos))
+    for ranks in by_q.values():
+        ordered = sorted(ranks)
+        assert all(
+            ordered[i][1] >= ordered[i + 1][1] for i in range(len(ordered) - 1)
+        )
 
 
 def test_probe_exprs_distinct_hamming1(spark):
