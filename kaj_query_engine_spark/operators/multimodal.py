@@ -165,6 +165,75 @@ def media_checksum(
     return df.select(id_col, bin_col).mapInPandas(digest, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    bin_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Resize stage — the full Spark-side plumbing (Arrow
+    ``mapInPandas`` batches, per-row pixel-buffer transform, metadata
+    rewrite), decode-free: real codecs are absent in this container
+    (see :func:`decode_media`), so the pixel buffer comes from the
+    deterministic FAKE pixel model ``pixel(i, j) = payload[(i·W + j)
+    mod len]`` and resizing is numpy nearest-neighbor index sampling.
+    Swapping the fake expansion for a codec decode + PIL resize
+    changes ONE function body; the batch shape, schema contract, and
+    metadata handling are exactly what the real stage needs.
+
+    Output: (id, media = target_h·target_w bytes, media_meta with the
+    new dimensions, format preserved).
+    """
+    import numpy as np
+
+    flat = df.select(
+        id_col,
+        bin_col,
+        F.col(f"{meta_col}.width").alias("_w"),
+        F.col(f"{meta_col}.height").alias("_h"),
+        F.col(f"{meta_col}.format").alias("_fmt"),
+    )
+    schema = f"{id_col} long, {bin_col} binary, _fmt string"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes, w: int, h: int) -> bytes:
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            if buf.size == 0:
+                return b"\x00" * (target_w * target_h)
+            # fake decode: expand payload onto the H×W grid
+            grid = buf[
+                (np.arange(h)[:, None] * w + np.arange(w)[None, :]) % buf.size
+            ]
+            yi = np.arange(target_h) * h // target_h
+            xi = np.arange(target_w) * w // target_w
+            return grid[np.ix_(yi, xi)].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    bin_col: [
+                        one(b, w, h)
+                        for b, w, h in zip(pdf[bin_col], pdf["_w"], pdf["_h"])
+                    ],
+                    "_fmt": pdf["_fmt"],
+                }
+            )
+
+    out = flat.mapInPandas(resize, schema)
+    return out.select(
+        id_col,
+        bin_col,
+        F.struct(
+            F.lit(target_w).cast("int").alias("width"),
+            F.lit(target_h).cast("int").alias("height"),
+            F.col("_fmt").alias("format"),
+        ).alias(meta_col),
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

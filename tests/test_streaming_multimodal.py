@@ -264,6 +264,35 @@ def test_media_checksum_matches_hashlib(media):
         assert sha == hashlib.sha256(payloads[d]).hexdigest()
 
 
+def test_resize_media_matches_numpy_reference(media):
+    import numpy as np
+
+    out = {r.doc_id: r for r in M.resize_media(media, 16, 8).collect()}
+    src = {
+        r.doc_id: (bytes(r.media), r.media_meta.width, r.media_meta.height,
+                   r.media_meta.format)
+        for r in media.collect()
+    }
+    assert out.keys() == src.keys()
+    for doc_id, (payload, w, h, fmt) in src.items():
+        r = out[doc_id]
+        assert len(bytes(r.media)) == 16 * 8
+        assert (r.media_meta.width, r.media_meta.height) == (16, 8)
+        assert r.media_meta.format == fmt
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        grid = buf[(np.arange(h)[:, None] * w + np.arange(w)[None, :]) % buf.size]
+        ref = grid[np.ix_(np.arange(8) * h // 8, np.arange(16) * w // 16)]
+        assert bytes(r.media) == ref.tobytes()
+
+
+def test_resize_media_identity_dims_reproduce_grid(media):
+    # resizing to the source dims is the fake-decode grid itself
+    first = media.limit(1).collect()[0]
+    w, h = first.media_meta.width, first.media_meta.height
+    out = M.resize_media(media.limit(1), w, h).collect()[0]
+    assert len(bytes(out.media)) == w * h
+
+
 def test_decode_media_is_stubbed(media):
     with pytest.raises(NotImplementedError):
         M.decode_media(media)
