@@ -410,6 +410,60 @@ def incremental_lsh_candidates(
     )
 
 
+def ingest_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The whole incremental-ingest lifecycle in one call: returns
+    ``(admitted, dup_pairs, new_index)`` —
+
+    1. probe the corpus :func:`band_bucket_index` with the batch
+       (:func:`incremental_lsh_candidates` — one map-only index scan);
+    2. verify candidates with exact n-gram Jaccard
+       (:func:`verify_candidate_pairs`) — the corpus contributes ONLY
+       candidate-touched documents (semi-join inside the verifier), so
+       corpus text I/O is candidate-bounded, not corpus-bounded;
+    3. drop every batch doc verified ≥ threshold against an EXISTING
+       doc (the corpus always wins, whatever the ids), and of a
+       verified batch-batch pair keep the smaller id (pairwise
+       min-id-wins — chain-transitive grouping is
+       :func:`cluster_duplicates`' job when needed);
+    4. merge the surviving docs into the index
+       (:func:`merge_band_index`) so the next batch probes them too.
+
+    ``corpus`` must contain the batch rows as well (the verifier needs
+    both sides' text); ``dup_pairs`` is the verified evidence
+    (d1, d2, jaccard) for audit.
+    """
+    cand = incremental_lsh_candidates(index, batch, id_col, text_col, n=n)
+    dup_pairs = verify_candidate_pairs(
+        corpus, cand, id_col, text_col, n=n, threshold=threshold
+    )
+    # membership flags, not id order: a modulo or interleaved split
+    # puts old ids above batch ids, so "greater id loses" would
+    # wrongly keep a batch doc that duplicates a bigger-id OLD doc
+    m1 = batch.select(F.col(id_col).alias("d1"), F.lit(True).alias("_n1"))
+    m2 = batch.select(F.col(id_col).alias("d2"), F.lit(True).alias("_n2"))
+    flagged = dup_pairs.join(m1, "d1", "left").join(m2, "d2", "left")
+    n1 = F.coalesce(F.col("_n1"), F.lit(False))
+    n2 = F.coalesce(F.col("_n2"), F.lit(False))
+    # pairs are d1 < d2, every pair involves >= 1 batch doc:
+    # both new -> d2 loses; new-vs-old -> the new side loses
+    losers = flagged.select(
+        F.when(n1 & ~n2, F.col("d1")).otherwise(F.col("d2")).alias("_loser")
+    ).distinct()
+    admitted = batch.join(
+        losers, F.col(id_col) == F.col("_loser"), "left_anti"
+    )
+    new_index = merge_band_index(index, admitted, id_col, text_col, n=n)
+    return admitted, dup_pairs, new_index
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

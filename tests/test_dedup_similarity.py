@@ -195,6 +195,40 @@ def test_merge_band_index_equals_rebuild_on_fixture(spark):
     assert _index_as_set(merged) == _index_as_set(rebuilt)
 
 
+def test_ingest_batch_lifecycle(spark, docs):
+    near = "the quick brown fox jumps over the lazy dog by the river tonight"
+    old_rows = [
+        (1, near),
+        (2, "completely different old content about something else"),
+        # old doc with id ABOVE the batch range: the corpus must still
+        # win against batch doc 10 (membership, not id order)
+        (99, "shared boilerplate paragraph repeated in the next crawl also"),
+    ]
+    new_rows = [
+        (10, "shared boilerplate paragraph repeated in the next crawl also"),
+        (11, near + " again"),            # near-dup of old doc 1
+        (12, "a genuinely fresh document about a new topic entirely"),
+        (13, near + " again"),            # dup of batch peer 11 too
+    ]
+    old, new = docs(old_rows), docs(new_rows)
+    corpus = old.unionByName(new)
+    index = D.band_bucket_index(old, "id", "text")
+    admitted, dup_pairs, new_index = D.ingest_batch(
+        corpus, index, new, "id", "text", threshold=0.4
+    )
+    got = {r.id for r in admitted.collect()}
+    # 10 loses to old 99 (bigger id, still wins); 11 loses to old 1;
+    # 13 loses to peer 11 (pairwise min-id); 12 is fresh
+    assert got == {12}
+    evid = {(r.d1, r.d2) for r in dup_pairs.collect()}
+    assert (10, 99) in evid and (1, 11) in evid and (11, 13) in evid
+    # the merged index equals a rebuild over old + admitted
+    rebuilt = D.band_bucket_index(
+        old.unionByName(new.filter(F.col("id").isin(12))), "id", "text"
+    )
+    assert _index_as_set(new_index) == _index_as_set(rebuilt)
+
+
 def test_incremental_exact_matches(spark, docs):
     # corpus: two copies of A (keep_id=0), one B; batch: one more A
     # (normalization applies), one new C
