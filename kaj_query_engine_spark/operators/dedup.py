@@ -371,7 +371,12 @@ def incremental_lsh_candidates(
     # the whole batch shingle→signature pipeline runs twice per action.
     # localCheckpoint is safe here because the table is batch-bounded
     # (the same reason its broadcast is) — measured 2.4 s → 1.1 s warm
-    # on the q51 'incr' branch at sf0.1
+    # on the q51 'incr' branch at sf0.1. Known trade (the CC-loop
+    # precedent): the EAGER materialization runs batch-sized jobs at
+    # plan-BUILD time (an EXPLAIN of this operator computes the batch
+    # buckets), and the checkpoint blocks live until the ContextCleaner
+    # collects the dropped DataFrame — bounded by batch size per call,
+    # but a tight many-batch loop should hold few of these at once
     newb = (
         nb.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("id")).alias("new_ids"))
@@ -418,6 +423,9 @@ def ingest_batch(
     text_col: str,
     threshold: float = 0.4,
     n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    max_bucket: int = MAX_BUCKET,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The whole incremental-ingest lifecycle in one call: returns
     ``(admitted, dup_pairs, new_index)`` —
@@ -438,12 +446,24 @@ def ingest_batch(
 
     ``corpus`` must contain the batch rows as well (the verifier needs
     both sides' text); ``dup_pairs`` is the verified evidence
-    (d1, d2, jaccard) for audit.
+    (d1, d2, jaccard) for audit. The band parameters MUST match the
+    ones the index was built with — mismatched bands would hash into
+    different buckets, silently finding nothing and then corrupting
+    the merged index with foreign-banded rows.
+
+    ``dup_pairs`` is materialized once (localCheckpoint — it is
+    candidate-bounded, the same reason its broadcast joins are safe):
+    all three returned frames hang off it, and without the barrier a
+    caller writing admitted + auditing dup_pairs + writing the new
+    index would re-run the corpus semi-join and exact verification
+    once per action.
     """
-    cand = incremental_lsh_candidates(index, batch, id_col, text_col, n=n)
+    cand = incremental_lsh_candidates(
+        index, batch, id_col, text_col, num_hashes, num_bands, n, max_bucket
+    )
     dup_pairs = verify_candidate_pairs(
         corpus, cand, id_col, text_col, n=n, threshold=threshold
-    )
+    ).localCheckpoint(eager=True)
     # membership flags, not id order: a modulo or interleaved split
     # puts old ids above batch ids, so "greater id loses" would
     # wrongly keep a batch doc that duplicates a bigger-id OLD doc
@@ -460,7 +480,9 @@ def ingest_batch(
     admitted = batch.join(
         losers, F.col(id_col) == F.col("_loser"), "left_anti"
     )
-    new_index = merge_band_index(index, admitted, id_col, text_col, n=n)
+    new_index = merge_band_index(
+        index, admitted, id_col, text_col, num_hashes, num_bands, n, max_bucket
+    )
     return admitted, dup_pairs, new_index
 
 

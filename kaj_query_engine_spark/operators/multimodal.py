@@ -200,7 +200,11 @@ def resize_media(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes, w: int, h: int) -> bytes:
             buf = np.frombuffer(payload, dtype=np.uint8)
-            if buf.size == 0:
+            # degenerate rows (empty payload OR zero-area metadata)
+            # zero-fill instead of crashing the task: a 0-width grid
+            # would make the nearest-neighbor index math go out of
+            # bounds even with a non-empty payload
+            if buf.size == 0 or w <= 0 or h <= 0:
                 return b"\x00" * (target_w * target_h)
             # fake decode: expand payload onto the H×W grid
             grid = buf[

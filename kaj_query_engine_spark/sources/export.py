@@ -46,6 +46,10 @@ def write_training_shards(
     if shard_key is not None:
         n = n_shards or df.sparkSession.sparkContext.defaultParallelism
         out = df.repartition(n, F.col(shard_key))
+    elif n_shards is not None:
+        # keyless round-robin: honor the requested shard count rather
+        # than silently keeping the input partitioning
+        out = df.repartition(n_shards)
     (
         out.write.option("maxRecordsPerFile", max_records_per_file)
         .mode("overwrite")

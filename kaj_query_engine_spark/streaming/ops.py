@@ -280,8 +280,13 @@ def stream_corpus_filter(
     """
     from kaj_query_engine_spark.functions.text import doc_fingerprint
 
-    with_fp = stream.withColumn("h", doc_fingerprint(F.col(text_col)))
-    return with_fp.join(fp_index.select("h"), "h", "left_anti").drop("h")
+    # collision-safe internal name: withColumn("h") would silently
+    # CLOBBER (and the final drop would then delete) a stream column
+    # that happens to be called "h" — the survivor schema must be the
+    # input's, untouched
+    with_fp = stream.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    idx = fp_index.select(F.col("h").alias("__fp"))
+    return with_fp.join(idx, "__fp", "left_anti").drop("__fp")
 
 
 def stream_stateful_user_totals(

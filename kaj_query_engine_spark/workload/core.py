@@ -69,6 +69,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # DuckDB oracle mirror of dsum() below — keep in lockstep
 DSUM_V_SQL = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
+# DuckDB mirror of functions.text.doc_fingerprint — ONE definition for
+# the q50 / q40 / q82 oracles ({col} is the qualified text column); a
+# normalization change must never need a three-file hunt
+FP_SQL = "md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
 
 def dsum(col, scale: int = 2):
     """Hash-stable SUM over doubles: cast each term to DECIMAL(18,6) so

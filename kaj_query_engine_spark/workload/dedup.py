@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kaj_query_engine_spark.operators import dedup as D
-from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.core import FP_SQL, t
 from kaj_query_engine_spark.workload.registry import register
 
 _SHINGLES = (
@@ -28,7 +28,7 @@ _SH_CTE = (
 @register(
     "q50_dedup_exact",
     "WITH g AS (SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents "
-    "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) "
+    f"GROUP BY {FP_SQL.format(col='text')}) "
     "SELECT d.doc_id, d.lang, d.source, d.n_chars, g.n FROM documents d "
     "JOIN g USING (doc_id)",
     "exact dedup end-to-end: hash-groupBy on the content fingerprint "

@@ -106,6 +106,9 @@ def q61(spark, sf_dir):
 
 IVF_CENTROIDS = 16  # pinned so the oracle can mirror exactly
 IVF_NPROBE = 4
+# the float index's layout-params string — ONE definition, shared by
+# the float token and (embedded) the derived quantized index's token
+_IVF_PARAMS = f"ivf:{IVF_CENTROIDS}:v1"
 
 
 def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> str:
@@ -242,7 +245,11 @@ def materialized_quantized_ivf_index(spark, sf_dir):
 
     src = f"{sf_dir}/embeddings.parquet"
     path = str(_SCRATCH / _tag(sf_dir) / "ivf_quantized")
-    token = _layout_token(src, f"ivfq:{IVF_CENTROIDS}:v1")
+    # the token embeds the FLOAT index's params string (_IVF_PARAMS):
+    # this index is derived from that one's assignment, so bumping the
+    # float index's version must invalidate the quantized copy too —
+    # otherwise it would keep serving the old list membership
+    token = _layout_token(src, f"ivfq-from({_IVF_PARAMS}):v1")
     if not _layout_current(token, path):
         _, assigned = materialized_ivf_index(spark, sf_dir)
         qa = S.quantize_vectors(
@@ -284,7 +291,7 @@ def materialized_ivf_index(spark, sf_dir):
     src = f"{sf_dir}/embeddings.parquet"
     base = _SCRATCH / _tag(sf_dir)
     cpath, apath = str(base / "ivf_centroids"), str(base / "ivf_assigned")
-    token = _layout_token(src, f"ivf:{IVF_CENTROIDS}:v1")
+    token = _layout_token(src, _IVF_PARAMS)
     if not (_layout_current(token, cpath) and _layout_current(token, apath)):
         cent, assigned = S.ivf_build(
             t(spark, sf_dir, "embeddings"), n_centroids=IVF_CENTROIDS

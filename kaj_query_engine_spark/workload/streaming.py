@@ -31,7 +31,7 @@ from kaj_query_engine_spark.streaming import (
     stream_tumbling_agg,
     streaming_dedup,
 )
-from kaj_query_engine_spark.workload.core import DSUM_V_SQL, dsum, t
+from kaj_query_engine_spark.workload.core import DSUM_V_SQL, FP_SQL, dsum, t
 from kaj_query_engine_spark.workload.registry import register
 
 
@@ -99,7 +99,7 @@ def q80(spark, sf_dir):
     return tumble.unionByName(sess)
 
 
-_FP = "md5(regexp_replace(lower(trim({t}.text)), '\\s+', ' ', 'g'))"
+_FP = FP_SQL.replace("{col}", "{t}.text")
 
 
 @register(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kaj_query_engine_spark.functions import text as TXT
-from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.core import FP_SQL, t
 from kaj_query_engine_spark.workload.registry import register
 
 _SW = ", ".join(f"'{w}'" for w in TXT.EN_STOPWORDS)
@@ -68,7 +68,7 @@ _C4 = (
     "CAST(len(regexp_extract_all(text, "
     "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'"
     ")) AS INT) AS n_bpe, "
-    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    f"{FP_SQL.format(col='text')} AS fp, "
     f"CASE WHEN ({_QUALITY}) >= 0.5 THEN round({_QUALITY}, 6) END AS quality, "
     f"{_NALPHA} / {_NTOK} AS alpha_frac, "
     f"1.0 - len(list_distinct({_TOKS})) * 1.0 / {_NTOK} AS rep_frac, "
