@@ -497,10 +497,15 @@ def test_random_query_differential_fuzz(golden_engine, ref_work):
     """40 seeded random dialect queries, each executed by BOTH engines
     on the same generated data and byte-compared like the shipped
     queries. The reference must accept every generated query (the
-    generator stays inside its grammar); our engine must match it."""
+    generator stays inside its grammar); our engine must match it.
+
+    The seed is pinned for CI; out-of-band sweeps override it
+    (``KAJ_FUZZ_SEED=n python -m pytest ... -k random_query``) — the
+    multi-seed totals recorded in SURVEY §5 were produced that way."""
+    import os
     import random
 
-    rng = random.Random(20260814)
+    rng = random.Random(int(os.environ.get("KAJ_FUZZ_SEED", "20260814")))
     schemas = _load_schemas(ref_work)
     ws = ref_work.parent
     cp = f"{ws}/classes:{ws}/lib"
