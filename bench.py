@@ -49,8 +49,9 @@ def main() -> None:
     for name in (
         "q35_partition_pruning",
         "q36_bucketed_join",
-        "q63_ann_ivf",
+        "q63_ann_ivf",  # also writes the derived quantized index
         "q51_minhash_lsh",  # materialized band-bucket index (incr branch)
+        "q82_stream_dedup",  # materialized fingerprint index (docs branch)
     ):
         if name in queries:
             queries[name].spark(spark, sf_dir)
