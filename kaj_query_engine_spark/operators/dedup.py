@@ -330,6 +330,63 @@ def merge_band_index(
     )
 
 
+def remove_from_band_index(
+    index: DataFrame,
+    removed: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Delete documents from a :func:`band_bucket_index` (the
+    right-to-erasure path): recompute the removed docs' band keys from
+    their text (one batch-sized pass — the index stores no per-doc
+    reverse mapping), subtract their ids from live buckets, decrement
+    widths, and drop emptied buckets. ONE equi-join on (band, key)
+    with the removed-side bucket table broadcast — the corpus-side
+    index is scanned map-only, same economics as the probe.
+
+    Tombstones are PERMANENT until a rebuild: a tombstoned bucket's
+    member ids were discarded at capping, so when deletions bring its
+    width back under ``max_bucket`` there is nothing to revive —
+    the bucket keeps ``ids = NULL`` with its (correctly decremented)
+    width, continuing to suppress pair generation. That is the
+    conservative direction (dedup may MISS pairs in such buckets,
+    never invent them); reclaiming them is what a periodic index
+    rebuild is for. Differentially pinned in tests: equal to a
+    rebuild on the surviving corpus everywhere except exactly those
+    fallen-under-cap tombstones.
+    """
+    rb = lsh_bands(
+        minhash_signatures(removed, id_col, text_col, num_hashes, n),
+        num_bands,
+        num_hashes // num_bands,
+    )
+    gone = rb.groupBy("band", "key").agg(
+        F.collect_list("id").alias("gone_ids")
+    )
+    # array_except dedupes too — harmless, a doc appears at most once
+    # per bucket; re-sort to keep the index's sorted-ids invariant
+    remaining = F.array_sort(
+        F.array_except(
+            F.col("ids"),
+            F.coalesce(F.col("gone_ids"), F.slice(F.col("ids"), 1, 0)),
+        )
+    )
+    n_gone = F.coalesce(F.size("gone_ids"), F.lit(0))
+    return (
+        index.join(F.broadcast(gone), ["band", "key"], "left")
+        .select(
+            "band",
+            "key",
+            F.when(F.col("ids").isNotNull(), remaining).alias("ids"),
+            (F.col("w") - n_gone).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+
+
 def incremental_lsh_candidates(
     index: DataFrame,
     batch: DataFrame,
@@ -406,9 +463,14 @@ def incremental_lsh_candidates(
             "p -> p.d1 < p.d2)"
         ),
     )
+    # a tombstone is dead even if its width is (or falls) under the
+    # cap: before deletions existed the width filter subsumed this
+    # (tombstones always had w > cap), but remove_from_band_index can
+    # decrement a tombstone under the cap with its ids long discarded
+    not_tombstone = F.col("w").isNull() | F.col("ids").isNotNull()
     return (
         combined.withColumn("_old_ids", old_ids)
-        .filter(w_comb <= max_bucket)
+        .filter((w_comb <= max_bucket) & not_tombstone)
         .select(F.explode(pairs_arr).alias("p"))
         .select("p.d1", "p.d2")
         .distinct()

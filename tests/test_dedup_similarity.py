@@ -195,6 +195,50 @@ def test_merge_band_index_equals_rebuild_on_fixture(spark):
     assert _index_as_set(merged) == _index_as_set(rebuilt)
 
 
+def test_remove_from_band_index_matches_rebuild(spark, docs):
+    near = "the quick brown fox jumps over the lazy dog by the river"
+    rows = (
+        [(i, near) for i in range(10)]
+        + [(50, "a unique document that stays in the corpus")]
+        + [(60, "another unique one that will be deleted entirely")]
+    )
+    df = docs(rows)
+    removed_ids = {3, 7, 60}
+    removed = df.filter(F.col("id").isin(*removed_ids))
+    survivors = df.filter(~F.col("id").isin(*removed_ids))
+    got = D.remove_from_band_index(
+        D.band_bucket_index(df, "id", "text"), removed, "id", "text"
+    )
+    rebuilt = D.band_bucket_index(survivors, "id", "text")
+    assert _index_as_set(got) == _index_as_set(rebuilt)
+    # and the shrunk index serves probes identically
+    probe = docs([(100, near)])
+    a = D.incremental_lsh_candidates(got, probe, "id", "text")
+    b = D.incremental_lsh_candidates(rebuilt, probe, "id", "text")
+    assert {(r.d1, r.d2) for r in a.collect()} == {
+        (r.d1, r.d2) for r in b.collect()
+    }
+
+
+def test_remove_keeps_fallen_tombstones_dead(spark, docs):
+    junk = "junk boilerplate text repeated in every one of these docs"
+    df = docs([(i, junk) for i in range(D.MAX_BUCKET + 6)])  # tombstoned
+    index = D.band_bucket_index(df, "id", "text")
+    assert index.filter(F.col("ids").isNull()).count() > 0
+    # delete 10 members: width falls UNDER the cap, but the ids were
+    # discarded at capping — the bucket must stay a tombstone (ids
+    # NULL, width decremented), still suppressing pair generation
+    removed = df.filter(F.col("id") < 10)
+    got = D.remove_from_band_index(index, removed, "id", "text")
+    rows = got.collect()
+    assert rows and all(r.ids is None for r in rows)
+    assert all(r.w == D.MAX_BUCKET - 4 for r in rows)
+    probe = docs([(500, junk), (501, junk)])
+    assert (
+        D.incremental_lsh_candidates(got, probe, "id", "text").count() == 0
+    )
+
+
 def test_ingest_batch_lifecycle(spark, docs):
     near = "the quick brown fox jumps over the lazy dog by the river tonight"
     old_rows = [
