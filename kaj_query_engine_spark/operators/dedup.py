@@ -228,6 +228,65 @@ def incremental_exact_matches(
     )
 
 
+def merge_fp_index(
+    index: DataFrame, batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Admit a batch into an :func:`exact_duplicates` fingerprint
+    index without rebuilding: ONE full-outer equi-join on the digest —
+    counts add, the representative stays the min id across both sides.
+    Differentially pinned equal to ``exact_duplicates(old ∪ batch)``.
+    """
+    # no broadcast hint: Spark cannot broadcast a side of a FULL OUTER
+    # join (the hint would be silently ignored) — this is the one
+    # index-row-sized shuffle the merge costs, same as merge_band_index
+    b = exact_duplicates(batch, id_col, text_col).select(
+        "h", F.col("n").alias("bn"), F.col("keep_id").alias("bkeep")
+    )
+    return index.join(b, "h", "full_outer").select(
+        "h",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("bn"), F.lit(0))).alias("n"),
+        F.least(
+            F.coalesce(F.col("keep_id"), F.col("bkeep")),
+            F.coalesce(F.col("bkeep"), F.col("keep_id")),
+        ).alias("keep_id"),
+    )
+
+
+def remove_from_fp_index(
+    index: DataFrame, removed: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Delete documents from a fingerprint index (right-to-erasure):
+    recompute the removed docs' fingerprints, decrement counts, drop
+    emptied digests. The index stores only ONE member id per digest
+    (``keep_id``), so when the removed set contains the representative
+    of a group that still has survivors, the new representative is
+    unknowable from the index alone — that row comes back with
+    ``keep_id = NULL`` ("representative lost; reassign on next
+    rebuild or from the corpus"), mirroring the band index's
+    permanent-tombstone convention: conservative, never inventing an
+    id that might itself be deleted. Differentially pinned equal to a
+    rebuild on the surviving corpus everywhere except exactly those
+    NULLed representatives.
+    """
+    r = removed.select(
+        doc_fingerprint(F.col(text_col)).alias("h"),
+        F.col(id_col).alias("rid"),
+    )
+    gone = r.groupBy("h").agg(
+        F.count(F.lit(1)).alias("gn"), F.min("rid").alias("rmin")
+    )
+    n_left = F.col("n") - F.coalesce(F.col("gn"), F.lit(0))
+    keep = F.when(
+        F.col("gn").isNull() | (F.col("keep_id") < F.col("rmin")),
+        F.col("keep_id"),
+    )  # otherwise NULL: the min id of the group was removed
+    return (
+        index.join(F.broadcast(gone), "h", "left")
+        .select("h", n_left.alias("n"), keep.alias("keep_id"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def band_bucket_index(
     df: DataFrame,
     id_col: str,

@@ -273,6 +273,39 @@ def test_ingest_batch_lifecycle(spark, docs):
     assert _index_as_set(new_index) == _index_as_set(rebuilt)
 
 
+def _fp_as_set(df):
+    return {(r.h, r.n, r.keep_id) for r in df.collect()}
+
+
+def test_fp_index_merge_and_remove_match_rebuild(spark, docs):
+    A, B, C = "doc alpha text", "doc beta text", "doc gamma text"
+    old = docs([(0, A), (1, A), (2, B), (9, C)])
+    batch = docs([(5, A), (6, "doc delta text"), (7, B)])
+    merged = D.merge_fp_index(
+        D.exact_duplicates(old, "id", "text"), batch, "id", "text"
+    )
+    rebuilt = D.exact_duplicates(old.unionByName(batch), "id", "text")
+    assert _fp_as_set(merged) == _fp_as_set(rebuilt)
+
+    # remove: drop one A-copy (not the rep), ALL of C (group empties),
+    # and B's representative id 2 (rep lost -> keep_id NULL, n right)
+    removed = docs([(1, A), (9, C), (2, B)])
+    shrunk = D.remove_from_fp_index(merged, removed, "id", "text")
+    survivors = old.unionByName(batch).filter(~F.col("id").isin(1, 9, 2))
+    expect = D.exact_duplicates(survivors, "id", "text")
+    got = {r.h: (r.n, r.keep_id) for r in shrunk.collect()}
+    want = {r.h: (r.n, r.keep_id) for r in expect.collect()}
+    assert got.keys() == want.keys()
+    for h, (n, keep) in want.items():
+        gn, gkeep = got[h]
+        assert gn == n, h
+        # B's group lost its stored representative: keep_id is NULL
+        # (reassign on rebuild); every other group matches exactly
+        assert gkeep == keep or gkeep is None, h
+    n_null = sum(1 for v in got.values() if v[1] is None)
+    assert n_null == 1
+
+
 def test_incremental_exact_matches(spark, docs):
     # corpus: two copies of A (keep_id=0), one B; batch: one more A
     # (normalization applies), one new C
