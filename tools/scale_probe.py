@@ -181,6 +181,21 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def run_index_merge(k: int) -> None:
+        # admit a FIXED batch into the growing index: the one
+        # full-outer join shuffles index ROWS (≈32 B + 8·w each), so
+        # the expected exponent is ~1 with a small constant — the
+        # honest linear cost of the merge, vs the corpus-compute
+        # rebuild it replaces (shingle md5 over every document).
+        # 5 repetitions per bracket: a single merge is sub-second at
+        # these scales and the exponent fit would be GC noise
+        idx = band_index(k)
+        batch = docs(1).filter(F.col("doc_id") % 5 == 0)
+        for _ in range(5):
+            D.merge_band_index(idx, batch, "doc_id", "text").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
     base_vecs = base_vecs_df.count()
 
     def run_neardup(k: int) -> None:
@@ -482,6 +497,7 @@ def main() -> None:
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "incremental_dedup_fixed_batch": run_incremental,
+        "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
         "simhash": run_simhash,
         "exact_dedup": run_exact,
@@ -504,6 +520,7 @@ def main() -> None:
     op_inputs = {
         "minhash_lsh_pairs": docs,
         "incremental_dedup_fixed_batch": docs,
+        "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
         "simhash": docs,
         "exact_dedup": docs,
@@ -535,6 +552,9 @@ def main() -> None:
                 "note": "one-time corpus band-bucket index build+write "
                 "(O(corpus) shingle compute, amortized over every batch)",
             }, sf_dir)
+        if name == "band_index_merge_fixed_batch":
+            for kk in SCALES:  # index build stays outside the timing
+                band_index(kk)
         if name == "ivf_query_materialized":
             # build-once cost must stay OUTSIDE the query timing
             for kk in SCALES:
