@@ -241,6 +241,101 @@ def decontaminate(
     )
 
 
+def build_training_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    benchmarks: DataFrame | None = None,
+    max_tokens: int = 1024,
+    num_shards: int = 8,
+    max_records_per_file: int = 100_000,
+    jaccard_threshold: float = 0.4,
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """The whole corpus-construction pipeline, composed end-to-end
+    from the individually-tested operators — raw documents in,
+    training shards + manifest out, with a per-stage survivor count
+    funnel for the data card:
+
+    1. **quality gate** — Gopher A1.1 rules (JVM expressions, one scan);
+    2. **exact dedup** — keep the min-id doc per content fingerprint;
+    3. **near dedup** — MinHash+LSH candidates → connected components
+       → keep each cluster's min-id representative;
+    4. **decontamination** — drop docs sharing n-grams with the
+       benchmark set (skipped when ``benchmarks`` is None);
+    5. **pack** — concat-and-chunk into ``max_tokens`` windows per
+       id-hash shard;
+    6. **export** — size-capped parquet shards + read-back manifest.
+
+    Every stage is the shuffle-minimal operator documented in its own
+    module; this function adds NO new distributed logic — it exists so
+    the composition (the thing a user actually runs) is itself tested
+    and its stage-count funnel is one call away. Returns ``(manifest,
+    funnel)`` where funnel is ``[(stage, surviving_docs), ...]``.
+    """
+    from kaj_query_engine_spark.functions.text import gopher_ok_of, tokens
+    from kaj_query_engine_spark.operators.dedup import (
+        cluster_duplicates,
+        exact_duplicates,
+        minhash_lsh_candidates,
+    )
+    from kaj_query_engine_spark.sources.export import write_training_shards
+
+    funnel = [("raw", docs.count())]
+
+    gated = (
+        docs.select(id_col, text_col, tokens(F.col(text_col)).alias("_toks"))
+        .filter(gopher_ok_of(F.col("_toks")))
+        .drop("_toks")
+    )
+    funnel.append(("quality_gate", gated.count()))
+
+    keep_exact = exact_duplicates(gated, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact = gated.join(keep_exact, id_col, "semi")
+    funnel.append(("exact_dedup", exact.count()))
+
+    pairs = minhash_lsh_candidates(exact, id_col, text_col)
+    # cluster representatives: min id per component; docs in no pair
+    # are their own singleton cluster and survive untouched
+    losers = (
+        cluster_duplicates(pairs)
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias(id_col))
+    )
+    neared = exact.join(losers, id_col, "left_anti")
+    funnel.append(("near_dedup", neared.count()))
+
+    if benchmarks is not None:
+        # decontaminate emits ONLY docs with >= 1 shared n-gram (its
+        # output id column is named 'id'); drop every one of them
+        flagged = decontaminate(neared, benchmarks, id_col, text_col)
+        clean = neared.join(
+            flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+    else:
+        clean = neared
+    funnel.append(("decontaminated", clean.count()))
+
+    with_counts = clean.select(
+        id_col, F.size(tokens(F.col(text_col))).alias("_n_tok")
+    )
+    packed = pack_sequences(
+        with_counts, id_col, "_n_tok", max_tokens, num_shards
+    )
+    manifest = write_training_shards(
+        packed,
+        out_path,
+        max_records_per_file,
+        shard_key="shard",  # co-locate each packing shard's chunks
+        n_shards=num_shards,
+        token_col="_n_tok",
+    )
+    funnel.append(("packed_chunks", packed.count()))
+    return manifest, funnel
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -68,6 +68,57 @@ def test_pack_chunk_spans_boundary(spark):
     assert out[3].first_chunk == 1 and out[3].last_chunk == 2
 
 
+def test_build_training_corpus_funnel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaj_query_engine_spark.operators.pipeline import (
+        build_training_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away along the winding river path toward the old mill where "
+        "the miller waits with bread and salt for every traveler who "
+        "walks the road this season of the year under a pale sky and "
+        "rests a while beside the quiet water in the shade"
+    )
+    rows = (
+        [(i, base + f" tail{i}") for i in range(6)]  # near-dup family
+        + [(10, base), (11, base)]  # exact dups of each other
+        + [(20, "short")]  # fails the quality gate (< 50 words)
+        + [(30, "meanwhile in a different story a sailor charts the "
+            "coast and notes every lighthouse and every harbor town "
+            "in a worn logbook kept dry inside an oilskin wrap while "
+            "gulls argue over scraps on the deck and the first mate "
+            "hums an old tune about home and the turning tide with "
+            "the benchmark marker phrase inserted here for "
+            "contamination checks to find")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "the benchmark marker phrase inserted here for contamination")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "corpus")
+    manifest, funnel = build_training_corpus(
+        docs, "doc_id", "text", out, benchmarks=bench,
+        max_tokens=64, num_shards=2, max_records_per_file=50,
+    )
+    stages = dict(funnel)
+    assert stages["raw"] == 10
+    assert stages["quality_gate"] == 9          # doc 20 dropped
+    assert stages["exact_dedup"] == 8           # 10/11 collapse to 10
+    assert stages["near_dedup"] == 2  # family -> 1 rep, plus doc 30
+    assert stages["decontaminated"] == 1  # doc 30 contaminated
+    assert stages["packed_chunks"] == stages["decontaminated"]
+    # manifest totals match the packed output
+    m = manifest.agg(F.sum("n_rows"), F.sum("n_tokens")).collect()[0]
+    assert m[0] == stages["packed_chunks"]
+    back = spark.read.parquet(out)
+    assert back.count() == stages["packed_chunks"]
+    assert m[1] == back.agg(F.sum("_n_tok")).collect()[0][0]
+
+
 def test_decontaminate_flags_overlap_and_scores(spark):
     """Doc 10 copies a benchmark passage (all shingles hit), doc 11
     shares one 3-gram, doc 12 is clean and must not appear."""
