@@ -51,10 +51,16 @@ def main() -> None:
         "q36_bucketed_join",
         "q63_ann_ivf",  # also writes the derived quantized index
         "q51_minhash_lsh",  # materialized band-bucket index (incr branch)
-        "q82_stream_dedup",  # materialized fingerprint index (docs branch)
     ):
         if name in queries:
             queries[name].spark(spark, sf_dir)
+    # q82's fingerprint index is seeded DIRECTLY: building q82's plan
+    # would execute both of its streaming branches to completion (its
+    # builder runs availableNow streams eagerly), paying a whole
+    # untimed q82 run just for one token-guarded parquet write
+    from kaj_query_engine_spark.workload.dedup import materialized_fp_index
+
+    materialized_fp_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

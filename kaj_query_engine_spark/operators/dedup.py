@@ -235,6 +235,12 @@ def merge_fp_index(
     index without rebuilding: ONE full-outer equi-join on the digest —
     counts add, the representative stays the min id across both sides.
     Differentially pinned equal to ``exact_duplicates(old ∪ batch)``.
+
+    A representative-lost marker (``keep_id`` NULL, left by
+    :func:`remove_from_fp_index`) stays NULL through the merge: the
+    group's true minimum among survivors is unknown, and claiming the
+    batch's min id would silently elect a wrong representative over a
+    smaller-id surviving corpus doc.
     """
     # no broadcast hint: Spark cannot broadcast a side of a FULL OUTER
     # join (the hint would be silently ignored) — this is the one
@@ -242,12 +248,16 @@ def merge_fp_index(
     b = exact_duplicates(batch, id_col, text_col).select(
         "h", F.col("n").alias("bn"), F.col("keep_id").alias("bkeep")
     )
+    rep_lost = F.col("n").isNotNull() & F.col("keep_id").isNull()
     return index.join(b, "h", "full_outer").select(
         "h",
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("bn"), F.lit(0))).alias("n"),
-        F.least(
-            F.coalesce(F.col("keep_id"), F.col("bkeep")),
-            F.coalesce(F.col("bkeep"), F.col("keep_id")),
+        F.when(
+            ~rep_lost,
+            F.least(
+                F.coalesce(F.col("keep_id"), F.col("bkeep")),
+                F.coalesce(F.col("bkeep"), F.col("keep_id")),
+            ),
         ).alias("keep_id"),
     )
 
@@ -267,6 +277,16 @@ def remove_from_fp_index(
     id that might itself be deleted. Differentially pinned equal to a
     rebuild on the surviving corpus everywhere except exactly those
     NULLed representatives.
+
+    CONTRACT: ``removed`` must contain only docs previously admitted
+    into this index, each at most once — the index stores one count
+    per digest, no member ids, so a removal of a never-indexed doc
+    with identical text (or a replayed erasure request) is
+    indistinguishable from a real member and would under-count the
+    group, potentially dropping a digest that still has survivors.
+    Erasure pipelines should dedupe requests against the admitted-id
+    log before calling this (the band index's live buckets are
+    membership-guarded and don't need this; its tombstones share it).
     """
     r = removed.select(
         doc_fingerprint(F.col(text_col)).alias("h"),
@@ -427,13 +447,22 @@ def remove_from_band_index(
     )
     # array_except dedupes too — harmless, a doc appears at most once
     # per bucket; re-sort to keep the index's sorted-ids invariant
-    remaining = F.array_sort(
-        F.array_except(
-            F.col("ids"),
-            F.coalesce(F.col("gone_ids"), F.slice(F.col("ids"), 1, 0)),
-        )
+    gone_arr = F.coalesce(F.col("gone_ids"), F.slice(F.col("ids"), 1, 0))
+    remaining = F.array_sort(F.array_except(F.col("ids"), gone_arr))
+    # LIVE buckets decrement by actual MEMBERSHIP (ids ∩ gone), not by
+    # band-key presence: a removal request naming a doc that was never
+    # ADMITTED (e.g. rejected at ingest) still hashes to its near-dups'
+    # bucket keys, and a presence-based decrement would corrupt or
+    # delete buckets whose real members all survive (same for a
+    # replayed removal). Tombstones have no ids to intersect — their
+    # decrement assumes the contract that only INDEXED docs are ever
+    # removed; a violation merely under-counts a bucket that stays
+    # dead regardless (the tombstone marker, not the width, suppresses
+    # pairs), so the failure direction is harmless there.
+    n_gone_live = F.size(F.array_intersect(F.col("ids"), gone_arr))
+    n_gone = F.when(F.col("ids").isNotNull(), n_gone_live).otherwise(
+        F.coalesce(F.size("gone_ids"), F.lit(0))
     )
-    n_gone = F.coalesce(F.size("gone_ids"), F.lit(0))
     return (
         index.join(F.broadcast(gone), ["band", "key"], "left")
         .select(

@@ -259,8 +259,9 @@ def build_training_corpus(
 
     1. **quality gate** — Gopher A1.1 rules (JVM expressions, one scan);
     2. **exact dedup** — keep the min-id doc per content fingerprint;
-    3. **near dedup** — MinHash+LSH candidates → connected components
-       → keep each cluster's min-id representative;
+    3. **near dedup** — MinHash+LSH candidates → exact n-gram-Jaccard
+       verification at ``jaccard_threshold`` → connected components →
+       keep each cluster's min-id representative;
     4. **decontamination** — drop docs sharing n-grams with the
        benchmark set (skipped when ``benchmarks`` is None);
     5. **pack** — concat-and-chunk into ``max_tokens`` windows per
@@ -278,25 +279,44 @@ def build_training_corpus(
         cluster_duplicates,
         exact_duplicates,
         minhash_lsh_candidates,
+        verify_candidate_pairs,
     )
     from kaj_query_engine_spark.sources.export import write_training_shards
 
     funnel = [("raw", docs.count())]
 
-    gated = (
+    # each surviving stage is persisted before its funnel count: the
+    # count is an action, and every later stage re-reads the frame —
+    # without the persist the quality gate alone would re-execute once
+    # per downstream stage (scan + tokenize + filter, ~6x total)
+    cached = []
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        cached.append(df)
+        funnel.append((name, df.count()))
+        return df
+
+    gated = stage(
+        "quality_gate",
         docs.select(id_col, text_col, tokens(F.col(text_col)).alias("_toks"))
         .filter(gopher_ok_of(F.col("_toks")))
-        .drop("_toks")
+        .drop("_toks"),
     )
-    funnel.append(("quality_gate", gated.count()))
 
     keep_exact = exact_duplicates(gated, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    exact = gated.join(keep_exact, id_col, "semi")
-    funnel.append(("exact_dedup", exact.count()))
+    exact = stage("exact_dedup", gated.join(keep_exact, id_col, "semi"))
 
-    pairs = minhash_lsh_candidates(exact, id_col, text_col)
+    # candidates are VERIFIED with exact n-gram Jaccard before
+    # clustering (the ingest_batch convention): a raw band collision
+    # between genuinely-dissimilar docs would otherwise chain two
+    # components together and permanently delete a non-duplicate
+    cand = minhash_lsh_candidates(exact, id_col, text_col)
+    pairs = verify_candidate_pairs(
+        exact, cand, id_col, text_col, threshold=jaccard_threshold
+    )
     # cluster representatives: min id per component; docs in no pair
     # are their own singleton cluster and survive untouched
     losers = (
@@ -304,8 +324,7 @@ def build_training_corpus(
         .filter(F.col("id") != F.col("cluster"))
         .select(F.col("id").alias(id_col))
     )
-    neared = exact.join(losers, id_col, "left_anti")
-    funnel.append(("near_dedup", neared.count()))
+    neared = stage("near_dedup", exact.join(losers, id_col, "left_anti"))
 
     if benchmarks is not None:
         # decontaminate emits ONLY docs with >= 1 shared n-gram (its
@@ -316,10 +335,13 @@ def build_training_corpus(
         )
     else:
         clean = neared
-    funnel.append(("decontaminated", clean.count()))
+    clean = stage("decontaminated", clean)
 
+    # text RIDES THROUGH packing (pack_sequences only adds shard/
+    # offset/chunk metadata columns) — the exported shards must hold
+    # the training content, not just its packing coordinates
     with_counts = clean.select(
-        id_col, F.size(tokens(F.col(text_col))).alias("_n_tok")
+        id_col, text_col, F.size(tokens(F.col(text_col))).alias("_n_tok")
     )
     packed = pack_sequences(
         with_counts, id_col, "_n_tok", max_tokens, num_shards
@@ -332,7 +354,12 @@ def build_training_corpus(
         n_shards=num_shards,
         token_col="_n_tok",
     )
-    funnel.append(("packed_chunks", packed.count()))
+    # chunk count from the manifest (a tiny read of already-written
+    # parquet), not a seventh re-execution of the whole pipeline
+    n_packed = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
+    funnel.append(("packed_chunks", int(n_packed)))
+    for df in cached:
+        df.unpersist()
     return manifest, funnel
 
 

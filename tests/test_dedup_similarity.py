@@ -306,6 +306,37 @@ def test_fp_index_merge_and_remove_match_rebuild(spark, docs):
     assert n_null == 1
 
 
+def test_remove_unadmitted_doc_leaves_live_buckets_intact(spark, docs):
+    # a doc REJECTED at ingest still hashes to its near-dups' bucket
+    # keys; erasing it later must not corrupt the buckets of the docs
+    # that actually survive in the index
+    text = "the shared near duplicate content that collides in bands"
+    admitted = docs([(1, text), (2, text)])
+    index = D.band_bucket_index(admitted, "id", "text")
+    never_admitted = docs([(99, text)])
+    got = D.remove_from_band_index(index, never_admitted, "id", "text")
+    assert _index_as_set(got) == _index_as_set(index)
+    # and replaying a real removal is also harmless for live buckets
+    once = D.remove_from_band_index(index, docs([(2, text)]), "id", "text")
+    twice = D.remove_from_band_index(once, docs([(2, text)]), "id", "text")
+    assert _index_as_set(twice) == _index_as_set(once)
+
+
+def test_merge_fp_index_keeps_lost_representative_null(spark, docs):
+    text = "group text shared by several documents here"
+    old = docs([(5, text), (10, text)])
+    idx = D.exact_duplicates(old, "id", "text")
+    # erase the representative (id 5): keep_id becomes NULL
+    lost = D.remove_from_fp_index(idx, docs([(5, text)]), "id", "text")
+    assert lost.collect()[0].keep_id is None
+    # merging a batch copy must NOT elect the batch id (20) as the
+    # representative — surviving doc 10 is smaller and unknown to the
+    # index, so the marker stays NULL
+    merged = D.merge_fp_index(lost, docs([(20, text)]), "id", "text")
+    row = merged.collect()[0]
+    assert row.n == 2 and row.keep_id is None
+
+
 def test_incremental_exact_matches(spark, docs):
     # corpus: two copies of A (keep_id=0), one B; batch: one more A
     # (normalization applies), one new C

@@ -117,6 +117,9 @@ def test_build_training_corpus_funnel(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stages["packed_chunks"]
     assert m[1] == back.agg(F.sum("_n_tok")).collect()[0][0]
+    # the shards carry the TRAINING CONTENT, not just packing metadata
+    assert "text" in back.columns
+    assert back.filter(F.col("text").isNull() | (F.length("text") == 0)).count() == 0
 
 
 def test_decontaminate_flags_overlap_and_scores(spark):
