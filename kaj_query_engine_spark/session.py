@@ -22,8 +22,38 @@ Design-for-scale notes (local[N] is the test harness, not the target):
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_VENDORED_PROTOBUF = (
+    Path(__file__).resolve().parent.parent / "third_party" / "protobuf"
+)
+
+
+def _export_vendored_protobuf() -> None:
+    """Put the vendored pure-python protobuf on PYTHONPATH — but ONLY
+    when the environment has none installed — so Spark's python
+    WORKERS can import it (their interpreter also auto-imports the
+    shim's ``sitecustomize``, which relaxes the gencode/runtime
+    minor-skew gate; see third_party/protobuf/README.md). Must run
+    BEFORE the first SparkSession: workers inherit the JVM's
+    environment, which is captured at gateway launch.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # a real install exists; never shadow it
+    except ImportError:
+        pass
+    vendor = str(_VENDORED_PROTOBUF)
+    if not (_VENDORED_PROTOBUF / "google" / "protobuf").is_dir():
+        return
+    current = os.environ.get("PYTHONPATH", "")
+    if vendor not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{current}{os.pathsep}{vendor}" if current else vendor
+        )
 
 
 def get_spark(
@@ -43,6 +73,8 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+
+    _export_vendored_protobuf()
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -329,6 +329,49 @@ def stream_stateful_user_totals(
     )
 
 
+def _ensure_protobuf() -> None:
+    """Driver-side protobuf for the TWS state protocol: a real install
+    if present, else the vendored pure-python runtime with the
+    gencode/runtime minor-skew gate relaxed (the worker-side half of
+    this is ``third_party/protobuf/sitecustomize.py`` — see its
+    README). Raises NotImplementedError when neither exists."""
+    import sys
+    from pathlib import Path
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return  # real install: never touch its version validation
+    except ImportError as exc:
+        vendor = (
+            Path(__file__).resolve().parents[2] / "third_party" / "protobuf"
+        )
+        if not (vendor / "google" / "protobuf").is_dir():
+            raise NotImplementedError(
+                "transformWithStateInPandas needs the protobuf package "
+                "for Spark's state-protocol workers; neither an install "
+                "nor the vendored copy (third_party/protobuf) is "
+                "available. Use stream_stateful_user_totals (GroupState "
+                "protocol) instead."
+            ) from exc
+        if str(vendor) not in sys.path:
+            sys.path.insert(0, str(vendor))
+    # vendored runtime only: relax the gencode/runtime gate for the
+    # known one-minor skew (6.33 gencode on the 6.32 vendored runtime)
+    from google.protobuf import runtime_version as _rv
+
+    _orig = _rv.ValidateProtobufRuntimeVersion
+
+    def _lenient(*args, **kwargs):
+        try:
+            _orig(*args, **kwargs)
+        except _rv.VersionError:
+            pass
+
+    if getattr(_rv.ValidateProtobufRuntimeVersion, "__name__", "") != "_lenient":
+        _rv.ValidateProtobufRuntimeVersion = _lenient
+
+
 def stream_stateful_user_totals_tws(
     sdf: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:
@@ -345,22 +388,19 @@ def stream_stateful_user_totals_tws(
     ``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
     before starting the query — and (b) the ``protobuf`` package,
     which Spark's TWS state-protocol workers import
-    (``google.protobuf``); this container doesn't ship it, so the
-    operator raises ``NotImplementedError`` here and the test suite
-    skips it, while :func:`stream_stateful_user_totals` (GroupState
-    protocol, no protobuf) remains the tested default. Accumulation
-    semantics are identical to the applyInPandasWithState version:
-    exact integer micro-units, HALF_UP to 2 decimals at emit.
+    (``google.protobuf``). This container ships no protobuf install,
+    but the repo VENDORS the pure-python runtime
+    (``third_party/protobuf`` — session.get_spark exports it to the
+    workers' PYTHONPATH when no real install exists), so the operator
+    runs for real here; it raises ``NotImplementedError`` only when
+    neither an install nor the vendored copy is available.
+    :func:`stream_stateful_user_totals` (GroupState protocol, no
+    protobuf) remains the oracle-checked default; this operator is
+    pinned byte-equal to it in tests. Accumulation semantics are
+    identical: exact integer micro-units, HALF_UP to 2 decimals at
+    emit.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "transformWithStateInPandas needs the protobuf package for "
-            "Spark's state-protocol workers; it is not installed in this "
-            "environment. Use stream_stateful_user_totals (GroupState "
-            "protocol) instead."
-        ) from exc
+    _ensure_protobuf()
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -138,12 +138,11 @@ def test_stateful_totals_tws_matches_group_state_twin(spark):
     byte-identical totals to the applyInPandasWithState operator.
     Needs the RocksDB state store provider — the only one that backs
     transformWithState — and the protobuf package for Spark's TWS
-    state-protocol workers; skipped (not failed) where protobuf isn't
-    installed, like the codec-gated media decode."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state protocol needs protobuf",
-    )
+    state-protocol workers. The repo's vendored pure-python runtime
+    (third_party/protobuf, exported to worker PYTHONPATH by
+    session.get_spark) makes this runnable even here, where no
+    protobuf is installed — this equality assertion is exactly what
+    keeps the vendored version-skew shim honest."""
     from kaj_query_engine_spark.streaming import stream_stateful_user_totals_tws
 
     key = "spark.sql.streaming.stateStore.providerClass"
@@ -169,20 +168,30 @@ def test_stateful_totals_tws_matches_group_state_twin(spark):
     assert len(tws) > 0
 
 
-def test_stateful_totals_tws_guard_without_protobuf(spark):
-    """Without protobuf the TWS operator must fail fast with a clear
-    NotImplementedError naming the GroupState fallback — not crash a
-    streaming worker mid-query."""
-    try:
-        import google.protobuf  # noqa: F401
-        pytest.skip("protobuf installed; guard not reachable")
-    except ImportError:
-        pass
-    from kaj_query_engine_spark.streaming import stream_stateful_user_totals_tws
+def test_stateful_totals_tws_guard_without_protobuf(spark, monkeypatch):
+    """When NEITHER a protobuf install NOR the vendored copy exists,
+    the TWS operator must fail fast with a clear NotImplementedError
+    naming the GroupState fallback — not crash a streaming worker
+    mid-query. Simulated by pointing the guard's vendor probe at a
+    nonexistent path and hiding any already-imported protobuf."""
+    import sys
+    from pathlib import Path
 
+    from kaj_query_engine_spark.streaming import ops as OPS
+
+    vendor = str(Path(OPS.__file__).resolve().parents[2] / "third_party" / "protobuf")
+    orig_is_dir = Path.is_dir
+    monkeypatch.setattr(
+        Path,
+        "is_dir",
+        lambda self: False if "third_party" in str(self) else orig_is_dir(self),
+    )
+    for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    monkeypatch.setattr(sys, "path", [p for p in sys.path if p != vendor])
     s = read_stream_table(spark, SF_DIR, "events")
     with pytest.raises(NotImplementedError, match="stream_stateful_user_totals"):
-        stream_stateful_user_totals_tws(s)
+        OPS.stream_stateful_user_totals_tws(s)
 
 
 def test_stream_static_enrich_equals_batch_join(spark):
