@@ -46,6 +46,12 @@ ROWS_PER_BAND = 3
 # (empty docs, licence headers), and its C(w,2) pairs would dominate
 # the pair explosion — drop the whole bucket instead of pairing it
 MAX_BUCKET = 64
+# tripwire for the exact inverted-index verifier: a shingle shared by
+# more documents than this means the corpus's vocabulary is saturating
+# and ngram_jaccard_pairs' Σ|bucket|² term is about to go quadratic —
+# fail loudly (executor-side raise_error, zero extra jobs) and point
+# at the LSH-candidates + verify_candidate_pairs composition instead
+DF_BUDGET = 256
 
 
 def _bucket_pairs(ids_col: str = "ids"):
@@ -642,25 +648,79 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = None,
+    df_budget: int | None = DF_BUDGET,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted index:
     (d1, d2, jaccard) with jaccard >= threshold.
 
-    The self-join blows up only where shingles are shared — the
-    candidate generator LSH replaces this wholesale at 100 TB; this is
-    the exact verifier / moderate-scale path.
+    The pair explosion is quadratic WITHIN shared-shingle buckets —
+    Σ|bucket|² — so on a vocabulary-saturating corpus (bucket widths
+    grow with N) the whole-corpus path reads above-linear (measured
+    e=1.32 at 16×, PERF.md). The 100 TB composition replaces it with
+    ``minhash_lsh_candidates`` → :func:`verify_candidate_pairs`; this
+    operator is the moderate-scale / ground-truth verifier, and two
+    guards make that role mechanically hard to violate:
+
+    - ``df_budget`` (default ``DF_BUDGET``): a TRIPWIRE — if any
+      shingle's document frequency exceeds it, the job FAILS in the
+      executor (``raise_error`` inside the single bucket-collect pass:
+      zero extra jobs, no driver-side pre-count) with a pointer to the
+      scale path. Fixture corpora sit far under it (max df 25 at
+      sf0.1); a corpus big enough to saturate its vocabulary trips it
+      long before the Σ|bucket|² term can dominate a cluster.
+    - ``max_df``: opt-in df-cut — shingles with document frequency
+      above ``max_df`` are dropped from the universe entirely (both
+      the pair counts AND each doc's ``n_sh``), i.e. Jaccard over the
+      sub-``max_df`` shingle vocabulary — the standard stopword-cut
+      semantics of prefix-filtering similarity joins. Bounds the
+      explosion at Σ min(|bucket|, max_df)² and disables the tripwire
+      (the cap subsumes it). Oracle-checked as q52's 'capped' branch.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # same bucket-collect shape as the LSH candidate generator: group
-    # the inverted index by shingle, explode in-bucket pairs, count
-    # shared shingles per pair — the shingle pipeline runs once instead
-    # of twice (a self-join gets no ReusedExchange)
+    # same bucket-collect shape as the LSH candidate generator; the
+    # per-doc n_sh counts come straight from sh (map-side combined
+    # (id,1) partials — measured cheaper than re-deriving them by
+    # exploding the collected buckets) EXCEPT under max_df, where the
+    # reduced universe forces the re-derivation
+    buckets = sh.groupBy("sh").agg(F.collect_list("id").alias("ids"))
+    w = F.size("ids")
+    if max_df is not None:
+        # df-cut: counts must cover the REDUCED universe, so n_sh is
+        # re-derived by exploding the retained buckets (the filter
+        # makes the direct sh.groupBy(id) count wrong here)
+        buckets = buckets.filter(w <= max_df)
+        counts = (
+            buckets.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        pair_input = buckets.filter(w > 1)
+    elif df_budget is not None:
+        # tripwire lives in the pairing FILTER as a boolean branch —
+        # never wrap the ids array itself in a CASE (a guard projection
+        # over the array column measured ~6× on the 16× probe bracket:
+        # it blocks codegen and copies every bucket through the branch)
+        trip = F.raise_error(
+            F.format_string(
+                "ngram_jaccard_pairs: shingle %s appears in %d docs, over "
+                f"the df budget of {df_budget} — the Σ|bucket|² pair "
+                "explosion is quadratic in that width. At this corpus "
+                "size use minhash_lsh_candidates + verify_candidate_pairs "
+                "(O(candidates)), or pass max_df= for df-cut semantics.",
+                F.col("sh"),
+                w,
+            )
+        ).cast("boolean")
+        pair_input = buckets.filter(
+            F.when(w > df_budget, trip).otherwise(w > 1)
+        )
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        pair_input = buckets.filter(w > 1)
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
-        sh.groupBy("sh")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(_bucket_pairs().alias("p"))
+        pair_input.select(_bucket_pairs().alias("p"))
         .groupBy("p.d1", "p.d2")
         .agg(F.count(F.lit(1)).alias("common"))
         .select(F.col("d1"), F.col("d2"), "common")

@@ -42,6 +42,12 @@ EMB_DIM = 64
 # collides in >= 1 band; recall at angle θ is 1-(1-(1-θ/π)^r)^b.
 NEARDUP_BANDS = 4
 NEARDUP_ROWS = 4
+# auto-sizing target for embedding_neardup_pairs: expected LSH bucket
+# width when rows_per_band=None — 512² cos ops per bucket is trivial
+# for the vectorized kernel, and the floor NEARDUP_ROWS keeps the
+# 4×4 banding (and so the q62 oracle mirror) stable for any corpus
+# up to 512·2⁴ = 8192 vectors
+NEARDUP_TARGET_BUCKET = 512
 
 
 def _dvec(col: Column) -> Column:
@@ -729,13 +735,27 @@ def band_hyperplanes(
     return [flat[b * rows_per_band : (b + 1) * rows_per_band] for b in range(bands)]
 
 
+def auto_rows_per_band(n: int, target_bucket: int = NEARDUP_TARGET_BUCKET) -> int:
+    """The corpus-derived banding rule for :func:`embedding_neardup_pairs`:
+    max(NEARDUP_ROWS, ceil(log2(N / target_bucket))) — expected bucket
+    width stays ~``target_bucket`` as the corpus grows (halved per
+    extra plane), with the NEARDUP_ROWS floor keeping small corpora on
+    the fixed 4×4 banding the q62 oracle mirrors."""
+    import math
+
+    return max(
+        NEARDUP_ROWS, math.ceil(math.log2(max(2, n / target_bucket)))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
     bands: int = NEARDUP_BANDS,
-    rows_per_band: int = NEARDUP_ROWS,
+    rows_per_band: int | None = None,
+    target_bucket: int = NEARDUP_TARGET_BUCKET,
     seed: int = LSH_SEED,
     dim: int = EMB_DIM,
 ) -> DataFrame:
@@ -748,8 +768,16 @@ def embedding_neardup_pairs(
     (N·bands total — never N²), and each occupied bucket is scored by
     a vectorized numpy kernel that only compares *within* the bucket.
     Work = Σ|bucket|² ≈ N²·2^-rows_per_band per band, so rows_per_band
-    tunes bucket size to the executor (r ≈ log2(N / target_bucket) at
-    cluster scale) and candidate volume falls geometrically with r.
+    tunes bucket size to the executor and candidate volume falls
+    geometrically with it. ``rows_per_band=None`` (the default)
+    auto-sizes it to the corpus — max(NEARDUP_ROWS,
+    ceil(log2(N / target_bucket))) — holding expected bucket width
+    (and so per-task kernel work) at ~``target_bucket`` no matter how
+    big the corpus is; with FIXED bands the probe measures e≈1.3 on a
+    growing corpus, with the rule applied e stays ≈0.7 (PERF.md). The
+    sizing count is one column-pruned scan; pass ``rows_per_band``
+    explicitly to skip it (and to pin the banding for an oracle
+    mirror — more planes change WHICH candidate pairs collide).
     A pair colliding in several bands is scored per collision with
     bit-identical doubles, so the final ``distinct`` dedups exactly.
 
@@ -768,6 +796,10 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    if rows_per_band is None:
+        rows_per_band = auto_rows_per_band(
+            df.select(id_col).count(), target_bucket
+        )
     planes = band_hyperplanes(bands, rows_per_band, dim=dim, seed=seed)
     e = df.select(
         F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")

@@ -24,6 +24,11 @@ _SH_CTE = (
     f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM words)"
 )
 
+# df-cut for q52's 'capped' branch: small enough that the sf0.01
+# fixture (max shingle df = 7) actually drops shingles, so the
+# oracle exercises the reduced-universe semantics for real
+_CAP_DF = 5
+
 
 @register(
     "q50_dedup_exact",
@@ -195,15 +200,26 @@ def q51(spark, sf_dir):
     "GROUP BY 1, 2), "
     "ver AS (SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
     "FROM vcommon JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id "
+    "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4), "
+    f"shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= {_CAP_DF}), "
+    "cntc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1), "
+    "pairsc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common "
+    "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "capp AS (SELECT d1, d2, common * 1.0 / (c1.n_sh + c2.n_sh - common) AS jaccard "
+    "FROM pairsc JOIN cntc c1 ON d1 = c1.doc_id JOIN cntc c2 ON d2 = c2.doc_id "
     "WHERE common * 1.0 / (c1.n_sh + c2.n_sh - common) >= 0.4) "
     "SELECT 'all' AS path, * FROM allp "
-    "UNION ALL SELECT 'pipeline' AS path, * FROM ver",
-    "exact 3-gram Jaccard pairs >= 0.4, two tagged branches: 'all' is "
-    "the inverted-index exact verifier over the whole corpus (ground "
-    "truth; above-linear on vocabulary-saturating corpora), "
-    "'pipeline' is the 100 TB composition — MinHash+LSH candidates "
-    "verified exactly per pair (two equi-join probes + one array "
-    "intersection per candidate; O(candidates), never all-pairs). "
+    "UNION ALL SELECT 'pipeline' AS path, * FROM ver "
+    "UNION ALL SELECT 'capped' AS path, * FROM capp",
+    "exact 3-gram Jaccard pairs >= 0.4, three tagged branches: 'all' "
+    "is the inverted-index exact verifier over the whole corpus "
+    "(ground truth; above-linear on vocabulary-saturating corpora — "
+    "guarded by an executor-side df-budget tripwire), 'pipeline' is "
+    "the 100 TB composition — MinHash+LSH candidates verified exactly "
+    "per pair (two equi-join probes + one array intersection per "
+    "candidate; O(candidates), never all-pairs) — and 'capped' is the "
+    f"df-cut variant (Jaccard over shingles with doc-freq <= {_CAP_DF}"
+    "; bounds the bucket explosion, standard stopword-cut semantics). "
     "Raw int/int division — bit-identical across engines, no rounding",
 )
 def q52(spark, sf_dir):
@@ -211,8 +227,13 @@ def q52(spark, sf_dir):
     allp = D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4)
     cand = D.minhash_lsh_candidates(d, "doc_id", "text")
     ver = D.verify_candidate_pairs(d, cand, "doc_id", "text", threshold=0.4)
-    return allp.select(F.lit("all").alias("path"), "*").unionAll(
-        ver.select(F.lit("pipeline").alias("path"), "*")
+    capped = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.4, max_df=_CAP_DF
+    )
+    return (
+        allp.select(F.lit("all").alias("path"), "*")
+        .unionAll(ver.select(F.lit("pipeline").alias("path"), "*"))
+        .unionAll(capped.select(F.lit("capped").alias("path"), "*"))
     )
 
 

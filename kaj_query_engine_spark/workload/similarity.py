@@ -389,11 +389,24 @@ def _neardup_oracle(threshold: float) -> str:
     "q62_embedding_neardup",
     _neardup_oracle(0.45),
     "embedding-cosine near-duplicate pairs (threshold 0.45) via banded "
-    "sign-LSH candidates (4 bands x 4 hyperplanes) + exact in-bucket "
-    "numpy verification — sub-quadratic: only colliding pairs are "
-    "scored; the oracle applies the identical band filter",
+    "sign-LSH candidates + exact in-bucket numpy verification — "
+    "sub-quadratic: only colliding pairs are scored; rows_per_band "
+    "auto-sizes to the corpus (floor 4, so the oracle's fixed 4x4 "
+    "band mirror stays exact for any fixture up to 8192 vectors); "
+    "the oracle applies the identical band filter",
 )
 def q62(spark, sf_dir):
+    # default rows_per_band=None → auto-sized; resolves to the oracle's
+    # 4×4 banding at every fixture scale (N <= 8192 — see
+    # NEARDUP_TARGET_BUCKET). A regenerated fixture outgrowing that
+    # bound fails LOUDLY here rather than silently hash-mismatching.
+    n = t(spark, sf_dir, "embeddings").count()
+    if n > S.NEARDUP_TARGET_BUCKET * 2**S.NEARDUP_ROWS:
+        raise ValueError(
+            f"q62 oracle mirrors the fixed 4x4 banding, but auto-sizing "
+            f"would pick more planes for {n} vectors — regenerate the "
+            "oracle SQL for the new banding"
+        )
     return S.embedding_neardup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.45
     )

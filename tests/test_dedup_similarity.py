@@ -373,6 +373,45 @@ def test_ngram_jaccard_exact_value(spark, docs):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_ngram_jaccard_df_budget_tripwire(spark, docs):
+    """A shingle shared by more docs than df_budget must FAIL the job
+    (executor-side raise_error) with a pointer to the scale path —
+    the guard that keeps the Σ|bucket|² verifier off huge corpora."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # 4 docs all sharing the shingle "a b c" → its df = 4 > budget 3
+    df = docs([(i, f"a b c tail{i}") for i in range(4)])
+    with pytest.raises(SparkRuntimeException, match="verify_candidate_pairs"):
+        D.ngram_jaccard_pairs(df, "id", "text", df_budget=3).collect()
+    # under budget: runs clean and exact values are unchanged
+    out = D.ngram_jaccard_pairs(df, "id", "text", df_budget=4, threshold=0.0)
+    assert out.count() == 6  # all C(4,2) pairs share "a b c"
+
+
+def test_ngram_jaccard_max_df_cut_semantics(spark, docs):
+    """max_df drops over-frequent shingles from the UNIVERSE (both
+    common and n_sh): Jaccard is computed over the reduced vocabulary,
+    and the tripwire is subsumed (no raise even over budget)."""
+    # "a b c" has df=3; each doc has one private shingle besides it.
+    # doc1: {a b c, b c d1}  doc2: {a b c, b c d2}  doc3: {a b c, b c d3}
+    df = docs([(1, "a b c d1"), (2, "a b c d2"), (3, "a b c d3")])
+    # uncapped: every pair shares exactly "a b c" → jaccard = 1/3
+    full = D.ngram_jaccard_pairs(df, "id", "text", threshold=0.0).collect()
+    assert len(full) == 3 and all(abs(r.jaccard - 1 / 3) < 1e-12 for r in full)
+    # max_df=2 removes "a b c" (df=3): no shared shingles remain, and
+    # df_budget=1 would have tripped — max_df must disable it
+    capped = D.ngram_jaccard_pairs(
+        df, "id", "text", threshold=0.0, max_df=2, df_budget=1
+    ).collect()
+    assert capped == []
+    # max_df=3 keeps it; the private shingles (df=1) also stay
+    kept = D.ngram_jaccard_pairs(
+        df, "id", "text", threshold=0.0, max_df=3
+    ).collect()
+    assert len(kept) == 3 and all(abs(r.jaccard - 1 / 3) < 1e-12 for r in kept)
+
+
 def test_simhash_identical_same_fingerprint(spark, docs):
     df = docs([(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq")])
     fp = {r.id: r.simhash for r in D.simhash_fingerprints(df, "id", "text").collect()}
@@ -703,6 +742,21 @@ def test_embedding_neardup_finds_planted_pair(spark):
     # near-identical vectors always share every band bucket (sign bits
     # are equal for vectors this close), so LSH cannot drop the pair
     assert out == {(0, 1)}
+
+
+def test_neardup_auto_band_sizing_rule():
+    """rows_per_band=None sizes to the corpus: the NEARDUP_ROWS floor
+    keeps every fixture (<= 8192 vectors) on the oracle's 4×4 banding,
+    and past the floor each doubling of the corpus adds one plane
+    (expected bucket width pinned at ~NEARDUP_TARGET_BUCKET)."""
+    tb = S.NEARDUP_TARGET_BUCKET
+    assert S.auto_rows_per_band(500) == S.NEARDUP_ROWS
+    assert S.auto_rows_per_band(2000) == S.NEARDUP_ROWS
+    assert S.auto_rows_per_band(tb * 2**S.NEARDUP_ROWS) == S.NEARDUP_ROWS
+    assert S.auto_rows_per_band(tb * 2**S.NEARDUP_ROWS * 2) == S.NEARDUP_ROWS + 1
+    # cluster scale: 1B vectors → ~21 planes, width still ~target
+    r = S.auto_rows_per_band(10**9)
+    assert tb / 2 <= 10**9 / 2**r <= tb
 
 
 def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):

@@ -147,6 +147,26 @@ def main() -> None:
             _vec_cache[k] = spark.read.parquet(p)
         return _vec_cache[k]
 
+    _shared_cache: dict[int, DataFrame] = {}
+
+    def shared_docs(k: int) -> DataFrame:
+        # plain-copy replication (fresh ids, IDENTICAL text): every
+        # shingle's doc-frequency grows k× — the vocabulary-saturation
+        # regime the df-cut cap exists for (zero-overlap replication
+        # can't exercise it: bucket widths stay constant there)
+        if k not in _shared_cache:
+            p = f"{scratch}/shared_docs_{k}"
+            n = base_docs_df.count()
+            base_docs_df.crossJoin(
+                F.broadcast(spark.range(k).select(F.col("id").alias("copy")))
+            ).select(
+                (F.col("doc_id") + F.col("copy") * F.lit(n)).alias("doc_id"),
+                "text",
+                "lang",
+            ).write.mode("overwrite").parquet(p)
+            _shared_cache[k] = spark.read.parquet(p)
+        return _shared_cache[k]
+
     def run_minhash(k: int) -> None:
         d = docs(k)
         D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
@@ -200,13 +220,12 @@ def main() -> None:
 
     def run_neardup(k: int) -> None:
         v = vecs(k)
-        # the documented cluster-scale sizing: rows_per_band grows
-        # log2(N / target_bucket), holding expected bucket width (and
-        # so per-task kernel work) constant as the corpus grows
-        r = max(4, math.ceil(math.log2(max(base_vecs * k, 2) / 64)))
-        S.embedding_neardup_pairs(
-            v, threshold=0.95, rows_per_band=r
-        ).write.format("noop").mode("overwrite").save()
+        # NO caller-supplied sizing: rows_per_band=None auto-sizes from
+        # the corpus count (round-5 verdict item 4 — the log2 rule used
+        # to live in this probe; now the operator applies it itself)
+        S.embedding_neardup_pairs(v, threshold=0.95).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     def run_simhash(k: int) -> None:
         d = docs(k)
@@ -245,6 +264,19 @@ def main() -> None:
         D.ngram_jaccard_pairs(d, "doc_id", "text").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    def run_ngram_capped(k: int) -> None:
+        # the df-cut variant measured where the cap BINDS: plain-copy
+        # replication (fresh ids, identical text) grows every shingle's
+        # document frequency k×, which is exactly the vocabulary-
+        # saturation regime that sent the uncapped verifier to e≈1.3 —
+        # max_df drops the saturated buckets, so Σ min(w, max_df)²
+        # grows ~linearly in the bucket count and the exponent should
+        # hold near 1 while the uncapped path would go quadratic
+        d = shared_docs(k)
+        D.ngram_jaccard_pairs(
+            d, "doc_id", "text", max_df=D.MAX_BUCKET
+        ).write.format("noop").mode("overwrite").save()
 
     def run_ann(k: int) -> None:
         v = vecs(k)
@@ -503,6 +535,7 @@ def main() -> None:
         "exact_dedup": run_exact,
         "dedup_clusters_cc": run_cluster,
         "ngram_jaccard_exact": run_ngram,
+        "ngram_jaccard_capped": run_ngram_capped,
         "minhash_verified_pipeline": run_verified_pipeline,
         "ann_lsh_topk": run_ann,
         "decontaminate": run_decontaminate,
@@ -526,6 +559,7 @@ def main() -> None:
         "exact_dedup": docs,
         "dedup_clusters_cc": docs,
         "ngram_jaccard_exact": docs,
+        "ngram_jaccard_capped": shared_docs,
         "minhash_verified_pipeline": docs,
         "ann_lsh_topk": vecs,
         "decontaminate": docs,
