@@ -105,9 +105,16 @@ def bpe_ish_token_count(col: Column) -> Column:
 def alpha_word_frac_of(toks: Column) -> Column:
     """Fraction of words with at least one ASCII letter, over an
     already-materialized token-array column (Gopher rule A1.1: pages
-    where <80% of words have an alphabetic character are dropped)."""
+    where <80% of words have an alphabetic character are dropped).
+
+    Empty token arrays score a DEFINED 0.0 (not the 0/0 NULL): an
+    empty/whitespace doc has no alphabetic words, and a standalone
+    profile of it should read as maximally non-alphabetic rather than
+    unknown — same guard shape as :func:`dup_gram_frac_of`."""
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    return n_alpha / F.size(toks)
+    return F.when(F.size(toks) > 0, n_alpha / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def alpha_word_frac(col: Column) -> Column:
@@ -121,8 +128,13 @@ def alpha_word_frac(col: Column) -> Column:
 def rep_token_frac_of(toks: Column) -> Column:
     """Token-repetition ratio: 1 − distinct/total tokens. The
     word-level analogue of Gopher's duplicate-line fraction —
-    boilerplate and keyword-stuffed pages score high."""
-    return 1.0 - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    boilerplate and keyword-stuffed pages score high.
+
+    Empty token arrays score a DEFINED 0.0 (nothing repeats in an
+    empty doc), not the 0/0 NULL — same guard as
+    :func:`alpha_word_frac_of` / :func:`dup_gram_frac_of`."""
+    rep = 1.0 - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    return F.when(F.size(toks) > 0, rep).otherwise(F.lit(0.0))
 
 
 def rep_token_frac(col: Column) -> Column:
@@ -250,8 +262,16 @@ def c4_ok(col: Column) -> Column:
 
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of casefolded, whitespace-collapsed
-    text. The exact-dedup key."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    text. The exact-dedup key.
+
+    The whitespace class is spelled out (Java's \\s set) instead of
+    ``\\s`` so the DuckDB oracle mirror (``workload.core.FP_SQL``,
+    RE2 — whose \\s EXCLUDES vertical tab) collapses the identical
+    character set; ``\\x0B`` docs would otherwise fingerprint
+    differently across the engines."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(col)), r"[ \t\n\x0B\f\r]+", " ")
+    )
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:

@@ -357,16 +357,36 @@ def _ensure_protobuf() -> None:
         if str(vendor) not in sys.path:
             sys.path.insert(0, str(vendor))
     # vendored runtime only: relax the gencode/runtime gate for the
-    # known one-minor skew (6.33 gencode on the 6.32 vendored runtime)
+    # ONE verified-safe skew (6.33.x gencode on the 6.32.0 vendored
+    # runtime — same domain/major/suffix, exactly one minor ahead);
+    # any other mismatch re-raises so an unanticipated upgrade fails
+    # loudly. Keep in lockstep with the worker-side twin,
+    # third_party/protobuf/sitecustomize.py.
     from google.protobuf import runtime_version as _rv
 
     _orig = _rv.ValidateProtobufRuntimeVersion
 
-    def _lenient(*args, **kwargs):
+    def _known_safe_skew(gen_domain, gen_major, gen_minor, gen_patch,
+                         gen_suffix):
+        return (
+            gen_domain == _rv.DOMAIN
+            and gen_major == _rv.MAJOR
+            # released gencode ('' suffix) on the vendored runtime,
+            # which self-identifies as 6.32.0-dev
+            and gen_suffix in ("", _rv.SUFFIX)
+            and (gen_minor, gen_patch) >= (_rv.MINOR, _rv.PATCH)
+            and gen_minor - _rv.MINOR <= 1
+        )
+
+    def _lenient(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix,
+                 location):
         try:
-            _orig(*args, **kwargs)
+            _orig(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix,
+                  location)
         except _rv.VersionError:
-            pass
+            if not _known_safe_skew(gen_domain, gen_major, gen_minor,
+                                    gen_patch, gen_suffix):
+                raise
 
     if getattr(_rv.ValidateProtobufRuntimeVersion, "__name__", "") != "_lenient":
         _rv.ValidateProtobufRuntimeVersion = _lenient

@@ -71,8 +71,12 @@ DSUM_V_SQL = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
 # DuckDB mirror of functions.text.doc_fingerprint — ONE definition for
 # the q50 / q40 / q82 oracles ({col} is the qualified text column); a
-# normalization change must never need a three-file hunt
-FP_SQL = "md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+# normalization change must never need a three-file hunt.
+# EXPLICIT whitespace class, not \s: Java \s includes vertical tab
+# (\x0B) but RE2's does not, so a \x0B doc would fingerprint
+# differently across the two engines — both dialects now spell the
+# Java set [ \t\n\x0B\f\r] out (parity pinned in test_text_filters)
+FP_SQL = "md5(regexp_replace(lower(trim({col})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
 def dsum(col, scale: int = 2):

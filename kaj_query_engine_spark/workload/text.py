@@ -70,8 +70,11 @@ _C4 = (
     ")) AS INT) AS n_bpe, "
     f"{FP_SQL.format(col='text')} AS fp, "
     f"CASE WHEN ({_QUALITY}) >= 0.5 THEN round({_QUALITY}, 6) END AS quality, "
-    f"{_NALPHA} / {_NTOK} AS alpha_frac, "
-    f"1.0 - len(list_distinct({_TOKS})) * 1.0 / {_NTOK} AS rep_frac, "
+    f"CASE WHEN {_NTOK} > 0 THEN {_NALPHA} / {_NTOK} ELSE 0.0 END "
+    "AS alpha_frac, "
+    f"CASE WHEN {_NTOK} > 0 THEN "
+    f"1.0 - len(list_distinct({_TOKS})) * 1.0 / {_NTOK} "
+    "ELSE 0.0 END AS rep_frac, "
     f"CASE WHEN {_NTOK} >= 2 THEN "
     f"1.0 - len(list_distinct({_GRAMS2})) * 1.0 / ({_NTOK} - 1) "
     "ELSE 0.0 END AS dup2_frac, "

@@ -194,6 +194,33 @@ def test_stateful_totals_tws_guard_without_protobuf(spark, monkeypatch):
         OPS.stream_stateful_user_totals_tws(s)
 
 
+def test_lenient_protobuf_gate_only_accepts_known_skew():
+    """The relaxed gencode/runtime gate must swallow ONLY the verified
+    one-minor skew (6.33.x gencode on the 6.32.0 vendored runtime) and
+    re-raise everything else — a major-version gap or a two-minor jump
+    after some future upgrade has to fail loudly, not silently pass."""
+    from kaj_query_engine_spark.streaming import ops as OPS
+
+    OPS._ensure_protobuf()
+    from google.protobuf import runtime_version as rv
+
+    ok = rv.ValidateProtobufRuntimeVersion
+    assert getattr(ok, "__name__", "") == "_lenient"  # vendored path active
+    # the verified skew: gencode one minor ahead — swallowed
+    ok(rv.DOMAIN, rv.MAJOR, rv.MINOR + 1, 0, rv.SUFFIX, "tws.proto")
+    # exact match — trivially fine
+    ok(rv.DOMAIN, rv.MAJOR, rv.MINOR, rv.PATCH, rv.SUFFIX, "tws.proto")
+    # two minors ahead — re-raised
+    with pytest.raises(rv.VersionError):
+        ok(rv.DOMAIN, rv.MAJOR, rv.MINOR + 2, 0, rv.SUFFIX, "tws.proto")
+    # newer major — re-raised
+    with pytest.raises(rv.VersionError):
+        ok(rv.DOMAIN, rv.MAJOR + 1, 0, 0, rv.SUFFIX, "tws.proto")
+    # suffix mismatch — re-raised
+    with pytest.raises(rv.VersionError):
+        ok(rv.DOMAIN, rv.MAJOR, rv.MINOR + 1, 0, "-rc1", "tws.proto")
+
+
 def test_stream_static_enrich_equals_batch_join(spark):
     """Stream-static left join against a broadcast dimension produces
     exactly the batch left-join result (unmatched rows NULL-padded)."""

@@ -96,7 +96,10 @@ def test_redaction_is_idempotent_and_order_safe(docs_df):
         assert r["a"] == r["b"]
 
 
-_PII_ALPHABET = "ab .@-{}!?\n0123456789"
+# \x0B (vertical tab) is deliberately in the alphabet: Java \s matches
+# it, RE2 \s does not — the fingerprint's explicit whitespace class
+# must keep the two engines in agreement on it
+_PII_ALPHABET = "ab .@-{}!?\n\x0b0123456789"
 
 
 def _parity_check(spark, texts):
@@ -163,6 +166,57 @@ def test_regex_dialect_parity_on_adversarial_text(spark):
         _parity_check(spark, texts)
 
     run()
+
+
+def test_fingerprint_dialect_parity_on_vertical_tab(spark):
+    """doc_fingerprint (Spark, Java regex) and FP_SQL (DuckDB, RE2)
+    must collapse the IDENTICAL whitespace set: Java's \\s includes
+    vertical tab, RE2's does not, so both sides now spell the class
+    out — docs containing \\x0B are the regression case."""
+    from kaj_query_engine_spark.workload.core import FP_SQL
+
+    texts = [
+        "plain doc",
+        "vtab\x0bseparated",
+        "multi \x0b \t mixed\nws",
+        "\x0bleading and trailing\x0b",
+        "A\x0b\x0bB",
+    ]
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = f"SELECT doc_id, {FP_SQL.format(col='text')} FROM documents"
+    for doc_id, fp in con.sql(sql).fetchall():
+        assert got[doc_id] == fp, texts[doc_id]
+    # and the collapse actually fires: vtab normalizes like a space
+    assert got[1] == got[0].__class__(got[1])  # sanity: string
+    assert (
+        df.select(TXT.doc_fingerprint(F.lit("a\x0bb")).alias("f")).first().f
+        == df.select(TXT.doc_fingerprint(F.lit("a b")).alias("f")).first().f
+    )
+
+
+def test_frac_helpers_defined_on_empty_token_arrays(spark):
+    """alpha_word_frac_of / rep_token_frac_of return a DEFINED 0.0 on
+    an empty token ARRAY (0/0 would be NULL) — the standalone-profile
+    guard; dup_gram_frac_of already had it."""
+    df = spark.createDataFrame(
+        [(1, [])], "id long, toks array<string>"
+    )
+    r = df.select(
+        TXT.alpha_word_frac_of(F.col("toks")).alias("a"),
+        TXT.rep_token_frac_of(F.col("toks")).alias("r"),
+        TXT.dup_gram_frac_of(F.col("toks"), 2).alias("d"),
+    ).first()
+    assert (r.a, r.r, r.d) == (0.0, 0.0, 0.0)
 
 
 def test_redaction_count_coherence_on_random_text(spark):
