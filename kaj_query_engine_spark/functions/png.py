@@ -1,0 +1,183 @@
+"""Pure-stdlib PNG codec (zlib + struct + numpy) — the real decode
+behind :func:`operators.multimodal.decode_media`.
+
+This container ships no image libraries, but PNG itself needs none:
+the format is zlib-compressed filtered scanlines in a chunked
+container (PNG spec, RFC 2083 / W3C PNG — public). Supported here:
+8-bit greyscale (color type 0) and 8-bit RGB (color type 2), no
+interlacing, all five scanline filters (None/Sub/Up/Average/Paeth).
+That covers every fixture this repo constructs and the common output
+of ``convert``-style tooling for these color types.
+
+The ENCODER deliberately cycles the filter type per scanline
+(``filter_mode="cycle"``): a decoder bug in any of the five unfilter
+rules then breaks the round-trip and the q93 oracle match, so the
+filter math is pinned by tests rather than trusted.
+
+No counterpart in the reference engine (3 scalar types only —
+``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (int16 math: p can go negative)."""
+    a16, b16, c16 = a.astype(np.int16), b.astype(np.int16), c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def encode_png(
+    pixels: np.ndarray, filter_mode: str = "cycle"
+) -> bytes:
+    """Encode an (H, W) uint8 greyscale or (H, W, 3) uint8 RGB array.
+
+    ``filter_mode="cycle"`` filters scanline i with type i % 5 —
+    exercising every unfilter rule on decode; ``"none"`` writes
+    filter 0 everywhere (the trivially-decodable form).
+    """
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        color_type, bpp = 0, 1
+        flat = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w = px.shape[:2]
+        color_type, bpp = 2, 3
+        flat = px.reshape(h, w * 3)
+    else:
+        raise ValueError("pixels must be (H, W) grey or (H, W, 3) RGB uint8")
+    raw = bytearray()
+    prior = np.zeros(flat.shape[1], dtype=np.uint8)
+    for i in range(h):
+        row = flat[i]
+        ft = (i % 5) if filter_mode == "cycle" else 0
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prior
+        elif ft == 3:  # Average: floor((left + up) / 2), full precision
+            filt = row - (
+                (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            filt = row - _paeth(left, prior, ul)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an (H, W) or (H, W, 3) uint8 array.
+
+    Supports 8-bit color types 0 (grey) and 2 (RGB), non-interlaced;
+    multiple IDAT chunks are concatenated per the spec. Raises
+    ValueError on anything else — loudly, not with a wrong picture.
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        crc = data[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc) != 4:
+            raise ValueError("truncated PNG chunk")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or color_type not in (0, 2):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color_type={color_type} "
+                    "(only 8-bit grey/RGB)"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 1 if color_type == 0 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for i in range(height):
+        ft = raw[i * (stride + 1)]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=i * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            row = filt
+        elif ft == 2:  # Up
+            row = filt + prior
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential in j by definition;
+            # python-loop over pixels within the row (rows stay numpy)
+            row = filt
+            ul_prior = prior
+            for j in range(stride):
+                left = int(row[j - bpp]) if j >= bpp else 0
+                up = int(ul_prior[j])
+                ul = int(ul_prior[j - bpp]) if j >= bpp else 0
+                if ft == 1:
+                    row[j] = (row[j] + left) & 0xFF
+                elif ft == 3:
+                    row[j] = (row[j] + (left + up) // 2) & 0xFF
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul
+                    )
+                    row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[i] = row
+        prior = out[i]
+    if color_type == 0:
+        return out
+    return out.reshape(height, width, 3)

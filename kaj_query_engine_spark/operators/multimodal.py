@@ -14,12 +14,16 @@ training-data-pipeline extension surface. The design holds at 100 TB:
 - frame sampling is pure JVM (``substring`` on binary inside an
   exploded sequence) — no Python in that hot path at all.
 
-The container has no image/audio codecs, so *decode* is a clearly
-marked stub (`NotImplementedError`) behind an import-try; the fake
-payload generator and the byte-level feature path are real, tested,
-and deterministic (sha256-derived bytes), exercising the exact Spark
-plumbing — schema, partitioning, UDF signature, batch shape — a real
-decoder would use.
+PNG decode is REAL — a pure-stdlib codec (``functions.png``: zlib +
+struct, all five scanline filters) runs inside ``decode_media``'s
+``mapInPandas``, oracle-checked end-to-end as q93 against a DuckDB
+reconstruction of the deterministic pixel model. Other codecs (JPEG,
+audio, video) remain honestly guarded: the container ships no
+libraries for them, and ``decode_media`` raises per-task rather than
+silently skipping media. The fake payload generator and the
+byte-level feature path stay codec-free and deterministic
+(sha256-derived bytes), exercising the exact Spark plumbing — schema,
+partitioning, UDF signature, batch shape — any decoder rides.
 """
 
 from __future__ import annotations
@@ -66,22 +70,141 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, bin_col: str = "media") -> DataFrame:
-    """Real codec decode — STUB.
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media ingest: a ``media`` column holding genuine PNG bytes
+    (pure-stdlib encoder, ``functions.png``) plus the same typed
+    ``media_meta`` struct as :func:`attach_fake_media`.
 
-    The container ships no image/audio libraries; with one installed
-    (PIL / torchaudio / pyav) this becomes a ``mapInPandas`` identical
-    in shape to :func:`media_byte_features` whose UDF calls the codec
-    per element. Raises until then.
+    The pixel model is deterministic and — deliberately — SQL-
+    reconstructible: scanline i of doc d = the first W bytes of
+    sha256(f"{d}:r{i}"), W = 16 + d%4·4 ≤ 32 (one digest per row), so
+    a DuckDB oracle can regenerate the exact decoded pixels without
+    any PNG code and the full encode→decode path is hash-checkable
+    end-to-end (q93). The encoder cycles all five PNG scanline
+    filters, so the oracle match also pins the decoder's filter math.
     """
-    try:
-        import PIL  # noqa: F401  pragma: no cover
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "media codecs are not available in this environment; use "
-            "media_byte_features for the codec-free feature path"
-        ) from exc
-    raise NotImplementedError("codec decode not implemented")  # pragma: no cover
+    from kaj_query_engine_spark.functions.png import encode_png
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            w = 16 + (d % 4) * 4
+            h = 12 + (d % 3) * 6
+            rows = [
+                np.frombuffer(
+                    hashlib.sha256(f"{d}:r{i}".encode()).digest()[:w],
+                    dtype=np.uint8,
+                )
+                for i in range(h)
+            ]
+            return encode_png(np.stack(rows), filter_mode="cycle")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "media": pdf[id_col].map(one)}
+            )
+
+    media = df.select(id_col).mapInPandas(gen, f"{id_col} long, media binary")
+    return df.join(media, id_col).withColumn(
+        "media_meta",
+        F.struct(
+            (F.lit(16) + (F.col(id_col) % 4) * 4).cast("int").alias("width"),
+            (F.lit(12) + (F.col(id_col) % 3) * 6).cast("int").alias("height"),
+            F.lit("png").alias("format"),
+        ),
+    )
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
+) -> DataFrame:
+    """Real codec decode — PNG for real, other codecs honestly guarded.
+
+    PNG payloads (8-bit grey/RGB) decode via the pure-stdlib codec in
+    ``functions.png`` inside ``mapInPandas`` — Arrow batches in, one
+    (id, width, height, channels, pixels) row per media item out, with
+    ``pixels`` the row-major uint8 buffer. Non-PNG payloads (JPEG &c.)
+    raise ``NotImplementedError`` in the task: this container ships no
+    codecs for them, and silently skipping media would corrupt a
+    training corpus — fail loudly, filter by ``media_meta.format``
+    upstream (metadata pushdown makes that scan-cheap).
+    """
+    from kaj_query_engine_spark.functions.png import decode_png
+
+    schema = (
+        f"{id_col} long, width int, height int, channels int, pixels binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple[int, int, int, bytes]:
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise NotImplementedError(
+                    "decode_media: only PNG decodes in this environment "
+                    "(no codec libraries installed) — filter on "
+                    "media_meta.format == 'png', or use "
+                    "media_byte_features for the codec-free path"
+                )
+            px = decode_png(bytes(b))
+            ch = 1 if px.ndim == 2 else px.shape[2]
+            return px.shape[1], px.shape[0], ch, px.tobytes()
+
+        for pdf in batches:
+            decoded = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "channels": decoded.map(lambda t: t[2]).astype("int32"),
+                    "pixels": decoded.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def resize_decoded_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    bin_col: str = "media",
+) -> DataFrame:
+    """Resize through the REAL codec: decode PNG → nearest-neighbor
+    sample (the same floor index math as :func:`resize_media`'s fake
+    path: yi = i·H//T) → re-encode PNG. Output (id, media, media_meta)
+    — the decoded-for-real twin of :func:`resize_media`, exercising
+    encoder and decoder once more per row.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.png import decode_png, encode_png
+
+    schema = f"{id_col} long, {bin_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> bytes:
+            px = decode_png(bytes(b))
+            h, w = px.shape[:2]
+            yi = np.arange(target_h) * h // target_h
+            xi = np.arange(target_w) * w // target_w
+            return encode_png(px[np.ix_(yi, xi)], filter_mode="cycle")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], bin_col: pdf[bin_col].map(one)}
+            )
+
+    out = df.select(id_col, bin_col).mapInPandas(run, schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(target_w).cast("int").alias("width"),
+            F.lit(target_h).cast("int").alias("height"),
+            F.lit("png").alias("format"),
+        ),
+    )
 
 
 def media_byte_features(

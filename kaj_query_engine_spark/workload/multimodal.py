@@ -105,3 +105,70 @@ def q92(spark, sf_dir):
         "n_distinct_bytes",
         "mode_count",
     )
+
+
+# q93: REAL PNG codec, oracle-checked. attach_png_media's pixel model
+# is scanline i = first W bytes of sha256('<doc_id>:r<i>'), W ≤ 32, so
+# DuckDB reconstructs the decoded pixel buffer's hex (one digest per
+# scanline, substr'd to the row stride) with zero PNG code — while the
+# Spark side goes the long way: encode (cycling all 5 PNG filters) →
+# zlib → chunk framing → decode → pixels. A digest match means the
+# whole codec (filter math included) is exact. The 'resize' branch
+# re-encodes the nearest-neighbor-sampled image and decodes it AGAIN,
+# pinning encoder and decoder twice with the floor index rule
+# yi = ti·H//8 reproduced in SQL.
+_PNG_W = "(16 + (doc_id % 4) * 4)"
+_PNG_H = "(12 + (doc_id % 3) * 6)"
+_PNG_DECODE_SQL = (
+    "SELECT 'decode' AS path, doc_id, "
+    f"CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height, "
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, {_PNG_H} - 1), "
+    "i -> substr(sha256(concat(CAST(doc_id AS VARCHAR), ':r', "
+    f"CAST(i AS VARCHAR))), 1, 2 * {_PNG_W})), '')) AS pix_md5 "
+    "FROM documents"
+)
+_PNG_RESIZE_SQL = (
+    "SELECT 'resize' AS path, doc_id, "
+    "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "md5(string_agg("
+    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':r', "
+    f"CAST((ti * {_PNG_H}) // 8 AS VARCHAR))), "
+    f"CAST((tj * {_PNG_W}) // 8 AS INT) * 2 + 1, 2), "
+    "'' ORDER BY ti, tj)) AS pix_md5 "
+    "FROM documents, generate_series(0, 7) g1(ti), "
+    "generate_series(0, 7) g2(tj) GROUP BY doc_id"
+)
+
+
+@register(
+    "q93_png_decode",
+    f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL}",
+    "REAL image decode, oracle-checked: genuine PNG bytes (pure-stdlib "
+    "encoder cycling all five scanline filters) are decoded by the "
+    "pure-stdlib codec inside mapInPandas; the oracle reconstructs the "
+    "decoded pixel buffer from the sha256 scanline model in pure SQL, "
+    "so a digest match pins zlib framing, CRCs, and the filter math "
+    "end-to-end. 'resize' re-encodes the nearest-neighbor 8x8 sample "
+    "and decodes it again (floor index rule reproduced oracle-side). "
+    "Non-PNG codecs stay honestly guarded (no libraries here)",
+)
+def q93(spark, sf_dir):
+    d = M.attach_png_media(t(spark, sf_dir, "documents"))
+    dec = M.decode_media(d)
+    pix_md5 = F.md5(F.lower(F.hex(F.col("pixels"))))
+    decoded = dec.select(
+        F.lit("decode").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    resized = M.decode_media(M.resize_decoded_media(d, 8, 8)).select(
+        F.lit("resize").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    return decoded.unionAll(resized)

@@ -329,9 +329,92 @@ def test_resize_media_identity_dims_reproduce_grid(media):
     assert len(bytes(out.media)) == w * h
 
 
-def test_decode_media_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        M.decode_media(media)
+def test_decode_media_guards_non_png(media):
+    """Non-PNG payloads (the sha-block fake media) must fail loudly in
+    the task — no codec libraries exist for them here and silently
+    skipping media would corrupt a corpus."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="only PNG"):
+        M.decode_media(media).collect()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode→decode is the identity for grey and RGB arrays under
+    both filter modes; corrupted chunks are rejected, not mis-decoded."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (7, 3), (24, 28), (13, 17, 3), (5, 1), (1, 9, 3)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for mode in ("cycle", "none"):
+            b = decode_png(encode_png(a, mode))
+            assert b.shape == a.shape and (b == a).all(), (shape, mode)
+    good = bytearray(encode_png(rng.integers(0, 256, (4, 4), dtype=np.uint8)))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a not a png")
+
+
+def test_decode_media_pixels_match_model(spark):
+    """decode_media on attach_png_media output reproduces the sha
+    scanline pixel model byte-for-byte — the numpy-reference pin for
+    the real decode path (the q93 oracle is the SQL twin of this)."""
+    import hashlib as hl
+
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.decode_media(M.attach_png_media(df, "doc_id")).collect()
+    }
+    assert len(out) == 12
+    for d in range(12):
+        w, h = 16 + (d % 4) * 4, 12 + (d % 3) * 6
+        expect = b"".join(
+            hl.sha256(f"{d}:r{i}".encode()).digest()[:w] for i in range(h)
+        )
+        r = out[d]
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert bytes(r.pixels) == expect
+
+
+def test_resize_decoded_media_nearest_neighbor(spark):
+    """The decoded-resize twin matches the numpy index rule
+    yi = ti·H//T applied to the model pixels, after a full second
+    encode→decode round trip."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.png import decode_png
+
+    df = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    media = M.attach_png_media(df, "doc_id")
+    out = {
+        r.doc_id: r
+        for r in M.resize_decoded_media(media, 8, 8).collect()
+    }
+    for d in (3, 7):
+        w, h = 16 + (d % 4) * 4, 12 + (d % 3) * 6
+        grid = np.stack(
+            [
+                np.frombuffer(
+                    hl.sha256(f"{d}:r{i}".encode()).digest()[:w], np.uint8
+                )
+                for i in range(h)
+            ]
+        )
+        yi = np.arange(8) * h // 8
+        xi = np.arange(8) * w // 8
+        got = decode_png(bytes(out[d].media))
+        assert (got == grid[np.ix_(yi, xi)]).all()
+        assert out[d].media_meta.width == 8 and out[d].media_meta.format == "png"
 
 
 def test_stream_static_enrich_small_dim_still_broadcasts(spark):
