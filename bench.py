@@ -83,6 +83,42 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - start, 3)
 
+    # ---- canary protocol -------------------------------------------
+    # Host drift on this box spans ±10-25% on totals for identical code
+    # (PERF.md records 54.6-68.2 s cold same-day). q45 is the designated
+    # canary: it hasn't changed since round 4, so its warm reading
+    # against the PREVIOUS committed bench_out.json separates host noise
+    # from real regressions. Outside ±10%, re-measure up to twice and
+    # keep the best; still outside -> canary_ok=false, telling the
+    # reader to discount cross-round deltas in this artifact.
+    canary_name = "q45_sketch_aggregates"
+    out_path = Path(__file__).resolve().parent / "bench_out.json"
+    canary: dict = {"query": canary_name, "ref": None, "ok": None}
+    if canary_name in queries:
+        try:
+            ref = json.loads(out_path.read_text())["queries_warm"][canary_name]
+        except Exception:
+            ref = None
+        measured = warm.get(canary_name)
+        if ref:
+            for _ in range(2):
+                if measured is not None and abs(measured / ref - 1) <= 0.10:
+                    break
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                start = time.time()
+                queries[canary_name].spark(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                measured = min(measured, round(time.time() - start, 3))
+            canary = {
+                "query": canary_name,
+                "ref": ref,
+                "measured": measured,
+                "ratio": round(measured / ref, 3),
+                "ok": abs(measured / ref - 1) <= 0.10,
+            }
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "workload_total_runtime",
@@ -91,13 +127,14 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "total_warm": round(sum(warm.values()), 3),
+        "canary_ok": canary["ok"],
+        "canary": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))
     # the driver keeps only the TAIL of stdout in BENCH_r{N}.json, which
     # truncates the per-query map — persist the full result to a
     # committed artifact so per-query cold/warm times survive each round
-    out_path = Path(__file__).resolve().parent / "bench_out.json"
     out_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
 
 

@@ -86,6 +86,51 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sdf
 
 
+# Auto-sizing for stateful shuffle partitions. State stores are
+# per-partition fixed overhead (open/commit/snapshot every micro-batch)
+# while compute parallelism wants more partitions — a measured sweep of
+# three stateful shapes at sf0.1 (totals/tumble/dedup × partitions
+# 1..32) puts the sweet spot at 2–8 with 16+ always losing, and the
+# key-count scaling says ~2 048 keys per partition with a floor of 4
+# (below 4, cores idle on the compute-bound shapes: totals at 1
+# partition costs 2.8× its best). At 10⁹ keys the rule saturates
+# cluster parallelism — where an unbounded run should re-size by
+# state BYTES per partition instead (documented caveat, not a fixture
+# concern).
+STATE_KEYS_PER_PARTITION = 2048
+STATE_PARTITIONS_FLOOR = 4
+
+
+def state_partitions_for_keys(n_keys: int, parallelism: int) -> int:
+    """The sizing rule: next power of two of n_keys / 2048, clamped to
+    [4, parallelism]. Pure so the rule itself is unit-testable."""
+    import math
+
+    p = 2 ** math.ceil(math.log2(max(1.0, n_keys / STATE_KEYS_PER_PARTITION)))
+    return max(min(STATE_PARTITIONS_FLOOR, parallelism), min(p, parallelism))
+
+
+def auto_state_partitions(batch_df: DataFrame, *keys) -> int:
+    """Derive ``state_partitions`` from OBSERVED key cardinality: one
+    cheap column-pruned ``approx_count_distinct`` over the batch view
+    of the same source (streaming sources are backed by data you can
+    batch-read — a landing dir, a Kafka topic's compacted snapshot),
+    fed through :func:`state_partitions_for_keys`. Replaces the magic
+    ``state_partitions=8`` constant; ``keys`` are the stateful
+    operator's grouping columns/exprs (window keys pass the batch
+    window expression).
+    """
+    n = (
+        batch_df.select(
+            F.approx_count_distinct(F.struct(*keys)).alias("n")
+        ).first()
+        .n
+    )
+    return state_partitions_for_keys(
+        n, batch_df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",
@@ -102,9 +147,10 @@ def run_available_now(
     query (restored after): every stateful operator instantiates one
     state store PER partition (a stream-stream join has four), so a
     small bounded backfill wants few partitions — 32 partitions cost
-    ~2.5× the wall time of 8 on fixture-scale input. A production
-    unbounded run sizes this to key cardinality instead; the setting is
-    fixed at first checkpoint forever after.
+    ~2.5× the wall time of 8 on fixture-scale input. Callers derive it
+    from observed key cardinality via :func:`auto_state_partitions`
+    (the workload queries do); the setting is fixed at first
+    checkpoint forever after.
     """
     spark = sdf.sparkSession
     name = f"kaj_stream_q{next(_MEMQ)}"

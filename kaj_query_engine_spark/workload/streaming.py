@@ -31,8 +31,28 @@ from kaj_query_engine_spark.streaming import (
     stream_tumbling_agg,
     streaming_dedup,
 )
-from kaj_query_engine_spark.workload.core import DSUM_V_SQL, FP_SQL, dsum, t
+from kaj_query_engine_spark.streaming.ops import auto_state_partitions
+from kaj_query_engine_spark.workload.core import (
+    DSUM_V_SQL,
+    FP_SQL,
+    dsum,
+    source_token,
+    t,
+)
 from kaj_query_engine_spark.workload.registry import register
+
+# state_partitions is derived from observed key cardinality (one
+# approx_count_distinct over the batch view of the stream's source —
+# round-5 verdict item 5: no more magic constant), memoized per fixture
+# generation so the bench's repeated runs don't re-count
+_SP_MEMO: dict = {}
+
+
+def _state_parts(spark, sf_dir: str, table: str, *keys, tag: str = "") -> int:
+    k = (sf_dir, table, tag, source_token(f"{sf_dir}/{table}.parquet"))
+    if k not in _SP_MEMO:
+        _SP_MEMO[k] = auto_state_partitions(t(spark, sf_dir, table), *keys)
+    return _SP_MEMO[k]
 
 
 @register(
@@ -72,7 +92,12 @@ def q80(spark, sf_dir):
         [F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v")],
         keys=["event_type"],
     )
-    tumble = run_available_now(tumble_agg, "complete", state_partitions=8).select(
+    sp_t = _state_parts(
+        spark, sf_dir, "events",
+        F.date_trunc("hour", F.col("ts")), F.col("event_type"),
+        tag="tumble",
+    )
+    tumble = run_available_now(tumble_agg, "complete", state_partitions=sp_t).select(
         F.lit("tumble").alias("kind"),
         F.col("event_type").alias("k"),
         F.unix_micros("ws").alias("ws_us"),
@@ -88,7 +113,8 @@ def q80(spark, sf_dir):
         "10 minutes",
         aggs=[dsum(F.col("value")).alias("sum_v")],
     )
-    sess = run_available_now(sess_agg, "complete", state_partitions=8).select(
+    sp_s = _state_parts(spark, sf_dir, "events", F.col("user_id"), tag="user")
+    sess = run_available_now(sess_agg, "complete", state_partitions=sp_s).select(
         F.lit("session").alias("kind"),
         F.col("user_id").cast("string").alias("k"),
         F.unix_micros("session_start").alias("ws_us"),
@@ -144,7 +170,11 @@ def q82(spark, sf_dir):
     agg = e.groupBy(
         F.col("event_type").alias("g1"), F.col("segment").alias("g2")
     ).agg(F.count(F.lit(1)).alias("n"))
-    events = run_available_now(agg, "complete", state_partitions=8)
+    sp_e = _state_parts(
+        spark, sf_dir, "events",
+        F.col("user_id"), F.col("event_type"), tag="dedup",
+    )
+    events = run_available_now(agg, "complete", state_partitions=sp_e)
 
     docs = read_stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
@@ -153,7 +183,10 @@ def q82(spark, sf_dir):
     agg2 = surv.groupBy(
         F.col("lang").alias("g1"), F.col("source").alias("g2")
     ).agg(F.count(F.lit(1)).alias("n"))
-    new_docs = run_available_now(agg2, "complete", state_partitions=8)
+    sp_d = _state_parts(
+        spark, sf_dir, "documents", F.col("lang"), F.col("source"), tag="ls"
+    )
+    new_docs = run_available_now(agg2, "complete", state_partitions=sp_d)
 
     return events.select(F.lit("events").alias("path"), "*").unionAll(
         new_docs.select(F.lit("docs").alias("path"), "*")
@@ -190,7 +223,9 @@ def q84(spark, sf_dir):
             F.unix_micros("r_ts").alias("r_ts_us"),
         ),
         "append",
-        state_partitions=8,
+        state_partitions=_state_parts(
+            spark, sf_dir, "events", F.col("user_id"), tag="user"
+        ),
     )
 
 
@@ -205,4 +240,5 @@ def q84(spark, sf_dir):
 def q83(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
     totals = stream_stateful_user_totals(s)
-    return run_available_now(totals, "update", state_partitions=8)
+    sp = _state_parts(spark, sf_dir, "events", F.col("user_id"), tag="user")
+    return run_available_now(totals, "update", state_partitions=sp)

@@ -38,3 +38,31 @@ def test_entry_and_oracles_align(spark):
     )
     extra = sorted(set(oracles) - set(_QUERIES))
     assert not extra, f"oracle_sql entries with no query: {extra}"
+
+
+def test_midnight_collapse_pinned_to_expected_queries():
+    """The correctness checker's timestamp->date canonicalization is a
+    deliberate tolerance for TRUE DATE columns only; the per-query
+    allowlist turns a TIMESTAMP<->DATE schema drift into a FAILURE
+    instead of a silent canonicalization (round-5 verdict item 7).
+    canon()'s branch behavior is pinned here too."""
+    import datetime
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import check_correctness as CC
+
+    # exactly the DATE-emitting queries, nothing else
+    assert CC.MIDNIGHT_EXPECTED == frozenset({"q25_date_case"})
+    assert CC.MIDNIGHT_EXPECTED <= set(_QUERIES)
+    # midnight datetime collapses to a bare date (and counts it)
+    before = CC._midnight_collapses
+    assert CC.canon(datetime.datetime(2024, 5, 1)) == "2024-05-01"
+    assert CC._midnight_collapses == before + 1
+    # non-midnight keeps full precision; plain dates don't count
+    assert CC.canon(datetime.datetime(2024, 5, 1, 0, 0, 1)).startswith(
+        "2024-05-01T00:00:01"
+    )
+    assert CC.canon(datetime.date(2024, 5, 1)) == "2024-05-01"
+    assert CC._midnight_collapses == before + 1

@@ -194,6 +194,33 @@ def test_stateful_totals_tws_guard_without_protobuf(spark, monkeypatch):
         OPS.stream_stateful_user_totals_tws(s)
 
 
+def test_state_partition_sizing_rule(spark):
+    """state_partitions derives from observed key cardinality (round-5
+    verdict item 5): pure rule pinned at the measured break points,
+    and the approx-count wrapper checked at two live cardinalities."""
+    from kaj_query_engine_spark.streaming.ops import (
+        auto_state_partitions,
+        state_partitions_for_keys,
+    )
+
+    # pure rule: floor 4, ~2048 keys/partition, pow2, parallelism clamp
+    assert state_partitions_for_keys(10, 32) == 4
+    assert state_partitions_for_keys(1500, 32) == 4
+    assert state_partitions_for_keys(6000, 32) == 4  # 2.9 -> pow2 4
+    assert state_partitions_for_keys(10_000, 32) == 8
+    assert state_partitions_for_keys(100_000, 32) == 32  # clamp
+    assert state_partitions_for_keys(10**9, 2048) == 2048  # cluster clamp
+    assert state_partitions_for_keys(100, 2) == 2  # floor respects tiny cluster
+    # live wrapper at two cardinalities
+    lo = spark.range(100).select((F.col("id") % 7).alias("k"))
+    hi = spark.range(100_000).select(F.col("id").alias("k"))
+    par = spark.sparkContext.defaultParallelism
+    assert auto_state_partitions(lo, F.col("k")) == min(4, par)
+    assert auto_state_partitions(hi, F.col("k")) == min(
+        state_partitions_for_keys(100_000, par), par
+    )
+
+
 def test_lenient_protobuf_gate_only_accepts_known_skew():
     """The relaxed gencode/runtime gate must swallow ONLY the verified
     one-minor skew (6.33.x gencode on the 6.32.0 vendored runtime) and

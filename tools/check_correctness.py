@@ -42,10 +42,16 @@ TABLES = (
 
 # count of datetime cells collapsed to bare dates by canon() — the
 # tolerance that lets Spark DATE meet DuckDB datetime64 also masks a
-# genuine TIMESTAMP↔DATE type regression, so the main loop surfaces a
-# per-query note whenever the branch fired (deliberate tolerance, kept
-# visible; see ADVICE round 4)
+# genuine TIMESTAMP↔DATE type regression, so the collapse is PINNED
+# per query: only the queries below may fire it on their Spark frame
+# (they emit true DATE columns, which DuckDB's .df() widens to
+# datetime64 — the tolerance exists for exactly that meeting point).
+# Any other query firing it means a TIMESTAMP column started coming
+# back date-like (schema drift) and is a FAILURE, not a note.
 _midnight_collapses = 0
+MIDNIGHT_EXPECTED = frozenset({
+    "q25_date_case",  # emits o_orderdate as DATE
+})
 
 
 def canon(v):
@@ -166,10 +172,18 @@ def main():
             print(f"FAIL {name}: values differ at sorted row {diff[0]}:")
             print(f"   spark: {diff[1][:200]}")
             print(f"   duck : {diff[2][:200]}")
+        elif spark_midnights and name not in MIDNIGHT_EXPECTED:
+            failures.append(name)
+            print(
+                f"FAIL {name}: {spark_midnights} midnight timestamps "
+                "canonicalized to dates but the query is not in "
+                "MIDNIGHT_EXPECTED — a TIMESTAMP column is coming back "
+                "date-like (TIMESTAMP<->DATE schema drift)"
+            )
         else:
             note = (
                 f" [note: {spark_midnights} midnight timestamps "
-                "canonicalized to dates]"
+                "canonicalized to dates — pinned in MIDNIGHT_EXPECTED]"
                 if spark_midnights
                 else ""
             )

@@ -570,24 +570,34 @@ def main() -> None:
         "flagship_join_skewed": flagship_tables,
     }
     base_docs = base_docs_df.count()
+    # the index-lifecycle ops get a FOURTH bracket (64x): their 1-16x
+    # exponents (0.11 / 0.01) are measured where per-job overhead
+    # dominates, so the honest linear term of "one map-only scan of the
+    # index" never shows — at 64x it must (round-5 verdict item 6)
+    LIFECYCLE_SCALES = SCALES + (64,)
+    op_scales = {
+        "incremental_dedup_fixed_batch": LIFECYCLE_SCALES,
+        "band_index_merge_fixed_batch": LIFECYCLE_SCALES,
+    }
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
             continue
-        for kk in SCALES:
+        scales = op_scales.get(name, SCALES)
+        for kk in scales:
             op_inputs[name](kk)
         if name == "incremental_dedup_fixed_batch":
             # build-once index cost must stay OUTSIDE the batch timing
-            for kk in SCALES:
+            for kk in scales:
                 band_index(kk)
             _emit({
                 "op": "band_index_materialize",
-                "n": [base_docs * kk for kk in SCALES],
-                "sec": [band_index_secs[kk] for kk in SCALES],
+                "n": [base_docs * kk for kk in scales],
+                "sec": [band_index_secs[kk] for kk in scales],
                 "note": "one-time corpus band-bucket index build+write "
                 "(O(corpus) shingle compute, amortized over every batch)",
             }, sf_dir)
         if name == "band_index_merge_fixed_batch":
-            for kk in SCALES:  # index build stays outside the timing
+            for kk in scales:  # index build stays outside the timing
                 band_index(kk)
         if name == "ivf_query_materialized":
             # build-once cost must stay OUTSIDE the query timing
@@ -612,7 +622,7 @@ def main() -> None:
             base_n = base_docs
         fn(1)  # warm the plan shape so codegen isn't billed to 1x
         secs, ns = [], []
-        for k in SCALES:
+        for k in scales:
             # settle the JVM before each timed step: drop cached
             # relations and force a GC so the ASYNC ContextCleaner
             # work left by a previous op (notably CC's per-round
@@ -632,7 +642,7 @@ def main() -> None:
         # floor the rounded timings so a sub-10ms step can't divide or
         # log by zero
         e = math.log(max(secs[-1], 0.01) / max(secs[-2], 0.01)) / math.log(
-            SCALES[-1] / SCALES[-2]
+            scales[-1] / scales[-2]
         )
         record = {"op": name, "n": ns, "sec": secs, "exponent": round(e, 2)}
         if name == "flagship_join_skewed":
