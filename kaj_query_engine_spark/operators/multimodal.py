@@ -37,6 +37,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIGEST_BYTES = 32  # sha256 block
+# partition floor for the PNG generator's compute spread — see
+# attach_png_media: python-worker startup dominates past ~8 workers
+# per host JVM, and real inputs have more splits than this anyway
+PNG_SPREAD = 8
 
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -105,8 +109,27 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col], "media": pdf[id_col].map(one)}
             )
 
-    media = df.select(id_col).mapInPandas(gen, f"{id_col} long, media binary")
-    return df.join(media, id_col).withColumn(
+    # no join back to df — a self-join would shuffle the corpus just to
+    # reattach columns q93 never reads (callers needing other columns
+    # join on id). The ONE deliberate exchange is the small-input /
+    # large-compute spread (same rationale as dedup.shingle_table and
+    # q40): a few-MB fixture arrives as one split and would serialize
+    # every PNG encode on a single core. The spread is capped at
+    # PNG_SPREAD=8, NOT defaultParallelism: every partition of every
+    # downstream mapInPandas stage spawns an Arrow python worker, and
+    # a fresh-session sweep measured cold 11/46/96 s at 8/16/32
+    # partitions (worker interpreter+Arrow startup dwarfs the codec
+    # work) against warm 2.6/5.1/… — 8 is the knee. At 100 TB the
+    # input has more splits than this floor and the repartition is a
+    # cheap id shuffle whose count the inputFiles() max takes over.
+    media = (
+        df.select(id_col)
+        .repartition(
+            max(PNG_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+        .mapInPandas(gen, f"{id_col} long, media binary")
+    )
+    return media.withColumn(
         "media_meta",
         F.struct(
             (F.lit(16) + (F.col(id_col) % 4) * 4).cast("int").alias("width"),

@@ -53,9 +53,10 @@ def test_midnight_collapse_pinned_to_expected_queries():
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import check_correctness as CC
 
-    # exactly the DATE-emitting queries, nothing else
-    assert CC.MIDNIGHT_EXPECTED == frozenset({"q25_date_case"})
-    assert CC.MIDNIGHT_EXPECTED <= set(_QUERIES)
+    # measured at both scales: NO query fires the collapse on its
+    # Spark frame, so the allowlist is pinned EMPTY — any firing is a
+    # TIMESTAMP<->DATE drift failure
+    assert CC.MIDNIGHT_EXPECTED == frozenset()
     # midnight datetime collapses to a bare date (and counts it)
     before = CC._midnight_collapses
     assert CC.canon(datetime.datetime(2024, 5, 1)) == "2024-05-01"

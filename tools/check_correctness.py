@@ -43,15 +43,15 @@ TABLES = (
 # count of datetime cells collapsed to bare dates by canon() — the
 # tolerance that lets Spark DATE meet DuckDB datetime64 also masks a
 # genuine TIMESTAMP↔DATE type regression, so the collapse is PINNED
-# per query: only the queries below may fire it on their Spark frame
-# (they emit true DATE columns, which DuckDB's .df() widens to
-# datetime64 — the tolerance exists for exactly that meeting point).
-# Any other query firing it means a TIMESTAMP column started coming
-# back date-like (schema drift) and is a FAILURE, not a note.
+# per query. Measured at both fixture scales: NO query fires it on the
+# Spark frame today (Spark hands DATE back as datetime.date, which
+# canon treats as a date without counting; the tolerance exists for
+# the ORACLE frame, where DuckDB's .df() widens DATE to datetime64).
+# The allowlist is therefore EMPTY — any Spark-side firing means a
+# TIMESTAMP column started coming back midnight-valued where a DATE
+# (or full timestamp) is expected, and is a FAILURE, not a note.
 _midnight_collapses = 0
-MIDNIGHT_EXPECTED = frozenset({
-    "q25_date_case",  # emits o_orderdate as DATE
-})
+MIDNIGHT_EXPECTED: frozenset = frozenset()
 
 
 def canon(v):

@@ -165,6 +165,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "q93_png_decode": (
+        # the real-codec path: ONE deliberate hash exchange (the
+        # small-input/large-compute spread before the PNG generator —
+        # same shape as q40), then mapInPandas generate → decode →
+        # digest projection, unioned with the resize round trip. No
+        # joins (a join here would mean the generator started
+        # shuffling the corpus to reattach columns) and no sorts.
+        ["MapInPandas", "Union", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
 }
 
 
