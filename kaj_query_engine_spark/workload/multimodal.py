@@ -154,7 +154,11 @@ _PNG_RESIZE_SQL = (
     "Non-PNG codecs stay honestly guarded (no libraries here)",
 )
 def q93(spark, sf_dir):
-    d = M.attach_png_media(t(spark, sf_dir, "documents"))
+    # persist the generated PNG corpus: BOTH branches of the union read
+    # it, and without the cache Spark re-runs the whole encode pass per
+    # branch (a real corpus would be read from storage, not generated —
+    # the cache stands in for that table, a few MB per fixture scale)
+    d = M.attach_png_media(t(spark, sf_dir, "documents")).persist()
     dec = M.decode_media(d)
     pix_md5 = F.md5(F.lower(F.hex(F.col("pixels"))))
     decoded = dec.select(
@@ -172,3 +176,128 @@ def q93(spark, sf_dir):
         pix_md5.alias("pix_md5"),
     )
     return decoded.unionAll(resized)
+
+
+# q94: REAL WAV/PCM codec, oracle-checked. attach_wav_media's sample
+# model: block j of doc d = sha256('<d>:a<j>').digest() read as 16
+# little-endian int16 samples, n = (6 + d%4)*16 samples, rate =
+# 8000 + (d%3)*4000. The WAV data chunk is the digest concatenation
+# byte-for-byte, so DuckDB reconstructs (1) the decoded PCM buffer's
+# hex (digest concat), (2) every SAMPLE VALUE — a 4-hex-char window
+# parsed via strpos nibble lookup — and hence every feature, and (3)
+# the nearest-neighbor resample (floor rule k = ti*n//64) — with zero
+# WAV code. Feature exactness: energy = Σv² stays in exact int64 (no
+# float summation-order drift) and rms/duration derive from it via
+# single correctly-rounded IEEE ops (sqrt(energy/n), n/rate), so both
+# engines reach bit-identical doubles.
+_WAV_N = "((6 + doc_id % 4) * 16)"
+_WAV_RATE = "(8000 + (doc_id % 3) * 4000)"
+_WAV_NULL_FEATURES = (
+    "CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS BIGINT) AS energy, "
+    "CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INT) AS zcr, "
+    "CAST(NULL AS INT) AS peak"
+)
+_WAV_DECODE_SQL = (
+    "SELECT 'decode' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    "md5(array_to_string(list_transform("
+    "generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '')) AS buf_md5, "
+    f"{_WAV_NULL_FEATURES} FROM documents"
+)
+# one row per (doc, sample): quad = the sample's 4 hex chars (bytes in
+# buffer order: lo then hi), val = the signed int16 it encodes
+_WAV_SAMPLES_CTE = (
+    "WITH s AS (SELECT doc_id, k, "
+    f"substr(sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(k // 16 AS VARCHAR))), (k % 16) * 4 + 1, 4) AS quad "
+    f"FROM documents, generate_series(0, 143) g(k) WHERE k < {_WAV_N}), "
+    "v AS (SELECT doc_id, k, "
+    "(((strpos('0123456789abcdef', quad[3]) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', quad[4]) - 1)) * 256 "
+    "+ (strpos('0123456789abcdef', quad[1]) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', quad[2]) - 1) "
+    "+ 32768) % 65536 - 32768 AS val FROM s), "
+    "w AS (SELECT doc_id, k, val, "
+    "lag(val) OVER (PARTITION BY doc_id ORDER BY k) AS pval FROM v)"
+)
+_WAV_FEATURES_SQL = (
+    f"{_WAV_SAMPLES_CTE} "
+    "SELECT 'features' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    "CAST(NULL AS VARCHAR) AS buf_md5, "
+    f"CAST({_WAV_N} AS DOUBLE) / {_WAV_RATE} AS duration_s, "
+    "CAST(SUM(CAST(val AS BIGINT) * val) AS BIGINT) AS energy, "
+    f"sqrt(CAST(SUM(CAST(val AS BIGINT) * val) AS DOUBLE) / {_WAV_N}) "
+    "AS rms, "
+    "CAST(SUM(CASE WHEN val * pval < 0 THEN 1 ELSE 0 END) AS INT) AS zcr, "
+    "CAST(MAX(ABS(val)) AS INT) AS peak "
+    "FROM w GROUP BY doc_id"
+)
+_WAV_RESAMPLE_SQL = (
+    "SELECT 'resample' AS path, doc_id, "
+    "CAST(8000 AS INT) AS rate, CAST(64 AS INT) AS n_samples, "
+    "md5(string_agg(substr(sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    f"CAST(((ti * {_WAV_N}) // 64) // 16 AS VARCHAR))), "
+    f"(((ti * {_WAV_N}) // 64) % 16) * 4 + 1, 4), '' ORDER BY ti)) "
+    "AS buf_md5, "
+    f"{_WAV_NULL_FEATURES} "
+    "FROM documents, generate_series(0, 63) g(ti) GROUP BY doc_id"
+)
+
+
+@register(
+    "q94_wav_decode",
+    f"{_WAV_DECODE_SQL} UNION ALL ({_WAV_FEATURES_SQL}) "
+    f"UNION ALL ({_WAV_RESAMPLE_SQL})",
+    "REAL audio decode, oracle-checked: genuine 16-bit PCM WAV bytes "
+    "(pure-stdlib RIFF encoder) decode through the pure-stdlib codec "
+    "inside mapInPandas; the oracle reconstructs the PCM buffer AND "
+    "every sample value from the sha256 model in pure SQL, pinning "
+    "RIFF framing, int16 little-endian layout, and the feature math "
+    "(energy kept exact-int so rms/duration are bit-identical IEEE "
+    "derivations). 'resample' re-encodes a nearest-neighbor 64-sample "
+    "take and decodes it again. Non-WAV codecs stay honestly guarded",
+)
+def q94(spark, sf_dir):
+    # persist: all three branches read the generated WAV corpus (same
+    # rationale as q93 — the cache stands in for the stored table)
+    a = M.attach_wav_media(t(spark, sf_dir, "documents")).persist()
+    buf_md5 = F.md5(F.lower(F.hex(F.col("samples"))))
+    null_feats = [
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit(None).cast("long").alias("energy"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("int").alias("zcr"),
+        F.lit(None).cast("int").alias("peak"),
+    ]
+    decoded = M.decode_audio(a).select(
+        F.lit("decode").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        buf_md5.alias("buf_md5"),
+        *null_feats,
+    )
+    feats = M.audio_features(a).select(
+        F.lit("features").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        F.lit(None).cast("string").alias("buf_md5"),
+        "duration_s",
+        "energy",
+        "rms",
+        "zcr",
+        "peak",
+    )
+    resampled = M.decode_audio(M.resample_audio(a, 64, 8000)).select(
+        F.lit("resample").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        buf_md5.alias("buf_md5"),
+        *null_feats,
+    )
+    return decoded.unionAll(feats).unionAll(resampled)

@@ -478,3 +478,153 @@ def test_stream_static_enrich_small_dim_still_broadcasts(spark):
     # (which may show a sort-merge join) — the claim is that the
     # FINAL executed plan contains the broadcast join
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_wav_codec_roundtrip_and_stdlib_cross_check():
+    """encode→decode is the identity for mono and stereo int16 PCM,
+    and BOTH directions cross-check against the stdlib ``wave``
+    module (an independent RIFF implementation): our bytes parse in
+    ``wave``, and ``wave``-authored bytes parse in our decoder."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(1)
+    mono = rng.integers(-32768, 32768, 501).astype(np.int16)
+    b = encode_wav(mono, 16000)
+    rate, ch, out = decode_wav(b)
+    assert (rate, ch) == (16000, 1) and np.array_equal(out, mono)
+    w = wave.open(io.BytesIO(b))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+        16000,
+        1,
+        2,
+    )
+    assert w.readframes(501) == mono.astype("<i2").tobytes()
+
+    stereo = rng.integers(-32768, 32768, (300, 2)).astype(np.int16)
+    rate2, ch2, out2 = decode_wav(encode_wav(stereo, 44100))
+    assert (rate2, ch2) == (44100, 2) and np.array_equal(out2, stereo)
+
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(2)
+    ww.setframerate(8000)
+    ww.writeframes(mono.tobytes())
+    ww.close()
+    rate3, ch3, out3 = decode_wav(buf.getvalue())
+    assert (rate3, ch3) == (8000, 1) and np.array_equal(out3, mono)
+
+
+def test_wav_codec_rejects_malformed():
+    """Corruption fails loudly, never mis-decodes: bad magic,
+    truncation, missing fmt/data, non-PCM format tags, 8-bit depth."""
+    import struct
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import decode_wav, encode_wav
+
+    good = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_wav(good[:40])
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(good.replace(b"fmt ", b"xmt ", 1))
+    with pytest.raises(ValueError, match="missing data"):
+        decode_wav(good.replace(b"data", b"dat_", 1))
+    # flip the PCM format tag to 3 (IEEE float) — unsupported
+    i = good.index(b"fmt ") + 8
+    bad = good[:i] + struct.pack("<H", 3) + good[i + 2 :]
+    with pytest.raises(ValueError, match="format_tag=3"):
+        decode_wav(bad)
+
+
+def test_decode_audio_samples_match_model(spark):
+    """decode_audio on attach_wav_media output reproduces the sha256
+    sample-block model byte-for-byte — the numpy-reference pin for the
+    real audio decode path (the q94 oracle is the SQL twin)."""
+    import hashlib as hl
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.decode_audio(M.attach_wav_media(df, "doc_id")).collect()
+    }
+    assert len(out) == 12
+    for d in range(12):
+        expect = b"".join(
+            hl.sha256(f"{d}:a{j}".encode()).digest() for j in range(6 + d % 4)
+        )
+        r = out[d]
+        assert (r.rate, r.channels) == (8000 + (d % 3) * 4000, 1)
+        assert r.n_samples == (6 + d % 4) * 16
+        assert bytes(r.samples) == expect
+
+
+def test_audio_features_match_numpy_reference(spark):
+    """audio_features agrees with a from-scratch numpy computation on
+    the model samples: exact int energy, IEEE-derived rms/duration,
+    strict-sign-change zcr, |v| peak."""
+    import hashlib as hl
+    import math
+
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.audio_features(M.attach_wav_media(df, "doc_id")).collect()
+    }
+    for d in range(9):
+        raw = b"".join(
+            hl.sha256(f"{d}:a{j}".encode()).digest() for j in range(6 + d % 4)
+        )
+        v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        r = out[d]
+        assert r.energy == int(np.sum(v * v))
+        assert r.rms == math.sqrt(r.energy / len(v))
+        assert r.duration_s == len(v) / r.rate
+        assert r.zcr == int(np.count_nonzero(v[:-1] * v[1:] < 0))
+        assert r.peak == int(np.max(np.abs(v)))
+
+
+def test_resample_audio_nearest_neighbor(spark):
+    """resample_audio matches the floor index rule si = i·N//T applied
+    to the model samples, after the full second encode→decode trip."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.wav import decode_wav
+
+    df = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    audio = M.attach_wav_media(df, "doc_id")
+    out = {
+        r.doc_id: r for r in M.resample_audio(audio, 64, 8000).collect()
+    }
+    for d in (2, 5):
+        raw = b"".join(
+            hl.sha256(f"{d}:a{j}".encode()).digest() for j in range(6 + d % 4)
+        )
+        v = np.frombuffer(raw, dtype="<i2")
+        idx = np.arange(64) * len(v) // 64
+        rate, ch, got = decode_wav(bytes(out[d].audio))
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(got, v[idx])
+        assert out[d].audio_meta.n_samples == 64
+        assert out[d].audio_meta.format == "wav"
+
+
+def test_decode_audio_guards_non_wav(media):
+    """Non-WAV payloads fail loudly in the task (no mp3/flac codecs
+    here) — mirror of the PNG guard."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="only WAV"):
+        M.decode_audio(media, bin_col="media").collect()

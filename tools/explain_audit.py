@@ -175,6 +175,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "Union", "hashpartitioning("],
         ["Join", "CartesianProduct", "rangepartitioning("],
     ),
+    "q94_wav_decode": (
+        # the audio twin of q93: one deliberate spread exchange before
+        # the WAV generator, then map-only decode / feature / resample
+        # branches unioned — no joins, no sorts
+        ["MapInPandas", "Union", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
 }
 
 
