@@ -1,0 +1,185 @@
+"""Pure-stdlib AVI video codec (struct + numpy) — real video container
+decode for :func:`operators.multimodal.decode_video`.
+
+This container ships no video libraries, but uncompressed AVI needs
+none: the format is a RIFF container (the same chunk grammar as WAV —
+``functions/wav.py``) holding an ``hdrl`` header LIST (``avih`` main
+header + one ``strl`` stream with ``strh``/``strf``) and a ``movi``
+LIST of ``00db`` frame chunks, each an uncompressed Windows DIB:
+bottom-up scanline order, BGR byte order, rows padded to 4 bytes
+(Microsoft AVI/RIFF + BITMAPINFOHEADER specs — public). Supported
+here: one 24-bit BI_RGB video stream ('vids'/'DIB '). Anything else
+raises loudly.
+
+Same design rules as the PNG/WAV twins: encoder and decoder are
+independent code paths (the decoder re-derives geometry from ``strf``
+and validates it against ``avih`` and every frame chunk's size), and
+the q95 oracle reconstructs each decoded frame from the sha256 fixture
+model in pure SQL, so a digest match pins the container framing, the
+bottom-up row flip, the BGR→RGB swap, and the row padding byte-exact.
+
+No counterpart in the reference engine (3 scalar types only —
+``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    body = kind + payload
+    return b"LIST" + struct.pack("<I", len(body)) + body
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        tag
+        + struct.pack("<I", len(payload))
+        + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack to AVI bytes.
+
+    Frames are stored as the spec demands for BI_RGB DIBs: BGR channel
+    order, bottom-up rows, rows padded to 4-byte boundaries — the
+    decoder undoes all three, so a round trip through both proves the
+    layout math rather than assuming it.
+    """
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("frames must be (N, H, W, 3) uint8 RGB")
+    n, h, w = f.shape[:3]
+    if not (0 < fps <= 10**6):
+        raise ValueError(f"bad fps {fps}")
+    row_bytes = _pad4(w * 3)
+    frame_bytes = row_bytes * h
+    dib = np.zeros((n, h, row_bytes), dtype=np.uint8)
+    dib[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    avih = struct.pack(
+        "<14I",
+        10**6 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags — no idx1 index is written, so HASINDEX stays off
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(
+        b"movi", b"".join(_chunk(b"00db", d.tobytes()) for d in dib)
+    )
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
+
+
+def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode AVI bytes to ``(fps, frames)`` with ``frames`` an
+    (N, H, W, 3) uint8 RGB array.
+
+    Strict: only one 24-bit BI_RGB 'vids' stream is accepted; frame
+    geometry is cross-validated between ``avih``, ``strf``, and each
+    ``00db`` chunk's length; truncation raises. Unknown chunks (idx1,
+    JUNK, INFO…) are skipped per the RIFF spec.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("truncated AVI: RIFF size exceeds payload")
+    w = h = None
+    fps = None
+    n_frames = None
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps, n_frames
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + length > end:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif tag == b"avih":
+                vals = struct.unpack("<14I", data[body_start : body_start + 56])
+                if vals[0] == 0:
+                    raise ValueError("malformed avih: zero frame period")
+                fps = round(10**6 / vals[0])
+                n_frames = vals[4]
+                w, h = vals[8], vals[9]
+            elif tag == b"strh":
+                fcc_type = data[body_start : body_start + 4]
+                handler = data[body_start + 4 : body_start + 8]
+                if fcc_type != b"vids":
+                    raise ValueError(
+                        f"unsupported AVI stream type {fcc_type!r} "
+                        "(video-only here)"
+                    )
+                if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise ValueError(
+                        f"unsupported AVI codec {handler!r} (BI_RGB DIB only "
+                        "— no compressed codecs in this environment)"
+                    )
+            elif tag == b"strf":
+                size, bw, bh, planes, bits, comp = struct.unpack(
+                    "<IiiHHI", data[body_start : body_start + 20]
+                )
+                if bits != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI: bits={bits} compression={comp} "
+                        "(24-bit BI_RGB only)"
+                    )
+                if (bw, abs(bh)) != (w, h):
+                    raise ValueError("AVI strf geometry disagrees with avih")
+            elif tag == b"00db":
+                raw_frames.append(data[body_start : body_start + length])
+            pos = body_start + length + (length % 2)
+
+    walk(12, 8 + riff_size)
+    if w is None or fps is None:
+        raise ValueError("AVI missing avih header")
+    if n_frames != len(raw_frames):
+        raise ValueError(
+            f"AVI frame count mismatch: header says {n_frames}, "
+            f"movi holds {len(raw_frames)}"
+        )
+    row_bytes = _pad4(w * 3)
+    out = np.empty((len(raw_frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(raw_frames):
+        if len(fb) != row_bytes * h:
+            raise ValueError(f"AVI frame {i} has bad size {len(fb)}")
+        dib = np.frombuffer(fb, dtype=np.uint8).reshape(h, row_bytes)
+        out[i] = dib[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return fps, out

@@ -20,10 +20,13 @@ struct, all five scanline filters) runs inside ``decode_media``'s
 reconstruction of the deterministic pixel model. WAV/PCM audio decode
 is REAL too (``functions.wav``: struct-level RIFF, 16-bit PCM) — same
 pattern, oracle-checked as q94 with decode/features/resample branches.
-Remaining codecs (JPEG, mp3/flac, video containers) stay honestly
-guarded: the container ships no libraries for them, and the decode
-operators raise per-task rather than silently skipping media. The
-fake payload generator and the
+AVI video decode is REAL as well (``functions.avi``: RIFF container,
+uncompressed 24-bit DIB frames — bottom-up/BGR/padded layout undone
+and pinned) — oracle-checked as q95 with frames/sample/summary
+branches. Remaining codecs (JPEG, mp3/flac, compressed video) stay
+honestly guarded: the container ships no libraries for them, and the
+decode operators raise per-task rather than silently skipping media.
+The fake payload generator and the
 byte-level feature path stay codec-free and deterministic
 (sha256-derived bytes), exercising the exact Spark plumbing — schema,
 partitioning, UDF signature, batch shape — any decoder rides.
@@ -633,3 +636,198 @@ def resample_audio(
             F.lit("wav").alias("format"),
         ),
     )
+
+
+# --- video: real AVI container codec path (functions/avi.py) ---------
+
+# partition floor for the AVI generator, same rationale as PNG_SPREAD
+AVI_SPREAD = 8
+# fixture geometry: width 10 forces DIB row padding (30 → 32 bytes),
+# so the padding math is exercised on every frame
+_AVI_W = 10
+
+
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video ingest: a ``video`` column holding genuine AVI bytes
+    (pure-stdlib RIFF encoder, ``functions.avi``, uncompressed 24-bit
+    DIB frames) plus a typed ``video_meta`` struct.
+
+    The pixel model is deterministic and SQL-reconstructible: row r of
+    frame f of doc d = the first 30 bytes of sha256(f"{d}:f{f}:r{r}")
+    as a 10-px RGB scanline; n_frames = 2 + d%3, height = 6 + d%3,
+    fps = 10. The encoder converts to the DIB's bottom-up BGR padded
+    layout and the decoder converts back, so the q95 oracle's digest
+    match pins that whole layout round trip with zero video code.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.avi import encode_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            h = 6 + d % 3
+            frames = np.stack(
+                [
+                    np.stack(
+                        [
+                            np.frombuffer(
+                                hashlib.sha256(
+                                    f"{d}:f{f}:r{r}".encode()
+                                ).digest()[: _AVI_W * 3],
+                                dtype=np.uint8,
+                            ).reshape(_AVI_W, 3)
+                            for r in range(h)
+                        ]
+                    )
+                    for f in range(2 + d % 3)
+                ]
+            )
+            return encode_avi(frames, fps=10)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "video": pdf[id_col].map(one)}
+            )
+
+    video = (
+        df.select(id_col)
+        .repartition(
+            max(AVI_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+        .mapInPandas(gen, f"{id_col} long, video binary")
+    )
+    return video.withColumn(
+        "video_meta",
+        F.struct(
+            F.lit(_AVI_W).cast("int").alias("width"),
+            (F.lit(6) + F.col(id_col) % 3).cast("int").alias("height"),
+            (F.lit(2) + F.col(id_col) % 3).cast("int").alias("n_frames"),
+            F.lit(10).cast("int").alias("fps"),
+            F.lit("avi").alias("format"),
+        ),
+    )
+
+
+def decode_video(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "video"
+) -> DataFrame:
+    """Real video decode — AVI/DIB for real, other containers honestly
+    guarded (same contract as :func:`decode_media`/:func:`decode_audio`).
+
+    Output EXPLODES the container: one row per frame,
+    (id, frame_idx, width, height, fps, n_frames, pixels) with
+    ``pixels`` the frame's row-major RGB uint8 buffer — the shape a
+    per-frame featurizer or dedup stage consumes directly, no second
+    pass over the container.
+    """
+    from kaj_query_engine_spark.functions.avi import decode_avi
+
+    schema = (
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "fps int, n_frames int, pixels binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf[id_col], pdf[bin_col]):
+                if bytes(b[:4]) != b"RIFF":
+                    raise NotImplementedError(
+                        "decode_video: only AVI/DIB decodes in this "
+                        "environment (no codec libraries installed) — "
+                        "filter on video_meta.format == 'avi'"
+                    )
+                fps, frames = decode_avi(bytes(b))
+                n, h, w = frames.shape[:3]
+                for i in range(n):
+                    rows.append((d, i, w, h, fps, n, frames[i].tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "fps",
+                    "n_frames",
+                    "pixels",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def subsample_video(
+    df: DataFrame,
+    stride: int,
+    id_col: str = "doc_id",
+    bin_col: str = "video",
+) -> DataFrame:
+    """Temporal subsampling through the REAL codec: decode AVI → keep
+    every ``stride``-th frame (0, stride, 2·stride, …) → re-encode.
+    The video analog of :func:`resample_audio`'s fixed-take and
+    :func:`resize_decoded_media`'s spatial sample — pins the container
+    encoder and decoder once more per row (q95 'sample' branch decodes
+    the result AGAIN and digest-checks each surviving frame).
+    """
+    from kaj_query_engine_spark.functions.avi import decode_avi, encode_avi
+
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    schema = f"{id_col} long, {bin_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> bytes:
+            fps, frames = decode_avi(bytes(b))
+            return encode_avi(frames[::stride], fps=fps)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], bin_col: pdf[bin_col].map(one)}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def video_summary(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "video"
+) -> DataFrame:
+    """Decode AVI and summarize per item in one Arrow pass:
+    (id, n_frames, fps, width, height, pix_sum, mean_byte).
+
+    Same oracle-exactness rule as :func:`audio_features`: ``pix_sum``
+    (Σ of all pixel bytes) stays an exact int64, and ``mean_byte``
+    derives from it via one correctly-rounded IEEE division, so the
+    SQL oracle reaches a bit-identical double.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.avi import decode_avi
+
+    schema = (
+        f"{id_col} long, n_frames int, fps int, width int, height int, "
+        "pix_sum long, mean_byte double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple:
+            fps, frames = decode_avi(bytes(b))
+            n, h, w = frames.shape[:3]
+            pix_sum = int(frames.astype(np.int64).sum())
+            return n, fps, w, h, pix_sum, pix_sum / (n * h * w * 3)
+
+        for pdf in batches:
+            s = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": s.map(lambda t: t[0]).astype("int32"),
+                    "fps": s.map(lambda t: t[1]).astype("int32"),
+                    "width": s.map(lambda t: t[2]).astype("int32"),
+                    "height": s.map(lambda t: t[3]).astype("int32"),
+                    "pix_sum": s.map(lambda t: t[4]).astype("int64"),
+                    "mean_byte": s.map(lambda t: t[5]).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

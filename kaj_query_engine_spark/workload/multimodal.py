@@ -301,3 +301,126 @@ def q94(spark, sf_dir):
         *null_feats,
     )
     return decoded.unionAll(feats).unionAll(resampled)
+
+
+# q95: REAL AVI video codec, oracle-checked. attach_avi_media's pixel
+# model: row r of frame f of doc d = first 30 bytes of
+# sha256('<d>:f<f>:r<r>') as a 10-px RGB scanline; n_frames = 2+d%3,
+# height = 6+d%3, fps 10. Width 10 forces DIB row padding (30→32
+# bytes), and the encoder stores bottom-up BGR — the decoder undoes
+# padding, flip, and channel swap, so the oracle's digest match pins
+# the whole container layout with zero video code. 'sample' re-encodes
+# every-2nd-frame and decodes AGAIN (surviving frame fi holds original
+# frame 2·fi's pixels); 'summary' keeps pix_sum exact-int so mean_byte
+# is a bit-identical IEEE division in both engines (q94's energy rule).
+_AVI_NF = "(2 + doc_id % 3)"
+_AVI_H = "(6 + doc_id % 3)"
+_AVI_ROW = (
+    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':f', "
+    "CAST({f} AS VARCHAR), ':r', CAST(r AS VARCHAR))), 1, 60)"
+)
+_AVI_FRAME_MD5 = (
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, {_AVI_H} - 1), r -> {{row}}), ''))"
+)
+_AVI_NULL_TAIL = (
+    "CAST(NULL AS BIGINT) AS pix_sum, CAST(NULL AS DOUBLE) AS mean_byte"
+)
+_AVI_DIMS = (
+    f"CAST(10 AS INT) AS width, CAST({_AVI_H} AS INT) AS height, "
+    "CAST(10 AS INT) AS fps"
+)
+_AVI_FRAMES_SQL = (
+    "SELECT 'frames' AS path, doc_id, CAST(fi AS INT) AS frame_idx, "
+    f"{_AVI_DIMS}, CAST({_AVI_NF} AS INT) AS n_frames, "
+    + _AVI_FRAME_MD5.format(row=_AVI_ROW.format(f="fi"))
+    + f" AS frame_md5, {_AVI_NULL_TAIL} "
+    f"FROM documents, generate_series(0, 3) g(fi) WHERE fi < {_AVI_NF}"
+)
+_AVI_SAMPLE_SQL = (
+    "SELECT 'sample' AS path, doc_id, CAST(fi AS INT) AS frame_idx, "
+    f"{_AVI_DIMS}, CAST(({_AVI_NF} + 1) // 2 AS INT) AS n_frames, "
+    + _AVI_FRAME_MD5.format(row=_AVI_ROW.format(f="2 * fi"))
+    + f" AS frame_md5, {_AVI_NULL_TAIL} "
+    "FROM documents, generate_series(0, 1) g(fi) "
+    f"WHERE fi < ({_AVI_NF} + 1) // 2"
+)
+# one row per (doc, frame, scanline); the 60 hex chars parse to 30
+# byte values via strpos nibble lookup, summed exactly in integers
+_AVI_SUMMARY_SQL = (
+    "WITH rows_ AS (SELECT doc_id, "
+    + _AVI_ROW.format(f="fi")
+    + " AS hx "
+    f"FROM documents, generate_series(0, 3) g(fi), "
+    f"generate_series(0, 8) h(r) "
+    f"WHERE fi < {_AVI_NF} AND r < {_AVI_H}), "
+    "sums AS (SELECT doc_id, CAST(list_sum(list_transform("
+    "generate_series(1, 30), i -> "
+    "(strpos('0123456789abcdef', hx[2*i-1]) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', hx[2*i]) - 1))) AS BIGINT) AS s "
+    "FROM rows_) "
+    "SELECT 'summary' AS path, doc_id, CAST(NULL AS INT) AS frame_idx, "
+    f"{_AVI_DIMS}, CAST({_AVI_NF} AS INT) AS n_frames, "
+    "CAST(NULL AS VARCHAR) AS frame_md5, "
+    "CAST(SUM(s) AS BIGINT) AS pix_sum, "
+    "CAST(SUM(s) AS DOUBLE) / "
+    f"({_AVI_NF} * {_AVI_H} * 30) AS mean_byte "
+    "FROM sums GROUP BY doc_id"
+)
+
+
+@register(
+    "q95_avi_decode",
+    f"{_AVI_FRAMES_SQL} UNION ALL ({_AVI_SAMPLE_SQL}) "
+    f"UNION ALL ({_AVI_SUMMARY_SQL})",
+    "REAL video decode, oracle-checked: genuine AVI bytes (pure-stdlib "
+    "RIFF encoder, uncompressed 24-bit DIB frames stored bottom-up/BGR/"
+    "row-padded) decode through the pure-stdlib container codec inside "
+    "mapInPandas, exploded to one row per frame; the oracle "
+    "reconstructs every frame's RGB buffer from the sha256 model in "
+    "pure SQL, pinning the layout round trip. 'sample' re-encodes an "
+    "every-2nd-frame subsample and decodes it again; 'summary' keeps "
+    "the pixel sum exact-int so mean_byte is bit-identical IEEE. "
+    "Compressed video stays honestly guarded",
+)
+def q95(spark, sf_dir):
+    # persist: all three branches read the generated AVI corpus (q93/94)
+    v = M.attach_avi_media(t(spark, sf_dir, "documents")).persist()
+    frame_md5 = F.md5(F.lower(F.hex(F.col("pixels"))))
+    null_tail = [
+        F.lit(None).cast("long").alias("pix_sum"),
+        F.lit(None).cast("double").alias("mean_byte"),
+    ]
+    frame_cols = [
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+    ]
+    frames = M.decode_video(v).select(
+        F.lit("frames").alias("path"),
+        *frame_cols,
+        frame_md5.alias("frame_md5"),
+        *null_tail,
+    )
+    sampled = M.decode_video(M.subsample_video(v, 2)).select(
+        F.lit("sample").alias("path"),
+        *frame_cols,
+        frame_md5.alias("frame_md5"),
+        *null_tail,
+    )
+    summary = M.video_summary(v).select(
+        F.lit("summary").alias("path"),
+        "doc_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        F.lit(None).cast("string").alias("frame_md5"),
+        "pix_sum",
+        "mean_byte",
+    )
+    return frames.unionAll(sampled).unionAll(summary)

@@ -628,3 +628,106 @@ def test_decode_audio_guards_non_wav(media):
 
     with pytest.raises(PythonException, match="only WAV"):
         M.decode_audio(media, bin_col="media").collect()
+
+
+def test_avi_codec_roundtrip_and_rejects_malformed():
+    """encode→decode is the identity for RGB frame stacks including
+    padded row widths; corruption fails loudly (bad magic, truncation,
+    wrong bit depth, header/movi frame-count disagreement)."""
+    import struct
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(4)
+    for shape in [(1, 1, 1, 3), (4, 6, 8, 3), (3, 5, 7, 3), (2, 9, 10, 3)]:
+        f = rng.integers(0, 256, shape).astype(np.uint8)
+        fps, out = decode_avi(encode_avi(f, 12))
+        assert fps == 12 and np.array_equal(out, f), shape
+    b = encode_avi(rng.integers(0, 256, (2, 4, 5, 3)).astype(np.uint8), 10)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"RIFX" + b[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(b[:60])
+    i = b.index(b"strf") + 8 + 14  # biBitCount
+    with pytest.raises(ValueError, match="bits=8"):
+        decode_avi(b[:i] + struct.pack("<H", 8) + b[i + 2 :])
+    j = b.index(b"avih") + 8 + 16  # dwTotalFrames
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(b[:j] + struct.pack("<I", 5) + b[j + 4 :])
+
+
+def test_decode_video_frames_match_model(spark):
+    """decode_video on attach_avi_media output reproduces the sha256
+    frame/scanline model byte-for-byte per exploded frame row — the
+    numpy-reference pin for the real container decode (q95's oracle is
+    the SQL twin). Pins the bottom-up/BGR/padding round trip."""
+    import hashlib as hl
+
+    df = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    rows = M.decode_video(M.attach_avi_media(df, "doc_id")).collect()
+    by_key = {(r.doc_id, r.frame_idx): r for r in rows}
+    for d in range(9):
+        n, h = 2 + d % 3, 6 + d % 3
+        assert sum(1 for k in by_key if k[0] == d) == n
+        for f in range(n):
+            expect = b"".join(
+                hl.sha256(f"{d}:f{f}:r{r}".encode()).digest()[:30]
+                for r in range(h)
+            )
+            r = by_key[(d, f)]
+            assert (r.width, r.height, r.fps, r.n_frames) == (10, h, 10, n)
+            assert bytes(r.pixels) == expect
+
+
+def test_subsample_video_keeps_every_kth_frame(spark):
+    """subsample_video(stride=2) re-encodes frames 0,2,4,… — decoding
+    the result yields the original even frames' exact pixels."""
+    import hashlib as hl
+
+    df = spark.createDataFrame([(2,), (8,)], "doc_id long")  # n_frames=4
+    v = M.attach_avi_media(df, "doc_id")
+    rows = M.decode_video(M.subsample_video(v, 2)).collect()
+    by_key = {(r.doc_id, r.frame_idx): r for r in rows}
+    for d in (2, 8):
+        h = 6 + d % 3
+        assert sum(1 for k in by_key if k[0] == d) == 2  # ceil(4/2)
+        for fi, orig in [(0, 0), (1, 2)]:
+            expect = b"".join(
+                hl.sha256(f"{d}:f{orig}:r{r}".encode()).digest()[:30]
+                for r in range(h)
+            )
+            assert bytes(by_key[(d, fi)].pixels) == expect
+
+
+def test_video_summary_matches_numpy_reference(spark):
+    """video_summary agrees with a from-scratch computation: exact int
+    pixel sum and the IEEE-division mean."""
+    import hashlib as hl
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.video_summary(M.attach_avi_media(df, "doc_id")).collect()
+    }
+    for d in range(6):
+        n, h = 2 + d % 3, 6 + d % 3
+        pix_sum = sum(
+            sum(hl.sha256(f"{d}:f{f}:r{r}".encode()).digest()[:30])
+            for f in range(n)
+            for r in range(h)
+        )
+        r = out[d]
+        assert (r.n_frames, r.fps, r.width, r.height) == (n, 10, 10, h)
+        assert r.pix_sum == pix_sum
+        assert r.mean_byte == pix_sum / (n * h * 30)
+
+
+def test_decode_video_guards_non_avi(media):
+    """Non-AVI payloads fail loudly in the task (no compressed-video
+    codecs here) — mirror of the PNG/WAV guards."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="only AVI"):
+        M.decode_video(media, bin_col="media").collect()

@@ -182,6 +182,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "Union", "hashpartitioning("],
         ["Join", "CartesianProduct", "rangepartitioning("],
     ),
+    "q95_avi_decode": (
+        # the video twin: spread exchange → map-only container decode
+        # exploding to per-frame rows, subsample round trip, and the
+        # exact-int summary — unioned, no joins, no sorts
+        ["MapInPandas", "Union", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
 }
 
 
