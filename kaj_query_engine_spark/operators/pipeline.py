@@ -402,3 +402,63 @@ def pack_sequences(
         "last_chunk",
         F.expr(f"(offset + {tokens_col} - 1) DIV {max_tokens}"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking: each document's
+    whitespace tokens are cut into overlapping windows of ``window``
+    tokens starting every ``stride`` tokens (overlap = window −
+    stride). The pre-training complement of :func:`pack_sequences`:
+    packing concatenates SHORT docs up to the context length, chunking
+    splits LONG docs down to it while the overlap preserves
+    cross-boundary context.
+
+    Chunk i covers tokens [i·stride, i·stride + window); chunks are
+    emitted while i·stride < n_tokens, so trailing chunks may be
+    short but every token lands in ≥1 chunk and chunk starts are a
+    fixed arithmetic grid (a trainer can locate any token's chunks
+    without scanning). Output one row per chunk: (id, chunk_idx,
+    n_tokens, chunk_n_tokens, chunk_text).
+
+    100 TB design: pure JVM — split + explode(sequence) + slice +
+    array_join, whole-stage codegen, NO shuffle of any kind (the plan
+    has zero exchanges; parallelism is the scan's). Tokenization is
+    the repo-wide single-space rule (``functions.text.tokens``), so
+    chunk counts agree with every other token-based operator.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        raise ValueError(
+            "stride > window would drop tokens between consecutive chunks"
+        )
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    # exact integer ceil(n/stride) — never a double in the middle
+    n_chunks = F.expr(
+        f"(size(split(trim({text_col}), ' ')) + {stride} - 1) DIV {stride}"
+    )
+    start = F.col("chunk_idx") * stride  # 0-based token start
+    piece = F.slice(F.col("_toks"), start + 1, window)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.size(toks).alias("n_tokens"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_tokens",
+            F.size(piece).alias("chunk_n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

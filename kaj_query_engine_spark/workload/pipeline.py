@@ -145,3 +145,36 @@ def _bench_bitset(spark, sf_dir: str, bench) -> bytes:
             del _BITSET_MEMO[stale]
         _BITSET_MEMO[key] = P.benchmark_bloom_bitset(bench, n=DECON_N)
     return _BITSET_MEMO[key]
+
+
+# q49: per-document sliding-window chunking (window 32, stride 24 →
+# 8-token overlap between consecutive chunks). Chunk i covers tokens
+# [i·24, i·24+32); chunks are emitted while i·24 < n_tokens. The
+# oracle reproduces the token grid with list_slice over the same
+# single-space split (the repo-wide tokenization rule — an explicit
+# ' ' split, immune to the \s dialect drift pinned in workload.core).
+_CHUNK_W, _CHUNK_S = 32, 24
+_TOKS = "string_split(trim(text), ' ')"
+
+
+@register(
+    "q49_doc_chunks",
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, "
+    f"CAST(len({_TOKS}) AS INT) AS n_tokens, "
+    f"CAST(len(list_slice({_TOKS}, ci * {_CHUNK_S} + 1, "
+    f"ci * {_CHUNK_S} + {_CHUNK_W})) AS INT) AS chunk_n_tokens, "
+    f"array_to_string(list_slice({_TOKS}, ci * {_CHUNK_S} + 1, "
+    f"ci * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk_text "
+    "FROM documents, generate_series(0, 99) g(ci) "
+    f"WHERE ci * {_CHUNK_S} < len({_TOKS})",
+    "sliding-window chunking for pre-training: long docs cut into "
+    "overlapping fixed-stride context windows (every token in >=1 "
+    "chunk, starts on an arithmetic grid) — the splitting complement "
+    "of q47's concat-and-chunk packing. Pure JVM split/explode/slice, "
+    "whole-stage codegen, ZERO exchanges in the plan: parallelism is "
+    "the scan's, so the op scales exactly as the input does",
+)
+def q49(spark, sf_dir):
+    return P.chunk_documents(
+        t(spark, sf_dir, "documents"), _CHUNK_W, _CHUNK_S
+    )

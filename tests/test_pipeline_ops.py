@@ -193,3 +193,53 @@ def test_decontaminate_bloom_prefilter_is_exact(spark):
     )
     assert exact == bloomed == tiny == odd == reused
     assert exact, "fixture must actually contain contaminated docs"
+
+
+def test_chunk_documents_sliding_window(spark):
+    """chunk_documents: every token lands in >=1 chunk, starts are on
+    the stride grid, overlap equals window - stride for interior
+    chunks, trailing chunks are short, degenerate inputs hold the
+    n_chunks = ceil(n/stride) rule (empty text splits to one ''
+    token on both engines — same as the q40 tokenizer)."""
+    import pytest as _pt
+
+    from kaj_query_engine_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(100))),  # 100 toks
+            (1, " ".join(f"u{i}" for i in range(32))),  # exactly window
+            (2, "one two"),  # shorter than stride
+            (3, ""),  # empty → [''] (1 token)
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, 32, 24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_idx)
+    # ceil(n/stride): 100→5, 32→2, 2→1, 1→1
+    assert [len(by_doc[d]) for d in range(4)] == [5, 2, 1, 1]
+    toks = [f"t{i}" for i in range(100)]
+    for i, r in enumerate(by_doc[0]):
+        expect = toks[i * 24 : i * 24 + 32]
+        assert r.chunk_text.split(" ") == expect
+        assert r.chunk_n_tokens == len(expect)
+        assert r.n_tokens == 100
+    # interior overlap: last 8 of chunk i == first 8 of chunk i+1
+    for a, b in zip(by_doc[0], by_doc[0][1:]):
+        assert a.chunk_text.split(" ")[24:] == b.chunk_text.split(" ")[:8]
+    # full coverage, in order, no token lost
+    covered = []
+    for r in by_doc[0]:
+        covered.extend(r.chunk_text.split(" ")[: 24])
+    assert covered == toks[: len(covered)]
+    assert by_doc[1][1].chunk_n_tokens == 32 - 24  # tail after the grid
+    assert by_doc[2][0].chunk_text == "one two"
+    assert by_doc[3][0].chunk_text == "" and by_doc[3][0].n_tokens == 1
+    with _pt.raises(ValueError, match="stride > window"):
+        chunk_documents(docs, 8, 9)
+    with _pt.raises(ValueError, match=">= 1"):
+        chunk_documents(docs, 0, 1)

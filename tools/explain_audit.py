@@ -182,6 +182,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "Union", "hashpartitioning("],
         ["Join", "CartesianProduct", "rangepartitioning("],
     ),
+    "q49_doc_chunks": (
+        # sliding-window chunking is pure JVM explode+slice — the plan
+        # must carry ZERO exchanges of any kind (its parallelism is the
+        # scan's) and no Python stage
+        ["Generate", "codegen id :"],
+        ["Exchange", "Join", "MapInPandas", "BatchEvalPython"],
+    ),
     "q95_avi_decode": (
         # the video twin: spread exchange → map-only container decode
         # exploding to per-frame rows, subsample round trip, and the

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from kaj_query_engine_spark.catalog import _read_parquet
 from kaj_query_engine_spark.operators import dedup as D
+from kaj_query_engine_spark.operators import multimodal as MM
 from kaj_query_engine_spark.operators import similarity as S
 from kaj_query_engine_spark.session import get_spark
 
@@ -478,6 +479,21 @@ def main() -> None:
             _flag_cache[k] = tuple(out)
         return _flag_cache[k]
 
+    def run_wav_codec(k: int) -> None:
+        # full audio chain: WAV generate → decode → features, all
+        # map-only Arrow stages — must hold e ≈ 1 (the generator's
+        # spread floor stops binding once the input has ≥8 splits)
+        MM.audio_features(
+            MM.attach_wav_media(docs(k).select("doc_id"))
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_avi_codec(k: int) -> None:
+        # video chain: AVI generate → container decode exploded to
+        # per-frame rows — map-only, e ≈ 1
+        MM.decode_video(
+            MM.attach_avi_media(docs(k).select("doc_id"))
+        ).write.format("noop").mode("overwrite").save()
+
     def run_flagship_skew(k: int) -> None:
         confs = {
             # broadcast OFF: the dim has outgrown the threshold, the
@@ -544,6 +560,8 @@ def main() -> None:
         "salted_agg_skewed": run_salted_skew,
         "cc_skewed": run_cc_skew,
         "flagship_join_skewed": run_flagship_skew,
+        "wav_codec_chain": run_wav_codec,
+        "avi_codec_chain": run_avi_codec,
     }
     # which generator feeds each op — inputs are materialized for ALL
     # scales BEFORE an op's timing loop, so the timed region never
@@ -568,6 +586,8 @@ def main() -> None:
         "salted_agg_skewed": skewed_rows,
         "cc_skewed": hub_edges,
         "flagship_join_skewed": flagship_tables,
+        "wav_codec_chain": docs,
+        "avi_codec_chain": docs,
     }
     base_docs = base_docs_df.count()
     # the index-lifecycle ops get a FOURTH bracket (64x): their 1-16x
