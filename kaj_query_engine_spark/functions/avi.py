@@ -133,6 +133,8 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
             if tag == b"LIST":
                 walk(body_start + 4, body_start + length)
             elif tag == b"avih":
+                if length < 56:
+                    raise ValueError("malformed avih: chunk too short")
                 vals = struct.unpack("<14I", data[body_start : body_start + 56])
                 if vals[0] == 0:
                     raise ValueError("malformed avih: zero frame period")
@@ -140,6 +142,8 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
                 n_frames = vals[4]
                 w, h = vals[8], vals[9]
             elif tag == b"strh":
+                if length < 8:
+                    raise ValueError("malformed strh: chunk too short")
                 fcc_type = data[body_start : body_start + 4]
                 handler = data[body_start + 4 : body_start + 8]
                 if fcc_type != b"vids":
@@ -153,6 +157,8 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
                         "— no compressed codecs in this environment)"
                     )
             elif tag == b"strf":
+                if length < 20:
+                    raise ValueError("malformed strf: chunk too short")
                 size, bw, bh, planes, bits, comp = struct.unpack(
                     "<IiiHHI", data[body_start : body_start + 20]
                 )

@@ -731,3 +731,21 @@ def test_decode_video_guards_non_avi(media):
 
     with pytest.raises(PythonException, match="only AVI"):
         M.decode_video(media, bin_col="media").collect()
+
+
+def test_avi_codec_rejects_short_header_chunks():
+    """A chunk whose DECLARED length is shorter than its fixed struct
+    must raise ValueError (not a struct.error leak) — the headers are
+    validated before unpacking."""
+    import struct
+
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.avi import decode_avi, encode_avi
+
+    b = encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), 10)
+    for tag in (b"avih", b"strh", b"strf"):
+        i = b.index(tag) + 4
+        bad = b[:i] + struct.pack("<I", 4) + b[i + 4 :]
+        with pytest.raises(ValueError):
+            decode_avi(bad)
