@@ -475,13 +475,15 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     # same shape as attach_png_media: no join back to the corpus, one
     # deliberate small-input/large-compute spread capped at WAV_SPREAD
-    audio = (
-        df.select(id_col)
-        .repartition(
+    # streaming inputs (q96's in-flight decode) can't be repartitioned
+    # by inputFiles() — micro-batch partitioning governs the spread
+    # there, and each batch is small anyway
+    base = df.select(id_col)
+    if not df.isStreaming:
+        base = base.repartition(
             max(WAV_SPREAD, len(df.inputFiles())), F.col(id_col)
         )
-        .mapInPandas(gen, f"{id_col} long, audio binary")
-    )
+    audio = base.mapInPandas(gen, f"{id_col} long, audio binary")
     n_samples = ((F.lit(6) + F.col(id_col) % 4) * _WAV_BLOCK).cast("int")
     return audio.withColumn(
         "audio_meta",

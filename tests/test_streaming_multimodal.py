@@ -749,3 +749,32 @@ def test_avi_codec_rejects_short_header_chunks():
         bad = b[:i] + struct.pack("<I", 4) + b[i + 4 :]
         with pytest.raises(ValueError):
             decode_avi(bad)
+
+
+def test_stream_media_decode_equals_batch(spark):
+    """The real WAV codec runs unchanged on a streaming plan: decoding
+    and featurizing docs as they land (availableNow backfill) must
+    equal the batch featurizer row-for-row — the suite's
+    streaming==batch law extended to the codec path (q96)."""
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    batch = {
+        r.doc_id: r
+        for r in M.audio_features(M.attach_wav_media(df, "doc_id")).collect()
+    }
+    import tempfile
+
+    land = tempfile.mkdtemp(prefix="stream_media_")
+    df.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema("doc_id long").parquet(land)
+    streamed = {
+        r.doc_id: r
+        for r in run_available_now(
+            M.audio_features(M.attach_wav_media(s, "doc_id")), "append"
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for d, r in streamed.items():
+        b = batch[d]
+        assert (
+            r.rate, r.n_samples, r.duration_s, r.energy, r.rms, r.zcr, r.peak
+        ) == (b.rate, b.n_samples, b.duration_s, b.energy, b.rms, b.zcr, b.peak)
