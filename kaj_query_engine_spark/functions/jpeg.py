@@ -1,0 +1,384 @@
+"""Pure stdlib+numpy baseline JPEG codec (ITU-T T.81) — grayscale,
+sequential DCT, Huffman entropy coding.
+
+This container ships no image libraries, but baseline JPEG needs none:
+the format is marker-framed segments (DQT quantization table, SOF0
+frame header, DHT Huffman tables, SOS scan) around a bit-packed
+entropy-coded block stream (JPEG spec ITU-T T.81 / ISO 10918 —
+public). Supported here: 8-bit grayscale, one quantization table,
+custom canonical Huffman tables CARRIED IN THE FILE's DHT segments
+(the decoder builds its tables from DHT like any real decoder — no
+reliance on the Annex K defaults), no restart markers, no progressive.
+
+Verification strategy differs from the PNG/WAV/AVI twins because JPEG
+is LOSSY at the DCT layer but LOSSLESS at the entropy layer:
+
+- the ENTROPY layer (Huffman decode → run-length → DPCM → zigzag →
+  the quantized coefficients) reproduces the encoder's coefficient
+  input bit-exactly, so the q97 oracle digests the quantized
+  coefficient buffer reconstructed in pure SQL from the sha256
+  fixture model;
+- the DCT layer (dequantize → IDCT → level shift → clamp) is pinned
+  in pytest against a literal four-loop cosine-sum reference — the
+  spec's defining equation — rather than trusted.
+
+No counterpart in the reference engine (3 scalar types only —
+``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of zigzag position k
+_ZZ_INDEX: list[tuple[int, int]] = []
+_r = _c = 0
+for _k in range(64):
+    _ZZ_INDEX.append((_r, _c))
+    if (_r + _c) % 2 == 0:  # moving up-right
+        if _c == 7:
+            _r += 1
+        elif _r == 0:
+            _c += 1
+        else:
+            _r -= 1
+            _c += 1
+    else:  # moving down-left
+        if _r == 7:
+            _c += 1
+        elif _c == 0:
+            _r += 1
+        else:
+            _r += 1
+            _c -= 1
+del _r, _c, _k
+
+# canonical Huffman table shapes written into DHT: every DC category
+# (0..11) gets a 4-bit code, every AC run/size symbol an 8-bit code.
+# Canonical assignment leaves the all-ones code unused in both (12 of
+# 16, 162 of 256), as T.81 requires.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+] + [0xF0]
+_AC_SYMBOLS = sorted(set(_AC_SYMBOLS))  # 0x00, 0x01..0x0A, ..., 0xF0..0xFA
+_DC_BITS = [0] * 16
+_DC_BITS[3] = len(_DC_SYMBOLS)  # all length 4 (index 3 = length 4)
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMBOLS)  # all length 8
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    it = iter(symbols)
+    for i, n in enumerate(bits):
+        length = i + 1
+        for _ in range(n):
+            out[next(it)] = (code, length)
+            code += 1
+        code <<= 1
+    return out
+
+
+def default_qtable() -> np.ndarray:
+    """Deterministic non-uniform quantization table (zigzag order):
+    1 + (k % 7) — small enough that fixture coefficients stay in
+    range, non-constant so per-coefficient dequant is exercised."""
+    return (1 + (np.arange(64) % 7)).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted mid-block")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside JPEG scan")
+            self.pos += 1  # skip the stuffed zero
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht_payload(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
+    return bytes([tc_th] + bits) + bytes(symbols)
+
+
+def encode_jpeg(
+    coeffs: np.ndarray, height: int, width: int, qtable: np.ndarray | None = None
+) -> bytes:
+    """Encode QUANTIZED coefficients to a baseline grayscale JPEG.
+
+    ``coeffs`` is (n_blocks, 64) int in ZIGZAG order — the values the
+    entropy layer stores losslessly (a pixel-domain encoder would
+    produce them via DCT+quantize; the fixture model specifies them
+    directly so the oracle can reconstruct them in SQL). Blocks run in
+    raster order over the ceil(h/8)×ceil(w/8) grid.
+    """
+    q = default_qtable() if qtable is None else np.asarray(qtable, np.int64)
+    if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+        raise ValueError("qtable must be 64 values in 1..255 (zigzag order)")
+    blocks = np.asarray(coeffs, dtype=np.int64)
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    if blocks.shape != (bx * by, 64):
+        raise ValueError(
+            f"need {bx * by} blocks of 64 zigzag coefficients for "
+            f"{width}x{height}, got {blocks.shape}"
+        )
+    if (np.abs(blocks) > 1023).any():
+        raise ValueError("quantized coefficients must fit category <= 10")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = [k for k in range(1, 64) if blk[k]]
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if not nz or nz[-1] != 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+    scan = w.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT
+    out += _seg(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _seg(0xFFC4, _dht_payload(0x00, _DC_BITS, _DC_SYMBOLS))
+    out += _seg(0xFFC4, _dht_payload(0x10, _AC_BITS, _AC_SYMBOLS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: Td=0 Ta=0
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _idct_matrix() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] *= np.sqrt(0.5)
+    return m * 0.5  # a(u) folded in: 0.5 for u>0, 0.5*sqrt(.5) for u=0
+
+
+_IDCT_M = _idct_matrix()
+
+
+def idct_block(freq: np.ndarray) -> np.ndarray:
+    """2-D 8×8 inverse DCT (separable matrix form of the T.81 defining
+    cosine sum — pinned against the literal four-loop sum in tests)."""
+    return _IDCT_M.T @ np.asarray(freq, np.float64) @ _IDCT_M
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Decode baseline grayscale JPEG to
+    ``(height, width, pixels, coeffs)``.
+
+    ``pixels`` is the (H, W) uint8 image (dequantize → IDCT → +128 →
+    clamp, round-half-away like libjpeg's descale); ``coeffs`` is the
+    (n_blocks, 64) int32 QUANTIZED coefficient array in zigzag order —
+    the lossless entropy-layer payload, byte-exactly what the encoder
+    was given (q97's oracle target). Huffman tables come from the
+    file's DHT segments; anything non-baseline-grayscale raises.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    height = width = None
+    scan_td = scan_ta = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:
+            while body:
+                pq_tq = body[0]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qtables[pq_tq & 0xF] = np.frombuffer(
+                    body[1:65], np.uint8
+                ).astype(np.int64)
+                body = body[65:]
+        elif marker == 0xFFC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={prec} components={ncomp} "
+                    "(8-bit grayscale baseline only)"
+                )
+            comp_id, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            if tq not in qtables and tq != 0:
+                raise ValueError("SOF references unknown qtable")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xFFC4:
+            while body:
+                tc_th = body[0]
+                bits = list(body[1:17])
+                n = sum(bits)
+                symbols = list(body[17 : 17 + n])
+                codes = _canonical_codes(bits, symbols)
+                huff[(tc_th >> 4, tc_th & 0xF)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                body = body[17 + n :]
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ncomp = body[0]
+            if ncomp != 1:
+                raise ValueError("multi-component scans unsupported")
+            scan_td, scan_ta = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if height is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if (0, scan_td) not in huff or (1, scan_ta) not in huff:
+        raise ValueError("SOS references undeclared Huffman tables")
+    q = qtables.get(0)
+    if q is None:
+        raise ValueError("JPEG missing quantization table 0")
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI")
+    dc_tab = huff[(0, scan_td)]
+    ac_tab = huff[(1, scan_ta)]
+
+    def read_symbol(r: _BitReader, tab: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.bit()
+            if (length, code) in tab:
+                return tab[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    r = _BitReader(data[scan_start:end])
+    coeffs = np.zeros((bx * by, 64), dtype=np.int32)
+    prev_dc = 0
+    for b in range(bx * by):
+        s = read_symbol(r, dc_tab)
+        diff = extend(r.bits(s), s) if s else 0
+        prev_dc += diff
+        coeffs[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(r, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("JPEG coefficient index overran the block")
+            coeffs[b, k] = extend(r.bits(s), s)
+            k += 1
+    # DCT layer: dequantize, de-zigzag, IDCT, level shift, clamp
+    pixels = np.empty((by * 8, bx * 8), dtype=np.uint8)
+    for b in range(bx * by):
+        freq = np.zeros((8, 8), dtype=np.float64)
+        deq = coeffs[b].astype(np.int64) * q
+        for k, (rr, cc) in enumerate(_ZZ_INDEX):
+            freq[rr, cc] = deq[k]
+        spatial = idct_block(freq) + 128.0
+        clamped = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
+        y0, x0 = (b // bx) * 8, (b % bx) * 8
+        pixels[y0 : y0 + 8, x0 : x0 + 8] = clamped
+    return height, width, pixels[:height, :width], coeffs

@@ -23,9 +23,14 @@ pattern, oracle-checked as q94 with decode/features/resample branches.
 AVI video decode is REAL as well (``functions.avi``: RIFF container,
 uncompressed 24-bit DIB frames — bottom-up/BGR/padded layout undone
 and pinned) — oracle-checked as q95 with frames/sample/summary
-branches. Remaining codecs (JPEG, mp3/flac, compressed video) stay
-honestly guarded: the container ships no libraries for them, and the
-decode operators raise per-task rather than silently skipping media.
+branches. Baseline JPEG decode is REAL too (``functions.jpeg``:
+Huffman entropy layer decoded losslessly and oracle-checked at the
+quantized-coefficient layer, q97; the lossy IDCT pixel layer pinned
+against the spec's literal cosine sum in pytest, with a DC-only
+fixture making even pixels SQL-reconstructible). Remaining codecs
+(GIF, mp3/flac, compressed video) stay honestly guarded: the
+container ships no libraries for them, and the decode operators
+raise per-task rather than silently skipping media.
 The fake payload generator and the
 byte-level feature path stay codec-free and deterministic
 (sha256-derived bytes), exercising the exact Spark plumbing — schema,
@@ -148,17 +153,21 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_media(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
 ) -> DataFrame:
-    """Real codec decode — PNG for real, other codecs honestly guarded.
+    """Real codec decode — PNG and baseline JPEG for real, other
+    codecs honestly guarded.
 
     PNG payloads (8-bit grey/RGB) decode via the pure-stdlib codec in
-    ``functions.png`` inside ``mapInPandas`` — Arrow batches in, one
-    (id, width, height, channels, pixels) row per media item out, with
-    ``pixels`` the row-major uint8 buffer. Non-PNG payloads (JPEG &c.)
-    raise ``NotImplementedError`` in the task: this container ships no
-    codecs for them, and silently skipping media would corrupt a
-    training corpus — fail loudly, filter by ``media_meta.format``
-    upstream (metadata pushdown makes that scan-cheap).
+    ``functions.png``, baseline grayscale JPEGs via ``functions.jpeg``
+    (Huffman → coefficients → IDCT), both inside one ``mapInPandas`` —
+    Arrow batches in, one (id, width, height, channels, pixels) row
+    per media item out, with ``pixels`` the row-major uint8 buffer.
+    Other payloads (GIF, mp3 &c.) raise ``NotImplementedError`` in the
+    task: this container ships no codecs for them, and silently
+    skipping media would corrupt a training corpus — fail loudly,
+    filter by ``media_meta.format`` upstream (metadata pushdown makes
+    that scan-cheap).
     """
+    from kaj_query_engine_spark.functions.jpeg import decode_jpeg
     from kaj_query_engine_spark.functions.png import decode_png
 
     schema = (
@@ -167,11 +176,14 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> tuple[int, int, int, bytes]:
+            if bytes(b[:2]) == b"\xff\xd8":
+                h, w, px, _co = decode_jpeg(bytes(b))
+                return w, h, 1, px.tobytes()
             if b[:8] != b"\x89PNG\r\n\x1a\n":
                 raise NotImplementedError(
-                    "decode_media: only PNG decodes in this environment "
-                    "(no codec libraries installed) — filter on "
-                    "media_meta.format == 'png', or use "
+                    "decode_media: only PNG and baseline JPEG decode in "
+                    "this environment (no codec libraries installed) — "
+                    "filter on media_meta.format, or use "
                     "media_byte_features for the codec-free path"
                 )
             px = decode_png(bytes(b))
@@ -829,6 +841,107 @@ def video_summary(
                     "height": s.map(lambda t: t[3]).astype("int32"),
                     "pix_sum": s.map(lambda t: t[4]).astype("int64"),
                     "mean_byte": s.map(lambda t: t[5]).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+# --- JPEG: real baseline codec path (functions/jpeg.py) --------------
+
+JPEG_SPREAD = 8  # same sweep-measured partition floor as the others
+
+
+def attach_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", dc_only: bool = False
+) -> DataFrame:
+    """REAL JPEG ingest: a ``media`` column holding genuine baseline
+    grayscale JPEG bytes (pure stdlib+numpy encoder,
+    ``functions.jpeg``) plus the typed ``media_meta`` struct.
+
+    The coefficient model is deterministic and SQL-reconstructible —
+    JPEG's fixture model lives at the QUANTIZED-COEFFICIENT layer
+    (the lossless payload the entropy coding stores), not the pixel
+    layer, because the DCT is lossy: block b of doc d takes digest
+    sha256(f"{d}:j{b}"); DC = byte0 % 32 − 16, AC at zigzag k is
+    byte((7k+3)%32) % 15 − 7 when (byte(k%32)+k) % 5 == 0 else 0.
+    Geometry: width 8·(1+d%2), height 8·(1+d%3), blocks raster-order.
+
+    ``dc_only=True`` zeroes every AC: the image is then exact flat
+    8×8 patches (IDCT of a DC-only block is constant DC·q₀/8), which
+    makes the PIXEL layer itself SQL-reconstructible — q97's
+    'dcpatch' branch pins IDCT normalization, level shift, clamp and
+    raster placement in the oracle, while full-AC pixels are pinned
+    against the literal cosine-sum reference in pytest.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            bx, by = 1 + d % 2, 1 + d % 3
+            co = np.zeros((bx * by, 64), dtype=np.int64)
+            for b in range(bx * by):
+                dig = hashlib.sha256(f"{d}:j{b}".encode()).digest()
+                co[b, 0] = dig[0] % 32 - 16
+                if not dc_only:
+                    for k in range(1, 64):
+                        if (dig[k % 32] + k) % 5 == 0:
+                            co[b, k] = dig[(k * 7 + 3) % 32] % 15 - 7
+            return encode_jpeg(co, by * 8, bx * 8)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "media": pdf[id_col].map(one)}
+            )
+
+    base = df.select(id_col)
+    if not df.isStreaming:
+        base = base.repartition(
+            max(JPEG_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+    media = base.mapInPandas(gen, f"{id_col} long, media binary")
+    return media.withColumn(
+        "media_meta",
+        F.struct(
+            ((F.lit(1) + F.col(id_col) % 2) * 8).cast("int").alias("width"),
+            ((F.lit(1) + F.col(id_col) % 3) * 8).cast("int").alias("height"),
+            F.lit("jpeg").alias("format"),
+        ),
+    )
+
+
+def jpeg_coefficients(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
+) -> DataFrame:
+    """Decode the LOSSLESS layer of baseline JPEGs: Huffman →
+    run-length → DPCM → the quantized coefficient blocks, emitted as
+    an int16-LE zigzag-order buffer per item (one Arrow pass). This is
+    the byte-exact payload the encoder stored, so the q97 oracle can
+    digest a pure-SQL reconstruction of it — the JPEG analog of the
+    PNG/WAV/AVI buffer digests, one layer down the codec."""
+    from kaj_query_engine_spark.functions.jpeg import decode_jpeg
+
+    schema = (
+        f"{id_col} long, width int, height int, n_blocks int, "
+        "coeffs binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple[int, int, int, bytes]:
+            h, w, _px, co = decode_jpeg(bytes(b))
+            return w, h, co.shape[0], co.astype("<i2").tobytes()
+
+        for pdf in batches:
+            dec = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": dec.map(lambda t: t[0]).astype("int32"),
+                    "height": dec.map(lambda t: t[1]).astype("int32"),
+                    "n_blocks": dec.map(lambda t: t[2]).astype("int32"),
+                    "coeffs": dec.map(lambda t: t[3]),
                 }
             )
 

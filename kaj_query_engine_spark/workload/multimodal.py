@@ -424,3 +424,113 @@ def q95(spark, sf_dir):
         "mean_byte",
     )
     return frames.unionAll(sampled).unionAll(summary)
+
+
+# q97: REAL baseline JPEG codec, oracle-checked ONE LAYER DOWN. JPEG's
+# DCT is lossy, so unlike q93/q94/q95 the pixel buffer of a general
+# image isn't SQL-reconstructible — but the QUANTIZED COEFFICIENTS are
+# the lossless payload the entropy coding stores, and attach_jpeg_media
+# specifies them directly from sha256: block b of doc d has DC =
+# byte0%32-16 and AC_k = byte((7k+3)%32)%15-7 when (byte(k%32)+k)%5==0.
+# The 'coeffs' branch digests the decoded int16-LE zigzag buffer
+# against a pure-SQL reconstruction — pinning Huffman tables (read
+# from the file's own DHT), run-length/ZRL/EOB, DPCM and bit packing.
+# The 'dcpatch' branch decodes a DC-ONLY corpus where IDCT output is
+# exact flat patches (pixel = floor(DC*q0/8 + 128.5), q0 = 1), so the
+# PIXEL layer — IDCT normalization, level shift, clamp, raster
+# placement — is oracle-pinned too; full-AC pixels are pinned against
+# the literal T.81 cosine sum in pytest.
+_JPG_BX = "(1 + doc_id % 2)"
+_JPG_BY = "(1 + doc_id % 3)"
+_JPG_HEX = "'0123456789abcdef'"
+
+
+def _jpg_byte(hx: str, i: str) -> str:
+    """SQL int value of byte i (0-based) of hex digest hx."""
+    return (
+        f"((strpos({_JPG_HEX}, {hx}[2*({i})+1]) - 1) * 16 "
+        f"+ (strpos({_JPG_HEX}, {hx}[2*({i})+2]) - 1))"
+    )
+
+
+_JPG_DIG = (
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':j', CAST(b AS VARCHAR)))"
+)
+# coefficient value at zigzag k (1..63); k=0 handled separately
+_JPG_AC = (
+    f"CASE WHEN ({_jpg_byte('hx', 'k % 32')} + k) % 5 = 0 "
+    f"THEN {_jpg_byte('hx', '(k * 7 + 3) % 32')} % 15 - 7 ELSE 0 END"
+)
+_JPG_DC = f"{_jpg_byte('hx', '0')} % 32 - 16"
+_JPG_COEFFS_SQL = (
+    "WITH g AS (SELECT doc_id, b, "
+    f"{_JPG_DIG} AS hx FROM documents, generate_series(0, 5) gb(b) "
+    f"WHERE b < {_JPG_BX} * {_JPG_BY}), "
+    "c AS (SELECT doc_id, b, k, "
+    f"CASE WHEN k = 0 THEN {_JPG_DC} ELSE {_JPG_AC} END AS v "
+    "FROM g, generate_series(0, 63) gk(k)), "
+    "q AS (SELECT doc_id, b, k, "
+    "printf('%02x%02x', ((v + 65536) % 65536) % 256, "
+    "((v + 65536) % 65536) // 256) AS quad FROM c) "
+    "SELECT 'coeffs' AS path, doc_id, "
+    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+    f"CAST({_JPG_BX} * {_JPG_BY} AS INT) AS n_blocks, "
+    "md5(string_agg(quad, '' ORDER BY b, k)) AS payload_md5 "
+    "FROM q GROUP BY doc_id"
+)
+# DC-only pixels: block (y//8, x//8) is a flat patch of
+# floor(DC/8 + 128.5) (q0 = 1, clamp is a no-op in DC's range)
+_JPG_PIX_SQL = (
+    "WITH g AS (SELECT doc_id, b, "
+    f"CAST(floor(({_jpg_byte(_JPG_DIG, '0')} % 32 - 16) / 8.0 + 128.5) "
+    "AS INT) AS pv "
+    f"FROM documents, generate_series(0, 5) gb(b) "
+    f"WHERE b < {_JPG_BX} * {_JPG_BY}), "
+    "px AS (SELECT doc_id, y, x, pv "
+    "FROM g, generate_series(0, 23) gy(y), generate_series(0, 15) gx(x) "
+    f"WHERE y < {_JPG_BY} * 8 AND x < {_JPG_BX} * 8 "
+    f"AND b = (y // 8) * {_JPG_BX} + (x // 8)) "
+    "SELECT 'dcpatch' AS path, doc_id, "
+    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+    f"CAST({_JPG_BX} * {_JPG_BY} AS INT) AS n_blocks, "
+    "md5(string_agg(printf('%02x', pv), '' ORDER BY y, x)) AS payload_md5 "
+    "FROM px GROUP BY doc_id"
+)
+
+
+@register(
+    "q97_jpeg_decode",
+    f"{_JPG_COEFFS_SQL} UNION ALL ({_JPG_PIX_SQL})",
+    "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
+    "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
+    "Huffman tables carried in the file's DHT) decode through the "
+    "pure-stdlib codec; the oracle digests a pure-SQL reconstruction "
+    "of the quantized coefficient buffer (Huffman/RLE/ZRL/EOB/DPCM/"
+    "bit-packing all pinned), and a DC-only corpus makes the IDCT "
+    "pixel layer itself SQL-reconstructible (flat 8x8 patches). "
+    "Full-AC pixels are pinned against the literal T.81 cosine sum "
+    "in pytest. GIF/mp3/compressed video stay honestly guarded",
+)
+def q97(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    coeffs = M.jpeg_coefficients(M.attach_jpeg_media(docs)).select(
+        F.lit("coeffs").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        "n_blocks",
+        F.md5(F.lower(F.hex(F.col("coeffs")))).alias("payload_md5"),
+    )
+    dc = M.decode_media(M.attach_jpeg_media(docs, dc_only=True)).select(
+        F.lit("dcpatch").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        (
+            (F.col("width") / 8) * (F.col("height") / 8)
+        ).cast("int").alias("n_blocks"),
+        F.md5(F.lower(F.hex(F.col("pixels")))).alias("payload_md5"),
+    )
+    return coeffs.unionAll(dc)

@@ -778,3 +778,121 @@ def test_stream_media_decode_equals_batch(spark):
         assert (
             r.rate, r.n_samples, r.duration_s, r.energy, r.rms, r.zcr, r.peak
         ) == (b.rate, b.n_samples, b.duration_s, b.energy, b.rms, b.zcr, b.peak)
+
+
+def test_jpeg_entropy_layer_lossless_roundtrip():
+    """encode→decode recovers the QUANTIZED coefficients bit-exactly
+    for random sparse blocks (Huffman, RLE/ZRL/EOB, DPCM and bit
+    packing all exercised), and malformed files are rejected."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for trial in range(15):
+        bx, by = rng.integers(1, 4), rng.integers(1, 4)
+        h, w = by * 8 - rng.integers(0, 8), bx * 8 - rng.integers(0, 8)
+        co = np.zeros((bx * by, 64), dtype=np.int64)
+        for b in range(bx * by):
+            co[b, 0] = rng.integers(-100, 101)
+            ks = rng.choice(
+                np.arange(1, 64), size=rng.integers(0, 12), replace=False
+            )
+            for k in ks:
+                co[b, k] = rng.integers(-200, 201)
+            if rng.random() < 0.3:
+                co[b, 63] = rng.integers(1, 50)  # no-EOB path
+        H, W, _px, cd = decode_jpeg(encode_jpeg(co, h, w))
+        assert (H, W) == (h, w) and np.array_equal(cd, co), trial
+    good = encode_jpeg(np.zeros((1, 64), dtype=int), 8, 8)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\xff\xd9" + good[2:])
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(good[:-2])
+    # progressive SOF2 must be refused, not mis-decoded
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_jpeg_idct_matches_spec_cosine_sum():
+    """The separable IDCT equals the literal T.81 defining four-loop
+    cosine sum — the lossy layer is pinned, not trusted."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.jpeg import idct_block
+
+    rng = np.random.default_rng(12)
+    F8 = rng.standard_normal((8, 8)) * 50
+
+    def ref(F8):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        au = np.sqrt(1 / 8) if u == 0 else 0.5
+                        av = np.sqrt(1 / 8) if v == 0 else 0.5
+                        s += (
+                            au * av * F8[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s
+        return out
+
+    assert np.abs(idct_block(F8) - ref(F8)).max() < 1e-9
+
+
+def test_jpeg_coefficients_match_model(spark):
+    """jpeg_coefficients on attach_jpeg_media output reproduces the
+    sha256 coefficient model value-for-value (the q97 'coeffs' oracle
+    is the SQL twin of this pin)."""
+    import hashlib as hl
+
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.jpeg_coefficients(M.attach_jpeg_media(df, "doc_id")).collect()
+    }
+    for d in range(8):
+        bx, by = 1 + d % 2, 1 + d % 3
+        want = np.zeros((bx * by, 64), dtype=np.int16)
+        for b in range(bx * by):
+            dig = hl.sha256(f"{d}:j{b}".encode()).digest()
+            want[b, 0] = dig[0] % 32 - 16
+            for k in range(1, 64):
+                if (dig[k % 32] + k) % 5 == 0:
+                    want[b, k] = dig[(k * 7 + 3) % 32] % 15 - 7
+        r = out[d]
+        assert (r.width, r.height, r.n_blocks) == (bx * 8, by * 8, bx * by)
+        got = np.frombuffer(bytes(r.coeffs), dtype="<i2").reshape(-1, 64)
+        assert np.array_equal(got, want)
+
+
+def test_jpeg_dc_only_pixels_are_flat_patches(spark):
+    """decode_media on the DC-only corpus yields exact flat 8×8
+    patches: pixel = floor(DC·q0/8 + 128.5) — the oracle-checkable
+    form of the IDCT/level-shift/clamp/raster math (q97 'dcpatch')."""
+    import hashlib as hl
+    import math
+
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = M.attach_jpeg_media(df, "doc_id", dc_only=True)
+    out = {r.doc_id: r for r in M.decode_media(media).collect()}
+    for d in range(6):
+        bx, by = 1 + d % 2, 1 + d % 3
+        px = np.frombuffer(bytes(out[d].pixels), np.uint8).reshape(
+            by * 8, bx * 8
+        )
+        assert out[d].channels == 1
+        for b in range(bx * by):
+            dc = hl.sha256(f"{d}:j{b}".encode()).digest()[0] % 32 - 16
+            want = math.floor(dc / 8 + 128.5)
+            patch = px[(b // bx) * 8 : (b // bx) * 8 + 8,
+                       (b % bx) * 8 : (b % bx) * 8 + 8]
+            assert (patch == want).all()

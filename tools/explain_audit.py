@@ -189,6 +189,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "codegen id :"],
         ["Exchange", "Join", "MapInPandas", "BatchEvalPython"],
     ),
+    "q97_jpeg_decode": (
+        # JPEG twin: spread exchange → map-only entropy-layer decode
+        # and DC-only pixel decode, unioned — no joins, no sorts
+        ["MapInPandas", "Union", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
     "q95_avi_decode": (
         # the video twin: spread exchange → map-only container decode
         # exploding to per-frame rows, subsample round trip, and the
