@@ -27,9 +27,11 @@ branches. Baseline JPEG decode is REAL too (``functions.jpeg``:
 Huffman entropy layer decoded losslessly and oracle-checked at the
 quantized-coefficient layer, q97; the lossy IDCT pixel layer pinned
 against the spec's literal cosine sum in pytest, with a DC-only
-fixture making even pixels SQL-reconstructible). Remaining codecs
-(GIF, mp3/flac, compressed video) stay honestly guarded: the
-container ships no libraries for them, and the decode operators
+fixture making even pixels SQL-reconstructible). GIF decode is REAL
+as well (``functions.gif``: the full variable-width LSB-first LZW
+with CLEAR resets and the KwKwK case, palette mapping — q98).
+Remaining codecs (mp3/flac, compressed video) stay honestly guarded:
+the container ships no libraries for them, and the decode operators
 raise per-task rather than silently skipping media.
 The fake payload generator and the
 byte-level feature path stay codec-free and deterministic
@@ -153,20 +155,22 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_media(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
 ) -> DataFrame:
-    """Real codec decode — PNG and baseline JPEG for real, other
-    codecs honestly guarded.
+    """Real codec decode — PNG, baseline JPEG and GIF for real,
+    other codecs honestly guarded.
 
     PNG payloads (8-bit grey/RGB) decode via the pure-stdlib codec in
     ``functions.png``, baseline grayscale JPEGs via ``functions.jpeg``
-    (Huffman → coefficients → IDCT), both inside one ``mapInPandas`` —
-    Arrow batches in, one (id, width, height, channels, pixels) row
-    per media item out, with ``pixels`` the row-major uint8 buffer.
-    Other payloads (GIF, mp3 &c.) raise ``NotImplementedError`` in the
+    (Huffman → coefficients → IDCT), GIFs via ``functions.gif`` (LZW →
+    palette RGB), all inside one ``mapInPandas`` — Arrow batches in,
+    one (id, width, height, channels, pixels) row per media item out,
+    with ``pixels`` the row-major uint8 buffer.
+    Other payloads (mp3 &c.) raise ``NotImplementedError`` in the
     task: this container ships no codecs for them, and silently
     skipping media would corrupt a training corpus — fail loudly,
     filter by ``media_meta.format`` upstream (metadata pushdown makes
     that scan-cheap).
     """
+    from kaj_query_engine_spark.functions.gif import decode_gif
     from kaj_query_engine_spark.functions.jpeg import decode_jpeg
     from kaj_query_engine_spark.functions.png import decode_png
 
@@ -179,10 +183,13 @@ def decode_media(
             if bytes(b[:2]) == b"\xff\xd8":
                 h, w, px, _co = decode_jpeg(bytes(b))
                 return w, h, 1, px.tobytes()
+            if bytes(b[:4]) == b"GIF8":
+                px = decode_gif(bytes(b))
+                return px.shape[1], px.shape[0], 3, px.tobytes()
             if b[:8] != b"\x89PNG\r\n\x1a\n":
                 raise NotImplementedError(
-                    "decode_media: only PNG and baseline JPEG decode in "
-                    "this environment (no codec libraries installed) — "
+                    "decode_media: only PNG, baseline JPEG and GIF decode "
+                    "in this environment (no codec libraries installed) — "
                     "filter on media_meta.format, or use "
                     "media_byte_features for the codec-free path"
                 )
@@ -946,3 +953,58 @@ def jpeg_coefficients(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+# --- GIF: real LZW codec path (functions/gif.py) ---------------------
+
+GIF_SPREAD = 8  # same sweep-measured partition floor as the others
+
+
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF ingest: a ``media`` column holding genuine GIF87a
+    bytes (pure-stdlib LZW encoder, ``functions.gif``, grayscale
+    palette) plus the typed ``media_meta`` struct.
+
+    Same SQL-reconstructible pixel model as the PNG twin: row r of
+    doc d = the first W bytes of sha256(f"{d}:g{r}") as palette
+    indices, W = 16 + d%4·4, H = 12 + d%3·6. LZW is lossless and the
+    palette is the grayscale ramp, so the decoded RGB buffer is each
+    model byte tripled — the q98 oracle rebuilds it with zero GIF
+    code, pinning the LZW dictionary dynamics byte-exactly.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.gif import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            w = 16 + (d % 4) * 4
+            h = 12 + (d % 3) * 6
+            rows = [
+                np.frombuffer(
+                    hashlib.sha256(f"{d}:g{i}".encode()).digest()[:w],
+                    dtype=np.uint8,
+                )
+                for i in range(h)
+            ]
+            return encode_gif(np.stack(rows))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "media": pdf[id_col].map(one)}
+            )
+
+    base = df.select(id_col)
+    if not df.isStreaming:
+        base = base.repartition(
+            max(GIF_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+    media = base.mapInPandas(gen, f"{id_col} long, media binary")
+    return media.withColumn(
+        "media_meta",
+        F.struct(
+            (F.lit(16) + (F.col(id_col) % 4) * 4).cast("int").alias("width"),
+            (F.lit(12) + (F.col(id_col) % 3) * 6).cast("int").alias("height"),
+            F.lit("gif").alias("format"),
+        ),
+    )

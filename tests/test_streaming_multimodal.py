@@ -896,3 +896,69 @@ def test_jpeg_dc_only_pixels_are_flat_patches(spark):
             patch = px[(b // bx) * 8 : (b // bx) * 8 + 8,
                        (b % bx) * 8 : (b % bx) * 8 + 8]
             assert (patch == want).all()
+
+
+def test_gif_codec_roundtrip_all_lzw_regimes():
+    """encode→decode is the identity across LZW regimes: random data
+    (CLEAR fires when the dictionary fills), highly repetitive data
+    (long dictionary chains), the KwKwK first-reference pattern, and
+    tiny images; corruption is rejected loudly."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(6)
+    cases = [
+        rng.integers(0, 256, (1, 1)).astype(np.uint8),
+        rng.integers(0, 256, (24, 28)).astype(np.uint8),
+        rng.integers(0, 256, (100, 100)).astype(np.uint8),  # forces CLEAR
+        np.tile(np.arange(256, dtype=np.uint8), (64, 2)),
+        (np.zeros((128, 256)) + np.arange(256) % 2).astype(np.uint8),
+        # KwKwK: 0,1,0,0,1,0,0,1... the cScSc pattern
+        np.tile(np.array([0, 1, 0], dtype=np.uint8), 100).reshape(10, 30),
+    ]
+    for a in cases:
+        out = decode_gif(encode_gif(a))
+        assert out.shape == (*a.shape, 3)
+        assert (out == a[:, :, None]).all(), a.shape
+    good = encode_gif(cases[1])
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError, match="trailer|terminator|truncated"):
+        decode_gif(good[:-2])
+    # interlace flag must be refused, not mis-decoded (the image
+    # descriptor sits structurally after header+LSD+768-byte palette —
+    # searching for 0x2C would match a gray palette triple instead)
+    i = 6 + 7 + 768 + 9
+    assert good[6 + 7 + 768] == 0x2C
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(good[:i] + bytes([good[i] | 0x40]) + good[i + 1 :])
+
+
+def test_gif_decode_media_pixels_match_model(spark):
+    """decode_media on attach_gif_media output reproduces the sha256
+    index model through the grayscale palette (each byte tripled to
+    RGB) — the numpy pin whose SQL twin is the q98 oracle."""
+    import hashlib as hl
+
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in M.decode_media(M.attach_gif_media(df, "doc_id")).collect()
+    }
+    for d in range(8):
+        w, h = 16 + (d % 4) * 4, 12 + (d % 3) * 6
+        idx = np.stack(
+            [
+                np.frombuffer(
+                    hl.sha256(f"{d}:g{r}".encode()).digest()[:w], np.uint8
+                )
+                for r in range(h)
+            ]
+        )
+        r = out[d]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        got = np.frombuffer(bytes(r.pixels), np.uint8).reshape(h, w, 3)
+        assert (got == idx[:, :, None]).all()

@@ -189,6 +189,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "codegen id :"],
         ["Exchange", "Join", "MapInPandas", "BatchEvalPython"],
     ),
+    "q98_gif_decode": (
+        # GIF twin: spread exchange → map-only LZW decode → digest
+        # projection — no joins, no sorts (single branch, no union)
+        ["MapInPandas", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
     "q97_jpeg_decode": (
         # JPEG twin: spread exchange → map-only entropy-layer decode
         # and DC-only pixel decode, unioned — no joins, no sorts

@@ -487,6 +487,13 @@ def main() -> None:
             MM.attach_wav_media(docs(k).select("doc_id"))
         ).write.format("noop").mode("overwrite").save()
 
+    def run_jpeg_codec(k: int) -> None:
+        # JPEG chain: encode -> entropy-layer decode (the Python-side
+        # Huffman bit loop is the heaviest pure-python codec path)
+        MM.jpeg_coefficients(
+            MM.attach_jpeg_media(docs(k).select("doc_id"))
+        ).write.format("noop").mode("overwrite").save()
+
     def run_avi_codec(k: int) -> None:
         # video chain: AVI generate → container decode exploded to
         # per-frame rows — map-only, e ≈ 1
@@ -562,6 +569,7 @@ def main() -> None:
         "flagship_join_skewed": run_flagship_skew,
         "wav_codec_chain": run_wav_codec,
         "avi_codec_chain": run_avi_codec,
+        "jpeg_codec_chain": run_jpeg_codec,
     }
     # which generator feeds each op — inputs are materialized for ALL
     # scales BEFORE an op's timing loop, so the timed region never
@@ -588,6 +596,7 @@ def main() -> None:
         "flagship_join_skewed": flagship_tables,
         "wav_codec_chain": docs,
         "avi_codec_chain": docs,
+        "jpeg_codec_chain": docs,
     }
     base_docs = base_docs_df.count()
     # the index-lifecycle ops get a FOURTH bracket (64x): their 1-16x
