@@ -135,13 +135,12 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # work) against warm 2.6/5.1/… — 8 is the knee. At 100 TB the
     # input has more splits than this floor and the repartition is a
     # cheap id shuffle whose count the inputFiles() max takes over.
-    media = (
-        df.select(id_col)
-        .repartition(
+    base = df.select(id_col)
+    if not df.isStreaming:  # stream partitioning governs there (q96)
+        base = base.repartition(
             max(PNG_SPREAD, len(df.inputFiles())), F.col(id_col)
         )
-        .mapInPandas(gen, f"{id_col} long, media binary")
-    )
+    media = base.mapInPandas(gen, f"{id_col} long, media binary")
     return media.withColumn(
         "media_meta",
         F.struct(

@@ -607,6 +607,12 @@ def main() -> None:
     op_scales = {
         "incremental_dedup_fixed_batch": LIFECYCLE_SCALES,
         "band_index_merge_fixed_batch": LIFECYCLE_SCALES,
+        # codec chains are map-only: the 1-16x exponents are
+        # overhead-dominated, so a 64x bracket shows the honest
+        # linear term (as the lifecycle probes do)
+        "wav_codec_chain": LIFECYCLE_SCALES,
+        "avi_codec_chain": LIFECYCLE_SCALES,
+        "jpeg_codec_chain": LIFECYCLE_SCALES,
     }
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
