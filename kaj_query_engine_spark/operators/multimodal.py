@@ -1007,3 +1007,63 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("gif").alias("format"),
         ),
     )
+
+
+def normalize_media(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
+) -> DataFrame:
+    """Media normalization: decode WHATEVER still-image codec each
+    payload uses (PNG, baseline JPEG, or GIF — sniffed by magic, the
+    decode_media contract) and re-encode everything as PNG, the
+    canonical lossless interchange form a mixed-format corpus is
+    normalized to before training. Output (id, media, media_meta)
+    with format='png' for every row.
+
+    Grayscale sources stay (H, W); palette/RGB sources stay
+    (H, W, 3) — PNG carries both natively. One Arrow pass, map-only;
+    unsupported codecs raise per-task like every decode operator here.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.gif import decode_gif
+    from kaj_query_engine_spark.functions.jpeg import decode_jpeg
+    from kaj_query_engine_spark.functions.png import decode_png, encode_png
+
+    schema = f"{id_col} long, {bin_col} binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple[bytes, int, int]:
+            raw = bytes(b)
+            if raw[:2] == b"\xff\xd8":
+                _h, _w, px, _co = decode_jpeg(raw)
+            elif raw[:4] == b"GIF8":
+                px = decode_gif(raw)
+            elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                px = decode_png(raw)
+            else:
+                raise NotImplementedError(
+                    "normalize_media: unsupported codec (PNG/JPEG/GIF "
+                    "decode here; no libraries for others) — filter on "
+                    "media_meta.format upstream"
+                )
+            return encode_png(np.ascontiguousarray(px)), px.shape[1], px.shape[0]
+
+        for pdf in batches:
+            enc = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    bin_col: enc.map(lambda t: t[0]),
+                    "width": enc.map(lambda t: t[1]).astype("int32"),
+                    "height": enc.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    out = df.select(id_col, bin_col).mapInPandas(run, schema)
+    return out.select(
+        id_col,
+        bin_col,
+        F.struct(
+            F.col("width"), F.col("height"), F.lit("png").alias("format")
+        ).alias("media_meta"),
+    )

@@ -962,3 +962,54 @@ def test_gif_decode_media_pixels_match_model(spark):
         assert (r.width, r.height, r.channels) == (w, h, 3)
         got = np.frombuffer(bytes(r.pixels), np.uint8).reshape(h, w, 3)
         assert (got == idx[:, :, None]).all()
+
+
+def test_png_attach_streaming_equals_batch(spark, tmp_path):
+    """attach_png_media rides a streaming plan like the WAV generator
+    (q96 family): in-flight generate+decode equals batch byte-exactly."""
+    df = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    batch = {
+        r.doc_id: bytes(r.pixels)
+        for r in M.decode_media(M.attach_png_media(df, "doc_id")).collect()
+    }
+    land = str(tmp_path / "png_landing")
+    df.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema("doc_id long").parquet(land)
+    streamed = {
+        r.doc_id: bytes(r.pixels)
+        for r in run_available_now(
+            M.decode_media(M.attach_png_media(s, "doc_id")), "append"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 15
+
+
+def test_normalize_media_unifies_codecs_to_png(spark):
+    """normalize_media turns a mixed PNG/JPEG/GIF corpus into all-PNG
+    whose decoded pixels equal each source codec's own decode —
+    normalization is a pure re-container, pixel-exact for the
+    lossless formats and IDCT-exact for JPEG."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.png import decode_png
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    for attach in (
+        M.attach_png_media,
+        M.attach_gif_media,
+        lambda d, c: M.attach_jpeg_media(d, c),
+    ):
+        media = attach(df, "doc_id")
+        want = {
+            r.doc_id: (bytes(r.pixels), r.width, r.height, r.channels)
+            for r in M.decode_media(media).collect()
+        }
+        got = {r.doc_id: r for r in M.normalize_media(media).collect()}
+        assert set(got) == set(want)
+        for d, r in got.items():
+            px = decode_png(bytes(r.media))
+            wpx, ww, wh, wch = want[d]
+            assert r.media_meta.format == "png"
+            assert (r.media_meta.width, r.media_meta.height) == (ww, wh)
+            assert px.tobytes() == wpx
+            assert (px.ndim == 2) == (wch == 1)
