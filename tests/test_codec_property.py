@@ -1,0 +1,150 @@
+"""Property-based round-trip pinning for the five pure-stdlib codecs
+(PNG, WAV, AVI, JPEG entropy layer, GIF LZW): hypothesis sweeps the
+geometry/content space the hand-written cases sample. Every codec's
+encoder and decoder are independent code paths, so round-trip identity
+over randomized inputs pins both against each other — the same law
+the q93/q94/q95/q97/q98 oracles pin against DuckDB on the fixture
+models, here swept over arbitrary shapes and values (no Spark session:
+these run the codecs directly, fast enough for wide sweeps)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from kaj_query_engine_spark.functions.avi import decode_avi, encode_avi
+from kaj_query_engine_spark.functions.gif import decode_gif, encode_gif
+from kaj_query_engine_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from kaj_query_engine_spark.functions.png import decode_png, encode_png
+from kaj_query_engine_spark.functions.wav import decode_wav, encode_wav
+
+_SETTINGS = dict(max_examples=30, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    px=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 40), st.integers(1, 40)),
+        elements=st.integers(0, 255),
+    ),
+    mode=st.sampled_from(["cycle", "none"]),
+)
+def test_png_grey_roundtrip(px, mode):
+    out = decode_png(encode_png(px, mode))
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    px=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        elements=st.integers(0, 255),
+    ),
+    mode=st.sampled_from(["cycle", "none"]),
+)
+def test_png_rgb_roundtrip(px, mode):
+    out = decode_png(encode_png(px, mode))
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(
+        np.int16, st.integers(1, 2000), elements=st.integers(-32768, 32767)
+    ),
+    rate=st.integers(1, 192000),
+)
+def test_wav_mono_roundtrip(s, rate):
+    r, ch, out = decode_wav(encode_wav(s, rate))
+    assert (r, ch) == (rate, 1) and np.array_equal(out, s)
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(
+        np.int16,
+        st.tuples(st.integers(1, 500), st.integers(1, 2)),
+        elements=st.integers(-32768, 32767),
+    ),
+    rate=st.integers(1, 96000),
+)
+def test_wav_multichannel_roundtrip(s, rate):
+    r, ch, out = decode_wav(encode_wav(s, rate))
+    assert (r, ch) == (rate, s.shape[1])
+    assert np.array_equal(out.reshape(s.shape), s)
+
+
+@settings(**_SETTINGS)
+@given(
+    f=arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 5),
+            st.integers(1, 16),
+            st.integers(1, 16),
+            st.just(3),
+        ),
+        elements=st.integers(0, 255),
+    ),
+    fps=st.integers(1, 120),
+)
+def test_avi_roundtrip(f, fps):
+    got_fps, out = decode_avi(encode_avi(f, fps))
+    assert got_fps == fps and np.array_equal(out, f)
+
+
+@st.composite
+def _jpeg_blocks(draw):
+    bx = draw(st.integers(1, 3))
+    by = draw(st.integers(1, 3))
+    h = by * 8 - draw(st.integers(0, 7))
+    w = bx * 8 - draw(st.integers(0, 7))
+    co = np.zeros((bx * by, 64), dtype=np.int64)
+    for b in range(bx * by):
+        co[b, 0] = draw(st.integers(-1023, 1023))
+        for k in draw(
+            st.lists(st.integers(1, 63), max_size=14, unique=True)
+        ):
+            co[b, k] = draw(st.integers(-1023, 1023))
+    return co, h, w
+
+
+@settings(**_SETTINGS)
+@given(blocks=_jpeg_blocks())
+def test_jpeg_entropy_layer_roundtrip(blocks):
+    co, h, w = blocks
+    H, W, _px, cd = decode_jpeg(encode_jpeg(co, h, w))
+    assert (H, W) == (h, w) and np.array_equal(cd, co)
+
+
+@settings(**_SETTINGS)
+@given(
+    idx=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 48), st.integers(1, 48)),
+        elements=st.integers(0, 255),
+    )
+)
+def test_gif_roundtrip(idx):
+    out = decode_gif(encode_gif(idx))
+    assert out.shape == (*idx.shape, 3)
+    assert (out == idx[:, :, None]).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    val=st.integers(0, 255),
+    h=st.integers(30, 80),
+    w=st.integers(30, 80),
+)
+def test_gif_dictionary_pressure_roundtrip(val, h, w):
+    """Low-entropy images drive the LZW dictionary through growth and
+    CLEAR resets — the regime where width-timing bugs live."""
+    idx = np.full((h, w), val, dtype=np.uint8)
+    idx[::3, :] = (val + 1) % 256
+    out = decode_gif(encode_gif(idx))
+    assert (out == idx[:, :, None]).all()
