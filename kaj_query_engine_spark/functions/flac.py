@@ -1,0 +1,425 @@
+"""Pure stdlib+numpy FLAC codec — compressed LOSSLESS audio
+(16-bit mono, FIXED predictors, Rice-coded residuals).
+
+This container ships no audio libraries, but the FLAC subset needed
+here requires none: a ``fLaC`` magic + STREAMINFO metadata block,
+then self-delimiting frames — 14-bit-sync headers with UTF-8-style
+coded frame numbers and CRC-8, per-channel subframes (CONSTANT /
+VERBATIM / FIXED order 0–4 with Rice-coded residuals, both
+partitioned-Rice methods incl. the verbatim escape), byte-aligned
+CRC-16 footers (xiph.org FLAC format spec — public; now also
+RFC 9639). MSB-first bit packing throughout — the opposite of GIF's
+LZW, so the two codecs pin both bit orders.
+
+FLAC is lossless, so the q99 oracle is the strongest kind: the
+decoded PCM buffer must digest-match the same pure-SQL sha256
+reconstruction the uncompressed WAV path uses (q94) — a match pins
+the Rice coder, the fixed-predictor arithmetic, CRC-8/CRC-16, the
+UTF-8 frame numbering and the bit packing byte-exactly. The decoder
+additionally verifies STREAMINFO's embedded MD5 of the unencoded
+audio — an in-format integrity check the encoder must also get right.
+
+LPC subframes and multi-channel decorrelation are out of scope and
+raise loudly (mp3 — lossy, with no in-SQL verification story — stays
+honestly guarded).
+
+No counterpart in the reference engine (3 scalar types only —
+``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (7 - nbytes + 6 * (nbytes - 1))):
+        nbytes += 1
+        if nbytes > 6:
+            raise ValueError("frame number too large")
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        if width == 0:
+            return
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, 2 * v, -2 * v - 1)
+
+
+def _best_rice_k(z: np.ndarray) -> int:
+    total = int(z.sum())
+    n = len(z)
+    k = 0
+    while k < 30 and (n << (k + 1)) < total:
+        k += 1
+    return k
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int,
+    block_size: int = 64,
+    force_order: int | None = None,
+) -> bytes:
+    """Encode int16 mono PCM to FLAC (FIXED predictors, Rice2 method).
+
+    ``block_size`` controls frames-per-item (small values exercise the
+    multi-frame path on tiny fixtures); ``force_order`` pins the FIXED
+    predictor order (0–4), otherwise the cheapest by Σ|zigzag| wins.
+    """
+    s = np.asarray(samples)
+    if s.dtype != np.int16 or s.ndim != 1 or len(s) == 0:
+        raise ValueError("samples must be a non-empty 1-D int16 array")
+    if not (1 <= rate < (1 << 20)):
+        raise ValueError(f"bad sample rate {rate}")
+    if not (16 <= block_size <= 65535):
+        raise ValueError("block_size must be in 16..65535")
+    n_total = len(s)
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
+    # 20-bit rate, 3-bit channels-1, 5-bit bits-1, 36-bit total samples
+    last_block = n_total % block_size or block_size
+    bw = _BitWriter()
+    bw.put(min(block_size, last_block), 16)
+    bw.put(block_size, 16)
+    bw.put(0, 24)
+    bw.put(0, 24)
+    bw.put(rate, 20)
+    bw.put(0, 3)  # mono
+    bw.put(15, 5)  # 16 bits - 1
+    bw.put(n_total, 36)
+    info = bw.bytes() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big")  # last-block STREAMINFO
+    out += info
+
+    x = s.astype(np.int64)
+    for fi, start in enumerate(range(0, n_total, block_size)):
+        blk = x[start : start + block_size]
+        nb = len(blk)
+        header = bytearray(
+            [0xFF, 0xF8]  # sync + fixed blocking
+        )
+        # blocksize code 0b0111 (16-bit-1 at end), rate code 0 (from
+        # STREAMINFO), channel 0 (mono), sample size 0b100 (16 bit)
+        header.append((0b0111 << 4) | 0b0000)
+        header.append((0b0000 << 4) | (0b100 << 1) | 0)
+        header += _utf8_number(fi)
+        header += struct.pack(">H", nb - 1)
+        header.append(_crc8(bytes(header)))
+        fw = _BitWriter()
+        for b in header:
+            fw.put(b, 8)
+        # choose FIXED order
+        if force_order is not None:
+            order = force_order
+            if not (0 <= order <= 4) or order >= nb:
+                raise ValueError("force_order out of range for this block")
+        else:
+            best = None
+            for o in range(0, min(4, nb - 1) + 1):
+                res = blk[o:].copy()
+                for j, c in enumerate(_FIXED_COEFFS[o]):
+                    res = res - c * blk[o - 1 - j : nb - 1 - j]
+                cost = int(_zigzag(res).sum())
+                if best is None or cost < best[1]:
+                    best = (o, cost)
+            order = best[0]
+        res = blk[order:].copy()
+        for j, c in enumerate(_FIXED_COEFFS[order]):
+            res = res - c * blk[order - 1 - j : nb - 1 - j]
+        # subframe header: 0 pad, FIXED type 0b001000 | order, no wasted bits
+        fw.put(0, 1)
+        fw.put(0b001000 | order, 6)
+        fw.put(0, 1)
+        for w in blk[:order]:
+            fw.put(int(w) & 0xFFFF, 16)  # warmup, two's complement
+        # residual: method 1 (Rice2, 5-bit params), partition order 0
+        z = _zigzag(res)
+        k = _best_rice_k(z) if len(z) else 0
+        fw.put(1, 2)
+        fw.put(0, 4)
+        fw.put(k, 5)
+        for v in z:
+            v = int(v)
+            fw.put_unary(v >> k)
+            fw.put(v & ((1 << k) - 1), k)
+        fw.align()
+        body = fw.bytes()
+        out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode FLAC bytes to ``(rate, samples)`` (int16 mono).
+
+    Verifies frame-header CRC-8, frame CRC-16, and STREAMINFO's MD5 of
+    the decoded PCM. Supports CONSTANT / VERBATIM / FIXED subframes
+    with both partitioned-Rice methods (incl. escapes); LPC subframes
+    and multi-channel streams raise loudly.
+    """
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream: bad magic")
+    pos = 4
+    rate = None
+    n_total = None
+    md5_expect = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            br = _BitReader(body)
+            br.read(16)
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            channels = br.read(3) + 1
+            bits = br.read(5) + 1
+            n_total = br.read(36)
+            md5_expect = body[18:34]
+            if channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported FLAC: {channels} channels {bits}-bit "
+                    "(16-bit mono only)"
+                )
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+
+    out = np.empty(n_total, dtype=np.int64)
+    filled = 0
+    while filled < n_total:
+        frame_start = pos
+        if pos + 2 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("FLAC frame sync lost")
+        bs_code = data[pos + 2] >> 4
+        sr_code = data[pos + 2] & 0xF
+        ch_code = data[pos + 3] >> 4
+        ss_code = (data[pos + 3] >> 1) & 0x7
+        if ch_code != 0:
+            raise ValueError("unsupported FLAC channel assignment (mono only)")
+        if ss_code != 0b100:
+            raise ValueError("unsupported FLAC sample size (16-bit only)")
+        p = pos + 4
+        first = data[p]
+        if first < 0x80:
+            p += 1
+        else:
+            nb_ = 0
+            while (first << nb_) & 0x80:
+                nb_ += 1
+            p += nb_
+        if bs_code == 0b0110:
+            nb = data[p] + 1
+            p += 1
+        elif bs_code == 0b0111:
+            nb = struct.unpack(">H", data[p : p + 2])[0] + 1
+            p += 2
+        elif 0b0010 <= bs_code <= 0b0101:
+            nb = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            nb = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"bad FLAC blocksize code {bs_code}")
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            p += 1 if sr_code == 0b1100 else 2
+        elif sr_code == 0b1111:
+            raise ValueError("invalid FLAC sample rate code")
+        crc8 = data[p]
+        if _crc8(data[frame_start:p]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        p += 1
+        br = _BitReader(data, p)
+        if br.read(1) != 0:
+            raise ValueError("bad FLAC subframe padding bit")
+        stype = br.read(6)
+        wasted = 0
+        if br.read(1):  # wasted-bits flag: unary count - 1
+            wasted = 1 + br.read_unary()
+        bps = 16 - wasted
+        blk = np.empty(nb, dtype=np.int64)
+        if stype == 0:  # CONSTANT
+            v = br.read(bps)
+            if v >= 1 << (bps - 1):
+                v -= 1 << bps
+            blk[:] = v
+        elif stype == 1:  # VERBATIM
+            for i in range(nb):
+                v = br.read(bps)
+                if v >= 1 << (bps - 1):
+                    v -= 1 << bps
+                blk[i] = v
+        elif 8 <= stype <= 12:  # FIXED order 0..4
+            order = stype - 8
+            for i in range(order):
+                v = br.read(bps)
+                if v >= 1 << (bps - 1):
+                    v -= 1 << bps
+                blk[i] = v
+            method = br.read(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual coding method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            porder = br.read(4)
+            nparts = 1 << porder
+            if nb % nparts or (nb >> porder) <= order and porder:
+                raise ValueError("bad FLAC rice partition order")
+            idx = order
+            for part in range(nparts):
+                cnt = (nb >> porder) - (order if part == 0 else 0)
+                k = br.read(pbits)
+                if k == escape:
+                    raw_bits = br.read(5)
+                    for _ in range(cnt):
+                        v = br.read(raw_bits) if raw_bits else 0
+                        if raw_bits and v >= 1 << (raw_bits - 1):
+                            v -= 1 << raw_bits
+                        blk[idx] = v
+                        idx += 1
+                else:
+                    for _ in range(cnt):
+                        q = br.read_unary()
+                        z = (q << k) | (br.read(k) if k else 0)
+                        blk[idx] = (z >> 1) ^ -(z & 1)  # un-zigzag
+                        idx += 1
+            for i in range(order, nb):  # undo the fixed predictor
+                pred = 0
+                for j, c in enumerate(_FIXED_COEFFS[order]):
+                    pred += c * blk[i - 1 - j]
+                blk[i] += pred
+        elif stype >= 32:
+            raise ValueError("LPC FLAC subframes unsupported (FIXED only)")
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        if wasted:
+            blk <<= wasted
+        br.align()
+        crc16 = struct.unpack(">H", data[br.byte : br.byte + 2])[0]
+        if _crc16(data[frame_start : br.byte]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.byte + 2
+        if filled + nb > n_total:
+            raise ValueError("FLAC frames exceed STREAMINFO total")
+        out[filled : filled + nb] = blk
+        filled += nb
+    if (out > 32767).any() or (out < -32768).any():
+        raise ValueError("FLAC decoded sample out of 16-bit range")
+    pcm = out.astype(np.int16)
+    if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("FLAC STREAMINFO MD5 mismatch (corrupt stream)")
+    return rate, pcm

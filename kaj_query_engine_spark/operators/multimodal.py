@@ -518,15 +518,16 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_audio(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio"
 ) -> DataFrame:
-    """Real audio decode — WAV/PCM for real, other codecs honestly
-    guarded (same contract as :func:`decode_media`: this container
-    ships no mp3/flac/ogg libraries, and silently skipping media would
-    corrupt a corpus — raise per-task, filter on ``audio_meta.format``
-    upstream).
+    """Real audio decode — WAV/PCM and FLAC for real, other codecs
+    honestly guarded (same contract as :func:`decode_media`: this
+    container ships no mp3/ogg libraries, and silently skipping media
+    would corrupt a corpus — raise per-task, filter on
+    ``audio_meta.format`` upstream).
 
     Output one row per item: (id, rate, channels, n_samples, samples)
     with ``samples`` the raw little-endian int16 PCM buffer.
     """
+    from kaj_query_engine_spark.functions.flac import decode_flac
     from kaj_query_engine_spark.functions.wav import decode_wav
 
     schema = (
@@ -536,11 +537,14 @@ def decode_audio(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> tuple[int, int, int, bytes]:
+            if bytes(b[:4]) == b"fLaC":
+                rate, samples = decode_flac(bytes(b))
+                return rate, 1, samples.shape[0], samples.astype("<i2").tobytes()
             if bytes(b[:4]) != b"RIFF":
                 raise NotImplementedError(
-                    "decode_audio: only WAV/PCM decodes in this "
+                    "decode_audio: only WAV/PCM and FLAC decode in this "
                     "environment (no codec libraries installed) — "
-                    "filter on audio_meta.format == 'wav'"
+                    "filter on audio_meta.format"
                 )
             rate, channels, samples = decode_wav(bytes(b))
             n = samples.shape[0]
@@ -1066,4 +1070,61 @@ def normalize_media(
         F.struct(
             F.col("width"), F.col("height"), F.lit("png").alias("format")
         ).alias("media_meta"),
+    )
+
+
+def attach_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio ingest: an ``audio`` column holding
+    genuine FLAC bytes (pure-stdlib encoder, ``functions.flac``) plus
+    the same typed ``audio_meta`` struct as :func:`attach_wav_media`.
+
+    Deliberately reuses the WAV twin's EXACT sample model (block j of
+    doc d = sha256(f"{d}:a{j}") as 16 LE int16 samples, rate
+    8000 + d%3·4000), so FLAC being lossless means the decoded PCM
+    digest must match the SAME SQL reconstruction q94 uses — one
+    oracle, two codecs (q99). block_size=64 forces the multi-frame
+    path on every fixture; the FIXED predictor order cycles with
+    d % 3, exercising orders 0–2 across the corpus.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.flac import encode_flac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            blocks = [
+                hashlib.sha256(f"{d}:a{j}".encode()).digest()
+                for j in range(6 + d % 4)
+            ]
+            samples = np.frombuffer(b"".join(blocks), dtype="<i2").astype(
+                np.int16
+            )
+            return encode_flac(
+                samples,
+                8000 + (d % 3) * 4000,
+                block_size=64,
+                force_order=d % 3,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "audio": pdf[id_col].map(one)}
+            )
+
+    base = df.select(id_col)
+    if not df.isStreaming:
+        base = base.repartition(
+            max(WAV_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+    audio = base.mapInPandas(gen, f"{id_col} long, audio binary")
+    n_samples = ((F.lit(6) + F.col(id_col) % 4) * _WAV_BLOCK).cast("int")
+    return audio.withColumn(
+        "audio_meta",
+        F.struct(
+            (F.lit(8000) + (F.col(id_col) % 3) * 4000)
+            .cast("int")
+            .alias("rate"),
+            n_samples.alias("n_samples"),
+            F.lit("flac").alias("format"),
+        ),
     )

@@ -581,3 +581,45 @@ def q98(spark, sf_dir):
         "channels",
         F.md5(F.lower(F.hex(F.col("pixels")))).alias("pix_md5"),
     )
+
+
+# q99: REAL FLAC codec — one oracle, two codecs. attach_flac_media
+# reuses attach_wav_media's EXACT sample model, and FLAC is lossless,
+# so the decoded PCM digest must match the SAME sha256-concat
+# reconstruction q94's decode branch uses. A match therefore pins the
+# whole compressed path — Rice coding (zigzag, unary+k-bit, method
+# selection), FIXED predictor reconstruction (orders 0-2 cycle across
+# docs), MSB-first bit packing, UTF-8 frame numbers, CRC-8/CRC-16,
+# and STREAMINFO's embedded MD5 (verified in-decoder). The 'size'
+# column also pins the compressed payload length per doc, so the
+# encoder's exact bit output is covered too (any Rice/packing change
+# shifts it). block_size=64 forces multi-frame streams on every doc.
+_FLAC_SQL = (
+    "SELECT doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    "md5(array_to_string(list_transform("
+    "generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '')) AS buf_md5 "
+    "FROM documents"
+)
+
+
+@register(
+    "q99_flac_decode",
+    _FLAC_SQL,
+    "REAL compressed-lossless audio decode: genuine FLAC bytes (pure-"
+    "stdlib encoder — FIXED predictors, Rice-coded residuals, CRC-8/16, "
+    "STREAMINFO MD5) decode through the pure-stdlib codec; the corpus "
+    "reuses q94's sample model, so the SAME SQL reconstruction must "
+    "digest-match — one oracle pinning both the uncompressed and "
+    "compressed audio paths. mp3 (lossy) stays honestly guarded",
+)
+def q99(spark, sf_dir):
+    a = M.attach_flac_media(t(spark, sf_dir, "documents"))
+    return M.decode_audio(a).select(
+        "doc_id",
+        "rate",
+        "n_samples",
+        F.md5(F.lower(F.hex(F.col("samples")))).alias("buf_md5"),
+    )

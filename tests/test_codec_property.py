@@ -148,3 +148,21 @@ def test_gif_dictionary_pressure_roundtrip(val, h, w):
     idx[::3, :] = (val + 1) % 256
     out = decode_gif(encode_gif(idx))
     assert (out == idx[:, :, None]).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(
+        np.int16, st.integers(1, 1500), elements=st.integers(-32768, 32767)
+    ),
+    rate=st.integers(1, 192000),
+    bs=st.sampled_from([16, 64, 256, 4096]),
+    order=st.sampled_from([None, 0, 1, 2]),
+)
+def test_flac_roundtrip(s, rate, bs, order):
+    from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
+
+    if order is not None and order >= min(bs, len(s)):
+        order = 0
+    r, out = decode_flac(encode_flac(s, rate, block_size=bs, force_order=order))
+    assert r == rate and np.array_equal(out, s)

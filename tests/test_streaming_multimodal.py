@@ -1013,3 +1013,56 @@ def test_normalize_media_unifies_codecs_to_png(spark):
             assert (r.media_meta.width, r.media_meta.height) == (ww, wh)
             assert px.tobytes() == wpx
             assert (px.ndim == 2) == (wch == 1)
+
+
+def test_flac_codec_roundtrip_and_rejects_malformed():
+    """FLAC encode→decode is the identity across lengths, block sizes
+    and all forced FIXED orders; CRC and mid-stream corruption are
+    caught (the format carries three integrity layers: header CRC-8,
+    frame CRC-16, STREAMINFO MD5)."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(9)
+    for n in (1, 64, 65, 500):
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        for bs in (16, 64, 4096):
+            r, out = decode_flac(encode_flac(s, 44100, block_size=bs))
+            assert r == 44100 and np.array_equal(out, s), (n, bs)
+    t = np.arange(1500)
+    smooth = (1000 * np.sin(t / 50) + 50 * np.sin(t / 7)).astype(np.int16)
+    for o in range(5):
+        _r, out = decode_flac(
+            encode_flac(smooth, 8000, block_size=128, force_order=o)
+        )
+        assert np.array_equal(out, smooth), o
+    # lossless compression actually compresses the smooth signal
+    assert len(encode_flac(smooth, 8000)) < len(smooth) * 2 * 0.5
+    good = encode_flac(smooth[:300], 8000)
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"fLaX" + good[4:])
+    bad = bytearray(good)
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|MD5|range|sync"):
+        decode_flac(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[60] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad2))
+
+
+def test_flac_decode_audio_matches_wav_twin(spark):
+    """decode_audio on the FLAC corpus yields byte-identical PCM to
+    the WAV corpus built from the same sample model — the two-codec
+    one-oracle law behind q99."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    wav = {
+        r.doc_id: (r.rate, r.n_samples, bytes(r.samples))
+        for r in M.decode_audio(M.attach_wav_media(df, "doc_id")).collect()
+    }
+    flac = {
+        r.doc_id: (r.rate, r.n_samples, bytes(r.samples))
+        for r in M.decode_audio(M.attach_flac_media(df, "doc_id")).collect()
+    }
+    assert flac == wav and len(flac) == 10

@@ -189,6 +189,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "codegen id :"],
         ["Exchange", "Join", "MapInPandas", "BatchEvalPython"],
     ),
+    "q99_flac_decode": (
+        # FLAC twin of q94: spread exchange → map-only compressed
+        # decode → digest projection — no joins, no sorts
+        ["MapInPandas", "hashpartitioning("],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
     "q98_gif_decode": (
         # GIF twin: spread exchange → map-only LZW decode → digest
         # projection — no joins, no sorts (single branch, no union)
