@@ -1,0 +1,198 @@
+"""Incremental table maintenance: MERGE/upsert, CDC change feeds,
+snapshot diff, and SCD2 dimension building.
+
+The reference engine is read-only — its grammar has no DML at all
+(``/root/reference/src/qp/parser/parser.cup`` defines only SELECT) —
+so this family is part of the training-data-pipeline extension
+surface: a 100 TB corpus is never rebuilt from scratch, it is
+*maintained* (crawl batches merged in, takedowns deleted, metadata
+dimensions versioned), and every downstream incremental consumer
+wants a change feed rather than a full re-diff.
+
+Scale design (the shuffle inventory, per operator):
+
+- **merge_upsert / merge_change_feed**: exactly ONE shuffle — the
+  full-outer equi-join of target and batch on the key. On a real
+  deployment the target is stored partitioned (date) and/or bucketed
+  on the key (``sources.layout.write_bucketed``): bucketing makes the
+  merge join exchange-free on the target side, and writing the result
+  with ``partitionOverwriteMode=dynamic`` rewrites only partitions the
+  batch touched — merge cost is O(batch ∪ touched partitions), never
+  O(target). The batch side is typically small enough that the
+  planner broadcasts it from its own size estimate (no hint here —
+  the q00 audit's lesson: hints pin yesterday's sizes).
+- **snapshot_diff**: ONE full-outer join; same bucketing economics.
+- **scd2_from_events**: ONE shuffle+sort on (key, ts) carrying both
+  window functions (change-collapse lag + validity lead) — the same
+  single-exchange discipline as sessionization
+  (``operators.temporal``); no self-join on the history.
+
+Semantics follow the de-facto standard MERGE contract (Delta/Iceberg
+``MERGE INTO``): matched rows are replaced by the batch row (or
+deleted when the delete predicate holds on the batch row), unmatched
+batch rows are inserted (unless the delete predicate holds — a
+delete for a row we never had is a no-op), unmatched target rows are
+kept. All of it is expressible as one declarative plan — no RDDs, no
+driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _check_aligned(target: DataFrame, source: DataFrame, keys: list[str]) -> list[str]:
+    """Merge requires both sides to share one schema (same names &
+    order-insensitive); returns the non-key value columns."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge requires identical column sets; "
+            f"target-only={sorted(set(target.columns) - set(source.columns))} "
+            f"source-only={sorted(set(source.columns) - set(target.columns))}"
+        )
+    missing = [k for k in keys if k not in target.columns]
+    if missing:
+        raise ValueError(f"merge keys absent from schema: {missing}")
+    return [c for c in target.columns if c not in keys]
+
+
+def _packed_join(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_condition: Column | None,
+) -> tuple[DataFrame, list[str]]:
+    """Full-outer join with each side's value columns packed into one
+    struct — sidesteps every duplicate-name ambiguity, and the struct
+    is also the cheapest whole-row equality for diffing. The delete
+    predicate is evaluated on the RAW source row (before packing) so
+    callers can write it against natural column names."""
+    vals = _check_aligned(target, source, keys)
+    tgt = target.select(*keys, F.struct(*vals).alias("_t"))
+    src = source.select(
+        *keys,
+        F.struct(*vals).alias("_s"),
+        (
+            delete_condition if delete_condition is not None else F.lit(False)
+        ).alias("_del"),
+    )
+    return tgt.join(src, on=keys, how="full_outer"), vals
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Post-merge snapshot of ``target`` with batch ``source`` applied.
+
+    MERGE contract: matched → source row (or dropped when
+    ``delete_condition`` holds on the source row); source-only →
+    inserted (skipped when the delete predicate holds); target-only →
+    kept. One full-outer shuffle join; see the module docstring for
+    the partitioned/bucketed write pattern that makes this O(batch)
+    on a real table."""
+    j, vals = _packed_join(target, source, keys, delete_condition)
+    side = F.when(F.col("_s").isNotNull(), F.col("_s")).otherwise(F.col("_t"))
+    return (
+        j.filter(~(F.col("_s").isNotNull() & F.col("_del")))
+        .select(*keys, *[side.getField(c).alias(c) for c in vals])
+        .select(*target.columns)  # original column order
+    )
+
+
+def merge_change_feed(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """CDC feed of the same merge: one row per *effective* change,
+    tagged ``op`` ∈ I/U/D, carrying the post-image for I/U and the
+    batch row for D. No-op batch rows produce nothing: an unmatched
+    delete, and an update whose row equals the target row bit-for-bit
+    (struct equality — NULL-safe via ``eqNullSafe``), are both
+    suppressed, so downstream incremental consumers see only real
+    changes. Same single full-outer join as :func:`merge_upsert`."""
+    j, vals = _packed_join(target, source, keys, delete_condition)
+    op = (
+        F.when(F.col("_s").isNull(), F.lit(None))  # target-only: no change
+        .when(F.col("_del") & F.col("_t").isNotNull(), F.lit("D"))
+        .when(F.col("_del"), F.lit(None))  # delete of absent key: no-op
+        .when(F.col("_t").isNull(), F.lit("I"))
+        .when(F.col("_s").eqNullSafe(F.col("_t")), F.lit(None))  # no-op update
+        .otherwise(F.lit("U"))
+    )
+    return (
+        j.select(op.alias("op"), *keys, *[F.col("_s").getField(c).alias(c) for c in vals])
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Audit diff of two snapshots of one table: rows tagged ``op`` ∈
+    I (key only in ``new``), U (key in both, any value column differs
+    — NULL-safe struct compare), D (key only in ``old``). I/U carry
+    the new row, D carries the old row. Identical rows vanish. ONE
+    full-outer join — the generic "what changed between yesterday's
+    and today's corpus" primitive, and the verifier for any external
+    pipeline that claims to have applied a change feed."""
+    vals = _check_aligned(old, new, keys)
+    o = old.select(*keys, F.struct(*vals).alias("_o"))
+    n = new.select(*keys, F.struct(*vals).alias("_n"))
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("_o").isNull(), F.lit("I"))
+        .when(F.col("_n").isNull(), F.lit("D"))
+        .when(F.col("_n").eqNullSafe(F.col("_o")), F.lit(None))
+        .otherwise(F.lit("U"))
+    )
+    side = F.when(F.col("_n").isNotNull(), F.col("_n")).otherwise(F.col("_o"))
+    return (
+        j.select(op.alias("op"), *keys, *[side.getField(c).alias(c) for c in vals])
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    per ``key``, collapse consecutive events with the same ``state_col``
+    into one versioned row with ``valid_from_us`` / ``valid_to_us``
+    (epoch-microsecond BIGINTs — the repo-wide rule: no raw timestamp
+    crosses a result boundary) and ``is_current``.
+
+    Two window functions over ONE shuffle+sort on (key, ts[, tiebreak]):
+    a lag marks state changes (run starts), a lead on the *filtered*
+    run starts supplies each version's end. ``tiebreak`` (e.g. a
+    unique event id) makes ordering — and therefore which of two
+    same-timestamp events opens the version — deterministic."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    # row_number (same window, no extra exchange) marks the first event
+    # explicitly: a bare ~eqNullSafe(lag, state) would swallow a
+    # leading NULL state (lag NULL ≡ state NULL → "no change")
+    starts = events.withColumn(
+        "_chg",
+        (F.row_number().over(w) == 1)
+        | ~F.lag(F.col(state_col)).over(w).eqNullSafe(F.col(state_col)),
+    ).filter(F.col("_chg"))
+    w2 = W.partitionBy(key).orderBy(*order)
+    return starts.select(
+        F.col(key),
+        F.col(state_col).alias("state"),
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(F.lead(F.col(ts_col)).over(w2)).alias("valid_to_us"),
+        F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
+    )

@@ -1,0 +1,142 @@
+"""Table-maintenance workload: MERGE/upsert + CDC change feed +
+snapshot diff (q55) and SCD2 dimension building (q56).
+
+The batch/target split is derived deterministically from ``orders``
+itself so the oracle can reproduce it exactly:
+
+- target  = orders with ``o_orderkey % 10 < 8`` (the standing table)
+- source  = orders with ``o_orderkey % 3 = 0`` (the incoming batch),
+  with ``o_totalprice`` bumped by 1000.0 on even keys (a SINGLE
+  IEEE-754 double add — bit-identical across engines; only multi-term
+  summation order diverges) so the batch contains real updates AND
+  bit-identical no-op updates
+- delete predicate = batch row has ``o_orderstatus = 'F'``
+
+which exercises every MERGE arm: update, bit-identical no-op update
+(suppressed from the feed), insert, matched delete, and the
+unmatched-delete no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import maintenance as M
+from kaj_query_engine_spark.workload.core import t
+from kaj_query_engine_spark.workload.registry import register
+
+# DuckDB mirror of the full-row no-op test (Spark side: one struct
+# eqNullSafe over the non-key columns)
+_SAME = (
+    "s.o_custkey IS NOT DISTINCT FROM t.o_custkey AND "
+    "s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus AND "
+    "s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice AND "
+    "s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate AND "
+    "s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority"
+)
+
+_MERGE_ORACLE = (
+    "WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8), "
+    "src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice, o_orderdate, o_orderpriority "
+    "FROM orders WHERE o_orderkey % 3 = 0), "
+    "m AS (SELECT t.o_orderkey AS tk, s.o_orderkey AS sk, "
+    "t.o_totalprice AS tp, t.o_orderstatus AS tst, "
+    "s.o_totalprice AS sp, s.o_orderstatus AS sst, "
+    "COALESCE(s.o_orderstatus = 'F', FALSE) AS del, "
+    f"({_SAME}) AS same "
+    "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey) "
+    "SELECT 'snap' AS path, 'S' AS op, COALESCE(sk, tk) AS o_orderkey, "
+    "CASE WHEN sk IS NOT NULL THEN sp ELSE tp END AS price, "
+    "CASE WHEN sk IS NOT NULL THEN sst ELSE tst END AS status "
+    "FROM m WHERE NOT (sk IS NOT NULL AND del) "
+    "UNION ALL SELECT 'cdc', CASE WHEN del THEN 'D' "
+    "WHEN tk IS NULL THEN 'I' ELSE 'U' END, sk, sp, sst "
+    "FROM m WHERE sk IS NOT NULL AND NOT (del AND tk IS NULL) "
+    "AND NOT (NOT del AND tk IS NOT NULL AND same) "
+    "UNION ALL SELECT 'diff', 'D', tk, tp, tst "
+    "FROM m WHERE sk IS NOT NULL AND del AND tk IS NOT NULL "
+    "UNION ALL SELECT 'diff', 'I', sk, sp, sst "
+    "FROM m WHERE tk IS NULL AND sk IS NOT NULL AND NOT del "
+    "UNION ALL SELECT 'diff', 'U', sk, sp, sst "
+    "FROM m WHERE tk IS NOT NULL AND sk IS NOT NULL AND NOT del AND NOT same"
+)
+
+
+@register(
+    "q55_merge_upsert",
+    _MERGE_ORACLE,
+    "MERGE/upsert table maintenance, three tagged branches: 'snap' is "
+    "the full post-merge snapshot (matched rows replaced, matched "
+    "deletes dropped, batch-only rows inserted, delete-of-absent-key "
+    "a no-op), 'cdc' is the effective change feed (op I/U/D, "
+    "bit-identical no-op updates suppressed via a NULL-safe struct "
+    "compare), 'diff' is snapshot_diff(target, merged) — the generic "
+    "two-snapshot audit (D carries the pre-image, I/U the post-image). "
+    "Each branch is ONE full-outer shuffle join on the key; on a real "
+    "table the target is bucketed on the key (exchange-free side) and "
+    "written with dynamic partition overwrite — O(batch), not "
+    "O(target)",
+)
+def q55(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    target = o.filter(key % 10 < 8)
+    source = o.filter(key % 3 == 0).withColumn(
+        "o_totalprice",
+        F.when(key % 2 == 0, F.col("o_totalprice") + F.lit(1000.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    delete = F.col("o_orderstatus") == "F"
+    keys = ["o_orderkey"]
+    snap = M.merge_upsert(target, source, keys, delete_condition=delete)
+    cdc = M.merge_change_feed(target, source, keys, delete_condition=delete)
+    diff = M.snapshot_diff(target, snap, keys)
+
+    def shape(df, path, op=None):
+        return df.select(
+            F.lit(path).alias("path"),
+            (F.lit(op) if op else F.col("op")).alias("op"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+
+    return (
+        shape(snap, "snap", "S")
+        .unionAll(shape(cdc, "cdc"))
+        .unionAll(shape(diff, "diff"))
+    )
+
+
+_SCD2_ORACLE = (
+    "WITH w AS (SELECT user_id, event_type, ts, event_id, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events), "
+    "s AS (SELECT user_id, event_type AS state, ts, event_id FROM w "
+    "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) "
+    "SELECT user_id, state, epoch_us(ts) AS valid_from_us, "
+    "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current "
+    "FROM s"
+)
+
+
+@register(
+    "q56_scd2_dimension",
+    _SCD2_ORACLE,
+    "SCD2 dimension build from the event history: per user, collapse "
+    "consecutive same-state events into versioned rows with "
+    "valid_from_us/valid_to_us (epoch-micro BIGINTs; open version -> "
+    "NULL + is_current). Two window functions over ONE shuffle+sort "
+    "on (user_id, ts, event_id) — no self-join on the history; "
+    "deterministic via the event_id tiebreak",
+)
+def q56(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return M.scd2_from_events(
+        e, "user_id", "ts", "event_type", tiebreak="event_id"
+    )

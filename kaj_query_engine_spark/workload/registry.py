@@ -58,6 +58,7 @@ def all_queries() -> dict[str, WorkloadQuery]:
     import kaj_query_engine_spark.workload.multimodal  # noqa: F401
     import kaj_query_engine_spark.workload.scale  # noqa: F401
     import kaj_query_engine_spark.workload.pipeline  # noqa: F401
+    import kaj_query_engine_spark.workload.maintenance  # noqa: F401
 
     return dict(_REGISTRY)
 

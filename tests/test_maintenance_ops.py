@@ -1,0 +1,203 @@
+"""Unit tests for operators/maintenance.py — the MERGE contract's
+arm-by-arm semantics, the no-op suppression rules, the
+apply-feed-reproduces-snapshot law, and SCD2 boundary cases that the
+sf-fixture oracle diff can't isolate (leading NULL state, equal
+timestamps, single-event keys)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators import maintenance as M
+
+SCHEMA = "k long, v string, n double"
+
+
+@pytest.fixture()
+def tables(spark):
+    def make(rows, schema=SCHEMA):
+        return spark.createDataFrame(rows, schema)
+
+    return make
+
+
+TARGET = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)]
+# 1: bit-identical no-op update; 2: real update; 3: matched delete;
+# 5: insert; 6: unmatched delete (no-op); 7: insert flagged DEL (skip)
+SOURCE = [
+    (1, "a", 1.0),
+    (2, "B", 2.0),
+    (3, "DEL", 3.0),
+    (5, "e", 5.0),
+    (6, "DEL", 6.0),
+    (7, "DEL", 7.0),
+]
+def DEL():
+    return F.col("v") == "DEL"
+
+
+def test_merge_upsert_arms(tables):
+    out = M.merge_upsert(
+        tables(TARGET), tables(SOURCE), ["k"], delete_condition=DEL()
+    )
+    rows = {r.k: (r.v, r.n) for r in out.collect()}
+    assert rows == {
+        1: ("a", 1.0),  # matched, identical → source (same bits)
+        2: ("B", 2.0),  # matched → source row wins
+        4: (None, 4.0),  # target-only → kept (NULL value col intact)
+        5: ("e", 5.0),  # source-only → inserted
+        # 3 deleted; 6 and 7 never inserted (delete predicate holds)
+    }
+    assert out.columns == ["k", "v", "n"]  # original column order
+
+
+def test_change_feed_ops_and_noop_suppression(tables):
+    out = M.merge_change_feed(
+        tables(TARGET), tables(SOURCE), ["k"], delete_condition=DEL()
+    )
+    rows = {r.k: (r.op, r.v) for r in out.collect()}
+    # k=1 (bit-identical update) and k=6/7 (deletes of absent keys)
+    # must NOT appear; D carries the batch row
+    assert rows == {2: ("U", "B"), 3: ("D", "DEL"), 5: ("I", "e")}
+
+
+def test_null_safe_noop_detection(tables):
+    # NULL == NULL must count as "unchanged" (eqNullSafe), so a batch
+    # row re-stating a NULL-valued target row is suppressed
+    out = M.merge_change_feed(
+        tables(TARGET), tables([(4, None, 4.0)]), ["k"]
+    )
+    assert out.count() == 0
+    # ... while NULL -> value is a real update
+    out = M.merge_change_feed(tables(TARGET), tables([(4, "x", 4.0)]), ["k"])
+    assert [(r.op, r.k) for r in out.collect()] == [("U", 4)]
+
+
+def test_apply_feed_reproduces_snapshot(spark):
+    """The law that makes the feed trustworthy: target + feed == snapshot.
+    Run on the real orders fixture with the q55 derivation so it holds
+    on data with every arm populated, not just the toy rows."""
+    from tests.conftest import SF_DIR
+    from kaj_query_engine_spark.workload.core import t
+
+    o = t(spark, SF_DIR, "orders")
+    key = F.col("o_orderkey")
+    target = o.filter(key % 10 < 8)
+    source = o.filter(key % 3 == 0).withColumn(
+        "o_totalprice",
+        F.when(key % 2 == 0, F.col("o_totalprice") + F.lit(1000.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    delete = F.col("o_orderstatus") == "F"
+    snap = M.merge_upsert(target, source, ["o_orderkey"], delete_condition=delete)
+    feed = M.merge_change_feed(
+        target, source, ["o_orderkey"], delete_condition=delete
+    )
+    # apply: drop D/U keys from target, then add back I/U post-images
+    dels = feed.filter(F.col("op").isin("D", "U")).select("o_orderkey")
+    upserts = feed.filter(F.col("op").isin("I", "U")).drop("op")
+    applied = (
+        target.join(dels, "o_orderkey", "left_anti")
+        .unionByName(upserts.select(*target.columns))
+    )
+    assert M.snapshot_diff(applied, snap, ["o_orderkey"]).count() == 0
+    # and the diff of target vs snapshot carries exactly the feed's
+    # change count (same I/U/D rows, pre-image on D)
+    d = M.snapshot_diff(target, snap, ["o_orderkey"])
+    assert (
+        d.groupBy("op").count().orderBy("op").collect()
+        == feed.groupBy("op").count().orderBy("op").collect()
+    )
+
+
+def test_schema_mismatch_raises(tables, spark):
+    other = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="identical column sets"):
+        M.merge_upsert(tables(TARGET), other, ["k"])
+    with pytest.raises(ValueError, match="keys absent"):
+        M.merge_upsert(tables(TARGET), tables(TARGET), ["nope"])
+
+
+def test_snapshot_diff_directions(tables):
+    old = tables([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    new = tables([(2, "b", 2.0), (3, "C", 3.0), (9, "i", 9.0)])
+    rows = {r.k: (r.op, r.v) for r in M.snapshot_diff(old, new, ["k"]).collect()}
+    # 2 unchanged → absent; D carries pre-image, I/U the post-image
+    assert rows == {1: ("D", "a"), 3: ("U", "C"), 9: ("I", "i")}
+
+
+BASE = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+
+
+def t_(s: float) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, int(s))
+
+
+def us(s: float) -> int:
+    return BASE + int(s) * 1_000_000
+
+
+@pytest.fixture()
+def history(spark):
+    def make(rows):
+        return spark.createDataFrame(
+            rows, "id long, k long, ts timestamp, st string"
+        )
+
+    return make
+
+
+def scd2(df):
+    return M.scd2_from_events(df, "k", "ts", "st", tiebreak="id")
+
+
+def test_scd2_collapses_runs_and_chains_validity(history):
+    out = scd2(
+        history(
+            [
+                (1, 1, t_(0), "x"),
+                (2, 1, t_(10), "x"),  # same state → collapsed
+                (3, 1, t_(20), "y"),
+                (4, 1, t_(30), "x"),  # back to x → NEW version
+            ]
+        )
+    ).orderBy("valid_from_us").collect()
+    assert [(r.state, r.valid_from_us, r.valid_to_us, r.is_current) for r in out] == [
+        ("x", us(0), us(20), False),
+        ("y", us(20), us(30), False),
+        ("x", us(30), None, True),
+    ]
+
+
+def test_scd2_leading_null_state_and_single_event(history):
+    out = scd2(
+        history([(1, 1, t_(0), None), (2, 1, t_(5), None), (3, 1, t_(9), "a"),
+                 (4, 2, t_(0), "solo")])
+    )
+    rows = sorted(
+        ((r.k, r.state, r.valid_from_us, r.is_current) for r in out.collect()),
+        key=lambda r: (r[0], r[2]),
+    )
+    # the leading NULL run must open a version (row_number guard), the
+    # second NULL collapses into it; single-event key → one open version
+    assert rows == [
+        (1, None, us(0), False),
+        (1, "a", us(9), True),
+        (2, "solo", us(0), True),
+    ]
+
+
+def test_scd2_equal_ts_tiebreak_deterministic(history):
+    # two events at the SAME timestamp: event-id order decides which
+    # state the version chain passes through
+    out = scd2(
+        history([(1, 1, t_(0), "a"), (2, 1, t_(0), "b"), (3, 1, t_(7), "b")])
+    ).orderBy("valid_from_us", "state").collect()
+    assert [(r.state, r.valid_from_us, r.valid_to_us) for r in out] == [
+        ("a", us(0), us(0)),  # zero-width version: superseded at same ts
+        ("b", us(0), None),
+    ]

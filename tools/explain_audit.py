@@ -207,6 +207,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "Union", "hashpartitioning("],
         ["Join", "CartesianProduct", "rangepartitioning("],
     ),
+    "q55_merge_upsert": (
+        # MERGE + CDC + diff: every branch is a full-outer EQUI join
+        # on the key (SMJ — full outer is not broadcastable, and at
+        # real scale the target side is bucketed, making its exchange
+        # vanish; see sources/layout.py). A nested-loop or cartesian
+        # here would mean the key equi-condition fell out of the join
+        ["SortMergeJoin FullOuter", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "q56_scd2_dimension": (
+        # SCD2 build: both window functions ride ONE hash exchange on
+        # user_id (the sort is computed once and reused); no self-join
+        # on the history, no global range sort
+        ["Window", "hashpartitioning(user_id"],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
     "q95_avi_decode": (
         # the video twin: spread exchange → map-only container decode
         # exploding to per-frame rows, subsample round trip, and the
