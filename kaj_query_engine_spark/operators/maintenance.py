@@ -196,3 +196,71 @@ def scd2_from_events(
         F.unix_micros(F.lead(F.col(ts_col)).over(w2)).alias("valid_to_us"),
         F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
     )
+
+
+def scd2_merge_batch(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension (the
+    :func:`scd2_from_events` output schema) with a new APPEND-ONLY
+    event batch — without recomputing untouched keys.
+
+    Differential contract (the q57 oracle pins it): the result equals
+    ``scd2_from_events`` over the full history, PROVIDED the batch is
+    append-only per key — every batch event at-or-after the key's last
+    previously-OBSERVED event time (what watermark-ordered batch
+    ingest guarantees), not merely its last version start: the
+    collapsed dimension no longer knows about the non-change events
+    inside a run, so an event interleaving mid-run would split the
+    run differently than a full rebuild. Late events therefore belong
+    in a reconciliation rebuild of their keys from raw history — the
+    same policy as the band index's tombstone rebuild
+    (``operators/dedup.py``).
+
+    Shape, per the incremental-ingest playbook (the LSH band index /
+    fingerprint index economics applied to dimensions):
+
+    - untouched keys: ONE left-anti join of the dimension against the
+      batch's distinct keys — the key set of a bounded batch is
+      bounded, the planner broadcasts it, and the dimension scan
+      stays map-only (never re-sorted, never re-windowed);
+    - touched keys: each existing version's start is itself a change
+      event, so (that key's versions as pseudo-events) ∪ (its batch
+      events) re-collapses through :func:`scd2_from_events` — cost
+      O(touched versions + batch), independent of dimension size.
+
+    Batch events that merely re-state a key's current state collapse
+    away (run-collapse is idempotent), so a re-delivered event batch
+    is absorbed with no spurious versions — at-least-once ingest safe.
+    """
+    touched_keys = batch.select(key).distinct()
+    kept = dim.join(touched_keys, on=key, how="left_anti")
+    # a version start is a change event at (valid_from, state); carry
+    # the tiebreak as NULL so batch events at the same microsecond
+    # order after it (their real ids are non-null → sort later only
+    # under NULLS FIRST default; make it explicit via coalesce to the
+    # minimum: version starts always precede same-ts batch events)
+    pseudo = (
+        dim.join(touched_keys, on=key, how="left_semi")
+        .select(
+            F.col(key),
+            F.timestamp_micros(F.col("valid_from_us")).alias(ts_col),
+            F.col("state").alias(state_col),
+            *([F.lit(None).cast("long").alias(tiebreak)] if tiebreak else []),
+        )
+    )
+    replay = pseudo.unionByName(
+        batch.select(
+            key, ts_col, state_col, *([tiebreak] if tiebreak else [])
+        )
+    )
+    rebuilt = scd2_from_events(
+        replay, key, ts_col, state_col, tiebreak=tiebreak
+    )
+    return kept.unionByName(rebuilt)

@@ -140,3 +140,36 @@ def q56(spark, sf_dir):
     return M.scd2_from_events(
         e, "user_id", "ts", "event_type", tiebreak="event_id"
     )
+
+
+@register(
+    "q57_scd2_incremental",
+    _SCD2_ORACLE,
+    "Incremental SCD2 maintenance: the dimension built from history "
+    "before 2024-01-22 is merged with the later events as an "
+    "append-only batch — untouched keys pass through ONE broadcast "
+    "anti-join (map-only dimension scan), touched keys re-collapse "
+    "from (their versions as pseudo-events) + batch, O(touched + "
+    "batch) regardless of dimension size. The oracle is DELIBERATELY "
+    "the full-rebuild SQL over the entire history (same as q56): "
+    "incremental merge == full rebuild is the differential contract "
+    "being checked",
+)
+def q57(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    dim = M.scd2_from_events(
+        e.filter(F.col("ts") < cut),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    )
+    return M.scd2_merge_batch(
+        dim,
+        e.filter(F.col("ts") >= cut),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    )

@@ -201,3 +201,37 @@ def test_scd2_equal_ts_tiebreak_deterministic(history):
         ("a", us(0), us(0)),  # zero-width version: superseded at same ts
         ("b", us(0), None),
     ]
+
+
+def scd2_merge(dim, batch):
+    return M.scd2_merge_batch(dim, batch, "k", "ts", "st", tiebreak="id")
+
+
+def test_scd2_incremental_equals_rebuild(history):
+    full = [
+        (1, 1, t_(0), "x"), (2, 1, t_(10), "x"), (3, 1, t_(20), "y"),
+        (4, 2, t_(5), "a"),
+        # batch half: state change, re-statement (collapses), new key
+        (5, 1, t_(30), "x"), (6, 2, t_(35), "a"), (7, 3, t_(40), "n"),
+    ]
+    dim = scd2(history([r for r in full if r[0] <= 4]))
+    batch = history([r for r in full if r[0] > 4])
+    merged = scd2_merge(dim, batch)
+    rebuilt = scd2(history(full))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # untouched key 2's open version must survive a batch that merely
+    # re-states its state; key 3 appears with one open version
+    rows = {(r.k, r.state): r.is_current for r in merged.collect()}
+    assert rows[(2, "a")] and rows[(3, "n")]
+
+
+def test_scd2_incremental_redelivery_idempotent(history):
+    dim = scd2(history([(1, 1, t_(0), "x"), (2, 1, t_(10), "y")]))
+    batch = history([(3, 1, t_(20), "z")])
+    once = scd2_merge(dim, batch)
+    twice = scd2_merge(once, batch)  # re-delivered at-least-once
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )

@@ -216,6 +216,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q57_scd2_incremental": (
+        # incremental dimension merge: the batch's key set is bounded,
+        # so BOTH the untouched-keys anti-join and the touched-keys
+        # semi-join must broadcast it (planner's own size estimate, no
+        # hint) — the dimension side stays map-only; the only
+        # exchanges are the per-key window sorts of the rebuild
+        ["BroadcastHashJoin LeftAnti", "BroadcastHashJoin LeftSemi",
+         "Window", "Union"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
     "q56_scd2_dimension": (
         # SCD2 build: both window functions ride ONE hash exchange on
         # user_id (the sort is computed once and reused); no self-join
