@@ -51,6 +51,7 @@ def main() -> None:
         "q36_bucketed_join",
         "q63_ann_ivf",  # also writes the derived quantized index
         "q51_minhash_lsh",  # materialized band-bucket index (incr branch)
+        "q41_bpe_tokenizer",  # write-once learned BPE merge table
     ):
         if name in queries:
             queries[name].spark(spark, sf_dir)

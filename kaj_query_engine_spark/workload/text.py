@@ -195,3 +195,117 @@ def q46(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("col", "val", "n")
     )
+
+
+# --------------------------------------------------------------------
+# q41: BPE tokenizer — train on the corpus, encode the corpus
+# --------------------------------------------------------------------
+
+def materialized_bpe_model(spark, sf_dir):
+    """Write-once learned BPE model behind the q35-style staleness
+    token (the q63 materialized-IVF economics applied to vocabulary):
+    the corpus-wide piece count + driver-side learn run ONCE per
+    fixture generation; every later call loads the 256-row merge
+    table from parquet. Returns (BpeModel, merges DataFrame)."""
+    from kaj_query_engine_spark.operators import bpe as B
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    num_merges, max_pieces = 256, 50_000
+    src = f"{sf_dir}/documents.parquet"
+    path = str(_SCRATCH / _tag(sf_dir) / "bpe_model")
+    token = _layout_token(src, f"bpe:{num_merges}:{max_pieces}:v1")
+    if not _layout_current(token, path):
+        model = B.learn_bpe(
+            B.piece_frequencies(t(spark, sf_dir, "documents"), "text"),
+            num_merges=num_merges,
+            max_pieces=max_pieces,
+        )
+        rows = [
+            (i, a, b, int(c))
+            for i, ((a, b), c) in enumerate(
+                zip(model.merges, model.merge_counts)
+            )
+        ] + [
+            (-1, "kept_mass", "", model.kept_mass),
+            (-2, "dropped_mass", "", model.dropped_mass),
+            (-3, "dropped_pieces", "", model.dropped_pieces),
+        ]
+        spark.createDataFrame(
+            rows, "rank int, left string, right string, n long"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _stamp_layout(token, path)
+    mdf = spark.read.parquet(path)
+    meta = {r.left: r.n for r in mdf.filter(F.col("rank") < 0).collect()}
+    merges = mdf.filter(F.col("rank") >= 0).orderBy("rank").collect()
+    from kaj_query_engine_spark.operators.bpe import BpeModel
+
+    model = BpeModel(
+        merges=tuple((r.left, r.right) for r in merges),
+        merge_counts=tuple(r.n for r in merges),
+        kept_mass=meta["kept_mass"],
+        dropped_mass=meta["dropped_mass"],
+        dropped_pieces=meta["dropped_pieces"],
+    )
+    return model, mdf
+
+
+@register(
+    "q41_bpe_tokenizer",
+    None,  # iterative vocabulary learning is not SQL-expressible;
+    # rows-only driver check + the differential pytest pins
+    # (tests/test_bpe.py: independent apply-in-rank-order encoder,
+    # hand-computed merges, partitioning-invariance)
+    "real BPE tokenizer: merges learned from the corpus's "
+    "piece-frequency table (Sennrich-style — the corpus pivots "
+    "through ONE vocabulary-bounded shuffle, Heaps' law keeps the "
+    "driver table small, truncation mass REPORTED in 'coverage' "
+    "rows), then per-doc token counts via broadcast ranks + one "
+    "Arrow mapInPandas with a per-batch Zipf piece cache. Branches: "
+    "'merge' (the learned vocabulary itself, rank order), 'coverage' "
+    "(kept/dropped occurrence mass — no silent caps), 'doc' "
+    "(n_bpe_tokens per document), 'pieces' (pre-token count per "
+    "document). Model materialized write-once behind the staleness "
+    "token (q63 index economics)",
+)
+def q41(spark, sf_dir):
+    from kaj_query_engine_spark.operators import bpe as B
+
+    model, mdf = materialized_bpe_model(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    counts = B.encode_token_counts(d, "doc_id", "text", model)
+    merges = mdf.filter(F.col("rank") >= 0).select(
+        F.lit("merge").alias("path"),
+        F.col("rank").cast("long").alias("id"),
+        F.col("left").alias("a"),
+        F.col("right").alias("b"),
+        F.col("n"),
+    )
+    coverage = mdf.filter(F.col("rank") < 0).select(
+        F.lit("coverage").alias("path"),
+        F.col("rank").cast("long").alias("id"),
+        F.col("left").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n"),
+    )
+    # ONE encode pass feeds both per-doc branches: stack() unpivots
+    # (n_bpe_tokens, n_pieces) into tagged rows map-side, so the
+    # corpus crosses the Arrow boundary once, not once per branch
+    per_doc = counts.select(
+        F.expr(
+            "stack(2, 'doc', n_bpe_tokens, 'pieces', n_pieces) AS (path, n)"
+        ),
+        F.col("doc_id").alias("id"),
+    ).select(
+        "path",
+        "id",
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        "n",
+    )
+    return merges.unionAll(coverage).unionAll(per_doc)

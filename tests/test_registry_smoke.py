@@ -29,13 +29,24 @@ def test_query_analyzes(spark, name):
     assert len(df.schema.fields) > 0
 
 
+# queries DELIBERATELY registered without a SQL oracle (driver
+# records a rows-only check): each must carry its own differential
+# pytest pin. Pinned as an exact set so an accidental omission of a
+# new query's oracle still fails here.
+_ROWS_ONLY_OK = {
+    "q41_bpe_tokenizer",  # iterative BPE learn: tests/test_bpe.py
+}
+
+
 def test_entry_and_oracles_align(spark):
     oracles = entry.oracle_sql()
-    missing = sorted(set(_QUERIES) - set(oracles))
+    missing = sorted(set(_QUERIES) - set(oracles) - _ROWS_ONLY_OK)
     assert not missing, (
         f"queries without an oracle_sql entry (driver records a weaker "
         f"rows-only check for these): {missing}"
     )
+    assert not (_ROWS_ONLY_OK & set(oracles)), "allowlisted query grew an oracle"
+    assert _ROWS_ONLY_OK <= set(_QUERIES), "stale rows-only allowlist entry"
     extra = sorted(set(oracles) - set(_QUERIES))
     assert not extra, f"oracle_sql entries with no query: {extra}"
 

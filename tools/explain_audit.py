@@ -216,6 +216,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q41_bpe_tokenizer": (
+        # tokenizer workload: the learn happened at model-build time
+        # (write-once behind the staleness token), so the QUERY plan
+        # is pure map: parquet model scan + ONE Arrow encode pass
+        # (stack() fans out both per-doc branches from it) — zero
+        # exchanges, zero joins, corpus scanned once
+        ["MapInPandas", "Union", "Generate"],
+        ["Exchange", "Join", "CartesianProduct", "BatchEvalPython"],
+    ),
     "q57_scd2_incremental": (
         # incremental dimension merge: the batch's key set is bounded,
         # so BOTH the untouched-keys anti-join and the touched-keys
