@@ -1,0 +1,97 @@
+"""A minimal versioned parquet table: snapshot-isolated commits and
+time travel over a plain directory.
+
+This exists to give the streaming MERGE path (q85) a transactional
+target without a table format dependency: real deployments put a
+Delta/Iceberg table here (whose MERGE INTO is the transactional twin
+of ``operators.maintenance.merge_upsert``); the mechanism — immutable
+version directories plus one atomically-swapped CURRENT pointer — is
+the same idea those formats implement with a commit log, reduced to
+what a single-writer maintenance job needs:
+
+- **Readers never see a torn table.** A version directory is written
+  COMPLETELY before the pointer moves, and the pointer swap is an
+  ``os.replace`` (atomic on POSIX). A concurrent reader resolves the
+  pointer once and reads an immutable directory.
+- **Writes are full-snapshot, O(table).** Honest trade-off, stated
+  loudly: this is the demonstration-grade mechanism. At 100 TB the
+  pointer/version idea survives but the rewrite must not — a real
+  format commits per-PARTITION file replacements (dynamic partition
+  overwrite + a manifest), so a merge costs O(touched partitions);
+  see ``operators/maintenance`` for the partition-pruned merge
+  economics this plugs into.
+- **Single writer.** Streaming ``foreachBatch`` delivers batches
+  serially, which is exactly this model; multi-writer coordination
+  (optimistic re-try on pointer CAS) is a table-format concern, out
+  of scope here.
+
+Time travel falls out for free: every committed version stays
+readable until vacuumed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+
+
+class VersionedTable:
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+
+    # ---- pointer ----------------------------------------------------
+    def current_version(self) -> int | None:
+        try:
+            return int((self.path / _POINTER).read_text())
+        except (OSError, ValueError):
+            return None
+
+    def _swap_pointer(self, version: int) -> None:
+        tmp = self.path / f"{_POINTER}.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.path / _POINTER)  # atomic
+
+    # ---- lifecycle --------------------------------------------------
+    def init(self, df: DataFrame) -> int:
+        """(Re)create the table at version 0 from ``df``. Destroys any
+        existing history — callers use it for a fresh maintenance run,
+        not on a live table."""
+        if self.path.exists():
+            shutil.rmtree(self.path)
+        self.path.mkdir(parents=True)
+        df.write.parquet(str(self.path / "v0"))
+        self._swap_pointer(0)
+        return 0
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next immutable version, then move the
+        pointer. The write completes before the swap, so a crash
+        mid-commit leaves the table at the previous version —
+        re-running the batch is safe (the orphan directory is
+        overwritten)."""
+        cur = self.current_version()
+        if cur is None:
+            return self.init(df)
+        nxt = cur + 1
+        df.write.mode("overwrite").parquet(str(self.path / f"v{nxt}"))
+        self._swap_pointer(nxt)
+        return nxt
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to ``version``."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"uninitialized versioned table: {self.path}")
+        return spark.read.parquet(str(self.path / f"v{v}"))
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.name[1:])
+            for p in self.path.glob("v*")
+            if p.name[1:].isdigit()
+        )

@@ -502,3 +502,48 @@ def stream_stateful_user_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_merge_apply(
+    sdf: DataFrame,
+    table,
+    keys: list[str],
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Streaming MERGE: apply each micro-batch of upserts/deletes to a
+    :class:`~kaj_query_engine_spark.sources.versioned.VersionedTable`
+    via ``foreachBatch`` — the standard CDC-apply pattern (a stream of
+    changes maintaining a queryable table), composed from the batch
+    :func:`~kaj_query_engine_spark.operators.maintenance.merge_upsert`
+    so streaming and batch maintenance share ONE merge semantics
+    (same law as the stream==batch pins on dedup/windows: q85's
+    oracle is literally q55's snapshot SQL).
+
+    Each batch is one full-outer equi-join against the current
+    snapshot followed by a snapshot-isolated commit; batches apply
+    serially (foreachBatch's contract), so last-writer-wins across
+    batches and re-running a failed batch just re-commits the same
+    result. Returns the final table state as a batch DataFrame."""
+    from kaj_query_engine_spark.operators.maintenance import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = merge_upsert(
+            table.read(spark),
+            batch_df,
+            keys,
+            delete_condition=delete_condition,
+        )
+        table.commit(merged)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            str(table.path / "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(sdf.sparkSession)

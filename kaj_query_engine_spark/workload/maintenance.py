@@ -35,7 +35,9 @@ _SAME = (
     "s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority"
 )
 
-_MERGE_ORACLE = (
+# shared CTE prelude: the target/batch derivation + the joined merge
+# frame — q55's three branches and q85's streaming twin all read it
+_MERGE_CTES = (
     "WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8), "
     "src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
     "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 "
@@ -47,7 +49,21 @@ _MERGE_ORACLE = (
     "COALESCE(s.o_orderstatus = 'F', FALSE) AS del, "
     f"({_SAME}) AS same "
     "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey) "
-    "SELECT 'snap' AS path, 'S' AS op, COALESCE(sk, tk) AS o_orderkey, "
+)
+
+# the post-merge snapshot arm, without branch tags (q85 returns it bare)
+_SNAP_SELECT = (
+    "SELECT COALESCE(sk, tk) AS o_orderkey, "
+    "CASE WHEN sk IS NOT NULL THEN sp ELSE tp END AS price, "
+    "CASE WHEN sk IS NOT NULL THEN sst ELSE tst END AS status "
+    "FROM m WHERE NOT (sk IS NOT NULL AND del)"
+)
+
+_SNAP_ORACLE = _MERGE_CTES + _SNAP_SELECT
+
+_MERGE_ORACLE = (
+    _MERGE_CTES
+    + "SELECT 'snap' AS path, 'S' AS op, COALESCE(sk, tk) AS o_orderkey, "
     "CASE WHEN sk IS NOT NULL THEN sp ELSE tp END AS price, "
     "CASE WHEN sk IS NOT NULL THEN sst ELSE tst END AS status "
     "FROM m WHERE NOT (sk IS NOT NULL AND del) "
@@ -62,6 +78,20 @@ _MERGE_ORACLE = (
     "UNION ALL SELECT 'diff', 'U', sk, sp, sst "
     "FROM m WHERE tk IS NOT NULL AND sk IS NOT NULL AND NOT del AND NOT same"
 )
+
+
+def merge_fixture_frames(o):
+    """The Spark twin of the oracle's tgt/src/delete derivation —
+    shared by q55, the streaming q85, and the feed-law test."""
+    key = F.col("o_orderkey")
+    target = o.filter(key % 10 < 8)
+    source = o.filter(key % 3 == 0).withColumn(
+        "o_totalprice",
+        F.when(key % 2 == 0, F.col("o_totalprice") + F.lit(1000.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return target, source, F.col("o_orderstatus") == "F"
 
 
 @register(
@@ -80,16 +110,7 @@ _MERGE_ORACLE = (
     "O(target)",
 )
 def q55(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    target = o.filter(key % 10 < 8)
-    source = o.filter(key % 3 == 0).withColumn(
-        "o_totalprice",
-        F.when(key % 2 == 0, F.col("o_totalprice") + F.lit(1000.0)).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    delete = F.col("o_orderstatus") == "F"
+    target, source, delete = merge_fixture_frames(t(spark, sf_dir, "orders"))
     keys = ["o_orderkey"]
     snap = M.merge_upsert(target, source, keys, delete_condition=delete)
     cdc = M.merge_change_feed(target, source, keys, delete_condition=delete)

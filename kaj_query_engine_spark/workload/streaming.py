@@ -288,3 +288,48 @@ def q96(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "documents")
     feats = M.audio_features(M.attach_wav_media(s))
     return run_available_now(feats, "append")
+
+
+from kaj_query_engine_spark.workload.maintenance import _SNAP_ORACLE  # noqa: E402
+
+
+@register(
+    "q85_stream_merge",
+    _SNAP_ORACLE,
+    "streaming MERGE (CDC apply): the q55 batch stream-ingested "
+    "through foreachBatch into a snapshot-isolated VersionedTable — "
+    "streaming and batch maintenance share ONE merge implementation, "
+    "so this oracle is LITERALLY q55's snapshot SQL (the stream==batch "
+    "law extended to table maintenance). Each micro-batch is one "
+    "full-outer equi-join against the current snapshot + an atomic "
+    "pointer swap; the final table state is returned",
+)
+def q85(spark, sf_dir):
+    from kaj_query_engine_spark.sources.versioned import VersionedTable
+    from kaj_query_engine_spark.streaming.ops import stream_merge_apply
+    from kaj_query_engine_spark.workload.maintenance import (
+        merge_fixture_frames,
+    )
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    o = t(spark, sf_dir, "orders")
+    target, _, delete = merge_fixture_frames(o)
+    key = F.col("o_orderkey")
+    batch_stream = read_stream_table(spark, sf_dir, "orders").filter(
+        key % 3 == 0
+    ).withColumn(
+        "o_totalprice",
+        F.when(key % 2 == 0, F.col("o_totalprice") + F.lit(1000.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_merge_table")
+    tbl.init(target)  # fresh maintenance run per invocation
+    final = stream_merge_apply(
+        batch_stream, tbl, ["o_orderkey"], delete_condition=delete
+    )
+    return final.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )

@@ -1,0 +1,116 @@
+"""VersionedTable + streaming-MERGE pins: snapshot isolation (a
+failed commit leaves the pointer untouched), time travel, and the
+multi-batch CDC-apply contract — batches apply serially with
+last-writer-wins across batches, equal to folding the same batches
+through the batch merge_upsert."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kaj_query_engine_spark.operators.maintenance import merge_upsert
+from kaj_query_engine_spark.sources.versioned import VersionedTable
+from kaj_query_engine_spark.streaming.ops import stream_merge_apply
+
+SCHEMA = "k long, v string"
+
+
+def df_(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_init_commit_time_travel(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    assert tbl.current_version() is None
+    with pytest.raises(ValueError, match="uninitialized"):
+        tbl.read(spark)
+    tbl.init(df_(spark, [(1, "a")]))
+    tbl.commit(df_(spark, [(1, "a"), (2, "b")]))
+    tbl.commit(df_(spark, [(2, "b")]))
+    assert tbl.current_version() == 2
+    assert tbl.versions() == [0, 1, 2]
+    assert tbl.read(spark).count() == 1
+    # time travel: every prior version still readable, unchanged
+    assert sorted(r.k for r in tbl.read(spark, 1).collect()) == [1, 2]
+    assert [r.k for r in tbl.read(spark, 0).collect()] == [1]
+
+
+def test_failed_commit_leaves_pointer(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+
+    @F.udf("string")
+    def boom(v):
+        raise RuntimeError("mid-write failure")
+
+    bad = df_(spark, [(2, "b")]).withColumn("v", boom("v"))
+    with pytest.raises(Exception):
+        tbl.commit(bad)
+    # the pointer never moved; the table still reads version 0
+    assert tbl.current_version() == 0
+    assert [r.k for r in tbl.read(spark).collect()] == [1]
+    # and a follow-up good commit just overwrites the orphan dir
+    assert tbl.commit(df_(spark, [(1, "a"), (3, "c")])) == 1
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 3]
+
+
+BATCHES = [
+    # batch 0: update k=1, insert k=10
+    [(1, "b0"), (10, "b0")],
+    # batch 1: overwrite batch-0's k=10 (last-writer-wins), delete k=2
+    [(10, "b1"), (2, "DEL")],
+    # batch 2: re-insert the key batch 1 deleted
+    [(2, "b2")],
+]
+
+
+def _write_batches(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(BATCHES):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "v": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+    return str(d)
+
+
+def test_stream_merge_multi_batch_equals_sequential_fold(spark, tmp_path):
+    target = df_(spark, [(1, "t"), (2, "t"), (3, "t")])
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(target)
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_write_batches(tmp_path))
+    )
+    delete = F.col("v") == "DEL"
+    final = stream_merge_apply(sdf, tbl, ["k"], delete_condition=delete)
+    got = {r.k: r.v for r in final.collect()}
+    assert got == {1: "b0", 2: "b2", 3: "t", 10: "b1"}
+    # one committed version per micro-batch, target still at v0
+    assert tbl.versions() == [0, 1, 2, 3]
+    assert {r.k: r.v for r in tbl.read(spark, 0).collect()} == {
+        1: "t", 2: "t", 3: "t"
+    }
+    # the law: streaming apply == folding the batches through the
+    # batch merge (ONE shared merge implementation)
+    folded = target
+    for rows in BATCHES:
+        folded = merge_upsert(
+            folded, df_(spark, rows), ["k"], delete_condition=delete
+        )
+    assert {r.k: r.v for r in folded.collect()} == got
