@@ -549,6 +549,132 @@ def main() -> None:
                 else:
                     spark.conf.set(c, v)
 
+    # ---- table-maintenance probes -----------------------------------
+    # Fixed batch vs growing table: the incremental claims of
+    # operators/maintenance.py. scd2_merge_batch must stay near-flat
+    # (broadcast anti-join = one map-only dim scan + bounded rebuild);
+    # merge_upsert is HONESTLY O(target) here (full-outer join over an
+    # unpartitioned table) — its 100 TB answer is partitioned storage
+    # (O(touched partitions)), so the probe documents the linear term
+    # the deployment pattern exists to avoid.
+    MAINT_BASE = 100_000
+    _dim_cache: dict[int, DataFrame] = {}
+    _tgt_cache: dict[int, DataFrame] = {}
+
+    def scd_dim(k: int) -> DataFrame:
+        """SCD2 dimension over a synthetic history: users grow with k
+        (20 events each), states hash-derived — the dimension the
+        fixed batch merges into, built OUTSIDE the timing."""
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        if k not in _dim_cache:
+            n = MAINT_BASE * k
+            hist = spark.range(n).select(
+                (F.col("id") % (n // 20)).alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+                ).alias("ts"),
+                (F.xxhash64(F.col("id")) % 4).cast("string").alias("state"),
+                F.col("id").alias("event_id"),
+            )
+            p = f"{scratch}/scd_dim_{k}"
+            MN.scd2_from_events(
+                hist, "user_id", "ts", "state", tiebreak="event_id"
+            ).write.mode("overwrite").parquet(p)
+            _dim_cache[k] = spark.read.parquet(p)
+        return _dim_cache[k]
+
+    def run_scd2_incremental(k: int) -> None:
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        # fixed batch: 5k events over 500 users, all after the history
+        n = MAINT_BASE * k
+        batch = spark.range(5_000).select(
+            (F.col("id") % 500).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (F.lit(n) + F.col("id")) * 1_000_000
+            ).alias("ts"),
+            (F.xxhash64(F.col("id") + 1) % 4).cast("string").alias("state"),
+            (F.lit(n) + F.col("id")).alias("event_id"),
+        )
+        MN.scd2_merge_batch(
+            scd_dim(k), batch, "user_id", "ts", "state", tiebreak="event_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    def merge_target(k: int) -> DataFrame:
+        if k not in _tgt_cache:
+            p = f"{scratch}/merge_tgt_{k}"
+            spark.range(MAINT_BASE * k).select(
+                F.col("id").alias("k"),
+                F.xxhash64(F.col("id")).cast("string").alias("v"),
+                (F.col("id") % 97).cast("double").alias("n"),
+            ).write.mode("overwrite").parquet(p)
+            _tgt_cache[k] = spark.read.parquet(p)
+        return _tgt_cache[k]
+
+    def run_merge_upsert(k: int) -> None:
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        n = MAINT_BASE * k
+        batch = spark.range(10_000).select(
+            (F.col("id") * (n // 10_000 + 1) % (n + 5_000)).alias("k"),
+            F.lit("upd").alias("v"),
+            F.lit(1.0).alias("n"),
+        )
+        MN.merge_upsert(
+            merge_target(k), batch, ["k"],
+            delete_condition=F.col("k") % 13 == 0,
+        ).write.format("noop").mode("overwrite").save()
+
+    # ---- BPE probes --------------------------------------------------
+    # Encode with a FIXED model over a growing corpus: map-only Arrow,
+    # must hold e ≈ 1 even on the adversarial replication (suffixed
+    # tokens → every piece distinct per copy, worst case for the
+    # per-batch cache). The piece-table probe is the scalability
+    # argument for TRAINING: corpus grows 16× with IDENTICAL text →
+    # the learner's input stays CONSTANT (the vocabulary bound).
+    _bpe_model_cache: list = []
+
+    def _bpe_model():
+        from kaj_query_engine_spark.operators import bpe as B
+
+        if not _bpe_model_cache:
+            _bpe_model_cache.append(
+                B.learn_bpe(
+                    B.piece_frequencies(docs(1), "text"), num_merges=128
+                )
+            )
+        return _bpe_model_cache[0]
+
+    def run_bpe_encode(k: int) -> None:
+        from kaj_query_engine_spark.operators import bpe as B
+
+        B.encode_token_counts(
+            docs(k), "doc_id", "text", _bpe_model()
+        ).write.format("noop").mode("overwrite").save()
+
+    def bpe_piece_table_rows() -> None:
+        from kaj_query_engine_spark.operators import bpe as B
+
+        for gen, nm in ((shared_docs, "identical-text"), (docs, "suffixed")):
+            rows = [
+                B.piece_frequencies(gen(kk), "text").count() for kk in SCALES
+            ]
+            _emit({
+                "op": "bpe_piece_table_rows",
+                "replication": nm,
+                "n": [base_docs * kk for kk in SCALES],
+                "piece_rows": rows,
+                "note": "learner input size vs corpus size; identical-"
+                "text replication must stay FLAT (vocabulary bound). "
+                "The suffixed replication was designed as an "
+                "adversarial vocab-growth case but measures near-flat "
+                "too: the GPT-2-style pre-tokenizer splits the _c<k> "
+                "suffix into its own punct/letter/digit pieces, so "
+                "pre-tokenization itself bounds the vocabulary "
+                "against token-level perturbation",
+            }, sf_dir)
+
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "incremental_dedup_fixed_batch": run_incremental,
@@ -570,6 +696,9 @@ def main() -> None:
         "wav_codec_chain": run_wav_codec,
         "avi_codec_chain": run_avi_codec,
         "jpeg_codec_chain": run_jpeg_codec,
+        "scd2_incremental_fixed_batch": run_scd2_incremental,
+        "merge_upsert_fixed_batch": run_merge_upsert,
+        "bpe_encode_fixed_model": run_bpe_encode,
     }
     # which generator feeds each op — inputs are materialized for ALL
     # scales BEFORE an op's timing loop, so the timed region never
@@ -597,6 +726,9 @@ def main() -> None:
         "wav_codec_chain": docs,
         "avi_codec_chain": docs,
         "jpeg_codec_chain": docs,
+        "scd2_incremental_fixed_batch": scd_dim,
+        "merge_upsert_fixed_batch": merge_target,
+        "bpe_encode_fixed_model": docs,
     }
     base_docs = base_docs_df.count()
     # the index-lifecycle ops get a FOURTH bracket (64x): their 1-16x
@@ -607,6 +739,13 @@ def main() -> None:
     op_scales = {
         "incremental_dedup_fixed_batch": LIFECYCLE_SCALES,
         "band_index_merge_fixed_batch": LIFECYCLE_SCALES,
+        # fixed-batch dimension merge: same economics claim as the
+        # band-index ingest, so same 64x bracket; merge_upsert and the
+        # Arrow encode are linear-term claims that only show past the
+        # overhead floor, same as the codec chains
+        "scd2_incremental_fixed_batch": LIFECYCLE_SCALES,
+        "merge_upsert_fixed_batch": LIFECYCLE_SCALES,
+        "bpe_encode_fixed_model": LIFECYCLE_SCALES,
         # codec chains are map-only: the 1-16x exponents are
         # overhead-dominated, so a 64x bracket shows the honest
         # linear term (as the lifecycle probes do)
@@ -645,12 +784,17 @@ def main() -> None:
                 "note": "one-time index build+write (O(N*K), amortized)",
             }, sf_dir)
             quantized_index_bytes()
+        if name == "bpe_encode_fixed_model":
+            _bpe_model()  # learn stays OUTSIDE the encode timing
+            bpe_piece_table_rows()
         if name == "salted_agg_skewed":
             base_n = SKEW_BASE_ROWS
         elif name == "cc_skewed":
             base_n = SKEW_BASE_ROWS // 4
         elif name == "flagship_join_skewed":
             base_n = FLAG_BASE_ORDERS
+        elif name in ("scd2_incremental_fixed_batch", "merge_upsert_fixed_batch"):
+            base_n = MAINT_BASE
         elif name in ("embedding_neardup", "ann_lsh_topk", "ivf_query_materialized"):
             base_n = base_vecs
         else:
