@@ -338,3 +338,121 @@ def time_rollup(
         "n",
         F.round(F.col("_sum"), 2).cast("double").alias("sum_v"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per ``key``, how far through the
+    ``steps`` sequence did the user progress, matching each step to
+    the EARLIEST qualifying event strictly after the previous step's
+    match (the greedy matching — optimal for step-reachability by the
+    classic exchange argument, which is also why the chained-min SQL
+    formulation the q78 oracle uses is equivalent).
+
+    ONE shuffle: groupBy(key) collects each user's (ts, type) pairs,
+    ``sort_array`` orders them, and ``F.aggregate`` folds the funnel
+    state machine over the array — all JVM expressions (no UDF, no
+    per-user Python). Per-user event counts are session-bounded in
+    practice; a pathological key would hit the same ceiling as any
+    collect_list (the sessionize/SCD2 alternative below trades one
+    more exchange for streaming state).
+
+    Returns (key, stage, step1_us..stepK_us): ``stage`` = number of
+    steps completed; per-step epoch-micro match timestamps (NULL once
+    unreached). Ties on ``ts`` are broken by ``tiebreak`` (or event
+    order is ambiguous and so is the funnel).
+    """
+    k = len(steps)
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    ev = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        *([F.col(tiebreak).alias("tb")] if tiebreak else []),
+        F.col(type_col).alias("et"),
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    # fold state: array of k matched timestamps (NULL = unmatched);
+    # stage = count of non-nulls (always a prefix)
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step_fn(acc, e):
+        # stage before this event = count of filled slots
+        stage = F.size(F.filter(acc, lambda x: x.isNotNull()))
+        want = F.element_at(steps_lit, stage + 1)  # next step's type
+        prev = F.when(stage == 0, F.lit(-1)).otherwise(
+            F.element_at(acc, stage)
+        )
+        hit = (stage < k) & (e["et"] == want) & (e["us"] > prev)
+        return F.when(
+            hit,
+            F.transform(
+                acc,
+                lambda x, i: F.when(i == stage, e["us"]).otherwise(x),
+            ),
+        ).otherwise(acc)
+
+    folded = (
+        events.groupBy(key)
+        .agg(F.sort_array(F.collect_list(ev)).alias("_evs"))
+        .select(
+            F.col(key),
+            F.aggregate(F.col("_evs"), init, step_fn).alias("_m"),
+        )
+    )
+    return folded.select(
+        F.col(key),
+        F.size(F.filter(F.col("_m"), lambda x: x.isNotNull())).alias("stage"),
+        *[
+            F.element_at(F.col("_m"), i + 1).alias(f"step{i + 1}_us")
+            for i in range(k)
+        ],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    bucket: str = "week",
+) -> DataFrame:
+    """Classic cohort retention: users grouped by their FIRST-activity
+    bucket (the cohort), counted in every later bucket they return in.
+
+    Two shuffles, both key-bounded: one groupBy(key) for the cohort
+    assignment (first activity), one groupBy(key, bucket) distinct
+    activity — then the join back on the key and the final
+    (cohort, offset) count (AQE-coalesced; cohort×offset is tiny).
+    Buckets are EPOCH-ALIGNED integer arithmetic, not date_trunc:
+    date_trunc('week') truncates in the SESSION timezone, which would
+    break the repo's environment-invariance rule (the hostile-TZ
+    vanilla sweep) — epoch_us DIV step is TZ-free and identical in
+    both engines; offsets are whole bucket steps (ints, never
+    timestamps).
+
+    Returns (cohort_us, offset, n_active): cohort bucket start in
+    epoch micros, offset in buckets since the cohort bucket (0 =
+    the cohort's own bucket, so offset 0 row is the cohort size).
+    """
+    step = {"week": 7 * 86400, "day": 86400}[bucket] * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    b = (us - (us % F.lit(step))).cast("long")
+    per_bucket = events.select(F.col(key), b.alias("b")).distinct()
+    first = per_bucket.groupBy(key).agg(F.min("b").alias("cohort_us"))
+    return (
+        per_bucket.join(first, on=key)
+        .select(
+            "cohort_us",
+            ((F.col("b") - F.col("cohort_us")) / F.lit(step))
+            .cast("long")
+            .alias("offset"),
+        )
+        .groupBy("cohort_us", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -194,3 +194,83 @@ def q57(spark, sf_dir):
         "event_type",
         tiebreak="event_id",
     )
+
+
+# --------------------------------------------------------------------
+# q58: declarative data-quality constraint audit
+# --------------------------------------------------------------------
+
+_AUDIT_ORACLE = (
+    # one SELECT per constraint, mirroring the single-pass Spark agg
+    "SELECT 'not_null(o_custkey)' AS \"constraint\", "
+    "count(*) FILTER (o_custkey IS NULL) AS violations, "
+    "count(*) AS checked FROM orders "
+    "UNION ALL SELECT 'unique(o_orderkey)', "
+    "count(o_orderkey) - count(DISTINCT o_orderkey), count(o_orderkey) "
+    "FROM orders "
+    "UNION ALL SELECT 'in_range(o_totalprice,0,250000)', "
+    "count(*) FILTER (o_totalprice IS NOT NULL AND "
+    "o_totalprice NOT BETWEEN 0 AND 250000), count(o_totalprice) "
+    "FROM orders "
+    "UNION ALL SELECT 'accepted_values(o_orderstatus,[O,F])', "
+    "count(*) FILTER (o_orderstatus IS NOT NULL AND "
+    "o_orderstatus NOT IN ('O', 'F')), count(o_orderstatus) FROM orders "
+    "UNION ALL SELECT 'matches(o_orderpriority,^[1-5]-)', "
+    "count(*) FILTER (o_orderpriority IS NOT NULL AND "
+    "NOT regexp_matches(o_orderpriority, '^[1-5]-')), "
+    "count(o_orderpriority) FROM orders "
+    "UNION ALL SELECT 'unique(c_nationkey)', "
+    "count(c_nationkey) - count(DISTINCT c_nationkey), count(c_nationkey) "
+    "FROM customer "
+    "UNION ALL SELECT 'not_null(c_acctbal)', "
+    "count(*) FILTER (c_acctbal IS NULL), count(*) FROM customer "
+    "UNION ALL SELECT 'referential(o_custkey->c_custkey)', "
+    "(SELECT count(*) FROM (SELECT o_custkey FROM orders "
+    "WHERE o_custkey IS NOT NULL) o ANTI JOIN "
+    "(SELECT DISTINCT c_custkey FROM customer) c "
+    "ON o.o_custkey = c.c_custkey), count(o_custkey) FROM orders "
+    "UNION ALL SELECT 'referential(l_orderkey->o_orderkey)', "
+    "(SELECT count(*) FROM (SELECT l_orderkey FROM lineitem "
+    "WHERE l_orderkey IS NOT NULL) l ANTI JOIN "
+    "(SELECT DISTINCT o_orderkey FROM orders) o "
+    "ON l.l_orderkey = o.o_orderkey), count(l_orderkey) FROM lineitem"
+)
+_AUDIT_ORACLE = (
+    f"SELECT \"constraint\", violations, checked, violations = 0 AS passed "
+    f"FROM ({_AUDIT_ORACLE})"
+)
+
+
+@register(
+    "q58_constraint_audit",
+    _AUDIT_ORACLE,
+    "declarative data-quality expectations (the Deequ shape): "
+    "not_null / unique / in_range / accepted_values / regex matches "
+    "compile into ONE aggregation pass per table (all counters in a "
+    "single agg, unpivoted via stack — constraint count never adds "
+    "scans; unique = count minus distinct-count, no self-join), plus "
+    "referential (FK orphan) audits as one anti-join probe each. "
+    "Mixed pass/fail by design: the fixture's P-status orders, "
+    ">250k prices and duplicate nation keys must surface as non-zero "
+    "violation counts, the rest as passed=true",
+)
+def q58(spark, sf_dir):
+    from kaj_query_engine_spark.operators import quality as Q
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    rep_o = Q.audit(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 250000),
+            Q.accepted_values("o_orderstatus", ["O", "F"]),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    rep_c = Q.audit(c, [Q.unique("c_nationkey"), Q.not_null("c_acctbal")])
+    fk1 = Q.referential(o, "o_custkey", c, "c_custkey")
+    fk2 = Q.referential(li, "l_orderkey", o, "o_orderkey")
+    return rep_o.unionAll(rep_c).unionAll(fk1).unionAll(fk2)

@@ -274,3 +274,85 @@ def q75(spark, sf_dir):
     return out.select(
         "level", F.unix_micros("bucket_ts").alias("bucket_us"), "n", "sum_v"
     )
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = (
+    # chained-min formulation — INDEPENDENT of the Spark side's
+    # single-pass sorted fold; greedy earliest-match makes the two
+    # provably equivalent (exchange argument), which is the point of
+    # oracle-checking them against each other
+    "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id "
+    "WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1 GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id "
+    "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t2 GROUP BY 1), "
+    "s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t4 FROM events e "
+    "JOIN s3 ON e.user_id = s3.user_id "
+    "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t3 GROUP BY 1), "
+    "base AS (SELECT DISTINCT user_id FROM events) "
+    "SELECT b.user_id, "
+    "CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3 "
+    "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+    "ELSE 0 END AS stage, "
+    "t1 AS step1_us, t2 AS step2_us, t3 AS step3_us, t4 AS step4_us "
+    "FROM base b LEFT JOIN s1 ON b.user_id = s1.user_id "
+    "LEFT JOIN s2 ON b.user_id = s2.user_id "
+    "LEFT JOIN s3 ON b.user_id = s3.user_id "
+    "LEFT JOIN s4 ON b.user_id = s4.user_id"
+)
+
+
+@register(
+    "q78_funnel",
+    _FUNNEL_ORACLE,
+    "ordered funnel (signup -> view -> click -> purchase): per user, "
+    "steps matched greedily to the earliest qualifying event strictly "
+    "after the previous match. ONE shuffle: groupBy(user) + "
+    "sort_array + an F.aggregate fold of the funnel state machine — "
+    "all JVM expressions, no UDF; the oracle is the independent "
+    "chained-min SQL formulation (k dependent aggregations), "
+    "equivalent by the greedy exchange argument",
+)
+def q78(spark, sf_dir):
+    return T.funnel(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        _FUNNEL_STEPS,
+        tiebreak="event_id",
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+_RETENTION_ORACLE = (
+    "WITH pb AS (SELECT DISTINCT user_id, "
+    f"epoch_us(ts) - (epoch_us(ts) % {_WEEK_US}) AS b FROM events), "
+    "f AS (SELECT user_id, min(b) AS cohort_us FROM pb GROUP BY 1) "
+    "SELECT cohort_us, "
+    f"CAST((b - cohort_us) / {_WEEK_US} AS BIGINT) AS \"offset\", "
+    "count(*) AS n_active "
+    "FROM pb JOIN f USING (user_id) GROUP BY 1, 2"
+)
+
+
+@register(
+    "q79_retention_cohorts",
+    _RETENTION_ORACLE,
+    "weekly cohort retention: users grouped by first-activity week, "
+    "counted in each later week they return (offset 0 = cohort "
+    "size). Epoch-aligned integer week buckets — date_trunc('week') "
+    "would truncate in the session TZ and break the hostile-TZ "
+    "vanilla sweep. Two key-bounded shuffles + one AQE-coalesced "
+    "tiny aggregate",
+)
+def q79(spark, sf_dir):
+    return T.retention_cohorts(
+        t(spark, sf_dir, "events"), "user_id", "ts", bucket="week"
+    )

@@ -216,6 +216,31 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q58_constraint_audit": (
+        # N constraints = ONE partial-aggregated pass per table (the
+        # single-distinct rewrite keeps Expand out — the q45 trap);
+        # referential probes are single-pass marker LEFT joins (hash,
+        # broadcastable) counting checked+orphans in one agg
+        ["HashAggregate", "partial_", "BroadcastHashJoin"],
+        ["Expand", "SortMergeJoin", "BroadcastNestedLoopJoin",
+         "CartesianProduct"],
+    ),
+    "q78_funnel": (
+        # funnel fold: ONE groupBy(user) collect (object hash agg) —
+        # no joins at all, no global sort; the chained-min shape the
+        # oracle uses (k dependent joins) is exactly what this plan
+        # must NOT contain
+        ["ObjectHashAggregate"],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
+    "q79_retention_cohorts": (
+        # cohort assignment joins back on the key (broadcast at
+        # fixture scale; hash co-partitioned at scale) — never a
+        # nested loop; final (cohort, offset) agg has a partial phase
+        ["HashAggregate", "partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "rangepartitioning("],
+    ),
     "q41_bpe_tokenizer": (
         # tokenizer workload: the learn happened at model-build time
         # (write-once behind the staleness token), so the QUERY plan
