@@ -274,3 +274,42 @@ def q58(spark, sf_dir):
     fk1 = Q.referential(o, "o_custkey", c, "c_custkey")
     fk2 = Q.referential(li, "l_orderkey", o, "o_orderkey")
     return rep_o.unionAll(rep_c).unionAll(fk1).unionAll(fk2)
+
+
+@register(
+    "q59_pit_join",
+    f"WITH dim AS ({_SCD2_ORACLE}) "
+    "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, d.state "
+    "FROM events e LEFT JOIN dim d ON e.user_id = d.user_id "
+    "AND epoch_us(e.ts) >= d.valid_from_us "
+    "AND (d.valid_to_us IS NULL OR epoch_us(e.ts) < d.valid_to_us)",
+    "point-in-time (SCD2 validity) join: every event enriched with "
+    "the dimension version active at its timestamp. The oracle is the "
+    "naive interval join; the Spark side is the as-of composition — "
+    "contiguous validity chains make 'latest valid_from <= ts' equal "
+    "to interval containment (ties at a version boundary land in the "
+    "NEW version on both formulations: >= from, < to). ONE exchange "
+    "via the union trick — never an inequality join plan",
+)
+def q59(spark, sf_dir):
+    from kaj_query_engine_spark.operators import temporal as T
+
+    e = t(spark, sf_dir, "events")
+    dim = M.scd2_from_events(
+        e, "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+    facts = e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = T.asof_join(
+        facts,
+        dim.select("user_id", "valid_from_us", "state"),
+        "user_id",
+        "ts_us",
+        "valid_from_us",
+        ["state"],
+        how="left",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("asof_state").alias("state")
+    )

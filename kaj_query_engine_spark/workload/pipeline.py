@@ -178,3 +178,35 @@ def q49(spark, sf_dir):
     return P.chunk_documents(
         t(spark, sf_dir, "documents"), _CHUNK_W, _CHUNK_S
     )
+
+
+@register(
+    "q42_group_sample",
+    "SELECT lang, doc_id FROM ("
+    "SELECT lang, doc_id, row_number() OVER ("
+    "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+    ") AS rn FROM documents) WHERE rn <= 20",
+    "exact-k deterministic sample per group: rank by md5(doc_id) "
+    "inside each lang partition, keep the first 20 — a seedless "
+    "reproducible 'random' sample (md5 is engine-portable where "
+    "xxhash64/rand are not), ONE hash exchange + per-group sort, no "
+    "global ordering. The hash-rank trick is the per-group complement "
+    "of q47's rate-based hash sampling: rate sampling can't promise "
+    "exact k, rank sampling can. For pathologically hot groups the "
+    "two-stage variant (per-partition local top-k, then merge) bounds "
+    "the sort; group sizes here are corpus-bounded",
+)
+def q42(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("lang", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )

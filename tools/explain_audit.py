@@ -216,6 +216,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q59_pit_join": (
+        # point-in-time join rides the as-of union trick: Window +
+        # Union, ONE hash exchange family — the naive interval-join
+        # plan (nested loop) is exactly what must NOT appear
+        ["Window", "Union"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "q42_group_sample": (
+        # per-group hash-rank sample: one hash exchange + per-group
+        # sort; no global range sort, no join
+        ["Window", "hashpartitioning(lang"],
+        ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
     "q58_constraint_audit": (
         # N constraints = ONE partial-aggregated pass per table (the
         # single-distinct rewrite keeps Expand out — the q45 trap);
