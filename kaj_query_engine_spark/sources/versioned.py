@@ -95,3 +95,39 @@ class VersionedTable:
             for p in self.path.glob("v*")
             if p.name[1:].isdigit()
         )
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (the current
+        version is always kept regardless). Returns the versions
+        removed. Time travel reaches only what vacuum leaves — same
+        contract as any table format's retention window."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        keep = set(self.versions()[-keep_last:]) | ({cur} if cur is not None else set())
+        dropped = []
+        for v in self.versions():
+            if v not in keep:
+                shutil.rmtree(self.path / f"v{v}")
+                dropped.append(v)
+        return dropped
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the CURRENT version's data as ``target_files``
+        files and commit it as a new version — the small-files
+        maintenance every streaming-ingested table needs (each q85
+        micro-batch commit writes shuffle-partition-many files; a
+        compaction pass restores scan-friendly file sizes). Data is
+        bit-identical by construction: the rewrite is a coalesce of
+        the same rows, committed through the same atomic pointer swap,
+        so readers flip from many-files to few-files in one step and
+        the pre-compaction version stays time-travelable until
+        vacuumed. At real scale target_files derives from table bytes
+        / maxPartitionBytes rather than a constant."""
+        return self.commit(self.read(spark).coalesce(target_files))
+
+    def file_count(self, version: int | None = None) -> int:
+        v = self.current_version() if version is None else version
+        return sum(
+            1 for f in (self.path / f"v{v}").glob("part-*") if f.is_file()
+        )

@@ -114,3 +114,36 @@ def test_stream_merge_multi_batch_equals_sequential_fold(spark, tmp_path):
             folded, df_(spark, rows), ["k"], delete_condition=delete
         )
     assert {r.k: r.v for r in folded.collect()} == got
+
+
+def test_vacuum_keeps_current_and_newest(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+    for i in range(4):
+        tbl.commit(df_(spark, [(1, f"v{i}")]))
+    assert tbl.versions() == [0, 1, 2, 3, 4]
+    dropped = tbl.vacuum(keep_last=2)
+    assert dropped == [0, 1, 2]
+    assert tbl.versions() == [3, 4]
+    # current still reads; vacuumed versions are gone for time travel
+    assert [r.v for r in tbl.read(spark).collect()] == ["v3"]
+    with pytest.raises(Exception):
+        tbl.read(spark, 0).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        tbl.vacuum(keep_last=0)
+
+
+def test_compact_restores_file_count_with_identical_data(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    # a fragmented commit: 16 shuffle partitions → many small files
+    tbl.init(spark.range(1000).repartition(16).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ))
+    assert tbl.file_count() == 16
+    v = tbl.compact(spark, target_files=2)
+    assert v == 1 and tbl.file_count() <= 2
+    # bit-identical data, pre-compaction version still time-travelable
+    before, after = tbl.read(spark, 0), tbl.read(spark)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    assert tbl.file_count(0) == 16
