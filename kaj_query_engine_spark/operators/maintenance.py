@@ -68,15 +68,21 @@ def _packed_join(
     struct — sidesteps every duplicate-name ambiguity, and the struct
     is also the cheapest whole-row equality for diffing. The delete
     predicate is evaluated on the RAW source row (before packing) so
-    callers can write it against natural column names."""
+    callers can write it against natural column names, and is
+    coalesced to FALSE: SQL predicate semantics — a condition that
+    evaluates to NULL (e.g. ``v == 'DEL'`` on a NULL v) is NOT
+    satisfied, so the row upserts instead of silently deleting (the
+    hypothesis fuzz caught the un-coalesced version doing exactly
+    that)."""
     vals = _check_aligned(target, source, keys)
     tgt = target.select(*keys, F.struct(*vals).alias("_t"))
+    cond = (
+        delete_condition if delete_condition is not None else F.lit(False)
+    )
     src = source.select(
         *keys,
         F.struct(*vals).alias("_s"),
-        (
-            delete_condition if delete_condition is not None else F.lit(False)
-        ).alias("_del"),
+        F.coalesce(cond.cast("boolean"), F.lit(False)).alias("_del"),
     )
     return tgt.join(src, on=keys, how="full_outer"), vals
 
