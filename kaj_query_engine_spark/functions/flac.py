@@ -218,9 +218,15 @@ def encode_flac(
             fw.put(b, 8)
         # choose FIXED order
         if force_order is not None:
-            order = force_order
-            if not (0 <= order <= 4) or order >= nb:
-                raise ValueError("force_order out of range for this block")
+            if not 0 <= force_order <= 4:
+                raise ValueError("force_order must be in [0, 4]")
+            # a forced order that doesn't fit a SHORT block (the tail
+            # block of a stream whose length isn't a block_size
+            # multiple can hold fewer samples than the order needs)
+            # clamps per-block instead of raising: the knob selects a
+            # per-file preference, not a per-block invariant — found
+            # by the hypothesis round-trip fuzz at 17 samples / bs 16
+            order = min(force_order, nb - 1)
         else:
             best = None
             for o in range(0, min(4, nb - 1) + 1):

@@ -162,7 +162,5 @@ def test_gif_dictionary_pressure_roundtrip(val, h, w):
 def test_flac_roundtrip(s, rate, bs, order):
     from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
 
-    if order is not None and order >= min(bs, len(s)):
-        order = 0
     r, out = decode_flac(encode_flac(s, rate, block_size=bs, force_order=order))
     assert r == rate and np.array_equal(out, s)
