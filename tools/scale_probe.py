@@ -626,6 +626,39 @@ def main() -> None:
             delete_condition=F.col("k") % 13 == 0,
         ).write.format("noop").mode("overwrite").save()
 
+    # partition-pruned merge: the table grows by ADDING partitions
+    # (12.5k-row partitions, 8*k of them) while the batch keeps
+    # touching only the first 8 — cost must stay flat, which is the
+    # whole O(touched partitions) claim made concrete
+    _ptbl_cache: dict[int, str] = {}
+    PART_ROWS = MAINT_BASE // 8
+
+    def part_table(k: int) -> str:
+        if k not in _ptbl_cache:
+            p = f"{scratch}/part_tbl_{k}"
+            spark.range(MAINT_BASE * k).select(
+                F.col("id").alias("k"),
+                (F.col("id") / PART_ROWS).cast("long").alias("p"),
+                F.xxhash64(F.col("id")).cast("string").alias("v"),
+            ).write.mode("overwrite").partitionBy("p").parquet(p)
+            _ptbl_cache[k] = p
+        return _ptbl_cache[k]
+
+    def run_merge_partitioned(k: int) -> None:
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        batch = spark.range(5_000).select(
+            (F.col("id") * 17 % MAINT_BASE).alias("k"),
+            ((F.col("id") * 17 % MAINT_BASE) / PART_ROWS)
+            .cast("long")
+            .alias("p"),
+            F.lit("upd").alias("v"),
+        )
+        MN.merge_into_partitioned(
+            part_table(k), batch, ["k"], "p",
+            delete_condition=F.col("k") % 13 == 0,
+        )
+
     # ---- BPE probes --------------------------------------------------
     # Encode with a FIXED model over a growing corpus: map-only Arrow,
     # must hold e ≈ 1 even on the adversarial replication (suffixed
@@ -698,6 +731,7 @@ def main() -> None:
         "jpeg_codec_chain": run_jpeg_codec,
         "scd2_incremental_fixed_batch": run_scd2_incremental,
         "merge_upsert_fixed_batch": run_merge_upsert,
+        "merge_partitioned_fixed_batch": run_merge_partitioned,
         "bpe_encode_fixed_model": run_bpe_encode,
     }
     # which generator feeds each op — inputs are materialized for ALL
@@ -728,6 +762,7 @@ def main() -> None:
         "jpeg_codec_chain": docs,
         "scd2_incremental_fixed_batch": scd_dim,
         "merge_upsert_fixed_batch": merge_target,
+        "merge_partitioned_fixed_batch": part_table,
         "bpe_encode_fixed_model": docs,
     }
     base_docs = base_docs_df.count()
@@ -745,6 +780,7 @@ def main() -> None:
         # overhead floor, same as the codec chains
         "scd2_incremental_fixed_batch": LIFECYCLE_SCALES,
         "merge_upsert_fixed_batch": LIFECYCLE_SCALES,
+        "merge_partitioned_fixed_batch": LIFECYCLE_SCALES,
         "bpe_encode_fixed_model": LIFECYCLE_SCALES,
         # codec chains are map-only: the 1-16x exponents are
         # overhead-dominated, so a 64x bracket shows the honest
@@ -793,7 +829,8 @@ def main() -> None:
             base_n = SKEW_BASE_ROWS // 4
         elif name == "flagship_join_skewed":
             base_n = FLAG_BASE_ORDERS
-        elif name in ("scd2_incremental_fixed_batch", "merge_upsert_fixed_batch"):
+        elif name in ("scd2_incremental_fixed_batch", "merge_upsert_fixed_batch",
+                      "merge_partitioned_fixed_batch"):
             base_n = MAINT_BASE
         elif name in ("embedding_neardup", "ann_lsh_topk", "ivf_query_materialized"):
             base_n = base_vecs
