@@ -348,6 +348,7 @@ def funnel(
     steps: list[str],
     *,
     tiebreak: str | None = None,
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: per ``key``, how far through the
     ``steps`` sequence did the user progress, matching each step to
@@ -355,6 +356,16 @@ def funnel(
     match (the greedy matching — optimal for step-reachability by the
     classic exchange argument, which is also why the chained-min SQL
     formulation the q78 oracle uses is equivalent).
+
+    ``within`` (epoch MICROS) adds a conversion window: steps 2..k
+    must land within ``within`` of the step-1 match. The anchor stays
+    the FIRST step-1 event — first-touch attribution, deterministic
+    and exactly mirrored by adding ``ts <= t1 + within`` to each
+    chained-min — NOT the max-stage-over-all-anchors semantics some
+    engines approximate: under a window, greedy anchoring is no
+    longer reachability-optimal (a later anchor could complete where
+    the first can't), so the well-defined first-touch contract is
+    what both formulations pin.
 
     ONE shuffle: groupBy(key) collects each user's (ts, type) pairs,
     ``sort_array`` orders them, and ``F.aggregate`` folds the funnel
@@ -389,6 +400,10 @@ def funnel(
             F.element_at(acc, stage)
         )
         hit = (stage < k) & (e["et"] == want) & (e["us"] > prev)
+        if within is not None:
+            hit = hit & (
+                (stage == 0) | (e["us"] <= F.element_at(acc, 1) + within)
+            )
         return F.when(
             hit,
             F.transform(

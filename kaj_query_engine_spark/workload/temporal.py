@@ -278,54 +278,95 @@ def q75(spark, sf_dir):
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
+_WIN48H_US = 48 * 3600 * 1_000_000
+
+
+def _funnel_ctes(suffix: str, extra: str) -> str:
+    """One chained-min CTE pyramid; ``extra`` appends the conversion
+    window conjunct (first-touch anchor: bounds vs s1's t1)."""
+    z = suffix
+    return (
+        f"s1{z} AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events "
+        "WHERE event_type = 'signup' GROUP BY 1), "
+        f"s2{z} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e "
+        f"JOIN s1{z} s1 ON e.user_id = s1.user_id "
+        f"WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1{extra} GROUP BY 1), "
+        f"s3{z} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e "
+        f"JOIN s2{z} s2 ON e.user_id = s2.user_id "
+        f"JOIN s1{z} s1 ON e.user_id = s1.user_id "
+        f"WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t2{extra} GROUP BY 1), "
+        f"s4{z} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t4 FROM events e "
+        f"JOIN s3{z} s3 ON e.user_id = s3.user_id "
+        f"JOIN s1{z} s1 ON e.user_id = s1.user_id "
+        f"WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t3{extra} GROUP BY 1)"
+    )
+
+
+def _funnel_select(path: str, suffix: str) -> str:
+    z = suffix
+    return (
+        f"SELECT '{path}' AS path, b.user_id, "
+        "CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3 "
+        "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+        "ELSE 0 END AS stage, "
+        "t1 AS step1_us, t2 AS step2_us, t3 AS step3_us, t4 AS step4_us "
+        f"FROM base b LEFT JOIN s1{z} ON b.user_id = s1{z}.user_id "
+        f"LEFT JOIN s2{z} ON b.user_id = s2{z}.user_id "
+        f"LEFT JOIN s3{z} ON b.user_id = s3{z}.user_id "
+        f"LEFT JOIN s4{z} ON b.user_id = s4{z}.user_id"
+    )
+
+
 _FUNNEL_ORACLE = (
     # chained-min formulation — INDEPENDENT of the Spark side's
     # single-pass sorted fold; greedy earliest-match makes the two
-    # provably equivalent (exchange argument), which is the point of
-    # oracle-checking them against each other
-    "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events "
-    "WHERE event_type = 'signup' GROUP BY 1), "
-    "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e "
-    "JOIN s1 ON e.user_id = s1.user_id "
-    "WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1 GROUP BY 1), "
-    "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e "
-    "JOIN s2 ON e.user_id = s2.user_id "
-    "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t2 GROUP BY 1), "
-    "s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t4 FROM events e "
-    "JOIN s3 ON e.user_id = s3.user_id "
-    "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t3 GROUP BY 1), "
-    "base AS (SELECT DISTINCT user_id FROM events) "
-    "SELECT b.user_id, "
-    "CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3 "
-    "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
-    "ELSE 0 END AS stage, "
-    "t1 AS step1_us, t2 AS step2_us, t3 AS step3_us, t4 AS step4_us "
-    "FROM base b LEFT JOIN s1 ON b.user_id = s1.user_id "
-    "LEFT JOIN s2 ON b.user_id = s2.user_id "
-    "LEFT JOIN s3 ON b.user_id = s3.user_id "
-    "LEFT JOIN s4 ON b.user_id = s4.user_id"
+    # provably equivalent on the unwindowed branch (exchange
+    # argument), and the windowed branch pins the FIRST-TOUCH
+    # contract (anchor = first step-1, every later step bounded by
+    # t1 + window) in both formulations
+    "WITH base AS (SELECT DISTINCT user_id FROM events), "
+    + _funnel_ctes("a", "")
+    + ", "
+    + _funnel_ctes(
+        "w", f" AND epoch_us(e.ts) <= s1.t1 + {_WIN48H_US}"
+    )
+    + " "
+    + _funnel_select("any", "a")
+    + " UNION ALL "
+    + _funnel_select("win48h", "w")
 )
 
 
 @register(
     "q78_funnel",
     _FUNNEL_ORACLE,
-    "ordered funnel (signup -> view -> click -> purchase): per user, "
-    "steps matched greedily to the earliest qualifying event strictly "
-    "after the previous match. ONE shuffle: groupBy(user) + "
-    "sort_array + an F.aggregate fold of the funnel state machine — "
-    "all JVM expressions, no UDF; the oracle is the independent "
-    "chained-min SQL formulation (k dependent aggregations), "
-    "equivalent by the greedy exchange argument",
+    "ordered funnel (signup -> view -> click -> purchase), two tagged "
+    "branches: 'any' = unbounded greedy matching (earliest qualifying "
+    "event strictly after the previous match), 'win48h' = a 48-hour "
+    "conversion window under FIRST-TOUCH attribution (anchor = first "
+    "signup; every later step bounded by t1 + window — the "
+    "deterministic contract both formulations can pin, vs the "
+    "max-over-anchors semantics greedy can't serve under a window). "
+    "ONE shuffle per branch: groupBy(user) + sort_array + an "
+    "F.aggregate fold — all JVM, no UDF, no joins; the oracle is the "
+    "independent chained-min SQL formulation",
 )
 def q78(spark, sf_dir):
-    return T.funnel(
-        t(spark, sf_dir, "events"),
+    e = t(spark, sf_dir, "events")
+    any_f = T.funnel(
+        e, "user_id", "ts", "event_type", _FUNNEL_STEPS, tiebreak="event_id"
+    )
+    win = T.funnel(
+        e,
         "user_id",
         "ts",
         "event_type",
         _FUNNEL_STEPS,
         tiebreak="event_id",
+        within=_WIN48H_US,
+    )
+    return any_f.select(F.lit("any").alias("path"), "*").unionAll(
+        win.select(F.lit("win48h").alias("path"), "*")
     )
 
 

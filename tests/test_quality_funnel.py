@@ -185,3 +185,26 @@ def test_audit_plan_is_single_pass(tbl):
     assert logical.count("LogicalRDD") == 1
     for bad in ("Union", "Join", "Expand"):
         assert bad not in physical, bad
+
+
+def test_funnel_window_first_touch_semantics(ev):
+    W = 10_000_000  # 10 s in micros
+    # first-touch: anchor is a@0 even though a@8 could complete within
+    # the window — the windowed chain fails at c (t=12 > 0+10) while
+    # the unwindowed chain completes
+    rows = [(1, 1, t_(0), "a"), (2, 1, t_(8), "a"),
+            (3, 1, t_(9), "b"), (4, 1, t_(12), "c")]
+    unbounded = fun(ev(rows), ["a", "b", "c"]).collect()[0]
+    assert unbounded.stage == 3
+    windowed = T.funnel(
+        ev(rows), "u", "ts", "et", ["a", "b", "c"],
+        tiebreak="id", within=W,
+    ).collect()[0]
+    assert (windowed.stage, windowed.step1_us, windowed.step2_us,
+            windowed.step3_us) == (2, us(0), us(9), None)
+    # boundary: step exactly AT t1 + window converts (<=)
+    rows2 = [(1, 1, t_(0), "a"), (2, 1, t_(10), "b")]
+    r = T.funnel(
+        ev(rows2), "u", "ts", "et", ["a", "b"], tiebreak="id", within=W
+    ).collect()[0]
+    assert r.stage == 2 and r.step2_us == us(10)
