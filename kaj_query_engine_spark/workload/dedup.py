@@ -282,3 +282,69 @@ def _simhash_oracle(bits: int = 32) -> str:
 )
 def q53(spark, sf_dir):
     return D.simhash_fingerprints(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------
+# q64: integer fixed-point PageRank over the candidate graph
+# --------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 4) -> str:
+    """The pagerank_int recurrence unrolled as chained CTEs — exact
+    integer arithmetic makes an ITERATIVE NUMERIC algorithm
+    hash-checkable across engines (float PageRank never is: neighbor
+    sums reassociate per engine/partitioning and drift compounds)."""
+    from kaj_query_engine_spark.operators.graph import DAMPING_PCT, SCALE
+
+    d = DAMPING_PCT
+    ctes = [
+        f"e AS (SELECT d1 AS a, d2 AS b FROM pairs "
+        f"UNION ALL SELECT d2, d1 FROM pairs)",
+        "deg AS (SELECT a, count(*) AS d FROM e GROUP BY 1)",
+        "nn AS (SELECT count(*) AS cnt FROM deg)",
+        f"consts AS (SELECT {SCALE} // cnt AS init, "
+        f"({100 - d} * ({SCALE} // cnt)) // 100 AS base FROM nn)",
+        "r0 AS (SELECT a AS id, (SELECT init FROM consts) AS rank FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"r{i} AS (SELECT n.id, (SELECT base FROM consts) + "
+            f"({d} * COALESCE(s.c, 0)) // 100 AS rank "
+            f"FROM r0 n LEFT JOIN (SELECT e.b AS id, "
+            f"sum(r.rank // dg.d) AS c FROM {p} r "
+            f"JOIN e ON e.a = r.id JOIN deg dg ON dg.a = r.id "
+            f"GROUP BY 1) s ON s.id = n.id)"
+        )
+    return (
+        f"{_SH_CTE}, {_minhash_cand_ctes()}, "
+        "pairs AS (SELECT d1, d2 FROM cand), "
+        + ", ".join(ctes)
+        + f" SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+    )
+
+
+@register(
+    "q64_pagerank",
+    _pagerank_oracle(),
+    "document-authority scoring: integer fixed-point PageRank (4 "
+    "iterations, damping 85/100, SCALE=1e12 micro-rank units) over "
+    "the symmetrized MinHash candidate graph — floor-division "
+    "fixed-point makes an ITERATIVE NUMERIC algorithm hash-exact "
+    "across engines (float PageRank is not oracle-checkable: "
+    "neighbor-sum reassociation drift compounds per iteration). "
+    "Pregel-lite shape: edges/degrees persisted once, one equi-join "
+    "+ one partial-agg groupBy per iteration, localCheckpoint bounds "
+    "lineage, zero driver-side data movement",
+)
+def q64(spark, sf_dir):
+    from kaj_query_engine_spark.operators.graph import pagerank_int
+
+    pairs = D.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    edges = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    return pagerank_int(edges, iterations=4).withColumnRenamed("id", "doc_id")

@@ -983,3 +983,38 @@ def test_verify_candidate_pairs_matches_exact_verifier(spark):
     for k, v in got.items():
         assert v == exact[k]  # identical double, not just close
     assert got, "fixture should contain verified near-dup pairs"
+
+
+# ---- integer PageRank (operators/graph.py) --------------------------
+
+def test_pagerank_hand_computed(spark):
+    from kaj_query_engine_spark.operators.graph import pagerank_int, SCALE
+
+    # 3-node path graph, symmetrized: 1-2, 2-3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank_int(edges, iterations=1).collect()}
+    init = SCALE // 3
+    base = 15 * init // 100
+    # node 2 receives all of 1 and 3 (deg 1 each); 1 and 3 get half of 2
+    assert got == {
+        1: base + 85 * (init // 2) // 100,
+        3: base + 85 * (init // 2) // 100,
+        2: base + 85 * (init // 1 + init // 1) // 100,
+    }
+    # mass bound: floor rounding only loses mass, never creates it
+    assert sum(got.values()) <= SCALE
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from kaj_query_engine_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(80)] + [((i * 7) % 23, i) for i in range(80)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, pagerank_int(edges, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank_int(edges.repartition(13), iterations=3).collect()))
+    # exact integer arithmetic: same ranks bit-for-bit at any parallelism
+    assert a == b

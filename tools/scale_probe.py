@@ -439,6 +439,17 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def run_pagerank(k: int) -> None:
+        # fixed 4 iterations over the growing hub graph (same skewed
+        # input as CC): per-iteration cost is one equi-join + one
+        # partial agg — must stay ~linear even with hub in-degrees
+        # growing as N/100
+        from kaj_query_engine_spark.operators.graph import pagerank_int
+
+        pagerank_int(hub_edges(k), iterations=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     # ---- flagship join under power-law o_custkey -------------------
     # q00's shape (fact ⋈ fact on orderkey, then ⋈ customer on
     # custkey, grouped revenue) with HALF of all orders on one hot
@@ -725,6 +736,7 @@ def main() -> None:
         "ivf_query_materialized": run_ivf,
         "salted_agg_skewed": run_salted_skew,
         "cc_skewed": run_cc_skew,
+        "pagerank_skewed": run_pagerank,
         "flagship_join_skewed": run_flagship_skew,
         "wav_codec_chain": run_wav_codec,
         "avi_codec_chain": run_avi_codec,
@@ -756,6 +768,7 @@ def main() -> None:
         "ivf_query_materialized": vecs,
         "salted_agg_skewed": skewed_rows,
         "cc_skewed": hub_edges,
+        "pagerank_skewed": hub_edges,
         "flagship_join_skewed": flagship_tables,
         "wav_codec_chain": docs,
         "avi_codec_chain": docs,
@@ -825,7 +838,7 @@ def main() -> None:
             bpe_piece_table_rows()
         if name == "salted_agg_skewed":
             base_n = SKEW_BASE_ROWS
-        elif name == "cc_skewed":
+        elif name in ("cc_skewed", "pagerank_skewed"):
             base_n = SKEW_BASE_ROWS // 4
         elif name == "flagship_join_skewed":
             base_n = FLAG_BASE_ORDERS
