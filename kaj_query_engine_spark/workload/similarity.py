@@ -410,3 +410,80 @@ def q62(spark, sf_dir):
     return S.embedding_neardup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+# --------------------------------------------------------------------
+# q65: hybrid retrieval — integer lexical + exact cosine, RRF-fused
+# --------------------------------------------------------------------
+
+Q_DOCS = (0, 100, 200)  # query documents (embeddings aligned by id)
+R_SCALE = 10**9
+R_K0 = 60
+R_K = 10
+
+
+def _hybrid_oracle() -> str:
+    qids = ", ".join(str(q) for q in Q_DOCS)
+    cos = (
+        f"{_DOT_AB.format(a='q.q_vec', b='e.v')} / (q.q_nrm * {_norm('e.v')})"
+    )
+    rrf = (
+        f"COALESCE({R_SCALE} // ({R_K0} + l.lex_rank), 0) + "
+        f"COALESCE({R_SCALE} // ({R_K0} + v.vec_rank), 0)"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) "
+        "AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "posting AS (SELECT DISTINCT doc_id, term FROM toks), "
+        "dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1), "
+        f"qt AS (SELECT doc_id AS q_id, term FROM posting "
+        f"WHERE doc_id IN ({qids})), "
+        "lex AS (SELECT qt.q_id, tf.doc_id, "
+        f"sum(tf.tf * ({R_SCALE} // dfreq.df)) AS score "
+        "FROM qt JOIN tf USING (term) JOIN dfreq USING (term) "
+        "WHERE tf.doc_id <> qt.q_id GROUP BY 1, 2), "
+        "lexr AS (SELECT q_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS lex_rank "
+        f"FROM lex QUALIFY lex_rank <= {R_K}), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, v AS q_vec, {_norm('v')} AS q_nrm "
+        f"FROM e WHERE vec_id IN ({qids})), "
+        f"scored AS (SELECT q.q_id, e.vec_id, {cos} AS c "
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), "
+        "vecr AS (SELECT q_id, vec_id AS doc_id, CAST(row_number() OVER ("
+        "PARTITION BY q_id ORDER BY c DESC, vec_id) AS INT) AS vec_rank "
+        f"FROM scored QUALIFY vec_rank <= {R_K}) "
+        "SELECT COALESCE(l.q_id, v.q_id) AS q_id, "
+        "COALESCE(l.doc_id, v.doc_id) AS doc_id, "
+        f"CAST({rrf} AS BIGINT) AS rrf, "
+        "COALESCE(l.lex_rank, 0) AS lex_rank, "
+        "COALESCE(v.vec_rank, 0) AS vec_rank "
+        "FROM lexr l FULL OUTER JOIN vecr v "
+        "ON l.q_id = v.q_id AND l.doc_id = v.doc_id"
+    )
+
+
+@register(
+    "q65_hybrid_retrieval",
+    _hybrid_oracle(),
+    "hybrid retrieval for 3 query documents: lexical top-10 by "
+    "INTEGER rarity-weighted term overlap (tf x (SCALE div df) — no "
+    "BM25 logs/floats, so the scores are exact in any engine) fused "
+    "with the exact-cosine top-10 (bit-identical doubles via the "
+    "index-order fold) through integer reciprocal-rank fusion "
+    "(SCALE div (60 + rank)). Rankings, not calibrated scores, cross "
+    "the fusion boundary — the whole result hash-matches the oracle "
+    "bit-for-bit. One explode + two partial-agg passes for tf/df, "
+    "broadcast query terms, per-query windows over posting-bounded "
+    "candidates; vector side covers the embedded subset of the corpus",
+)
+def q65(spark, sf_dir):
+    from kaj_query_engine_spark.operators import retrieval as R
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    lex = R.lexical_topk(d, "doc_id", "text", list(Q_DOCS), k=R_K)
+    q = e.filter(F.col("vec_id").isin(list(Q_DOCS)))
+    vec = S.brute_force_topk(e, q, k=R_K)
+    return R.rrf_fuse(lex, vec)

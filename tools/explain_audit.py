@@ -216,6 +216,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q65_hybrid_retrieval": (
+        # lexical side: query terms broadcast into the tf/df postings;
+        # both rank stages push the top-k bound INTO the window
+        # (WindowGroupLimit — no full per-query sort materialized);
+        # the only nested loop is the bounded broadcast query×corpus
+        # cosine (q60's accepted shape)
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["Expand", "CartesianProduct"],
+    ),
     "q59_pit_join": (
         # point-in-time join rides the as-of union trick: Window +
         # Union, ONE hash exchange family — the naive interval-join
