@@ -105,3 +105,79 @@ def test_range_join_matches_reference(spark, left, right, lo, width):
         if ru == u and s + lo < rs <= s + up
     }
     assert got == want
+
+# ---- funnel property fuzz -------------------------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # user
+        st.integers(0, 60),     # ts seconds (collisions allowed)
+        st.sampled_from(["a", "b", "c", "x"]),
+    ),
+    max_size=20,
+)
+
+
+def ref_funnel(rows, steps, within_us=None):
+    """Brute-force greedy reference: per user, scan events sorted by
+    (ts, id); match the next step on the earliest event strictly
+    after the previous match (and within the first-touch window)."""
+    out = {}
+    per_user: dict = {}
+    for i, (u, s, et) in enumerate(rows):
+        per_user.setdefault(u, []).append((s * 1_000_000, i, et))
+    for u, evs in per_user.items():
+        evs.sort()
+        matched = []
+        prev = -1
+        for us_, _i, et in evs:
+            if len(matched) >= len(steps):
+                break
+            if et != steps[len(matched)] or us_ <= prev:
+                continue
+            if within_us is not None and matched and us_ > matched[0] + within_us:
+                continue
+            matched.append(us_)
+            prev = us_
+        out[u] = (
+            len(matched),
+            tuple(matched + [None] * (len(steps) - len(matched))),
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=funnel_events,
+    steps=st.sampled_from([["a", "b"], ["a", "b", "a"], ["b", "a", "c"]]),
+    window=st.one_of(st.none(), st.integers(1, 40)),
+)
+def test_funnel_matches_reference(spark, rows, steps, window):
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, u, ts(s), et) for i, (u, s, et) in enumerate(rows)],
+        "id long, user_id long, ts timestamp, et string",
+    )
+    within_us = window * 1_000_000 if window is not None else None
+    out = T.funnel(
+        df, "user_id", "ts", "et", steps, tiebreak="id", within=within_us
+    ).collect()
+    base = 1_704_067_200_000_000  # session epoch offset for 2024-01-01
+    got = {
+        r.user_id: (
+            r.stage,
+            tuple(
+                (getattr(r, f"step{i + 1}_us") - base)
+                if getattr(r, f"step{i + 1}_us") is not None
+                else None
+                for i in range(len(steps))
+            ),
+        )
+        for r in out
+    }
+    assert got == ref_funnel(rows, steps, within_us)
