@@ -547,3 +547,50 @@ def stream_merge_apply(
     )
     q.awaitTermination()
     return table.read(sdf.sparkSession)
+
+
+def stream_scd2_apply(
+    sdf: DataFrame,
+    table,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming SCD2 maintenance: each micro-batch of events merges
+    into a versioned dimension table through the incremental
+    ``scd2_merge_batch`` — the dimension twin of
+    :func:`stream_merge_apply`, sharing ONE merge implementation with
+    the batch path (q86's oracle is literally the full-rebuild SQL).
+
+    The append-only precondition holds by construction for a
+    time-ordered stream: the file source delivers batches
+    oldest-first and watermarked ingest delivers event time
+    monotonically per key across batches, which is exactly
+    "every batch event at-or-after the key's last observed event".
+    Late events belong in a reconciliation rebuild of their keys (see
+    ``operators/maintenance.scd2_merge_batch``). Run-collapse
+    idempotence absorbs at-least-once re-delivery. Returns the final
+    dimension state."""
+    from kaj_query_engine_spark.operators.maintenance import scd2_merge_batch
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = scd2_merge_batch(
+            table.read(spark),
+            batch_df,
+            key,
+            ts_col,
+            state_col,
+            tiebreak=tiebreak,
+        )
+        table.commit(merged)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(table.path / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(sdf.sparkSession)

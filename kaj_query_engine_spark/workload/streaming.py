@@ -333,3 +333,39 @@ def q85(spark, sf_dir):
         F.col("o_totalprice").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+from kaj_query_engine_spark.workload.maintenance import _SCD2_ORACLE  # noqa: E402
+
+
+@register(
+    "q86_stream_scd2",
+    _SCD2_ORACLE,
+    "streaming SCD2 maintenance: the dimension built from history "
+    "before 2024-01-22 is maintained by the later events streamed "
+    "through foreachBatch into a snapshot-isolated VersionedTable via "
+    "the incremental scd2_merge_batch — THREE independent execution "
+    "paths (q56 full rebuild, q57 batch incremental, q86 streaming "
+    "incremental) now pin against ONE oracle SQL, the strongest form "
+    "of the stream==batch==rebuild law in the suite",
+)
+def q86(spark, sf_dir):
+    from kaj_query_engine_spark.operators.maintenance import scd2_from_events
+    from kaj_query_engine_spark.sources.versioned import VersionedTable
+    from kaj_query_engine_spark.streaming.ops import stream_scd2_apply
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    dim = scd2_from_events(
+        e.filter(F.col("ts") < cut), "user_id", "ts", "event_type",
+        tiebreak="event_id",
+    )
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_scd2_table")
+    tbl.init(dim)  # fresh maintenance run per invocation
+    batch_stream = read_stream_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= cut
+    )
+    return stream_scd2_apply(
+        batch_stream, tbl, "user_id", "ts", "event_type", tiebreak="event_id"
+    )

@@ -147,3 +147,60 @@ def test_compact_restores_file_count_with_identical_data(spark, tmp_path):
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
     assert tbl.file_count(0) == 16
+
+
+def test_stream_scd2_multi_batch_equals_rebuild(spark, tmp_path):
+    """Three time-ordered event batches streamed through the SCD2
+    apply must equal the one-shot rebuild over all events — the
+    multi-batch case the fixture query (one file → one batch) can't
+    exercise."""
+    from kaj_query_engine_spark.operators.maintenance import scd2_from_events
+    from kaj_query_engine_spark.streaming.ops import stream_scd2_apply
+    import pandas as pd
+
+    batches = [
+        [(1, 1, "2024-03-01 10:00:00", "a"), (2, 2, "2024-03-01 10:01:00", "a")],
+        [(3, 1, "2024-03-01 10:05:00", "a"),   # same state → collapses
+         (4, 1, "2024-03-01 10:06:00", "b")],
+        [(5, 2, "2024-03-01 10:09:00", "c"), (6, 3, "2024-03-01 10:10:00", "n")],
+    ]
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = 1_700_000_000
+    all_rows = []
+    for i, rows in enumerate(batches):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "k": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[2]) for r in rows], pa.timestamp("us")
+                ),
+                "st": pa.array([r[3] for r in rows], pa.string()),
+            }),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+        all_rows += rows
+    full_df = spark.createDataFrame(
+        [(r[0], r[1], pd.Timestamp(r[2]).to_pydatetime(), r[3]) for r in all_rows],
+        "id long, k long, ts timestamp, st string",
+    )
+    tbl = VersionedTable(tmp_path / "dim")
+    empty = spark.createDataFrame(
+        [], "k long, state string, valid_from_us long, valid_to_us long, is_current boolean"
+    )
+    tbl.init(empty)
+    sdf = (
+        spark.readStream.schema("id long, k long, ts timestamp, st string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    final = stream_scd2_apply(sdf, tbl, "k", "ts", "st", tiebreak="id")
+    rebuilt = scd2_from_events(full_df, "k", "ts", "st", tiebreak="id")
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # one commit per micro-batch on top of the empty init
+    assert tbl.versions() == [0, 1, 2, 3]
