@@ -210,3 +210,72 @@ def q42(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+_MIX_BUDGET = 400
+
+_TEMP_MIX_ORACLE = (
+    "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
+    # the 5-term normalizer folds LEFT over the lang-ordered list —
+    # a bare sum() would reassociate per engine and flip floor() at
+    # boundaries; an ordered fold is bit-identical (the q60 dot-product
+    # rule applied to mixture normalization)
+    "s AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), "
+    "(a, b) -> a + b) AS tot FROM c), "
+    "k AS (SELECT lang, CAST(FLOOR("
+    f"{_MIX_BUDGET} * sqrt(CAST(n AS DOUBLE)) / (SELECT tot FROM s)"
+    ") AS BIGINT) AS kk FROM c), "
+    "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT r.lang, r.doc_id FROM r JOIN k USING (lang) WHERE rn <= kk"
+)
+
+
+@register(
+    "q43_temperature_mix",
+    _TEMP_MIX_ORACLE,
+    "temperature-flattened mixture sampling (tau = 0.5): per-language "
+    "budgets proportional to sqrt(corpus count) — rare languages "
+    "upweighted relative to raw proportions, the standard multilingual "
+    "mixture design — realized as exact-k hash-rank samples (q42's "
+    "md5 trick). Exactness: sqrt is one correctly-rounded IEEE op and "
+    "the 5-term normalizer folds LEFT in lang order on both engines "
+    "(bare SUM would reassociate and flip floor() at a boundary), so "
+    "the budgets — and therefore the sample — are bit-identical. "
+    "Plan: one count pass, a 1-row broadcast of the folded budgets, "
+    "one hash exchange for the per-lang rank windows",
+)
+def q43(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("lang", F.sqrt(F.col("n").cast("double")).alias("s")))
+                ),
+                lambda r: r["s"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("tot")
+    )
+    k = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.lit(_MIX_BUDGET) * F.sqrt(F.col("n").cast("double")) / F.col("tot")
+        ).alias("kk"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = d.select("lang", "doc_id", rn.alias("rn"))
+    return (
+        ranked.join(F.broadcast(k), "lang")
+        .filter(F.col("rn") <= F.col("kk"))
+        .select("lang", "doc_id")
+    )
