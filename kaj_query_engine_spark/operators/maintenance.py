@@ -360,3 +360,50 @@ def scd2_merge_batch(
         replay, key, ts_col, state_col, tiebreak=tiebreak
     )
     return kept.unionByName(rebuilt)
+
+
+def merge_agg_state(
+    state: DataFrame,
+    batch_state: DataFrame,
+    keys: list[str],
+    merge_exprs: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: combine an
+    existing per-key aggregate STATE table with a new batch's
+    aggregates — the algebraic-merge step of incremental view
+    maintenance. ``merge_exprs`` maps each state column to its merge
+    rule over the SQL names ``a`` (existing) and ``b`` (batch), e.g.::
+
+        {"n": "a + b", "sum_v": "a + b", "mn": "least(a, b)",
+         "mx": "greatest(a, b)"}
+
+    Only ALGEBRAIC aggregates merge this way (count/sum/min/max and
+    anything derived from them, e.g. avg = sum/n; plus the mergeable
+    sketches in workload/scale — HLL/KLL states union). Holistic
+    aggregates (exact median, exact distinct) do not — that boundary
+    is the whole reason the sketch queries exist.
+
+    ONE full-outer shuffle join on the keys; keys absent from one
+    side take the other side's value verbatim (both inputs are
+    already per-key states, so absence means "empty state", and every
+    listed merge rule must treat it so — the coalesce is applied here
+    by substituting the present side's value, NOT by faking a zero,
+    which would be wrong for min/max)."""
+    a = state.select(*keys, F.struct(*[c for c in state.columns if c not in keys]).alias("_a"))
+    b = batch_state.select(*keys, F.struct(*[c for c in batch_state.columns if c not in keys]).alias("_b"))
+    j = a.join(b, on=keys, how="full_outer")
+    import re as _re
+
+    cols = []
+    for name, rule in merge_exprs.items():
+        # word-boundary substitution: a bare .replace("a", ...) would
+        # rewrite the 'a' inside function names like greatest()
+        sub = _re.sub(r"\ba\b", f"_a.{name}", rule)
+        both = F.expr(_re.sub(r"\bb\b", f"_b.{name}", sub))
+        cols.append(
+            F.when(F.col("_a").isNull(), F.col(f"_b.{name}"))
+            .when(F.col("_b").isNull(), F.col(f"_a.{name}"))
+            .otherwise(both)
+            .alias(name)
+        )
+    return j.select(*keys, *cols)

@@ -313,3 +313,62 @@ def q59(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts_us", F.col("asof_state").alias("state")
     )
+
+
+# --------------------------------------------------------------------
+# q44: incremental materialized-aggregate maintenance
+# --------------------------------------------------------------------
+
+_AGG_STATE_ORACLE = (
+    # the oracle is the FULL aggregation over all orders — incremental
+    # state merge == recompute is the differential contract (the SCD2
+    # q57 pattern applied to materialized views)
+    "SELECT o_custkey, count(*) AS n, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS sum_v, min(o_totalprice) AS mn, max(o_totalprice) AS mx "
+    "FROM orders GROUP BY 1"
+)
+
+
+@register(
+    "q44_incremental_agg",
+    _AGG_STATE_ORACLE,
+    "incremental materialized-view maintenance for ALGEBRAIC "
+    "aggregates: a per-customer (count, sum, min, max) state table "
+    "built from orders before 1998 is merged with the later orders' "
+    "batch aggregates via merge_agg_state (one full-outer join; "
+    "count/sum add, min/max least/greatest; sums carried as exact "
+    "DECIMAL inside the state so the merge is associative without "
+    "float drift, rounded only at the result boundary). The oracle "
+    "is the full recompute over all orders — incremental == recompute "
+    "is the contract; holistic aggregates (exact medians/distincts) "
+    "deliberately can't ride this path, which is why the mergeable "
+    "sketches exist (q45)",
+)
+def q44(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def state_of(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    state = state_of(o.filter(F.col("o_orderdate") < cut))
+    batch = state_of(o.filter(F.col("o_orderdate") >= cut))
+    merged = M.merge_agg_state(
+        state,
+        batch,
+        ["o_custkey"],
+        {"n": "a + b", "s": "a + b", "mn": "least(a, b)", "mx": "greatest(a, b)"},
+    )
+    return merged.select(
+        "o_custkey",
+        "n",
+        F.round(F.col("s"), 2).cast("double").alias("sum_v"),
+        "mn",
+        "mx",
+    )

@@ -235,3 +235,28 @@ def test_scd2_incremental_redelivery_idempotent(history):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_merge_agg_state_absent_side_and_word_boundary(spark):
+    state = spark.createDataFrame(
+        [(1, 2, 10.0, -5.0, 5.0), (2, 1, 1.0, 1.0, 1.0)],
+        "k long, n long, s double, mn double, mx double",
+    )
+    batch = spark.createDataFrame(
+        [(1, 3, 6.0, -9.0, 2.0), (3, 1, 7.0, 7.0, 7.0)],
+        "k long, n long, s double, mn double, mx double",
+    )
+    out = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in M.merge_agg_state(
+            state, batch, ["k"],
+            {"n": "a + b", "s": "a + b", "mn": "least(a, b)",
+             "mx": "greatest(a, b)"},
+        ).collect()
+    }
+    assert out == {
+        1: (5, 16.0, -9.0, 5.0),  # merged: add/add/least/greatest
+        2: (1, 1.0, 1.0, 1.0),    # state-only: verbatim, NOT zero-merged
+        3: (1, 7.0, 7.0, 7.0),    # batch-only: verbatim (min intact —
+        # a fake-zero coalesce would have broken mn for positive keys)
+    }
