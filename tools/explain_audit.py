@@ -216,6 +216,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q43_temperature_mix": (
+        # budget computation is a 1-row bounded broadcast (the BNLJ
+        # cross there is the established 1-row-agg shape); budgets
+        # reach the rank windows through a broadcast hash join — no
+        # range sort, no corpus-sized nested loop
+        ["Window", "hashpartitioning(lang", "BroadcastHashJoin"],
+        ["SortMergeJoin", "rangepartitioning(", "CartesianProduct"],
+    ),
+    "q44_incremental_agg": (
+        # state merge: partial-aggregated per-side states, ONE
+        # full-outer equi-join on the key
+        ["SortMergeJoin FullOuter", "HashAggregate", "partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Expand"],
+    ),
     "q65_hybrid_retrieval": (
         # lexical side: query terms broadcast into the tf/df postings;
         # both rank stages push the top-k bound INTO the window
