@@ -594,3 +594,39 @@ def stream_scd2_apply(
     )
     q.awaitTermination()
     return table.read(sdf.sparkSession)
+
+
+def stream_agg_state_apply(
+    sdf: DataFrame,
+    table,
+    keys: list[str],
+    batch_state_of,
+    merge_exprs: dict[str, str],
+) -> DataFrame:
+    """Streaming materialized-view maintenance: each micro-batch is
+    aggregated to its per-key state (``batch_state_of``, a
+    DataFrame -> DataFrame aggregation) and algebraically merged into
+    the versioned state table via
+    :func:`~kaj_query_engine_spark.operators.maintenance.merge_agg_state`
+    — the third member of the foreachBatch-maintenance family
+    (MERGE q85, SCD2 q86, aggregates here), one merge implementation
+    per family shared between batch and streaming. Associativity of
+    the algebraic merge is what makes batch boundaries invisible:
+    any micro-batching of the same rows converges to the same state."""
+    from kaj_query_engine_spark.operators.maintenance import merge_agg_state
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = merge_agg_state(
+            table.read(spark), batch_state_of(batch_df), keys, merge_exprs
+        )
+        table.commit(merged)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(table.path / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(sdf.sparkSession)

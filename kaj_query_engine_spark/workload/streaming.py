@@ -369,3 +369,55 @@ def q86(spark, sf_dir):
     return stream_scd2_apply(
         batch_stream, tbl, "user_id", "ts", "event_type", tiebreak="event_id"
     )
+
+
+from kaj_query_engine_spark.workload.maintenance import _AGG_STATE_ORACLE  # noqa: E402
+
+
+@register(
+    "q87_stream_agg_state",
+    _AGG_STATE_ORACLE,
+    "streaming materialized-view maintenance: the q44 per-customer "
+    "(count, sum, min, max) state seeded from pre-1998 orders, then "
+    "maintained by the later orders streamed through foreachBatch + "
+    "merge_agg_state into a versioned table — oracle = the full "
+    "recompute (q44's), completing the batch==stream==recompute "
+    "triple for aggregates; algebraic associativity makes the "
+    "micro-batch boundaries invisible",
+)
+def q87(spark, sf_dir):
+    from kaj_query_engine_spark.sources.versioned import VersionedTable
+    from kaj_query_engine_spark.streaming.ops import stream_agg_state_apply
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def state_of(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_agg_state")
+    tbl.init(state_of(o.filter(F.col("o_orderdate") < cut)))
+    stream = read_stream_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= cut
+    )
+    final = stream_agg_state_apply(
+        stream,
+        tbl,
+        ["o_custkey"],
+        state_of,
+        {"n": "a + b", "s": "a + b", "mn": "least(a, b)",
+         "mx": "greatest(a, b)"},
+    )
+    return final.select(
+        "o_custkey",
+        "n",
+        F.round(F.col("s"), 2).cast("double").alias("sum_v"),
+        "mn",
+        "mx",
+    )

@@ -204,3 +204,54 @@ def test_stream_scd2_multi_batch_equals_rebuild(spark, tmp_path):
     )
     # one commit per micro-batch on top of the empty init
     assert tbl.versions() == [0, 1, 2, 3]
+
+
+def test_stream_agg_state_multi_batch_equals_recompute(spark, tmp_path):
+    """Associativity made visible: the same rows in 3 micro-batches
+    converge to the recompute state regardless of batching."""
+    from pyspark.sql import functions as F
+    from kaj_query_engine_spark.streaming.ops import stream_agg_state_apply
+
+    batches = [
+        [(1, 10.0), (2, 5.0)],
+        [(1, -2.0)],
+        [(2, 30.0), (3, 7.0)],
+    ]
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "x": pa.array([r[1] for r in rows], pa.float64()),
+            }),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+
+    def state_of(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+            F.min("x").alias("mn"), F.max("x").alias("mx"),
+        )
+
+    tbl = VersionedTable(tmp_path / "state")
+    tbl.init(state_of(spark.createDataFrame([], "k long, x double")))
+    sdf = (
+        spark.readStream.schema("k long, x double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    final = stream_agg_state_apply(
+        sdf, tbl, ["k"], state_of,
+        {"n": "a + b", "s": "a + b", "mn": "least(a, b)",
+         "mx": "greatest(a, b)"},
+    )
+    flat = [r for b in batches for r in b]
+    recompute = state_of(spark.createDataFrame(flat, "k long, x double"))
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, recompute.collect())
+    )
+    assert tbl.versions() == [0, 1, 2, 3]
