@@ -255,3 +255,44 @@ def test_stream_agg_state_multi_batch_equals_recompute(spark, tmp_path):
         map(tuple, recompute.collect())
     )
     assert tbl.versions() == [0, 1, 2, 3]
+
+
+def test_stream_merge_checkpoint_exactly_once_pickup(spark, tmp_path):
+    """The exactly-once contract of the foreachBatch maintenance
+    family: re-running the stream over the same checkpoint commits
+    NOTHING (processed files are remembered), and a newly landed file
+    produces exactly one more commit containing only its changes."""
+    target = df_(spark, [(1, "t"), (2, "t"), (3, "t")])
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(target)
+    stream_dir = _write_batches(tmp_path)
+
+    def run():
+        sdf = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        return stream_merge_apply(
+            sdf, tbl, ["k"], delete_condition=F.col("v") == "DEL"
+        )
+
+    first = {r.k: r.v for r in run().collect()}
+    assert tbl.versions() == [0, 1, 2, 3]
+
+    # restart over the SAME checkpoint: zero new commits, state intact
+    again = {r.k: r.v for r in run().collect()}
+    assert again == first
+    assert tbl.versions() == [0, 1, 2, 3]
+
+    # a new file lands: exactly ONE more commit, applying only it
+    p = os.path.join(stream_dir, "b999.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([99], pa.int64()),
+                  "v": pa.array(["late"], pa.string())}),
+        p,
+    )
+    os.utime(p, (1_700_099_000, 1_700_099_000))
+    final = {r.k: r.v for r in run().collect()}
+    assert tbl.versions() == [0, 1, 2, 3, 4]
+    assert final == {**first, 99: "late"}
