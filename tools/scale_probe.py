@@ -670,6 +670,19 @@ def main() -> None:
             delete_condition=F.col("k") % 13 == 0,
         )
 
+    def run_lexical_retrieval(k: int) -> None:
+        # fixed 3-query lexical top-k over a growing corpus: tf/df are
+        # one explode + partial-agg passes, query terms broadcast —
+        # the per-query candidate set grows with the posting lists, so
+        # ~linear is the honest bound
+        from kaj_query_engine_spark.operators import retrieval as R
+
+        d = docs(k)
+        qids = [r[0] for r in d.select("doc_id").orderBy("doc_id").limit(3).collect()]
+        R.lexical_topk(d, "doc_id", "text", qids, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     # ---- BPE probes --------------------------------------------------
     # Encode with a FIXED model over a growing corpus: map-only Arrow,
     # must hold e ≈ 1 even on the adversarial replication (suffixed
@@ -745,6 +758,7 @@ def main() -> None:
         "merge_upsert_fixed_batch": run_merge_upsert,
         "merge_partitioned_fixed_batch": run_merge_partitioned,
         "bpe_encode_fixed_model": run_bpe_encode,
+        "lexical_retrieval_fixed_queries": run_lexical_retrieval,
     }
     # which generator feeds each op — inputs are materialized for ALL
     # scales BEFORE an op's timing loop, so the timed region never
@@ -777,6 +791,7 @@ def main() -> None:
         "merge_upsert_fixed_batch": merge_target,
         "merge_partitioned_fixed_batch": part_table,
         "bpe_encode_fixed_model": docs,
+        "lexical_retrieval_fixed_queries": docs,
     }
     base_docs = base_docs_df.count()
     # the index-lifecycle ops get a FOURTH bracket (64x): their 1-16x
