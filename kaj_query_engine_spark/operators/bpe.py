@@ -204,6 +204,8 @@ def encode_token_counts(
     per-batch piece cache (Zipf hit rate)."""
     spark = docs.sparkSession
     ranks_bc = spark.sparkContext.broadcast(model.ranks())
+    id_type = docs.schema[id_col].dataType.simpleString()  # ids aren't
+    # always longs — crawl corpora key by URL/UUID strings
     pieces = docs.select(
         F.col(id_col).alias("doc_id"),
         bpe_ish_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_pieces"),
@@ -221,5 +223,5 @@ def encode_token_counts(
             yield pdf[["doc_id", "n_bpe_tokens", "n_pieces"]]
 
     return pieces.mapInPandas(
-        run, "doc_id long, n_bpe_tokens long, n_pieces long"
+        run, f"doc_id {id_type}, n_bpe_tokens long, n_pieces long"
     )

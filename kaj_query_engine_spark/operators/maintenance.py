@@ -209,10 +209,31 @@ def merge_into_partitioned(
     from pathlib import Path
     import shutil
 
+    import re as _re
+
     spark = source.sparkSession
     touched = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
+    # fail LOUDLY on values the commit-log-less path can't handle:
+    # a NULL partition never matches isin() (three-valued logic), so
+    # existing NULL-partition rows would silently vanish from the
+    # merge read and be dropped by the overwrite; and a value whose
+    # string form needs Hive path-escaping would break the
+    # empty-partition cleanup's directory construction — both are
+    # table-format territory, not this demonstrator's
+    if any(p_ is None for p_ in touched):
+        raise ValueError(
+            "merge_into_partitioned: NULL partition values are not "
+            "supported (isin() can't select them; rows would be lost)"
+        )
+    unsafe = [p_ for p_ in touched if not _re.fullmatch(r"[-A-Za-z0-9_.]+", str(p_))]
+    if unsafe:
+        raise ValueError(
+            "merge_into_partitioned: partition values need Hive path "
+            f"escaping, unsupported here: {unsafe[:3]} — use a table "
+            "format or a path-safe derived partition column"
+        )
     target = spark.read.parquet(path).filter(
         F.col(partition_col).isin(touched)
     )
@@ -348,7 +369,15 @@ def scd2_merge_batch(
             F.col(key),
             F.timestamp_micros(F.col("valid_from_us")).alias(ts_col),
             F.col("state").alias(state_col),
-            *([F.lit(None).cast("long").alias(tiebreak)] if tiebreak else []),
+            *(
+                [
+                    F.lit(None)
+                    .cast(batch.schema[tiebreak].dataType)
+                    .alias(tiebreak)
+                ]
+                if tiebreak
+                else []
+            ),
         )
     )
     replay = pseudo.unionByName(
@@ -396,10 +425,18 @@ def merge_agg_state(
 
     cols = []
     for name, rule in merge_exprs.items():
-        # word-boundary substitution: a bare .replace("a", ...) would
-        # rewrite the 'a' inside function names like greatest()
-        sub = _re.sub(r"\ba\b", f"_a.{name}", rule)
-        both = F.expr(_re.sub(r"\bb\b", f"_b.{name}", sub))
+        # ONE-pass word-boundary substitution via callback: sequential
+        # a-then-b passes would re-match the qualified name the first
+        # pass just produced when a state column is itself named 'b'
+        # ("a + b" with column 'b' -> "_a.b" -> "_a._b.b"); and a bare
+        # .replace would rewrite the 'a' inside greatest()
+        both = F.expr(
+            _re.sub(
+                r"\b[ab]\b",
+                lambda m: f"_{m.group(0)}.{name}",
+                rule,
+            )
+        )
         cols.append(
             F.when(F.col("_a").isNull(), F.col(f"_b.{name}"))
             .when(F.col("_b").isNull(), F.col(f"_a.{name}"))

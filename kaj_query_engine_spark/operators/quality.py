@@ -100,8 +100,11 @@ def audit(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
         aggs.append(c.violation_agg.alias(f"_v{i}"))
         aggs.append(c.checked_agg.alias(f"_c{i}"))
     row = df.agg(*aggs)
+    # names are embedded in SQL text: escape quotes so a constraint
+    # like accepted_values(name,[O'Brien]) can't break the parse
     cells = ", ".join(
-        f"'{c.name}', _v{i}, _c{i}" for i, c in enumerate(constraints)
+        "'{}', _v{}, _c{}".format(c.name.replace("'", "''"), i, i)
+        for i, c in enumerate(constraints)
     )
     return row.select(
         F.expr(

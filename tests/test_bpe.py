@@ -130,3 +130,15 @@ def test_encode_unknown_chars_and_empty(spark):
     # "ab" → 1 token; " xyz" (leading-space piece) → no merges apply →
     # 4 symbols; NULL/empty text → zero of both
     assert rows == {1: (5, 2), 2: (0, 0), 3: (0, 0)}
+
+
+def test_encode_string_doc_ids(spark):
+    model = B.learn_bpe(freqs(spark, [("ab", 3)]), num_merges=1)
+    docs = spark.createDataFrame(
+        [("u://1", "ab"), ("u://2", "ab ab")], "doc_id string, text string"
+    )
+    rows = {
+        r.doc_id: r.n_bpe_tokens
+        for r in B.encode_token_counts(docs, "doc_id", "text", model).collect()
+    }
+    assert rows == {"u://1": 1, "u://2": 3}  # "ab"=1; "ab"+" ab"(no merge: ' a','b')

@@ -260,3 +260,56 @@ def test_merge_agg_state_absent_side_and_word_boundary(spark):
         3: (1, 7.0, 7.0, 7.0),    # batch-only: verbatim (min intact —
         # a fake-zero coalesce would have broken mn for positive keys)
     }
+
+
+def test_partitioned_merge_null_and_unsafe_partition_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1, "a")], "k long, p long, v string"
+    ).write.partitionBy("p").parquet(path)
+    null_batch = spark.createDataFrame(
+        [(2, None, "b")], "k long, p long, v string"
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        M.merge_into_partitioned(path, null_batch, ["k"], "p")
+    path2 = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "x y", "a")], "k long, p string, v string"
+    ).write.partitionBy("p").parquet(path2)
+    unsafe = spark.createDataFrame(
+        [(2, "x y", "b")], "k long, p string, v string"
+    )
+    with pytest.raises(ValueError, match="path "):
+        M.merge_into_partitioned(path2, unsafe, ["k"], "p")
+
+
+def test_scd2_merge_batch_string_tiebreak(spark):
+    hist = spark.createDataFrame(
+        [("e1", 1, t_(0), "x"), ("e2", 1, t_(10), "y")],
+        "eid string, k long, ts timestamp, st string",
+    )
+    dim = M.scd2_from_events(hist, "k", "ts", "st", tiebreak="eid")
+    batch = spark.createDataFrame(
+        [("e3", 1, t_(20), "z")], "eid string, k long, ts timestamp, st string"
+    )
+    merged = M.scd2_merge_batch(dim, batch, "k", "ts", "st", tiebreak="eid")
+    full = M.scd2_from_events(
+        spark.createDataFrame(
+            [("e1", 1, t_(0), "x"), ("e2", 1, t_(10), "y"),
+             ("e3", 1, t_(20), "z")],
+            "eid string, k long, ts timestamp, st string",
+        ),
+        "k", "ts", "st", tiebreak="eid",
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_agg_state_column_named_b(spark):
+    # the one-pass regex fix: a state column literally named 'b' must
+    # not have its qualified form re-substituted
+    state = spark.createDataFrame([(1, 10)], "k long, b long")
+    batch = spark.createDataFrame([(1, 5)], "k long, b long")
+    out = M.merge_agg_state(state, batch, ["k"], {"b": "a + b"}).collect()
+    assert [(r.k, r.b) for r in out] == [(1, 15)]

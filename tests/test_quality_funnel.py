@@ -208,3 +208,9 @@ def test_funnel_window_first_touch_semantics(ev):
         ev(rows2), "u", "ts", "et", ["a", "b"], tiebreak="id", within=W
     ).collect()[0]
     assert r.stage == 2 and r.step2_us == us(10)
+
+
+def test_audit_name_with_quote_does_not_break(spark):
+    df = spark.createDataFrame([("O'Brien",), ("x",)], "v string")
+    rep = Q.audit(df, [Q.accepted_values("v", ["O'Brien", "x"])]).collect()
+    assert rep[0].violations == 0 and "O'Brien" in rep[0].constraint
