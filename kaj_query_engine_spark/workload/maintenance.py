@@ -372,3 +372,63 @@ def q44(spark, sf_dir):
         "mn",
         "mx",
     )
+
+
+# --------------------------------------------------------------------
+# q88: incremental maintenance of APPROXIMATE aggregates (HLL states)
+# --------------------------------------------------------------------
+
+_HLL_ORACLE = (
+    # the q45 contract applied to incremental maintenance: the oracle
+    # computes the EXACT per-segment distinct-user counts and states
+    # that the merged-sketch estimate lands within the sketch's error
+    # bound; Spark emits the exact count AND the within-bound boolean
+    "SELECT event_type, count(DISTINCT user_id) AS nd_exact, "
+    "TRUE AS est_ok FROM events GROUP BY 1"
+)
+
+
+@register(
+    "q88_incremental_distinct",
+    _HLL_ORACLE,
+    "incremental maintenance of an APPROXIMATE aggregate: per-segment "
+    "distinct-user HLL sketch STATES (binary, mergeable) built from "
+    "pre-cut events, merged with the post-cut batch's states via "
+    "hll_union — the merge_agg_state pattern extended to sketch "
+    "payloads, closing the algebraic/holistic gap the q44 docstring "
+    "points at (exact distinct is holistic and can't merge; its "
+    "SKETCH is algebraic and can). Result: the exact distinct count "
+    "(oracle-checked) plus a boolean pinning the merged-state "
+    "estimate within the HLL error bound (lgConfigK=14 -> ~0.8% "
+    "rsd; 5% gate). The estimate itself never crosses the result "
+    "boundary — engines' HLL binaries differ, bounds don't",
+)
+def q88(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+
+    def sketch_state(df):
+        return df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("hll")
+        )
+
+    state = sketch_state(e.filter(F.col("ts") < cut))
+    batch = sketch_state(e.filter(F.col("ts") >= cut))
+    merged = M.merge_agg_state(
+        state, batch, ["event_type"], {"hll": "hll_union(a, b)"}
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("nd_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "nd_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.col("hll")) - F.col("nd_exact")
+            )
+            <= F.greatest(
+                F.lit(1.0), F.col("nd_exact") * F.lit(0.05)
+            )
+        ).alias("est_ok"),
+    )

@@ -313,3 +313,23 @@ def test_merge_agg_state_column_named_b(spark):
     batch = spark.createDataFrame([(1, 5)], "k long, b long")
     out = M.merge_agg_state(state, batch, ["k"], {"b": "a + b"}).collect()
     assert [(r.k, r.b) for r in out] == [(1, 15)]
+
+
+def test_hll_state_merge_equals_one_shot_sketch(spark):
+    # the sketch-merge law behind q88: union of per-half sketch states
+    # estimates the SAME value as one sketch over all rows (HLL union
+    # is lossless for lgK-matched sketches)
+    rows = [(i % 7, i % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "g long, u long")
+
+    def st(d):
+        return d.groupBy("g").agg(F.hll_sketch_agg("u", F.lit(14)).alias("hll"))
+
+    merged = M.merge_agg_state(
+        st(df.filter("u < 25")), st(df.filter("u >= 25")), ["g"],
+        {"hll": "hll_union(a, b)"},
+    ).select("g", F.hll_sketch_estimate("hll").alias("est"))
+    one_shot = st(df).select("g", F.hll_sketch_estimate("hll").alias("est"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
