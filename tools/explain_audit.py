@@ -216,6 +216,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q88_incremental_distinct": (
+        # sketch states build as partial-able ObjectHashAggregates,
+        # merge through ONE full-outer join, and the exact-distinct
+        # verifier rides the single-distinct rewrite (no Expand)
+        ["ObjectHashAggregate", "SortMergeJoin FullOuter",
+         "BroadcastHashJoin"],
+        ["Expand", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "q43_temperature_mix": (
         # budget computation is a 1-row bounded broadcast (the BNLJ
         # cross there is the established 1-row-agg shape); budgets
