@@ -93,21 +93,23 @@ def main() -> None:
     # the best; still outside -> canary_ok=false, telling the reader to
     # discount cross-round deltas in this artifact.
     #
-    # The reference RATCHETS: it is the best (lowest) settled reading
-    # ever observed, updated with min(ref, measured) on every run — a
-    # faster box era is adopted immediately (the previous only-on-ok
-    # rule could never adopt one: a 20% faster reading flagged not-ok
-    # forever). Only SLOW readings flag: ok = measured <= 1.1 * ref.
-    # Hot runs can't contaminate the pin (the first protocol version
-    # tracked the last run's own measurement and drifted 5.06 -> 6.78
-    # after a post-pytest bench). A persistent not-ok therefore means
-    # a real host-era slowdown or a q45 code change; reset
-    # deliberately via $SPARK_GRAFT_CANARY_REF.
+    # The reference RATCHETS DOWN only when a faster reading REPEATS:
+    # new ref = min(ref, max(last two measurements)). A single
+    # anomalously fast reading (residual page-cache warmth, a fluke)
+    # can no longer permanently lower the pin and flag every honest
+    # settled run after it — two consecutive runs must both beat the
+    # pin before it moves. Only SLOW readings flag: ok = measured <=
+    # 1.1 * ref. Hot runs can't contaminate the pin (the first
+    # protocol version tracked the last run's own measurement and
+    # drifted 5.06 -> 6.78 after a post-pytest bench). A persistent
+    # not-ok therefore means a real host-era slowdown or a q45 code
+    # change; reset deliberately via $SPARK_GRAFT_CANARY_REF.
     canary_name = "q45_sketch_aggregates"
     out_path = Path(__file__).resolve().parent / "bench_out.json"
     canary: dict = {"query": canary_name, "ref": None, "ok": None}
     if canary_name in queries:
         env_ref = os.environ.get("SPARK_GRAFT_CANARY_REF")
+        prev_measured = None
         try:
             prev = json.loads(out_path.read_text())
             prev_canary = prev.get("canary") or {}
@@ -115,12 +117,13 @@ def main() -> None:
                 float(sf) if sf.replace(".", "").isdigit() else sf
             ):
                 # pin is per-SF: a smaller-SF drive run would otherwise
-                # min-ratchet the pin below any honest full-SF reading
+                # ratchet the pin below any honest full-SF reading
                 ref = None
             else:
                 # pinned ref from the last artifact; fall back to the
                 # last measurement only when no pin exists (bootstrap)
                 ref = prev_canary.get("ref") or prev["queries_warm"][canary_name]
+                prev_measured = prev_canary.get("measured")
         except Exception:
             ref = None
         if env_ref:
@@ -138,10 +141,16 @@ def main() -> None:
                     "noop"
                 ).mode("overwrite").save()
                 measured = min(measured, round(time.time() - start, 3))
+            # lower the pin only when the faster era REPEATS: both this
+            # run and the previous run must beat the current ref, and
+            # the new pin is the slower (max) of the two — a one-off
+            # fluke reading never moves it
+            new_ref = ref
+            if measured < ref and prev_measured is not None and prev_measured < ref:
+                new_ref = max(measured, prev_measured)
             canary = {
                 "query": canary_name,
-                # best-known settled reading: min-ratchet every run
-                "ref": round(min(ref, measured), 3),
+                "ref": round(new_ref, 3),
                 "measured": measured,
                 "ratio": round(measured / ref, 3),
                 "ok": measured <= 1.10 * ref,
@@ -159,11 +168,31 @@ def main() -> None:
         "canary": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # the driver keeps only the last ~650 chars of stdout and parses
+    # the FINAL line as JSON; the full payload (76 queries x cold+warm)
+    # is ~4 KB, so printing it last truncates mid-object and `parsed`
+    # never materializes (BENCH_r05/r06 both show parsed:null). Print
+    # the full payload FIRST (for humans / full-stdout captures),
+    # persist it to the committed artifact, and end stdout with a
+    # compact summary line that fits the driver's tail window whole.
     print(json.dumps(payload))
-    # the driver keeps only the TAIL of stdout in BENCH_r{N}.json, which
-    # truncates the per-query map — persist the full result to a
-    # committed artifact so per-query cold/warm times survive each round
     out_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
+    compact = {
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "total_warm": payload["total_warm"],
+        "canary_ok": canary["ok"],
+        "queries": slowest,  # 8 slowest cold; full map in bench_out.json
+        "queries_full": "bench_out.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

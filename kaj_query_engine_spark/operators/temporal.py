@@ -396,10 +396,15 @@ def funnel(
         # stage before this event = count of filled slots
         stage = F.size(F.filter(acc, lambda x: x.isNotNull()))
         want = F.element_at(steps_lit, stage + 1)  # next step's type
-        prev = F.when(stage == 0, F.lit(-1)).otherwise(
-            F.element_at(acc, stage)
+        # step 1 matches unconditionally; later steps need strictly
+        # increasing timestamps. NULL-aware (stage==0 short-circuits)
+        # rather than a -1 sentinel, so pre-1970 timestamps
+        # (unix_micros <= -1) can still anchor step 1.
+        hit = (
+            (stage < k)
+            & (e["et"] == want)
+            & ((stage == 0) | (e["us"] > F.element_at(acc, stage)))
         )
-        hit = (stage < k) & (e["et"] == want) & (e["us"] > prev)
         if within is not None:
             hit = hit & (
                 (stage == 0) | (e["us"] <= F.element_at(acc, 1) + within)

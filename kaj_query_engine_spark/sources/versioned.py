@@ -60,7 +60,9 @@ class VersionedTable:
     def init(self, df: DataFrame) -> int:
         """(Re)create the table at version 0 from ``df``. Destroys any
         existing history — callers use it for a fresh maintenance run,
-        not on a live table."""
+        not on a live table. (It also removes any streaming checkpoint
+        kept under the table path, so foreachBatch batch ids and
+        :meth:`last_applied_batch` restart together.)"""
         if self.path.exists():
             shutil.rmtree(self.path)
         self.path.mkdir(parents=True)
@@ -68,19 +70,43 @@ class VersionedTable:
         self._swap_pointer(0)
         return 0
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Write ``df`` as the next immutable version, then move the
         pointer. The write completes before the swap, so a crash
         mid-commit leaves the table at the previous version —
         re-running the batch is safe (the orphan directory is
-        overwritten)."""
+        overwritten).
+
+        ``batch_id`` (foreachBatch's id) is recorded INSIDE the
+        version directory before the pointer swap, so (version,
+        applied-batch) flip together atomically — the underscore
+        prefix keeps Spark's parquet reader from seeing it. Callers
+        whose merge is NOT naturally idempotent (the algebraic
+        aggregate add) check :meth:`last_applied_batch` to skip
+        at-least-once re-deliveries."""
         cur = self.current_version()
         if cur is None:
             return self.init(df)
         nxt = cur + 1
         df.write.mode("overwrite").parquet(str(self.path / f"v{nxt}"))
+        if batch_id is not None:
+            (self.path / f"v{nxt}" / "_applied_batch").write_text(
+                str(batch_id)
+            )
         self._swap_pointer(nxt)
         return nxt
+
+    def last_applied_batch(self) -> int | None:
+        """The foreachBatch batch id recorded with the CURRENT version,
+        or None if the current version carries none (initial seed, or
+        a non-streaming commit)."""
+        v = self.current_version()
+        if v is None:
+            return None
+        try:
+            return int((self.path / f"v{v}" / "_applied_batch").read_text())
+        except (OSError, ValueError):
+            return None
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current snapshot, or time-travel to ``version``."""

@@ -612,15 +612,27 @@ def stream_agg_state_apply(
     (MERGE q85, SCD2 q86, aggregates here), one merge implementation
     per family shared between batch and streaming. Associativity of
     the algebraic merge is what makes batch boundaries invisible:
-    any micro-batching of the same rows converges to the same state."""
+    any micro-batching of the same rows converges to the same state.
+
+    Unlike its siblings (merge_upsert and the SCD2 run-collapse are
+    idempotent on re-delivery), the algebraic ADD is not: foreachBatch
+    is at-least-once, and a crash between ``table.commit`` and the
+    streaming checkpoint commit re-delivers the batch, which would
+    double counts/sums. Each commit therefore records its batch id
+    with the version (atomically — same pointer swap), and an already
+    applied id is skipped on re-delivery, upgrading this path to
+    effectively-once."""
     from kaj_query_engine_spark.operators.maintenance import merge_agg_state
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        last = table.last_applied_batch()
+        if last is not None and batch_id <= last:
+            return  # at-least-once re-delivery of an applied batch
         merged = merge_agg_state(
             table.read(spark), batch_state_of(batch_df), keys, merge_exprs
         )
-        table.commit(merged)
+        table.commit(merged, batch_id=batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)

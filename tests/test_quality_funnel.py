@@ -214,3 +214,21 @@ def test_audit_name_with_quote_does_not_break(spark):
     df = spark.createDataFrame([("O'Brien",), ("x",)], "v string")
     rep = Q.audit(df, [Q.accepted_values("v", ["O'Brien", "x"])]).collect()
     assert rep[0].violations == 0 and "O'Brien" in rep[0].constraint
+
+
+def test_funnel_pre_epoch_timestamps_anchor_step1(ev):
+    # unix_micros <= -1 (pre-1970 events): step 1 must still match —
+    # the matcher is NULL-aware (stage==0 short-circuits), not gated
+    # on a -1 "no previous" sentinel that pre-epoch micros can't beat
+    rows = fun(
+        ev(
+            [
+                (1, 1, datetime(1969, 12, 31, 23, 59, 58), "a"),
+                (2, 1, datetime(1969, 12, 31, 23, 59, 59), "b"),
+            ]
+        ),
+        ["a", "b"],
+    ).collect()
+    assert [(r.stage, r.step1_us, r.step2_us) for r in rows] == [
+        (2, -2_000_000, -1_000_000)
+    ]

@@ -296,3 +296,64 @@ def test_stream_merge_checkpoint_exactly_once_pickup(spark, tmp_path):
     final = {r.k: r.v for r in run().collect()}
     assert tbl.versions() == [0, 1, 2, 3, 4]
     assert final == {**first, 99: "late"}
+
+
+def test_stream_agg_state_redelivery_does_not_double_add(spark, tmp_path):
+    """The algebraic add is NOT naturally idempotent, so the agg-state
+    path records each commit's foreachBatch id with the version and
+    skips re-delivered ids. Simulate the at-least-once crash window
+    (sink committed, streaming checkpoint commit lost) by deleting the
+    newest checkpoint commit file and re-running: Spark re-delivers
+    the last batch with the SAME batch id — state must not change."""
+    from pyspark.sql import functions as F
+    from kaj_query_engine_spark.streaming.ops import stream_agg_state_apply
+
+    batches = [[(1, 10.0), (2, 5.0)], [(1, 3.0)], [(2, 30.0), (3, 7.0)]]
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "x": pa.array([r[1] for r in rows], pa.float64()),
+            }),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+
+    def state_of(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+        )
+
+    merge = {"n": "a + b", "s": "a + b"}
+    tbl = VersionedTable(tmp_path / "state")
+    tbl.init(state_of(spark.createDataFrame([], "k long, x double")))
+
+    def run():
+        sdf = (
+            spark.readStream.schema("k long, x double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        return stream_agg_state_apply(sdf, tbl, ["k"], state_of, merge)
+
+    first = sorted(map(tuple, run().collect()))
+    assert tbl.last_applied_batch() == 2
+
+    # crash window: the sink table committed through batch 2 but the
+    # streaming checkpoint was lost -> a restart re-delivers every
+    # batch under its original id (0,1,2). All ids are <= the
+    # recorded last_applied_batch, so every re-delivery is skipped and
+    # the state must come out unchanged. (Deleting just the newest
+    # checkpoint commit file would be the narrower window, but Spark's
+    # checkpoint manager rejects a truncated commit log as concurrent
+    # use, so the lost-checkpoint form is the faithful simulable one.)
+    import shutil
+
+    shutil.rmtree(tbl.path / "_checkpoint")
+    again = sorted(map(tuple, run().collect()))
+    assert again == first  # re-delivery skipped, no double add
+    assert tbl.last_applied_batch() == 2
