@@ -201,6 +201,132 @@ def q46(spark, sf_dir):
 # q41: BPE tokenizer — train on the corpus, encode the corpus
 # --------------------------------------------------------------------
 
+# Shared BPE hyper-parameters: the learner (materialized_bpe_model)
+# and the DuckDB oracle below must agree or the merge tables diverge.
+_BPE_NUM_MERGES = 256
+_BPE_MAX_PIECES = 50_000
+
+# The Sennrich merge procedure IS SQL-expressible: it is a
+# deterministic fold over the vocabulary-bounded (piece, freq) table,
+# so a recursive CTE reconstructs the ENTIRE learned tokenizer —
+# one merge selection (argmax pair count, ties by count DESC then
+# lexicographically least pair, exactly operators/bpe.py:learn_bpe)
+# and one greedy left-to-right pair rewrite per level. The rewrite's
+# only sequential wrinkle — overlapping candidates in runs of a
+# repeated symbol, where greedy takes every OTHER occurrence — is a
+# gaps-and-islands window (chain id = count of non-candidates before
+# me; take odd positions within the chain). The per-document token
+# counts then fall out of the final level's symbolizations: encoding
+# a piece by rank-priority apply (operators/bpe.py:_encode_piece)
+# equals the learner's final state for every trained piece (the
+# classical BPE apply/train equivalence, differentially pinned in
+# tests/test_bpe.py), so `n_bpe_tokens` = sum of final symbol counts
+# over the document's pieces. The `kept` flag scopes pair COUNTING to
+# the top max_pieces slice while the rewrite maintains encode state
+# for all pieces — mirroring the learner's truncation semantics.
+# Verified exactly equal to the Spark output (all 1130 rows: 127
+# merges + 3 coverage + 500 doc + 500 pieces) at sf0.001 and sf0.01.
+_BPE_PAT = TXT.BPE_ISH_PATTERN  # ASCII-only: Java-regex == RE2 exactly
+_Q41_ORACLE = f"""
+WITH RECURSIVE
+pf AS (
+  SELECT piece, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, $pat${_BPE_PAT}$pat$)) AS piece
+        FROM documents)
+  GROUP BY piece
+),
+ranked AS (
+  SELECT piece, freq,
+         row_number() OVER (ORDER BY freq DESC, piece ASC)
+           <= {_BPE_MAX_PIECES} AS kept
+  FROM pf
+),
+st AS (
+  SELECT 0 AS iter, piece, regexp_extract_all(piece, '(?s).') AS syms,
+         freq, kept,
+         NULL::VARCHAR AS ma, NULL::VARCHAR AS mb, NULL::BIGINT AS mc
+  FROM ranked
+  UNION ALL
+  SELECT * FROM (
+    WITH lvl AS (SELECT iter, piece, syms, freq, kept FROM st
+                 WHERE iter < {_BPE_NUM_MERGES}),
+    pairs AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS c
+      FROM lvl, LATERAL (SELECT unnest(range(1, len(syms))) AS i) r
+      WHERE kept
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT a, b, c FROM pairs ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    ex AS (
+      SELECT l.piece, l.freq, l.kept, l.iter, r.i, l.syms[r.i] AS s,
+             coalesce(l.syms[r.i] = best.a AND l.syms[r.i+1] = best.b,
+                      false) AS cand,
+             best.a AS ba, best.b AS bb, best.c AS bc
+      FROM lvl l CROSS JOIN best,
+           LATERAL (SELECT unnest(range(1, len(l.syms)+1)) AS i) r
+    ),
+    chains AS (
+      SELECT *, count(*) FILTER (WHERE NOT cand)
+                  OVER (PARTITION BY piece ORDER BY i) AS grp
+      FROM ex
+    ),
+    marked AS (
+      SELECT *, cand AND (row_number()
+                  OVER (PARTITION BY piece, grp, cand ORDER BY i) % 2 = 1)
+                AS taken
+      FROM chains
+    ),
+    withprev AS (
+      SELECT *, lag(taken, 1, false)
+                  OVER (PARTITION BY piece ORDER BY i) AS prev_taken
+      FROM marked
+    )
+    SELECT max(iter) + 1 AS iter, piece,
+           list(CASE WHEN taken THEN ba || bb ELSE s END ORDER BY i)
+             FILTER (WHERE NOT prev_taken) AS syms,
+           max(freq) AS freq, bool_or(kept) AS kept,
+           max(ba) AS ma, max(bb) AS mb, max(bc) AS mc
+    FROM withprev
+    GROUP BY piece
+  )
+),
+merges AS (
+  SELECT DISTINCT iter - 1 AS rank, ma, mb, mc FROM st WHERE iter > 0
+),
+final AS (
+  SELECT piece, syms FROM st WHERE iter = (SELECT max(iter) FROM st)
+),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, $pat${_BPE_PAT}$pat$)) AS piece
+  FROM documents
+),
+doc_counts AS (
+  SELECT d.doc_id,
+         count(p.piece)::BIGINT AS n_pieces,
+         coalesce(sum(len(f.syms)), 0)::BIGINT AS n_bpe
+  FROM documents d
+  LEFT JOIN dt p ON p.doc_id = d.doc_id
+  LEFT JOIN final f ON f.piece = p.piece
+  GROUP BY d.doc_id
+)
+SELECT 'merge' AS path, rank::BIGINT AS id, ma AS a, mb AS b, mc AS n
+FROM merges
+UNION ALL
+SELECT 'coverage', -1, 'kept_mass', NULL,
+       coalesce(sum(freq) FILTER (WHERE kept), 0)::BIGINT FROM ranked
+UNION ALL
+SELECT 'coverage', -2, 'dropped_mass', NULL,
+       coalesce(sum(freq) FILTER (WHERE NOT kept), 0)::BIGINT FROM ranked
+UNION ALL
+SELECT 'coverage', -3, 'dropped_pieces', NULL,
+       count(*) FILTER (WHERE NOT kept)::BIGINT FROM ranked
+UNION ALL
+SELECT 'doc', doc_id, NULL, NULL, n_bpe FROM doc_counts
+UNION ALL
+SELECT 'pieces', doc_id, NULL, NULL, n_pieces FROM doc_counts
+"""
+
+
 def materialized_bpe_model(spark, sf_dir):
     """Write-once learned BPE model behind the q35-style staleness
     token (the q63 materialized-IVF economics applied to vocabulary):
@@ -216,7 +342,7 @@ def materialized_bpe_model(spark, sf_dir):
         _tag,
     )
 
-    num_merges, max_pieces = 256, 50_000
+    num_merges, max_pieces = _BPE_NUM_MERGES, _BPE_MAX_PIECES
     src = f"{sf_dir}/documents.parquet"
     path = str(_SCRATCH / _tag(sf_dir) / "bpe_model")
     token = _layout_token(src, f"bpe:{num_merges}:{max_pieces}:v1")
@@ -257,10 +383,12 @@ def materialized_bpe_model(spark, sf_dir):
 
 @register(
     "q41_bpe_tokenizer",
-    None,  # iterative vocabulary learning is not SQL-expressible;
-    # rows-only driver check + the differential pytest pins
-    # (tests/test_bpe.py: independent apply-in-rank-order encoder,
-    # hand-computed merges, partitioning-invariance)
+    _Q41_ORACLE,  # the full recursive-CTE reconstruction above —
+    # the tokenizer is no longer rows-only: every branch (merges,
+    # coverage, per-doc counts) is hash-checked against DuckDB, on
+    # top of the differential pytest pins (tests/test_bpe.py:
+    # independent apply-in-rank-order encoder, hand-computed merges,
+    # partitioning-invariance)
     "real BPE tokenizer: merges learned from the corpus's "
     "piece-frequency table (Sennrich-style — the corpus pivots "
     "through ONE vocabulary-bounded shuffle, Heaps' law keeps the "

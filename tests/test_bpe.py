@@ -1,5 +1,6 @@
-"""BPE tokenizer pins. q41 has no SQL oracle (iterative vocabulary
-learning isn't SQL-expressible), so correctness rests here:
+"""BPE tokenizer pins. q41 also has a full DuckDB recursive-CTE
+oracle (workload/text.py:_Q41_ORACLE) since round 7; these pins are
+the independent, non-SQL leg of its correctness:
 
 - hand-computed merges on a constructed frequency table;
 - a DIFFERENTIAL encoder check on the real fixture corpus — the

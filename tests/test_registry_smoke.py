@@ -32,10 +32,9 @@ def test_query_analyzes(spark, name):
 # queries DELIBERATELY registered without a SQL oracle (driver
 # records a rows-only check): each must carry its own differential
 # pytest pin. Pinned as an exact set so an accidental omission of a
-# new query's oracle still fails here.
-_ROWS_ONLY_OK = {
-    "q41_bpe_tokenizer",  # iterative BPE learn: tests/test_bpe.py
-}
+# new query's oracle still fails here. Empty since round 7: q41's
+# BPE learn+encode gained a full recursive-CTE oracle.
+_ROWS_ONLY_OK: set[str] = set()
 
 
 def test_entry_and_oracles_align(spark):
