@@ -1,12 +1,13 @@
 """Pure stdlib+numpy FLAC codec — compressed LOSSLESS audio
-(16-bit mono, FIXED predictors, Rice-coded residuals).
+(16-bit mono, FIXED + LPC predictors, Rice-coded residuals).
 
 This container ships no audio libraries, but the FLAC subset needed
 here requires none: a ``fLaC`` magic + STREAMINFO metadata block,
 then self-delimiting frames — 14-bit-sync headers with UTF-8-style
 coded frame numbers and CRC-8, per-channel subframes (CONSTANT /
-VERBATIM / FIXED order 0–4 with Rice-coded residuals, both
-partitioned-Rice methods incl. the verbatim escape), byte-aligned
+VERBATIM / FIXED order 0–4 / LPC order 1–32 with Levinson-Durbin
+quantized coefficients, Rice-coded residuals, both partitioned-Rice
+methods incl. the verbatim escape), byte-aligned
 CRC-16 footers (xiph.org FLAC format spec — public; now also
 RFC 9639). MSB-first bit packing throughout — the opposite of GIF's
 LZW, so the two codecs pin both bit orders.
@@ -19,9 +20,9 @@ UTF-8 frame numbering and the bit packing byte-exactly. The decoder
 additionally verifies STREAMINFO's embedded MD5 of the unencoded
 audio — an in-format integrity check the encoder must also get right.
 
-LPC subframes and multi-channel decorrelation are out of scope and
-raise loudly (mp3 — lossy, with no in-SQL verification story — stays
-honestly guarded).
+Multi-channel decorrelation is out of scope and raises loudly
+(mp3 — lossy, with no in-SQL verification story — stays honestly
+guarded).
 
 No counterpart in the reference engine (3 scalar types only —
 ``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
@@ -161,17 +162,95 @@ def _best_rice_k(z: np.ndarray) -> int:
     return k
 
 
+_LPC_PRECISION = 12  # qlp coefficient precision in bits (1..15 legal)
+
+
+def _quantized_lpc(
+    blk: np.ndarray, order: int
+) -> tuple[list[int], int] | None:
+    """Levinson-Durbin LPC estimation + coefficient quantization for
+    one block: returns ``(qlp_coeffs, shift)`` with each coefficient a
+    signed ``_LPC_PRECISION``-bit integer and ``shift`` in [0, 15]
+    (prediction = (Σ qlp[j]·s[i-1-j]) >> shift), or ``None`` when the
+    block is degenerate (zero energy, non-positive prediction-error
+    recursion) — the caller falls back to a FIXED subframe, which the
+    spec always permits. ANY quantization is lossless here (residuals
+    are computed with the same integer predictor the decoder runs);
+    Levinson-Durbin just makes the residuals small."""
+    import math
+
+    n = len(blk)
+    if order < 1 or n <= order:
+        return None
+    x = blk.astype(np.float64)
+    # Welch window before autocorrelation (what production FLAC
+    # encoders do): the rectangular estimate's edge bias can halve
+    # the predictor gain on smooth signals (measured: order-8 sine
+    # residuals 5 -> 62 across frames without it, flat ~5 with it).
+    # Windowing only shapes the ESTIMATE — residuals are still
+    # computed from the raw samples, so losslessness is untouched.
+    t_ = np.arange(n, dtype=np.float64)
+    x = x * (1.0 - ((t_ - (n - 1) / 2.0) / ((n + 1) / 2.0)) ** 2)
+    r = [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    if r[0] <= 0.0:
+        return None  # all-zero block: no signal to model
+    a = [1.0]  # prediction-error filter, grows to order+1 taps
+    err = r[0]
+    for m in range(1, order + 1):
+        acc = sum(a[j] * r[m - j] for j in range(m))
+        k = -acc / err
+        old = a + [0.0]
+        a = [old[j] + k * old[m - j] for j in range(m + 1)]
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None  # numerically singular (e.g. pure periodic)
+    coeffs = [-c for c in a[1:]]  # pred[i] = Σ coeffs[j]·s[i-1-j]
+    cmax = max(abs(c) for c in coeffs)
+    headroom = (1 << (_LPC_PRECISION - 1)) - 1
+    if cmax <= 0.0:
+        shift = 0
+    else:
+        shift = max(0, min(15, int(math.floor(math.log2(headroom / cmax)))))
+    qlp = [
+        max(-headroom - 1, min(headroom, int(round(c * (1 << shift)))))
+        for c in coeffs
+    ]
+    return qlp, shift
+
+
+def _put_rice_residual(fw: "_BitWriter", res: np.ndarray) -> None:
+    """Residual coding: method 1 (Rice2, 5-bit params), partition
+    order 0 — shared by the FIXED and LPC subframe writers."""
+    z = _zigzag(res)
+    k = _best_rice_k(z) if len(z) else 0
+    fw.put(1, 2)
+    fw.put(0, 4)
+    fw.put(k, 5)
+    for v in z:
+        v = int(v)
+        fw.put_unary(v >> k)
+        fw.put(v & ((1 << k) - 1), k)
+
+
 def encode_flac(
     samples: np.ndarray,
     rate: int,
     block_size: int = 64,
     force_order: int | None = None,
+    lpc_order: int | None = None,
 ) -> bytes:
-    """Encode int16 mono PCM to FLAC (FIXED predictors, Rice2 method).
+    """Encode int16 mono PCM to FLAC (FIXED or LPC predictors, Rice2
+    residual method).
 
     ``block_size`` controls frames-per-item (small values exercise the
     multi-frame path on tiny fixtures); ``force_order`` pins the FIXED
     predictor order (0–4), otherwise the cheapest by Σ|zigzag| wins.
+    ``lpc_order`` (1–32) switches to LPC subframes: per-block
+    Levinson-Durbin coefficients quantized to 12 bits (order clamped
+    to the block's sample count; degenerate blocks — zero energy,
+    singular recursion — fall back to the FIXED path, which the spec
+    always permits). Either predictor family is lossless: residuals
+    are computed with the same integer predictor the decoder runs.
     """
     s = np.asarray(samples)
     if s.dtype != np.int16 or s.ndim != 1 or len(s) == 0:
@@ -216,6 +295,42 @@ def encode_flac(
         fw = _BitWriter()
         for b in header:
             fw.put(b, 8)
+        # LPC subframe when requested and the block supports it
+        qco = None
+        if lpc_order is not None:
+            if not 1 <= lpc_order <= 32:
+                raise ValueError("lpc_order must be in [1, 32]")
+            lo = min(lpc_order, nb - 1)
+            qco = _quantized_lpc(blk, lo) if lo >= 1 else None
+        if qco is not None:
+            qlp, shift = qco
+            res = np.array(
+                [
+                    int(blk[i])
+                    - (
+                        sum(qlp[j] * int(blk[i - 1 - j]) for j in range(lo))
+                        >> shift
+                    )
+                    for i in range(lo, nb)
+                ],
+                dtype=np.int64,
+            )
+            # subframe header: 0 pad, LPC type 0b100000 | (order-1),
+            # no wasted bits
+            fw.put(0, 1)
+            fw.put(0b100000 | (lo - 1), 6)
+            fw.put(0, 1)
+            for w in blk[:lo]:
+                fw.put(int(w) & 0xFFFF, 16)  # warmup, two's complement
+            fw.put(_LPC_PRECISION - 1, 4)
+            fw.put(shift & 0x1F, 5)
+            for c in qlp:
+                fw.put(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
+            _put_rice_residual(fw, res)
+            fw.align()
+            body = fw.bytes()
+            out += body + struct.pack(">H", _crc16(body))
+            continue
         # choose FIXED order
         if force_order is not None:
             if not 0 <= force_order <= 4:
@@ -246,29 +361,55 @@ def encode_flac(
         fw.put(0, 1)
         for w in blk[:order]:
             fw.put(int(w) & 0xFFFF, 16)  # warmup, two's complement
-        # residual: method 1 (Rice2, 5-bit params), partition order 0
-        z = _zigzag(res)
-        k = _best_rice_k(z) if len(z) else 0
-        fw.put(1, 2)
-        fw.put(0, 4)
-        fw.put(k, 5)
-        for v in z:
-            v = int(v)
-            fw.put_unary(v >> k)
-            fw.put(v & ((1 << k) - 1), k)
+        _put_rice_residual(fw, res)
         fw.align()
         body = fw.bytes()
         out += body + struct.pack(">H", _crc16(body))
     return bytes(out)
 
 
+def _read_rice_residuals(
+    br: "_BitReader", nb: int, order: int, blk: np.ndarray
+) -> None:
+    """Partitioned-Rice residual decode (both methods, incl. the
+    verbatim escape) into ``blk[order:]`` — shared by the FIXED and
+    LPC subframe readers."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if nb % nparts or (nb >> porder) <= order and porder:
+        raise ValueError("bad FLAC rice partition order")
+    idx = order
+    for part in range(nparts):
+        cnt = (nb >> porder) - (order if part == 0 else 0)
+        k = br.read(pbits)
+        if k == escape:
+            raw_bits = br.read(5)
+            for _ in range(cnt):
+                v = br.read(raw_bits) if raw_bits else 0
+                if raw_bits and v >= 1 << (raw_bits - 1):
+                    v -= 1 << raw_bits
+                blk[idx] = v
+                idx += 1
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                z = (q << k) | (br.read(k) if k else 0)
+                blk[idx] = (z >> 1) ^ -(z & 1)  # un-zigzag
+                idx += 1
+
+
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     """Decode FLAC bytes to ``(rate, samples)`` (int16 mono).
 
     Verifies frame-header CRC-8, frame CRC-16, and STREAMINFO's MD5 of
-    the decoded PCM. Supports CONSTANT / VERBATIM / FIXED subframes
-    with both partitioned-Rice methods (incl. escapes); LPC subframes
-    and multi-channel streams raise loudly.
+    the decoded PCM. Supports CONSTANT / VERBATIM / FIXED / LPC
+    subframes with both partitioned-Rice methods (incl. escapes);
+    multi-channel streams raise loudly.
     """
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream: bad magic")
@@ -376,40 +517,41 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
                 if v >= 1 << (bps - 1):
                     v -= 1 << bps
                 blk[i] = v
-            method = br.read(2)
-            if method > 1:
-                raise ValueError("reserved FLAC residual coding method")
-            pbits = 4 if method == 0 else 5
-            escape = (1 << pbits) - 1
-            porder = br.read(4)
-            nparts = 1 << porder
-            if nb % nparts or (nb >> porder) <= order and porder:
-                raise ValueError("bad FLAC rice partition order")
-            idx = order
-            for part in range(nparts):
-                cnt = (nb >> porder) - (order if part == 0 else 0)
-                k = br.read(pbits)
-                if k == escape:
-                    raw_bits = br.read(5)
-                    for _ in range(cnt):
-                        v = br.read(raw_bits) if raw_bits else 0
-                        if raw_bits and v >= 1 << (raw_bits - 1):
-                            v -= 1 << raw_bits
-                        blk[idx] = v
-                        idx += 1
-                else:
-                    for _ in range(cnt):
-                        q = br.read_unary()
-                        z = (q << k) | (br.read(k) if k else 0)
-                        blk[idx] = (z >> 1) ^ -(z & 1)  # un-zigzag
-                        idx += 1
+            _read_rice_residuals(br, nb, order, blk)
             for i in range(order, nb):  # undo the fixed predictor
                 pred = 0
                 for j, c in enumerate(_FIXED_COEFFS[order]):
                     pred += c * blk[i - 1 - j]
                 blk[i] += pred
-        elif stype >= 32:
-            raise ValueError("LPC FLAC subframes unsupported (FIXED only)")
+        elif stype >= 32:  # LPC, order = low 5 bits + 1
+            order = (stype & 0x1F) + 1
+            for i in range(order):
+                v = br.read(bps)
+                if v >= 1 << (bps - 1):
+                    v -= 1 << bps
+                blk[i] = v
+            precision = br.read(4) + 1
+            if precision == 16:
+                raise ValueError("invalid FLAC qlp precision code 1111")
+            shift = br.read(5)
+            if shift >= 16:
+                shift -= 32
+            if shift < 0:
+                # negative shifts were never produced by any released
+                # encoder and RFC 9639 forbids them
+                raise ValueError("negative FLAC qlp shift")
+            qlp = []
+            for _ in range(order):
+                c = br.read(precision)
+                if c >= 1 << (precision - 1):
+                    c -= 1 << precision
+                qlp.append(c)
+            _read_rice_residuals(br, nb, order, blk)
+            for i in range(order, nb):  # undo the LPC predictor
+                pred = 0
+                for j in range(order):
+                    pred += qlp[j] * int(blk[i - 1 - j])
+                blk[i] += pred >> shift  # arithmetic shift, 64-bit sum
         else:
             raise ValueError(f"reserved FLAC subframe type {stype}")
         if wasted:

@@ -1083,8 +1083,11 @@ def attach_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     8000 + d%3·4000), so FLAC being lossless means the decoded PCM
     digest must match the SAME SQL reconstruction q94 uses — one
     oracle, two codecs (q99). block_size=64 forces the multi-frame
-    path on every fixture; the FIXED predictor order cycles with
-    d % 3, exercising orders 0–2 across the corpus.
+    path on every fixture; the predictor family alternates by d % 6:
+    even halves get FIXED orders 0–2 (d % 3), odd halves get LPC
+    orders 1–3 (Levinson-Durbin quantized coefficients), so every
+    corpus slice pins both subframe families through the one digest
+    oracle.
     """
     import numpy as np
 
@@ -1099,6 +1102,13 @@ def attach_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             samples = np.frombuffer(b"".join(blocks), dtype="<i2").astype(
                 np.int16
             )
+            if d % 6 >= 3:  # LPC half of the corpus
+                return encode_flac(
+                    samples,
+                    8000 + (d % 3) * 4000,
+                    block_size=64,
+                    lpc_order=1 + d % 3,
+                )
             return encode_flac(
                 samples,
                 8000 + (d % 3) * 4000,

@@ -609,8 +609,10 @@ _FLAC_SQL = (
     "q99_flac_decode",
     _FLAC_SQL,
     "REAL compressed-lossless audio decode: genuine FLAC bytes (pure-"
-    "stdlib encoder — FIXED predictors, Rice-coded residuals, CRC-8/16, "
-    "STREAMINFO MD5) decode through the pure-stdlib codec; the corpus "
+    "stdlib encoder — FIXED orders 0-2 on half the corpus, "
+    "Levinson-Durbin LPC orders 1-3 on the other half, Rice-coded "
+    "residuals, CRC-8/16, STREAMINFO MD5) decode through the "
+    "pure-stdlib codec; the corpus "
     "reuses q94's sample model, so the SAME SQL reconstruction must "
     "digest-match — one oracle pinning both the uncompressed and "
     "compressed audio paths. mp3 (lossy) stays honestly guarded",

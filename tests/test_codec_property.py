@@ -158,9 +158,11 @@ def test_gif_dictionary_pressure_roundtrip(val, h, w):
     rate=st.integers(1, 192000),
     bs=st.sampled_from([16, 64, 256, 4096]),
     order=st.sampled_from([None, 0, 1, 2]),
+    lpc=st.sampled_from([None, 1, 2, 8, 32]),
 )
-def test_flac_roundtrip(s, rate, bs, order):
+def test_flac_roundtrip(s, rate, bs, order, lpc):
     from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
 
-    r, out = decode_flac(encode_flac(s, rate, block_size=bs, force_order=order))
+    kw = {"lpc_order": lpc} if lpc is not None else {"force_order": order}
+    r, out = decode_flac(encode_flac(s, rate, block_size=bs, **kw))
     assert r == rate and np.array_equal(out, s)

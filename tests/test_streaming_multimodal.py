@@ -1066,3 +1066,31 @@ def test_flac_decode_audio_matches_wav_twin(spark):
         for r in M.decode_audio(M.attach_flac_media(df, "doc_id")).collect()
     }
     assert flac == wav and len(flac) == 10
+
+
+def test_flac_lpc_subframes_roundtrip_and_compress():
+    """LPC subframes (Levinson-Durbin quantized coefficients, RFC 9639
+    §9.2.3): lossless across orders including block-clamped ones, and
+    on a smooth signal a low-order LPC predictor out-compresses the
+    best FIXED predictor — the property the subframe family exists
+    for. The estimator windows the block (Welch) before
+    autocorrelation; without it the edge bias halved predictor gain
+    (residual magnitudes 5 -> 62 across frames of a pure sine)."""
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
+
+    t = np.arange(4096)
+    smooth = (3000 * np.sin(t / 9.0)).astype(np.int16)
+    for lo in (1, 2, 3, 8, 32):
+        _r, out = decode_flac(
+            encode_flac(smooth, 8000, block_size=256, lpc_order=lo)
+        )
+        assert np.array_equal(out, smooth), lo
+    fixed_best = len(encode_flac(smooth, 8000, block_size=256))
+    lpc2 = len(encode_flac(smooth, 8000, block_size=256, lpc_order=2))
+    assert lpc2 < fixed_best
+    # degenerate blocks (zero energy) fall back to FIXED silently
+    zeros = np.zeros(100, dtype=np.int16)
+    _r, out = decode_flac(encode_flac(zeros, 8000, lpc_order=8))
+    assert np.array_equal(out, zeros)

@@ -810,6 +810,12 @@ def main() -> None:
         "merge_upsert_fixed_batch": LIFECYCLE_SCALES,
         "merge_partitioned_fixed_batch": LIFECYCLE_SCALES,
         "bpe_encode_fixed_model": LIFECYCLE_SCALES,
+        # the df-cut claim (e stays ~flat where saturation would send
+        # the uncapped verifier quadratic) needs the saturation
+        # bracket too: at 64x identical-text replication every
+        # shingle's df is 64x over max_df, so the cap either binds —
+        # flat — or the claim is false (round-6 verdict item 6)
+        "ngram_jaccard_capped": LIFECYCLE_SCALES,
         # codec chains are map-only: the 1-16x exponents are
         # overhead-dominated, so a 64x bracket shows the honest
         # linear term (as the lifecycle probes do)
