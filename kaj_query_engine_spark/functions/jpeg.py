@@ -8,7 +8,9 @@ entropy-coded block stream (JPEG spec ITU-T T.81 / ISO 10918 —
 public). Supported here: 8-bit grayscale, one quantization table,
 custom canonical Huffman tables CARRIED IN THE FILE's DHT segments
 (the decoder builds its tables from DHT like any real decoder — no
-reliance on the Annex K defaults), no restart markers, no progressive.
+reliance on the Annex K defaults), restart markers (DRI + RSTm
+cadence validation, byte-aligned fill, per-segment DC predictor
+reset), no progressive.
 
 Verification strategy differs from the PNG/WAV/AVI twins because JPEG
 is LOSSY at the DCT layer but LOSSLESS at the entropy layer:
@@ -111,10 +113,23 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """Pad with 1-bits to the next byte boundary (T.81 F.1.2.3 —
+        the fill preceding every marker). A pad that completes an
+        0xFF byte goes through :meth:`put`, so it is stuffed like any
+        other entropy byte."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.put((1 << pad) - 1, pad)
+
+    def put_marker(self, marker: int) -> None:
+        """Byte-align, then emit a bare two-byte marker (RSTm) —
+        markers sit OUTSIDE the entropy stream, so no stuffing."""
+        self.pad_to_byte()
+        self.out += struct.pack(">H", marker)
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -150,6 +165,33 @@ class _BitReader:
         return v
 
 
+def _split_on_rst(buf: bytes) -> tuple[list[bytes], list[int]]:
+    """Split an entropy-coded scan on RSTm markers.
+
+    Inside a scan, 0xFF is either stuffing (followed by 0x00) or a
+    marker, so the split is unambiguous without decoding: RST bytes
+    can never be produced by entropy data. Returns the entropy
+    segments (stuffing left intact for the bit reader) and the marker
+    indices m (0..7) in order of appearance."""
+    segments: list[bytes] = []
+    marks: list[int] = []
+    start = i = 0
+    while i + 1 < len(buf):
+        if buf[i] != 0xFF:
+            i += 1
+        elif buf[i + 1] == 0x00:  # stuffed data byte
+            i += 2
+        elif 0xD0 <= buf[i + 1] <= 0xD7:
+            segments.append(buf[start:i])
+            marks.append(buf[i + 1] - 0xD0)
+            i += 2
+            start = i
+        else:  # foreign marker — let the bit reader raise in context
+            i += 1
+    segments.append(buf[start:])
+    return segments, marks
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
@@ -163,7 +205,11 @@ def _dht_payload(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
 
 
 def encode_jpeg(
-    coeffs: np.ndarray, height: int, width: int, qtable: np.ndarray | None = None
+    coeffs: np.ndarray,
+    height: int,
+    width: int,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode QUANTIZED coefficients to a baseline grayscale JPEG.
 
@@ -172,6 +218,13 @@ def encode_jpeg(
     produce them via DCT+quantize; the fixture model specifies them
     directly so the oracle can reconstruct them in SQL). Blocks run in
     raster order over the ceil(h/8)×ceil(w/8) grid.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits an RSTm
+    marker (m cycling 0..7) after every ``restart_interval`` MCUs:
+    the entropy stream byte-aligns before the marker and the DC
+    predictor resets after it (T.81 F.1.2.3 / B.2.4.4) — the feature
+    that makes a 100 TB scan parallelizable WITHIN one image's scan,
+    and the one every camera emits for error resilience.
     """
     q = default_qtable() if qtable is None else np.asarray(qtable, np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
@@ -186,11 +239,16 @@ def encode_jpeg(
         )
     if (np.abs(blocks) > 1023).any():
         raise ValueError("quantized coefficients must fit category <= 10")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535")
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
     w = _BitWriter()
     prev_dc = 0
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            w.put_marker(0xFFD0 + (bi // restart_interval - 1) % 8)
+            prev_dc = 0
         diff = int(blk[0]) - prev_dc
         prev_dc = int(blk[0])
         s = _category(diff)
@@ -220,6 +278,8 @@ def encode_jpeg(
     scan = w.flush()
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += _seg(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
@@ -268,6 +328,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     height = width = None
     scan_td = scan_ta = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -313,7 +374,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                 }
                 body = body[17 + n :]
         elif marker == 0xFFDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ncomp = body[0]
             if ncomp != 1:
@@ -348,10 +409,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
 
     bx = (width + 7) // 8
     by = (height + 7) // 8
-    r = _BitReader(data[scan_start:end])
+    segments, marks = _split_on_rst(data[scan_start:end])
+    if marks and not restart_interval:
+        raise ValueError("RST marker in scan but no DRI declared")
+    if restart_interval:
+        expect = -(-bx * by // restart_interval)  # ceil: segment count
+        if len(segments) != expect:
+            raise ValueError(
+                f"JPEG restart cadence broken: {len(segments)} entropy "
+                f"segments for {bx * by} MCUs at interval {restart_interval}"
+            )
+        for i, m in enumerate(marks):
+            if m != i % 8:
+                raise ValueError(
+                    f"RST marker out of sequence: RST{m} where RST{i % 8} "
+                    "expected"
+                )
+    elif len(segments) != 1:
+        raise ValueError("RST marker in scan but no DRI declared")
+    seg_iter = iter(segments)
+    r = _BitReader(next(seg_iter))
     coeffs = np.zeros((bx * by, 64), dtype=np.int32)
     prev_dc = 0
     for b in range(bx * by):
+        if restart_interval and b and b % restart_interval == 0:
+            # restart boundary: fresh entropy segment, predictor reset
+            r = _BitReader(next(seg_iter))
+            prev_dc = 0
         s = read_symbol(r, dc_tab)
         diff = extend(r.bits(s), s) if s else 0
         prev_dc += diff

@@ -863,7 +863,10 @@ JPEG_SPREAD = 8  # same sweep-measured partition floor as the others
 
 
 def attach_jpeg_media(
-    df: DataFrame, id_col: str = "doc_id", dc_only: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dc_only: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """REAL JPEG ingest: a ``media`` column holding genuine baseline
     grayscale JPEG bytes (pure stdlib+numpy encoder,
@@ -883,6 +886,13 @@ def attach_jpeg_media(
     'dcpatch' branch pins IDCT normalization, level shift, clamp and
     raster placement in the oracle, while full-AC pixels are pinned
     against the literal cosine-sum reference in pytest.
+
+    ``restart_interval`` > 0 encodes the same coefficients WITH a DRI
+    segment and RSTm markers (T.81 error-resilience framing): the
+    decoded coefficients are identical by construction, so q97's
+    'rst' branch shares the plain branch's oracle — any predictor-
+    reset, byte-alignment, or marker-cadence bug shows up as a
+    payload hash mismatch.
     """
     import numpy as np
 
@@ -899,7 +909,9 @@ def attach_jpeg_media(
                     for k in range(1, 64):
                         if (dig[k % 32] + k) % 5 == 0:
                             co[b, k] = dig[(k * 7 + 3) % 32] % 15 - 7
-            return encode_jpeg(co, by * 8, bx * 8)
+            return encode_jpeg(
+                co, by * 8, bx * 8, restart_interval=restart_interval
+            )
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -462,23 +462,30 @@ _JPG_AC = (
     f"THEN {_jpg_byte('hx', '(k * 7 + 3) % 32')} % 15 - 7 ELSE 0 END"
 )
 _JPG_DC = f"{_jpg_byte('hx', '0')} % 32 - 16"
-_JPG_COEFFS_SQL = (
-    "WITH g AS (SELECT doc_id, b, "
-    f"{_JPG_DIG} AS hx FROM documents, generate_series(0, 5) gb(b) "
-    f"WHERE b < {_JPG_BX} * {_JPG_BY}), "
-    "c AS (SELECT doc_id, b, k, "
-    f"CASE WHEN k = 0 THEN {_JPG_DC} ELSE {_JPG_AC} END AS v "
-    "FROM g, generate_series(0, 63) gk(k)), "
-    "q AS (SELECT doc_id, b, k, "
-    "printf('%02x%02x', ((v + 65536) % 65536) % 256, "
-    "((v + 65536) % 65536) // 256) AS quad FROM c) "
-    "SELECT 'coeffs' AS path, doc_id, "
-    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
-    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
-    f"CAST({_JPG_BX} * {_JPG_BY} AS INT) AS n_blocks, "
-    "md5(string_agg(quad, '' ORDER BY b, k)) AS payload_md5 "
-    "FROM q GROUP BY doc_id"
-)
+def _jpg_coeffs_sql(path: str) -> str:
+    # the coefficient reconstruction is path-independent: the 'rst'
+    # branch decodes the SAME model through DRI/RSTm framing, so a
+    # predictor-reset or marker-cadence bug diverges from this SQL
+    return (
+        "WITH g AS (SELECT doc_id, b, "
+        f"{_JPG_DIG} AS hx FROM documents, generate_series(0, 5) gb(b) "
+        f"WHERE b < {_JPG_BX} * {_JPG_BY}), "
+        "c AS (SELECT doc_id, b, k, "
+        f"CASE WHEN k = 0 THEN {_JPG_DC} ELSE {_JPG_AC} END AS v "
+        "FROM g, generate_series(0, 63) gk(k)), "
+        "q AS (SELECT doc_id, b, k, "
+        "printf('%02x%02x', ((v + 65536) % 65536) % 256, "
+        "((v + 65536) % 65536) // 256) AS quad FROM c) "
+        f"SELECT '{path}' AS path, doc_id, "
+        f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+        f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+        f"CAST({_JPG_BX} * {_JPG_BY} AS INT) AS n_blocks, "
+        "md5(string_agg(quad, '' ORDER BY b, k)) AS payload_md5 "
+        "FROM q GROUP BY doc_id"
+    )
+
+
+_JPG_COEFFS_SQL = _jpg_coeffs_sql("coeffs")
 # DC-only pixels: block (y//8, x//8) is a flat patch of
 # floor(DC/8 + 128.5) (q0 = 1, clamp is a no-op in DC's range)
 _JPG_PIX_SQL = (
@@ -502,27 +509,38 @@ _JPG_PIX_SQL = (
 
 @register(
     "q97_jpeg_decode",
-    f"{_JPG_COEFFS_SQL} UNION ALL ({_JPG_PIX_SQL})",
+    f"{_JPG_COEFFS_SQL} UNION ALL ({_jpg_coeffs_sql('rst')}) "
+    f"UNION ALL ({_JPG_PIX_SQL})",
     "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
     "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
     "Huffman tables carried in the file's DHT) decode through the "
     "pure-stdlib codec; the oracle digests a pure-SQL reconstruction "
     "of the quantized coefficient buffer (Huffman/RLE/ZRL/EOB/DPCM/"
-    "bit-packing all pinned), and a DC-only corpus makes the IDCT "
-    "pixel layer itself SQL-reconstructible (flat 8x8 patches). "
-    "Full-AC pixels are pinned against the literal T.81 cosine sum "
-    "in pytest. GIF/mp3/compressed video stay honestly guarded",
+    "bit-packing all pinned); the 'rst' branch re-encodes the same "
+    "corpus WITH restart markers (DRI interval 2: byte-aligned fill, "
+    "RSTm cadence, per-segment DC predictor reset) against the same "
+    "coefficient oracle; and a DC-only corpus makes the IDCT pixel "
+    "layer itself SQL-reconstructible (flat 8x8 patches). Full-AC "
+    "pixels are pinned against the literal T.81 cosine sum in "
+    "pytest. mp3/compressed video stay honestly guarded",
 )
 def q97(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    coeffs = M.jpeg_coefficients(M.attach_jpeg_media(docs)).select(
-        F.lit("coeffs").alias("path"),
-        "doc_id",
-        "width",
-        "height",
-        "n_blocks",
-        F.md5(F.lower(F.hex(F.col("coeffs")))).alias("payload_md5"),
-    )
+
+    def coeff_branch(path, **attach_kw):
+        return M.jpeg_coefficients(
+            M.attach_jpeg_media(docs, **attach_kw)
+        ).select(
+            F.lit(path).alias("path"),
+            "doc_id",
+            "width",
+            "height",
+            "n_blocks",
+            F.md5(F.lower(F.hex(F.col("coeffs")))).alias("payload_md5"),
+        )
+
+    coeffs = coeff_branch("coeffs")
+    rst = coeff_branch("rst", restart_interval=2)
     dc = M.decode_media(M.attach_jpeg_media(docs, dc_only=True)).select(
         F.lit("dcpatch").alias("path"),
         "doc_id",
@@ -533,7 +551,7 @@ def q97(spark, sf_dir):
         ).cast("int").alias("n_blocks"),
         F.md5(F.lower(F.hex(F.col("pixels")))).alias("payload_md5"),
     )
-    return coeffs.unionAll(dc)
+    return coeffs.unionAll(rst).unionAll(dc)
 
 
 # q98: REAL GIF codec, oracle-checked. attach_gif_media reuses the PNG

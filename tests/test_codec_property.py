@@ -122,6 +122,43 @@ def test_jpeg_entropy_layer_roundtrip(blocks):
 
 
 @settings(**_SETTINGS)
+@given(blocks=_jpeg_blocks(), ri=st.integers(1, 10))
+def test_jpeg_restart_marker_roundtrip(blocks, ri):
+    """DRI/RSTm framing is transparent at the coefficient layer:
+    byte-aligned fill, marker cadence, and per-segment DC predictor
+    reset must reproduce the exact coefficients (and pixels) of the
+    unframed encoding."""
+    co, h, w = blocks
+    plain = decode_jpeg(encode_jpeg(co, h, w))
+    rst = decode_jpeg(encode_jpeg(co, h, w, restart_interval=ri))
+    assert np.array_equal(rst[3], co)
+    assert np.array_equal(rst[2], plain[2])
+
+
+def test_jpeg_restart_marker_cycle_and_errors():
+    """>8 restarts exercises the RSTm mod-8 cycle; a stripped DRI or
+    an out-of-order marker id must raise, not mis-decode."""
+    import pytest
+
+    co = np.zeros((20, 64), dtype=np.int64)
+    co[:, 0] = np.arange(20) - 10
+    data = encode_jpeg(co, 8, 160, restart_interval=1)
+    assert np.array_equal(decode_jpeg(data)[3], co)
+
+    no_dri = bytearray(data)
+    i = no_dri.find(b"\xff\xdd")
+    del no_dri[i : i + 6]
+    with pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg(bytes(no_dri))
+
+    bad_seq = bytearray(data)
+    j = bad_seq.find(b"\xff\xd0", bad_seq.find(b"\xff\xda"))
+    bad_seq[j + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad_seq))
+
+
+@settings(**_SETTINGS)
 @given(
     idx=arrays(
         np.uint8,
