@@ -339,7 +339,12 @@ from kaj_query_engine_spark.workload.maintenance import _SNAP_ORACLE  # noqa: E4
     "so this oracle is LITERALLY q55's snapshot SQL (the stream==batch "
     "law extended to table maintenance). Each micro-batch is one "
     "full-outer equi-join against the current snapshot + an atomic "
-    "pointer swap; the final table state is returned",
+    "pointer swap. The returned state then flows through the table's "
+    "MAINTENANCE lifecycle — compact (small-file rewrite, the "
+    "OPTIMIZE every micro-batch-ingested table needs) and vacuum "
+    "(retention: time travel reaches exactly what retention keeps) — "
+    "so the oracle also pins compaction bit-identity: the hash it "
+    "checks is computed from the POST-compaction snapshot",
 )
 def q85(spark, sf_dir):
     from kaj_query_engine_spark.sources.versioned import VersionedTable
@@ -362,9 +367,24 @@ def q85(spark, sf_dir):
     )
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_merge_table")
     tbl.init(target)  # fresh maintenance run per invocation
-    final = stream_merge_apply(
+    stream_merge_apply(
         batch_stream, tbl, ["o_orderkey"], delete_condition=delete
     )
+    # maintenance lifecycle, invariant-asserted so a violation fails
+    # the driver row loudly instead of passing on luck:
+    pre = tbl.current_version()
+    post = tbl.compact(spark, target_files=2)
+    if tbl.file_count(post) > 2:
+        raise RuntimeError("compaction left more files than target")
+    tbl.vacuum(keep_last=2)
+    if pre not in tbl.versions():  # retention window covers pre-compact
+        raise RuntimeError("vacuum dropped a version inside retention")
+    tbl.vacuum(keep_last=1)
+    if tbl.versions() != [post]:  # retention expired: only current left
+        raise RuntimeError("vacuum retention did not converge to current")
+    # the oracle hash reads THROUGH the compacted rewrite — bit-identity
+    # of compaction is part of what the q55 snapshot SQL now verifies
+    final = tbl.read(spark)
     return final.select(
         "o_orderkey",
         F.col("o_totalprice").alias("price"),
