@@ -3,6 +3,7 @@ from kaj_query_engine_spark.streaming.ops import (
     stream_corpus_filter,
     stream_interval_join,
     run_available_now,
+    run_available_now_all,
     stream_session_stats,
     stream_stateful_user_totals,
     stream_stateful_user_totals_tws,
@@ -17,6 +18,7 @@ __all__ = [
     "stream_corpus_filter",
     "stream_interval_join",
     "run_available_now",
+    "run_available_now_all",
     "stream_session_stats",
     "stream_stateful_user_totals",
     "stream_stateful_user_totals_tws",

@@ -152,23 +152,51 @@ def run_available_now(
     (the workload queries do); the setting is fixed at first
     checkpoint forever after.
     """
-    spark = sdf.sparkSession
-    name = f"kaj_stream_q{next(_MEMQ)}"
+    return run_available_now_all([(sdf, output_mode, state_partitions)])[0]
+
+
+def run_available_now_all(
+    specs: list[tuple[DataFrame, str, int | None]],
+) -> list[DataFrame]:
+    """Run several INDEPENDENT bounded streaming queries concurrently:
+    start them all, then await them all.
+
+    Each ``start()`` clones the SparkSession (StreamExecution's
+    contract), so per-query ``spark.sql.shuffle.partitions`` is
+    captured at its own start — set, start, move to the next, restore
+    once. Concurrent execution overlaps the per-query fixed overhead
+    (trigger setup, state-store open/commit, memory-sink swap) that
+    dominates bounded backfills at small scale; on a cluster the same
+    holds — independent maintenance streams share executors instead
+    of running in file: a workload with two disjoint stateful streams
+    (q80's tumble+session, q82's events+docs) has no ordering
+    dependency between them, so serializing them is pure wasted wall
+    clock at ANY scale."""
+    if not specs:
+        return []
+    spark = specs[0][0].sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    names, queries = [], []
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        for sdf, output_mode, state_partitions in specs:
+            name = f"kaj_stream_q{next(_MEMQ)}"
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                prev if state_partitions is None else str(state_partitions),
+            )
+            queries.append(
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            names.append(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    for q in queries:
+        q.awaitTermination()
+    return [spark.table(n) for n in names]
 
 
 def stream_tumbling_agg(

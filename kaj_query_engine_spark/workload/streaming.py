@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from kaj_query_engine_spark.streaming import (
     read_stream_table,
     run_available_now,
+    run_available_now_all,
     stream_interval_join,
     stream_session_stats,
     stream_stateful_user_totals,
@@ -134,14 +135,6 @@ def q80(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")), F.col("event_type"),
         tag="tumble",
     )
-    tumble = run_available_now(tumble_agg, "complete", state_partitions=sp_t).select(
-        F.lit("tumble").alias("kind"),
-        F.col("event_type").alias("k"),
-        F.unix_micros("ws").alias("ws_us"),
-        F.unix_micros("we").alias("we_us"),
-        "n",
-        "sum_v",
-    )
     sess_agg = stream_session_stats(
         read_stream_table(spark, sf_dir, "events"),
         "user_id",
@@ -151,7 +144,20 @@ def q80(spark, sf_dir):
         aggs=[dsum(F.col("value")).alias("sum_v")],
     )
     sp_s = _state_parts(spark, sf_dir, "events", F.col("user_id"), tag="user")
-    sess = run_available_now(sess_agg, "complete", state_partitions=sp_s).select(
+    # the two stateful streams are independent — start both, await both
+    # (run_available_now_all): per-query fixed overhead overlaps
+    tumble_res, sess_res = run_available_now_all(
+        [(tumble_agg, "complete", sp_t), (sess_agg, "complete", sp_s)]
+    )
+    tumble = tumble_res.select(
+        F.lit("tumble").alias("kind"),
+        F.col("event_type").alias("k"),
+        F.unix_micros("ws").alias("ws_us"),
+        F.unix_micros("we").alias("we_us"),
+        "n",
+        "sum_v",
+    )
+    sess = sess_res.select(
         F.lit("session").alias("kind"),
         F.col("user_id").cast("string").alias("k"),
         F.unix_micros("session_start").alias("ws_us"),
@@ -211,7 +217,6 @@ def q82(spark, sf_dir):
         spark, sf_dir, "events",
         F.col("user_id"), F.col("event_type"), tag="dedup",
     )
-    events = run_available_now(agg, "complete", state_partitions=sp_e)
 
     docs = read_stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
@@ -223,7 +228,10 @@ def q82(spark, sf_dir):
     sp_d = _state_parts(
         spark, sf_dir, "documents", F.col("lang"), F.col("source"), tag="ls"
     )
-    new_docs = run_available_now(agg2, "complete", state_partitions=sp_d)
+    # events-dedup and docs-filter streams are independent: overlap them
+    events, new_docs = run_available_now_all(
+        [(agg, "complete", sp_e), (agg2, "complete", sp_d)]
+    )
 
     return events.select(F.lit("events").alias("path"), "*").unionAll(
         new_docs.select(F.lit("docs").alias("path"), "*")
