@@ -101,13 +101,28 @@ STATE_KEYS_PER_PARTITION = 2048
 STATE_PARTITIONS_FLOOR = 4
 
 
-def state_partitions_for_keys(n_keys: int, parallelism: int) -> int:
+def state_partitions_for_keys(
+    n_keys: int, parallelism: int, python_stateful: bool = False
+) -> int:
     """The sizing rule: next power of two of n_keys / 2048, clamped to
-    [4, parallelism]. Pure so the rule itself is unit-testable."""
+    [4, parallelism]. Pure so the rule itself is unit-testable.
+
+    ``python_stateful`` raises the floor to parallelism/2: for
+    applyInPandasWithState / transformWithStateInPandas the partition
+    count is also the number of CONCURRENT PYTHON WORKERS, and the
+    per-partition state-store overhead the low floor optimizes for is
+    dwarfed by Python compute — measured on the user-totals shape at
+    sf0.1 (local[32], warm): 4 partitions 2.33 s, 8 → 1.73 s,
+    16 → 1.48 s, 32 → 1.82 s. JVM-stateful shapes (windows, dedup,
+    stream-stream joins) stay on the low floor — their sweep is flat
+    to slightly favoring fewer (tumble: 0.89/0.92/0.97 s at 4/8/16)."""
     import math
 
     p = 2 ** math.ceil(math.log2(max(1.0, n_keys / STATE_KEYS_PER_PARTITION)))
-    return max(min(STATE_PARTITIONS_FLOOR, parallelism), min(p, parallelism))
+    floor = STATE_PARTITIONS_FLOOR
+    if python_stateful:
+        floor = max(floor, parallelism // 2)
+    return max(min(floor, parallelism), min(p, parallelism))
 
 
 def auto_state_partitions(batch_df: DataFrame, *keys) -> int:

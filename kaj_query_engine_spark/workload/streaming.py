@@ -55,13 +55,23 @@ from kaj_query_engine_spark.workload.registry import register
 _SP_MEMO: dict = {}
 
 
-def _state_parts(spark, sf_dir: str, table: str, *keys, tag: str = "") -> int:
+def _state_parts(
+    spark,
+    sf_dir: str,
+    table: str,
+    *keys,
+    tag: str = "",
+    python_stateful: bool = False,
+) -> int:
     import json
 
     from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
 
     token = repr(source_token(f"{sf_dir}/{table}.parquet"))
-    k = (sf_dir, table, tag, token)
+    # python_stateful is in the key: the persisted cardinality is
+    # flag-independent, but the derived partition count is not (q80's
+    # JVM session stream and q83's Python totals share tag="user")
+    k = (sf_dir, table, tag, token, python_stateful)
     if k in _SP_MEMO:
         return _SP_MEMO[k]
     path = _SCRATCH / _tag(sf_dir) / "state_key_counts.json"
@@ -88,7 +98,9 @@ def _state_parts(spark, sf_dir: str, table: str, *keys, tag: str = "") -> int:
     from kaj_query_engine_spark.streaming.ops import state_partitions_for_keys
 
     _SP_MEMO[k] = state_partitions_for_keys(
-        n, spark.sparkContext.defaultParallelism
+        n,
+        spark.sparkContext.defaultParallelism,
+        python_stateful=python_stateful,
     )
     return _SP_MEMO[k]
 
@@ -285,7 +297,10 @@ def q84(spark, sf_dir):
 def q83(spark, sf_dir):
     s = read_stream_table(spark, sf_dir, "events")
     totals = stream_stateful_user_totals(s)
-    sp = _state_parts(spark, sf_dir, "events", F.col("user_id"), tag="user")
+    sp = _state_parts(
+        spark, sf_dir, "events", F.col("user_id"), tag="user",
+        python_stateful=True,  # partitions = concurrent Python workers
+    )
     return run_available_now(totals, "update", state_partitions=sp)
 
 

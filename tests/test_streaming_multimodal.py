@@ -211,6 +211,13 @@ def test_state_partition_sizing_rule(spark):
     assert state_partitions_for_keys(100_000, 32) == 32  # clamp
     assert state_partitions_for_keys(10**9, 2048) == 2048  # cluster clamp
     assert state_partitions_for_keys(100, 2) == 2  # floor respects tiny cluster
+    # python-stateful floor: partitions = concurrent Python workers,
+    # so the floor rises to parallelism/2 (measured: 16 beats 4 by
+    # 1.6x on the user-totals shape at local[32])
+    assert state_partitions_for_keys(1500, 32, python_stateful=True) == 16
+    assert state_partitions_for_keys(10, 32, python_stateful=True) == 16
+    assert state_partitions_for_keys(100_000, 32, python_stateful=True) == 32
+    assert state_partitions_for_keys(100, 2, python_stateful=True) == 2
     # live wrapper at two cardinalities
     lo = spark.range(100).select((F.col("id") % 7).alias("k"))
     hi = spark.range(100_000).select(F.col("id").alias("k"))
