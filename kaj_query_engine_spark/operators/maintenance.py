@@ -87,12 +87,47 @@ def _packed_join(
     return tgt.join(src, on=keys, how="full_outer"), vals
 
 
+def evolve_schemas(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame, set[str]]:
+    """Schema evolution for MERGE (the Delta/Iceberg ``mergeSchema``
+    contract): align both sides on the UNION of their columns —
+    source-new columns are appended to the target schema (NULL for
+    existing rows), target-only columns are padded NULL on the source
+    side. Returns the aligned frames plus the set of columns the
+    source REALLY has, which the merge needs to implement
+    ``updateAll``-keeps-missing semantics (a matched row takes source
+    values only for columns the batch actually carries; target-only
+    columns keep their target value — padding alone would null them).
+    Keys must exist on both sides (evolution never invents keys)."""
+    missing_keys = [k for k in keys if k not in source.columns or k not in target.columns]
+    if missing_keys:
+        raise ValueError(f"merge keys absent from schema: {missing_keys}")
+    s_real = set(source.columns)
+    new_cols = [c for c in source.columns if c not in set(target.columns)]
+    out_cols = list(target.columns) + new_cols
+    s_types = dict(source.dtypes)
+    t_types = dict(target.dtypes)
+    tgt = target.select(
+        *target.columns,
+        *[F.lit(None).cast(s_types[c]).alias(c) for c in new_cols],
+    )
+    src = source.select(
+        *[
+            F.col(c) if c in s_real else F.lit(None).cast(t_types[c]).alias(c)
+            for c in out_cols
+        ]
+    )
+    return tgt, src, s_real
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
     keys: list[str],
     *,
     delete_condition: Column | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Post-merge snapshot of ``target`` with batch ``source`` applied.
 
@@ -101,13 +136,37 @@ def merge_upsert(
     inserted (skipped when the delete predicate holds); target-only →
     kept. One full-outer shuffle join; see the module docstring for
     the partitioned/bucketed write pattern that makes this O(batch)
-    on a real table."""
+    on a real table.
+
+    ``schema_evolution=True`` accepts a batch whose schema drifted
+    (:func:`evolve_schemas`): source-new columns join the snapshot
+    schema (NULL for rows the batch didn't touch), and matched rows
+    take source values only for columns the batch carries — columns
+    the batch dropped keep their target values (Delta's
+    ``updateAll`` + ``mergeSchema`` behavior). Default stays strict:
+    mismatched schemas raise."""
+    if schema_evolution:
+        target, source, s_real = evolve_schemas(target, source, keys)
     j, vals = _packed_join(target, source, keys, delete_condition)
-    side = F.when(F.col("_s").isNotNull(), F.col("_s")).otherwise(F.col("_t"))
+    matched = F.col("_s").isNotNull()
+    if schema_evolution:
+        cells = [
+            (
+                F.when(matched, F.col("_s").getField(c)).otherwise(
+                    F.col("_t").getField(c)
+                )
+                if c in s_real
+                else F.col("_t").getField(c)  # batch-dropped: target-kept
+            ).alias(c)
+            for c in vals
+        ]
+    else:
+        side = F.when(matched, F.col("_s")).otherwise(F.col("_t"))
+        cells = [side.getField(c).alias(c) for c in vals]
     return (
-        j.filter(~(F.col("_s").isNotNull() & F.col("_del")))
-        .select(*keys, *[side.getField(c).alias(c) for c in vals])
-        .select(*target.columns)  # original column order
+        j.filter(~(matched & F.col("_del")))
+        .select(*keys, *cells)
+        .select(*target.columns)  # original (evolved) column order
     )
 
 
@@ -117,6 +176,7 @@ def merge_change_feed(
     keys: list[str],
     *,
     delete_condition: Column | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """CDC feed of the same merge: one row per *effective* change,
     tagged ``op`` ∈ I/U/D, carrying the post-image for I/U and the
@@ -124,18 +184,39 @@ def merge_change_feed(
     delete, and an update whose row equals the target row bit-for-bit
     (struct equality — NULL-safe via ``eqNullSafe``), are both
     suppressed, so downstream incremental consumers see only real
-    changes. Same single full-outer join as :func:`merge_upsert`."""
+    changes. Same single full-outer join as :func:`merge_upsert`.
+
+    With ``schema_evolution=True`` the post-image and the no-op test
+    use the EFFECTIVE row the snapshot would store (source values for
+    batch columns, target-kept values for batch-dropped ones — see
+    :func:`merge_upsert`), so a drifted-schema batch row that changes
+    nothing effective still emits nothing."""
+    if schema_evolution:
+        target, source, s_real = evolve_schemas(target, source, keys)
     j, vals = _packed_join(target, source, keys, delete_condition)
+    if schema_evolution:
+        post = F.struct(
+            *[
+                (
+                    F.col("_s").getField(c)
+                    if c in s_real
+                    else F.col("_t").getField(c)
+                ).alias(c)
+                for c in vals
+            ]
+        )
+    else:
+        post = F.col("_s")
     op = (
         F.when(F.col("_s").isNull(), F.lit(None))  # target-only: no change
         .when(F.col("_del") & F.col("_t").isNotNull(), F.lit("D"))
         .when(F.col("_del"), F.lit(None))  # delete of absent key: no-op
         .when(F.col("_t").isNull(), F.lit("I"))
-        .when(F.col("_s").eqNullSafe(F.col("_t")), F.lit(None))  # no-op update
+        .when(post.eqNullSafe(F.col("_t")), F.lit(None))  # no-op update
         .otherwise(F.lit("U"))
     )
     return (
-        j.select(op.alias("op"), *keys, *[F.col("_s").getField(c).alias(c) for c in vals])
+        j.select(op.alias("op"), *keys, *[post.getField(c).alias(c) for c in vals])
         .filter(F.col("op").isNotNull())
     )
 

@@ -132,6 +132,88 @@ def q55(spark, sf_dir):
     )
 
 
+# q66: MERGE with schema evolution. The batch drops o_orderpriority
+# and gains o_channel ('web' for o_orderkey % 6 = 0, else NULL —
+# NULL-channel unchanged-price rows make the effective-no-op
+# suppression observable). Effective row: source values for batch
+# columns, target-kept o_orderpriority, NULL channel for untouched
+# target rows.
+_EVOLVE_ORACLE = (
+    "WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8), "
+    "src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+    "CASE WHEN o_orderkey % 6 = 0 THEN 'web' END AS o_channel "
+    "FROM orders WHERE o_orderkey % 3 = 0), "
+    "m AS (SELECT t.o_orderkey AS tk, s.o_orderkey AS sk, "
+    "t.o_custkey AS tck, s.o_custkey AS sck, "
+    "t.o_orderstatus AS tst, s.o_orderstatus AS sst, "
+    "t.o_totalprice AS tp, s.o_totalprice AS sp, "
+    "t.o_orderpriority AS tpr, s.o_channel AS sch, "
+    "COALESCE(s.o_orderstatus = 'F', FALSE) AS del, "
+    "(s.o_custkey IS NOT DISTINCT FROM t.o_custkey AND "
+    "s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus AND "
+    "s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice AND "
+    "s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate AND "
+    "s.o_channel IS NULL) AS same "  # effective vs target's NULL channel
+    "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey) "
+    "SELECT 'snap' AS path, 'S' AS op, COALESCE(sk, tk) AS o_orderkey, "
+    "CASE WHEN sk IS NOT NULL THEN sck ELSE tck END AS o_custkey, "
+    "CASE WHEN sk IS NOT NULL THEN sp ELSE tp END AS price, "
+    "CASE WHEN sk IS NOT NULL THEN sst ELSE tst END AS status, "
+    "tpr AS priority, CASE WHEN sk IS NOT NULL THEN sch END AS channel "
+    "FROM m WHERE NOT (sk IS NOT NULL AND del) "
+    "UNION ALL SELECT 'cdc', CASE WHEN del THEN 'D' "
+    "WHEN tk IS NULL THEN 'I' ELSE 'U' END, sk, sck, sp, sst, tpr, sch "
+    "FROM m WHERE sk IS NOT NULL AND NOT (del AND tk IS NULL) "
+    "AND NOT (NOT del AND tk IS NOT NULL AND same)"
+)
+
+
+@register(
+    "q66_merge_evolve",
+    _EVOLVE_ORACLE,
+    "MERGE with schema evolution (Delta/Iceberg mergeSchema + "
+    "updateAll semantics): the batch DROPS o_orderpriority and GAINS "
+    "o_channel. 'snap' is the evolved snapshot — source-new column "
+    "appended (NULL for rows the batch didn't touch), batch-dropped "
+    "column target-kept on matched rows; 'cdc' is the change feed "
+    "computed on the EFFECTIVE row, so a drifted-schema batch row "
+    "changing nothing effective (NULL channel, same price) is still "
+    "suppressed. Same single full-outer shuffle join as q55",
+)
+def q66(spark, sf_dir):
+    target, source, delete = merge_fixture_frames(t(spark, sf_dir, "orders"))
+    key = F.col("o_orderkey")
+    evolved = source.drop("o_orderpriority").withColumn(
+        "o_channel",
+        F.when(key % 6 == 0, F.lit("web")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    keys = ["o_orderkey"]
+    snap = M.merge_upsert(
+        target, evolved, keys, delete_condition=delete, schema_evolution=True
+    )
+    cdc = M.merge_change_feed(
+        target, evolved, keys, delete_condition=delete, schema_evolution=True
+    )
+
+    def shape(df, path, op=None):
+        return df.select(
+            F.lit(path).alias("path"),
+            (F.lit(op) if op else F.col("op")).alias("op"),
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_channel").alias("channel"),
+        )
+
+    return shape(snap, "snap", "S").unionAll(shape(cdc, "cdc"))
+
+
 _SCD2_ORACLE = (
     "WITH w AS (SELECT user_id, event_type, ts, event_id, "
     "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, "

@@ -74,6 +74,8 @@ _VERIFY_PRIORITY = [
     "q96_stream_media_decode",
     "q98_gif_decode",
     "q99_flac_decode",
+    # new in round 7 (never externally checked yet):
+    "q66_merge_evolve",
     # last green row is from round 5 or earlier (rotated out of the
     # round-6 window) — next-stalest, fill the remaining slots:
     "q32_format_roundtrips",

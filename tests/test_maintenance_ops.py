@@ -64,6 +64,56 @@ def test_change_feed_ops_and_noop_suppression(tables):
     assert rows == {2: ("U", "B"), 3: ("D", "DEL"), 5: ("I", "e")}
 
 
+def test_schema_evolution_merge_semantics(tables):
+    """Delta mergeSchema + updateAll contract: source-new column
+    appended (NULL for untouched target rows), batch-dropped column
+    target-kept on matched rows and NULL on inserts; the change feed
+    judges no-ops on the EFFECTIVE row."""
+    # batch drops n, gains c; k=1 changes nothing effective (same v,
+    # NULL c), k=2 updates v, k=5 inserts with a channel
+    evolved = tables(
+        [(1, "a", None), (2, "B", "web"), (5, "e", "app")],
+        schema="k long, v string, c string",
+    )
+    out = M.merge_upsert(
+        tables(TARGET), evolved, ["k"], schema_evolution=True
+    )
+    assert out.columns == ["k", "v", "n", "c"]  # evolved order
+    rows = {r.k: (r.v, r.n, r.c) for r in out.collect()}
+    assert rows == {
+        1: ("a", 1.0, None),  # n target-kept, c from batch (NULL)
+        2: ("B", 2.0, "web"),  # n target-kept through the update
+        3: ("c", 3.0, None),  # untouched: new column NULL
+        4: (None, 4.0, None),
+        5: ("e", None, "app"),  # insert: dropped column NULL
+    }
+    feed = M.merge_change_feed(
+        tables(TARGET), evolved, ["k"], schema_evolution=True
+    )
+    frows = {r.k: (r.op, r.v, r.n, r.c) for r in feed.collect()}
+    # k=1 suppressed: effective row (v='a', n kept 1.0, c NULL) == target
+    assert frows == {
+        2: ("U", "B", 2.0, "web"),
+        5: ("I", "e", None, "app"),
+    }
+    # no drift → evolution is a no-op: equals the plain merge
+    plain = M.merge_upsert(tables(TARGET), tables(SOURCE), ["k"],
+                           delete_condition=DEL())
+    evo = M.merge_upsert(tables(TARGET), tables(SOURCE), ["k"],
+                         delete_condition=DEL(), schema_evolution=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, evo.collect())
+    )
+    # keys must exist on both sides even under evolution
+    with pytest.raises(ValueError, match="keys absent"):
+        M.merge_upsert(
+            tables(TARGET),
+            tables([("x",)], schema="v string"),
+            ["k"],
+            schema_evolution=True,
+        )
+
+
 def test_null_safe_noop_detection(tables):
     # NULL == NULL must count as "unchanged" (eqNullSafe), so a batch
     # row re-stating a NULL-valued target row is suppressed
