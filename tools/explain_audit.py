@@ -216,6 +216,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q66_merge_evolve": (
+        # schema evolution must not change the join shape: still ONE
+        # full-outer equi SMJ per branch — the NULL-padding and
+        # per-column effective-row picks are pure projections
+        ["SortMergeJoin FullOuter", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "q88_incremental_distinct": (
         # sketch states build as partial-able ObjectHashAggregates,
         # merge through ONE full-outer join, and the exact-distinct
