@@ -552,6 +552,7 @@ def stream_merge_apply(
     table,
     keys: list[str],
     delete_condition: Column | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Streaming MERGE: apply each micro-batch of upserts/deletes to a
     :class:`~kaj_query_engine_spark.sources.versioned.VersionedTable`
@@ -576,6 +577,11 @@ def stream_merge_apply(
             batch_df,
             keys,
             delete_condition=delete_condition,
+            # evolution composes with versioning for free: the first
+            # drifted batch widens the snapshot schema, later batches
+            # and readers see the evolved table (same as Delta's
+            # mergeSchema on a streaming MERGE sink)
+            schema_evolution=schema_evolution,
         )
         table.commit(merged)
 

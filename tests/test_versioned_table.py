@@ -116,6 +116,60 @@ def test_stream_merge_multi_batch_equals_sequential_fold(spark, tmp_path):
     assert {r.k: r.v for r in folded.collect()} == got
 
 
+def test_stream_merge_schema_evolution_widens_snapshot(spark, tmp_path):
+    """A drifted-schema stream (new column c) widens the versioned
+    snapshot on its first batch; later reads see the evolved table and
+    the result equals folding the batches through the batch evolved
+    merge — the stream==batch law extended to schema evolution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = df_(spark, [(1, "t"), (2, "t"), (3, "t")])
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(target)
+    d = tmp_path / "stream_evo"
+    d.mkdir()
+    evo_batches = [[(1, "b0", "web")], [(10, "b1", None), (2, "b1", "app")]]
+    base = 1_700_000_000
+    for i, rows in enumerate(evo_batches):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "v": pa.array([r[1] for r in rows], pa.string()),
+                    "c": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+    sdf = (
+        spark.readStream.schema("k long, v string, c string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    final = stream_merge_apply(sdf, tbl, ["k"], schema_evolution=True)
+    assert final.columns == ["k", "v", "c"]
+    got = {r.k: (r.v, r.c) for r in final.collect()}
+    assert got == {
+        1: ("b0", "web"),
+        2: ("b1", "app"),
+        3: ("t", None),  # untouched: evolved column NULL
+        10: ("b1", None),
+    }
+    # fold the same batches through the batch evolved merge
+    folded = target
+    for rows in evo_batches:
+        folded = merge_upsert(
+            folded,
+            spark.createDataFrame(rows, "k long, v string, c string"),
+            ["k"],
+            schema_evolution=True,
+        )
+    assert {r.k: (r.v, r.c) for r in folded.collect()} == got
+
+
 def test_vacuum_keeps_current_and_newest(spark, tmp_path):
     tbl = VersionedTable(tmp_path / "t")
     tbl.init(df_(spark, [(1, "a")]))
