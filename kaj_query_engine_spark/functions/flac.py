@@ -1,5 +1,6 @@
 """Pure stdlib+numpy FLAC codec — compressed LOSSLESS audio
-(16-bit mono, FIXED + LPC predictors, Rice-coded residuals).
+(16-bit mono + stereo, FIXED + LPC predictors, Rice-coded residuals,
+all four stereo channel assignments).
 
 This container ships no audio libraries, but the FLAC subset needed
 here requires none: a ``fLaC`` magic + STREAMINFO metadata block,
@@ -20,9 +21,11 @@ UTF-8 frame numbering and the bit packing byte-exactly. The decoder
 additionally verifies STREAMINFO's embedded MD5 of the unencoded
 audio — an in-format integrity check the encoder must also get right.
 
-Multi-channel decorrelation is out of scope and raises loudly
-(mp3 — lossy, with no in-SQL verification story — stays honestly
-guarded).
+Stereo carries the spec's full decorrelation matrix — independent,
+left-side, right-side, and mid-side (side channels one bit wider,
+mid's dropped sum bit recovered from the side's parity). >2 channels
+raise loudly (mp3 — lossy, with no in-SQL verification story — stays
+honestly guarded).
 
 No counterpart in the reference engine (3 scalar types only —
 ``/root/reference/src/qp/utils/Attribute.java:11-13``); this is
@@ -232,15 +235,107 @@ def _put_rice_residual(fw: "_BitWriter", res: np.ndarray) -> None:
         fw.put(v & ((1 << k) - 1), k)
 
 
+def _write_subframe(
+    fw: "_BitWriter",
+    blk: np.ndarray,
+    bps: int,
+    force_order: int | None,
+    lpc_order: int | None,
+) -> None:
+    """One subframe (FIXED or LPC) at ``bps`` bits per sample — the
+    bps parameter is what stereo decorrelation needs: a side channel
+    (L−R) carries 17 significant bits, so its warmup samples are
+    written one bit wider (spec §frame: the side subframe's bit depth
+    is the frame's + 1)."""
+    nb = len(blk)
+    mask = (1 << bps) - 1
+    # LPC subframe when requested and the block supports it
+    qco = None
+    lo = 0
+    if lpc_order is not None:
+        if not 1 <= lpc_order <= 32:
+            raise ValueError("lpc_order must be in [1, 32]")
+        lo = min(lpc_order, nb - 1)
+        qco = _quantized_lpc(blk, lo) if lo >= 1 else None
+    if qco is not None:
+        qlp, shift = qco
+        res = np.array(
+            [
+                int(blk[i])
+                - (
+                    sum(qlp[j] * int(blk[i - 1 - j]) for j in range(lo))
+                    >> shift
+                )
+                for i in range(lo, nb)
+            ],
+            dtype=np.int64,
+        )
+        # subframe header: 0 pad, LPC type 0b100000 | (order-1),
+        # no wasted bits
+        fw.put(0, 1)
+        fw.put(0b100000 | (lo - 1), 6)
+        fw.put(0, 1)
+        for w in blk[:lo]:
+            fw.put(int(w) & mask, bps)  # warmup, two's complement
+        fw.put(_LPC_PRECISION - 1, 4)
+        fw.put(shift & 0x1F, 5)
+        for c in qlp:
+            fw.put(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
+        _put_rice_residual(fw, res)
+        return
+    # choose FIXED order
+    if force_order is not None:
+        if not 0 <= force_order <= 4:
+            raise ValueError("force_order must be in [0, 4]")
+        # a forced order that doesn't fit a SHORT block (the tail
+        # block of a stream whose length isn't a block_size
+        # multiple can hold fewer samples than the order needs)
+        # clamps per-block instead of raising: the knob selects a
+        # per-file preference, not a per-block invariant — found
+        # by the hypothesis round-trip fuzz at 17 samples / bs 16
+        order = min(force_order, nb - 1)
+    else:
+        best = None
+        for o in range(0, min(4, nb - 1) + 1):
+            res = blk[o:].copy()
+            for j, c in enumerate(_FIXED_COEFFS[o]):
+                res = res - c * blk[o - 1 - j : nb - 1 - j]
+            cost = int(_zigzag(res).sum())
+            if best is None or cost < best[1]:
+                best = (o, cost)
+        order = best[0]
+    res = blk[order:].copy()
+    for j, c in enumerate(_FIXED_COEFFS[order]):
+        res = res - c * blk[order - 1 - j : nb - 1 - j]
+    # subframe header: 0 pad, FIXED type 0b001000 | order, no wasted bits
+    fw.put(0, 1)
+    fw.put(0b001000 | order, 6)
+    fw.put(0, 1)
+    for w in blk[:order]:
+        fw.put(int(w) & mask, bps)  # warmup, two's complement
+    _put_rice_residual(fw, res)
+
+
+# frame-header channel-assignment codes (spec §9.1.3)
+_STEREO_MODES = {
+    "independent": 0b0001,
+    "left-side": 0b1000,
+    "right-side": 0b1001,
+    "mid-side": 0b1010,
+}
+
+
 def encode_flac(
     samples: np.ndarray,
     rate: int,
     block_size: int = 64,
     force_order: int | None = None,
     lpc_order: int | None = None,
+    channel_mode: str = "mid-side",
 ) -> bytes:
-    """Encode int16 mono PCM to FLAC (FIXED or LPC predictors, Rice2
-    residual method).
+    """Encode int16 PCM to FLAC (FIXED or LPC predictors, Rice2
+    residual method). ``samples`` is 1-D for mono or (n, 2) for
+    stereo (columns = left, right).
 
     ``block_size`` controls frames-per-item (small values exercise the
     multi-frame path on tiny fixtures); ``force_order`` pins the FIXED
@@ -251,15 +346,28 @@ def encode_flac(
     singular recursion — fall back to the FIXED path, which the spec
     always permits). Either predictor family is lossless: residuals
     are computed with the same integer predictor the decoder runs.
+
+    ``channel_mode`` picks the stereo decorrelation (ignored for
+    mono): 'independent' (two plain subframes), 'left-side' (L and
+    S=L−R), 'right-side' (S and R), or 'mid-side' (M=(L+R)>>1 and S —
+    the dropped sum bit is recoverable because S carries the parity).
+    Side subframes are 17-bit; all four modes are lossless.
     """
     s = np.asarray(samples)
-    if s.dtype != np.int16 or s.ndim != 1 or len(s) == 0:
+    stereo = s.ndim == 2
+    if stereo and (s.shape[1] != 2 or s.shape[0] == 0 or s.dtype != np.int16):
+        raise ValueError("stereo samples must be a non-empty (n, 2) int16 array")
+    if not stereo and (s.dtype != np.int16 or s.ndim != 1 or len(s) == 0):
         raise ValueError("samples must be a non-empty 1-D int16 array")
+    if stereo and channel_mode not in _STEREO_MODES:
+        raise ValueError(f"unknown channel_mode {channel_mode!r}")
     if not (1 <= rate < (1 << 20)):
         raise ValueError(f"bad sample rate {rate}")
     if not (16 <= block_size <= 65535):
         raise ValueError("block_size must be in 16..65535")
-    n_total = len(s)
+    n_total = s.shape[0]
+    # MD5 of the unencoded audio, channel-interleaved LE (row-major
+    # (n, 2) tobytes IS the interleaving)
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
     # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
     # 20-bit rate, 3-bit channels-1, 5-bit bits-1, 36-bit total samples
@@ -270,7 +378,7 @@ def encode_flac(
     bw.put(0, 24)
     bw.put(0, 24)
     bw.put(rate, 20)
-    bw.put(0, 3)  # mono
+    bw.put(1 if stereo else 0, 3)  # channels - 1
     bw.put(15, 5)  # 16 bits - 1
     bw.put(n_total, 36)
     info = bw.bytes() + md5
@@ -278,6 +386,7 @@ def encode_flac(
     out += bytes([0x80]) + len(info).to_bytes(3, "big")  # last-block STREAMINFO
     out += info
 
+    ch_code = _STEREO_MODES[channel_mode] if stereo else 0
     x = s.astype(np.int64)
     for fi, start in enumerate(range(0, n_total, block_size)):
         blk = x[start : start + block_size]
@@ -286,82 +395,28 @@ def encode_flac(
             [0xFF, 0xF8]  # sync + fixed blocking
         )
         # blocksize code 0b0111 (16-bit-1 at end), rate code 0 (from
-        # STREAMINFO), channel 0 (mono), sample size 0b100 (16 bit)
+        # STREAMINFO), channel assignment, sample size 0b100 (16 bit)
         header.append((0b0111 << 4) | 0b0000)
-        header.append((0b0000 << 4) | (0b100 << 1) | 0)
+        header.append((ch_code << 4) | (0b100 << 1) | 0)
         header += _utf8_number(fi)
         header += struct.pack(">H", nb - 1)
         header.append(_crc8(bytes(header)))
         fw = _BitWriter()
         for b in header:
             fw.put(b, 8)
-        # LPC subframe when requested and the block supports it
-        qco = None
-        if lpc_order is not None:
-            if not 1 <= lpc_order <= 32:
-                raise ValueError("lpc_order must be in [1, 32]")
-            lo = min(lpc_order, nb - 1)
-            qco = _quantized_lpc(blk, lo) if lo >= 1 else None
-        if qco is not None:
-            qlp, shift = qco
-            res = np.array(
-                [
-                    int(blk[i])
-                    - (
-                        sum(qlp[j] * int(blk[i - 1 - j]) for j in range(lo))
-                        >> shift
-                    )
-                    for i in range(lo, nb)
-                ],
-                dtype=np.int64,
-            )
-            # subframe header: 0 pad, LPC type 0b100000 | (order-1),
-            # no wasted bits
-            fw.put(0, 1)
-            fw.put(0b100000 | (lo - 1), 6)
-            fw.put(0, 1)
-            for w in blk[:lo]:
-                fw.put(int(w) & 0xFFFF, 16)  # warmup, two's complement
-            fw.put(_LPC_PRECISION - 1, 4)
-            fw.put(shift & 0x1F, 5)
-            for c in qlp:
-                fw.put(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
-            _put_rice_residual(fw, res)
-            fw.align()
-            body = fw.bytes()
-            out += body + struct.pack(">H", _crc16(body))
-            continue
-        # choose FIXED order
-        if force_order is not None:
-            if not 0 <= force_order <= 4:
-                raise ValueError("force_order must be in [0, 4]")
-            # a forced order that doesn't fit a SHORT block (the tail
-            # block of a stream whose length isn't a block_size
-            # multiple can hold fewer samples than the order needs)
-            # clamps per-block instead of raising: the knob selects a
-            # per-file preference, not a per-block invariant — found
-            # by the hypothesis round-trip fuzz at 17 samples / bs 16
-            order = min(force_order, nb - 1)
+        if not stereo:
+            chans = [(blk, 16)]
         else:
-            best = None
-            for o in range(0, min(4, nb - 1) + 1):
-                res = blk[o:].copy()
-                for j, c in enumerate(_FIXED_COEFFS[o]):
-                    res = res - c * blk[o - 1 - j : nb - 1 - j]
-                cost = int(_zigzag(res).sum())
-                if best is None or cost < best[1]:
-                    best = (o, cost)
-            order = best[0]
-        res = blk[order:].copy()
-        for j, c in enumerate(_FIXED_COEFFS[order]):
-            res = res - c * blk[order - 1 - j : nb - 1 - j]
-        # subframe header: 0 pad, FIXED type 0b001000 | order, no wasted bits
-        fw.put(0, 1)
-        fw.put(0b001000 | order, 6)
-        fw.put(0, 1)
-        for w in blk[:order]:
-            fw.put(int(w) & 0xFFFF, 16)  # warmup, two's complement
-        _put_rice_residual(fw, res)
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            chans = {
+                "independent": [(left, 16), (right, 16)],
+                "left-side": [(left, 16), (side, 17)],
+                "right-side": [(side, 17), (right, 16)],
+                "mid-side": [((left + right) >> 1, 16), (side, 17)],
+            }[channel_mode]
+        for chan, bps in chans:
+            _write_subframe(fw, chan, bps, force_order, lpc_order)
         fw.align()
         body = fw.bytes()
         out += body + struct.pack(">H", _crc16(body))
@@ -403,13 +458,88 @@ def _read_rice_residuals(
                 idx += 1
 
 
+def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
+    """Decode one subframe (CONSTANT / VERBATIM / FIXED / LPC) of
+    ``nb`` samples at ``base_bps`` bits (17 for a stereo side
+    channel) into an int64 block."""
+    if br.read(1) != 0:
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1
+        wasted = 1 + br.read_unary()
+    bps = base_bps - wasted
+    blk = np.empty(nb, dtype=np.int64)
+    if stype == 0:  # CONSTANT
+        v = br.read(bps)
+        if v >= 1 << (bps - 1):
+            v -= 1 << bps
+        blk[:] = v
+    elif stype == 1:  # VERBATIM
+        for i in range(nb):
+            v = br.read(bps)
+            if v >= 1 << (bps - 1):
+                v -= 1 << bps
+            blk[i] = v
+    elif 8 <= stype <= 12:  # FIXED order 0..4
+        order = stype - 8
+        for i in range(order):
+            v = br.read(bps)
+            if v >= 1 << (bps - 1):
+                v -= 1 << bps
+            blk[i] = v
+        _read_rice_residuals(br, nb, order, blk)
+        for i in range(order, nb):  # undo the fixed predictor
+            pred = 0
+            for j, c in enumerate(_FIXED_COEFFS[order]):
+                pred += c * blk[i - 1 - j]
+            blk[i] += pred
+    elif stype >= 32:  # LPC, order = low 5 bits + 1
+        order = (stype & 0x1F) + 1
+        for i in range(order):
+            v = br.read(bps)
+            if v >= 1 << (bps - 1):
+                v -= 1 << bps
+            blk[i] = v
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC qlp precision code 1111")
+        shift = br.read(5)
+        if shift >= 16:
+            shift -= 32
+        if shift < 0:
+            # negative shifts were never produced by any released
+            # encoder and RFC 9639 forbids them
+            raise ValueError("negative FLAC qlp shift")
+        qlp = []
+        for _ in range(order):
+            c = br.read(precision)
+            if c >= 1 << (precision - 1):
+                c -= 1 << precision
+            qlp.append(c)
+        _read_rice_residuals(br, nb, order, blk)
+        for i in range(order, nb):  # undo the LPC predictor
+            pred = 0
+            for j in range(order):
+                pred += qlp[j] * int(blk[i - 1 - j])
+            blk[i] += pred >> shift  # arithmetic shift, 64-bit sum
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        blk <<= wasted
+    return blk
+
+
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode FLAC bytes to ``(rate, samples)`` (int16 mono).
+    """Decode FLAC bytes to ``(rate, samples)`` — int16, 1-D for mono
+    or (n, 2) for stereo.
 
     Verifies frame-header CRC-8, frame CRC-16, and STREAMINFO's MD5 of
-    the decoded PCM. Supports CONSTANT / VERBATIM / FIXED / LPC
-    subframes with both partitioned-Rice methods (incl. escapes);
-    multi-channel streams raise loudly.
+    the decoded (channel-interleaved) PCM. Supports CONSTANT /
+    VERBATIM / FIXED / LPC subframes with both partitioned-Rice
+    methods (incl. escapes) and all four stereo channel assignments
+    (independent / left-side / right-side / mid-side); >2 channels
+    raise loudly.
     """
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream: bad magic")
@@ -436,10 +566,10 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             bits = br.read(5) + 1
             n_total = br.read(36)
             md5_expect = body[18:34]
-            if channels != 1 or bits != 16:
+            if channels not in (1, 2) or bits != 16:
                 raise ValueError(
                     f"unsupported FLAC: {channels} channels {bits}-bit "
-                    "(16-bit mono only)"
+                    "(16-bit mono/stereo only)"
                 )
         pos += 4 + blen
         if hdr & 0x80:
@@ -447,7 +577,9 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
 
-    out = np.empty(n_total, dtype=np.int64)
+    out = np.empty(
+        (n_total, channels) if channels == 2 else n_total, dtype=np.int64
+    )
     filled = 0
     while filled < n_total:
         frame_start = pos
@@ -457,8 +589,27 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         sr_code = data[pos + 2] & 0xF
         ch_code = data[pos + 3] >> 4
         ss_code = (data[pos + 3] >> 1) & 0x7
-        if ch_code != 0:
-            raise ValueError("unsupported FLAC channel assignment (mono only)")
+        # per-channel bit depths by assignment: a side channel is one
+        # bit wider (spec §9.1.3); the code must agree with STREAMINFO
+        if ch_code == 0:
+            bps_list = [16]
+        elif ch_code == 1:
+            bps_list = [16, 16]  # independent stereo
+        elif ch_code == 0b1000:
+            bps_list = [16, 17]  # left-side
+        elif ch_code == 0b1001:
+            bps_list = [17, 16]  # right-side
+        elif ch_code == 0b1010:
+            bps_list = [16, 17]  # mid-side
+        else:
+            raise ValueError(
+                f"unsupported FLAC channel assignment {ch_code} "
+                "(mono/stereo only)"
+            )
+        if len(bps_list) != channels:
+            raise ValueError(
+                "FLAC frame channel assignment contradicts STREAMINFO"
+            )
         if ss_code != 0b100:
             raise ValueError("unsupported FLAC sample size (16-bit only)")
         p = pos + 4
@@ -491,71 +642,7 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         p += 1
         br = _BitReader(data, p)
-        if br.read(1) != 0:
-            raise ValueError("bad FLAC subframe padding bit")
-        stype = br.read(6)
-        wasted = 0
-        if br.read(1):  # wasted-bits flag: unary count - 1
-            wasted = 1 + br.read_unary()
-        bps = 16 - wasted
-        blk = np.empty(nb, dtype=np.int64)
-        if stype == 0:  # CONSTANT
-            v = br.read(bps)
-            if v >= 1 << (bps - 1):
-                v -= 1 << bps
-            blk[:] = v
-        elif stype == 1:  # VERBATIM
-            for i in range(nb):
-                v = br.read(bps)
-                if v >= 1 << (bps - 1):
-                    v -= 1 << bps
-                blk[i] = v
-        elif 8 <= stype <= 12:  # FIXED order 0..4
-            order = stype - 8
-            for i in range(order):
-                v = br.read(bps)
-                if v >= 1 << (bps - 1):
-                    v -= 1 << bps
-                blk[i] = v
-            _read_rice_residuals(br, nb, order, blk)
-            for i in range(order, nb):  # undo the fixed predictor
-                pred = 0
-                for j, c in enumerate(_FIXED_COEFFS[order]):
-                    pred += c * blk[i - 1 - j]
-                blk[i] += pred
-        elif stype >= 32:  # LPC, order = low 5 bits + 1
-            order = (stype & 0x1F) + 1
-            for i in range(order):
-                v = br.read(bps)
-                if v >= 1 << (bps - 1):
-                    v -= 1 << bps
-                blk[i] = v
-            precision = br.read(4) + 1
-            if precision == 16:
-                raise ValueError("invalid FLAC qlp precision code 1111")
-            shift = br.read(5)
-            if shift >= 16:
-                shift -= 32
-            if shift < 0:
-                # negative shifts were never produced by any released
-                # encoder and RFC 9639 forbids them
-                raise ValueError("negative FLAC qlp shift")
-            qlp = []
-            for _ in range(order):
-                c = br.read(precision)
-                if c >= 1 << (precision - 1):
-                    c -= 1 << precision
-                qlp.append(c)
-            _read_rice_residuals(br, nb, order, blk)
-            for i in range(order, nb):  # undo the LPC predictor
-                pred = 0
-                for j in range(order):
-                    pred += qlp[j] * int(blk[i - 1 - j])
-                blk[i] += pred >> shift  # arithmetic shift, 64-bit sum
-        else:
-            raise ValueError(f"reserved FLAC subframe type {stype}")
-        if wasted:
-            blk <<= wasted
+        subs = [_read_subframe(br, nb, bps) for bps in bps_list]
         br.align()
         crc16 = struct.unpack(">H", data[br.byte : br.byte + 2])[0]
         if _crc16(data[frame_start : br.byte]) != crc16:
@@ -563,7 +650,26 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         pos = br.byte + 2
         if filled + nb > n_total:
             raise ValueError("FLAC frames exceed STREAMINFO total")
-        out[filled : filled + nb] = blk
+        if channels == 1:
+            out[filled : filled + nb] = subs[0]
+        else:
+            # undo the stereo decorrelation (spec §4.2: mid drops the
+            # sum's low bit, recoverable because side carries the
+            # parity of L−R == parity of L+R)
+            if ch_code == 1:
+                left, right = subs
+            elif ch_code == 0b1000:  # left-side
+                left = subs[0]
+                right = left - subs[1]
+            elif ch_code == 0b1001:  # right-side
+                right = subs[1]
+                left = right + subs[0]
+            else:  # mid-side
+                mid2 = (subs[0] << 1) | (subs[1] & 1)
+                left = (mid2 + subs[1]) >> 1
+                right = (mid2 - subs[1]) >> 1
+            out[filled : filled + nb, 0] = left
+            out[filled : filled + nb, 1] = right
         filled += nb
     if (out > 32767).any() or (out < -32768).any():
         raise ValueError("FLAC decoded sample out of 16-bit range")

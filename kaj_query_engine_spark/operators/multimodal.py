@@ -539,7 +539,13 @@ def decode_audio(
         def one(b: bytes) -> tuple[int, int, int, bytes]:
             if bytes(b[:4]) == b"fLaC":
                 rate, samples = decode_flac(bytes(b))
-                return rate, 1, samples.shape[0], samples.astype("<i2").tobytes()
+                # stereo decodes to (n, 2); row-major tobytes IS the
+                # channel interleave, matching the WAV layout
+                ch = 1 if samples.ndim == 1 else samples.shape[1]
+                return (
+                    rate, ch, samples.shape[0],
+                    samples.astype("<i2").tobytes(),
+                )
             if bytes(b[:4]) != b"RIFF":
                 raise NotImplementedError(
                     "decode_audio: only WAV/PCM and FLAC decode in this "
@@ -1085,7 +1091,12 @@ def normalize_media(
     )
 
 
-def attach_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+_FLAC_MODES = ["independent", "left-side", "right-side", "mid-side"]
+
+
+def attach_flac_media(
+    df: DataFrame, id_col: str = "doc_id", stereo: bool = False
+) -> DataFrame:
     """REAL compressed-audio ingest: an ``audio`` column holding
     genuine FLAC bytes (pure-stdlib encoder, ``functions.flac``) plus
     the same typed ``audio_meta`` struct as :func:`attach_wav_media`.
@@ -1100,32 +1111,47 @@ def attach_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     orders 1–3 (Levinson-Durbin quantized coefficients), so every
     corpus slice pins both subframe families through the one digest
     oracle.
+
+    ``stereo=True`` adds a right channel from the sibling model
+    sha256(f"{d}:b{j}") and cycles the channel assignment by d % 4
+    (independent / left-side / right-side / mid-side), so every
+    decorrelation mode is pinned by the interleaved-buffer digest —
+    a wrong side width, parity bit, or reconstruction sign diverges.
     """
     import numpy as np
 
     from kaj_query_engine_spark.functions.flac import encode_flac
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(d: int) -> bytes:
+        def chan(d: int, tag: str) -> np.ndarray:
             blocks = [
-                hashlib.sha256(f"{d}:a{j}".encode()).digest()
+                hashlib.sha256(f"{d}:{tag}{j}".encode()).digest()
                 for j in range(6 + d % 4)
             ]
-            samples = np.frombuffer(b"".join(blocks), dtype="<i2").astype(
+            return np.frombuffer(b"".join(blocks), dtype="<i2").astype(
                 np.int16
             )
+
+        def one(d: int) -> bytes:
+            samples = chan(d, "a")
+            kw = {}
+            if stereo:
+                samples = np.column_stack([samples, chan(d, "b")])
+                kw["channel_mode"] = _FLAC_MODES[d % 4]
             if d % 6 >= 3:  # LPC half of the corpus
                 return encode_flac(
                     samples,
                     8000 + (d % 3) * 4000,
                     block_size=64,
                     lpc_order=1 + d % 3,
+                    **kw,
                 )
             return encode_flac(
                 samples,
                 8000 + (d % 3) * 4000,
                 block_size=64,
                 force_order=d % 3,
+                **kw,
             )
 
         for pdf in batches:

@@ -613,7 +613,7 @@ def q98(spark, sf_dir):
 # encoder's exact bit output is covered too (any Rice/packing change
 # shifts it). block_size=64 forces multi-frame streams on every doc.
 _FLAC_SQL = (
-    "SELECT doc_id, "
+    "SELECT 'mono' AS path, doc_id, "
     f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
     "md5(array_to_string(list_transform("
     "generate_series(0, 5 + doc_id % 4), "
@@ -622,10 +622,31 @@ _FLAC_SQL = (
     "FROM documents"
 )
 
+# stereo: the decoded buffer is channel-INTERLEAVED int16 LE, i.e. in
+# hex-string space sample i contributes 4 chars of the 'a' model then
+# 4 chars of the 'b' model — sha256() in DuckDB returns lowercase hex,
+# so the interleave is pure substring arithmetic
+_FLAC_STEREO_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "array_to_string(list_transform(generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '') AS a, "
+    "array_to_string(list_transform(generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':b', "
+    "CAST(j AS VARCHAR)))), '') AS b "
+    "FROM documents) "
+    "SELECT 'stereo' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, {_WAV_N} - 1), "
+    "i -> substr(a, 4 * i + 1, 4) || substr(b, 4 * i + 1, 4)), '')) "
+    "AS buf_md5 FROM h"
+)
+
 
 @register(
     "q99_flac_decode",
-    _FLAC_SQL,
+    f"{_FLAC_SQL} UNION ALL ({_FLAC_STEREO_SQL})",
     "REAL compressed-lossless audio decode: genuine FLAC bytes (pure-"
     "stdlib encoder — FIXED orders 0-2 on half the corpus, "
     "Levinson-Durbin LPC orders 1-3 on the other half, Rice-coded "
@@ -633,13 +654,22 @@ _FLAC_SQL = (
     "pure-stdlib codec; the corpus "
     "reuses q94's sample model, so the SAME SQL reconstruction must "
     "digest-match — one oracle pinning both the uncompressed and "
-    "compressed audio paths. mp3 (lossy) stays honestly guarded",
+    "compressed audio paths. The 'stereo' branch adds a right "
+    "channel and cycles all FOUR channel assignments (independent / "
+    "left-side / right-side / mid-side, side subframes 17-bit) — the "
+    "interleaved-buffer digest pins the whole decorrelation matrix. "
+    "mp3 (lossy) stays honestly guarded",
 )
 def q99(spark, sf_dir):
-    a = M.attach_flac_media(t(spark, sf_dir, "documents"))
-    return M.decode_audio(a).select(
-        "doc_id",
-        "rate",
-        "n_samples",
-        F.md5(F.lower(F.hex(F.col("samples")))).alias("buf_md5"),
-    )
+    docs = t(spark, sf_dir, "documents")
+
+    def branch(path, **kw):
+        return M.decode_audio(M.attach_flac_media(docs, **kw)).select(
+            F.lit(path).alias("path"),
+            "doc_id",
+            "rate",
+            "n_samples",
+            F.md5(F.lower(F.hex(F.col("samples")))).alias("buf_md5"),
+        )
+
+    return branch("mono").unionAll(branch("stereo", stereo=True))

@@ -203,3 +203,32 @@ def test_flac_roundtrip(s, rate, bs, order, lpc):
     kw = {"lpc_order": lpc} if lpc is not None else {"force_order": order}
     r, out = decode_flac(encode_flac(s, rate, block_size=bs, **kw))
     assert r == rate and np.array_equal(out, s)
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(
+        np.int16,
+        st.tuples(st.integers(1, 800), st.just(2)),
+        elements=st.integers(-32768, 32767),
+    ),
+    bs=st.sampled_from([16, 64, 256]),
+    mode=st.sampled_from(
+        ["independent", "left-side", "right-side", "mid-side"]
+    ),
+    order=st.sampled_from([None, 0, 2]),
+    lpc=st.sampled_from([None, 2]),
+)
+def test_flac_stereo_roundtrip(s, bs, mode, order, lpc):
+    """All four channel assignments are lossless at full int16 range —
+    side channels hit 17 bits at the extremes, mid-side exercises the
+    dropped-sum-bit parity recovery."""
+    from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
+
+    kw = {"lpc_order": lpc} if lpc is not None else {"force_order": order}
+    if kw == {"force_order": None}:
+        kw = {}
+    r, out = decode_flac(
+        encode_flac(s, 44100, block_size=bs, channel_mode=mode, **kw)
+    )
+    assert r == 44100 and out.shape == s.shape and np.array_equal(out, s)
