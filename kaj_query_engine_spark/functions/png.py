@@ -4,8 +4,9 @@ behind :func:`operators.multimodal.decode_media`.
 This container ships no image libraries, but PNG itself needs none:
 the format is zlib-compressed filtered scanlines in a chunked
 container (PNG spec, RFC 2083 / W3C PNG — public). Supported here:
-8-bit greyscale (color type 0) and 8-bit RGB (color type 2), no
-interlacing, all five scanline filters (None/Sub/Up/Average/Paeth).
+8-bit greyscale (color type 0) and 8-bit RGB (color type 2), all five
+scanline filters (None/Sub/Up/Average/Paeth), and Adam7 interlacing
+(seven independently-filtered reduced passes).
 That covers every fixture this repo constructs and the common output
 of ``convert``-style tooling for these color types.
 
@@ -47,33 +48,32 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(
-    pixels: np.ndarray, filter_mode: str = "cycle"
-) -> bytes:
-    """Encode an (H, W) uint8 greyscale or (H, W, 3) uint8 RGB array.
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per spec
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    ``filter_mode="cycle"`` filters scanline i with type i % 5 —
-    exercising every unfilter rule on decode; ``"none"`` writes
-    filter 0 everywhere (the trivially-decodable form).
-    """
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        h, w = px.shape
-        color_type, bpp = 0, 1
-        flat = px
-    elif px.ndim == 3 and px.shape[2] == 3:
-        h, w = px.shape[:2]
-        color_type, bpp = 2, 3
-        flat = px.reshape(h, w * 3)
-    else:
-        raise ValueError("pixels must be (H, W) grey or (H, W, 3) RGB uint8")
-    # filtering reads only RAW neighbor values (left/up/upper-left of the
-    # ORIGINAL image, not the filtered output), so unlike decode it has no
-    # sequential dependency: build all three neighbor planes with two 2-D
-    # shifts each and compute every filter whole-image (fixture generation
-    # encodes tens of thousands of small images per batch; the per-scanline
-    # numpy version spent ~6 small allocations per row on framing overhead)
-    stride = flat.shape[1]
+
+def _filter_rows(flat: np.ndarray, bpp: int, filter_mode: str) -> bytes:
+    """Filter one (sub)image's scanlines → the raw pre-zlib stream.
+
+    Filtering reads only RAW neighbor values (left/up/upper-left of
+    the ORIGINAL image, not the filtered output), so unlike decode it
+    has no sequential dependency: build all three neighbor planes with
+    two 2-D shifts each and compute every filter whole-image (fixture
+    generation encodes tens of thousands of small images per batch;
+    the per-scanline numpy version spent ~6 small allocations per row
+    on framing overhead). In an interlaced stream each Adam7 pass is
+    its own image for filtering purposes (spec §8.2) — neighbors are
+    within-pass, which this helper gets for free by being handed the
+    extracted pass."""
+    h, stride = flat.shape
     left = np.zeros_like(flat)
     left[:, bpp:] = flat[:, :-bpp]
     prior = np.zeros_like(flat)
@@ -99,11 +99,52 @@ def encode_png(
     raw = np.empty((h, stride + 1), dtype=np.uint8)
     raw[:, 0] = fts
     raw[:, 1:] = stacked[fts, np.arange(h)]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw.tobytes()
+
+
+def encode_png(
+    pixels: np.ndarray, filter_mode: str = "cycle", interlace: bool = False
+) -> bytes:
+    """Encode an (H, W) uint8 greyscale or (H, W, 3) uint8 RGB array.
+
+    ``filter_mode="cycle"`` filters scanline i with type i % 5 —
+    exercising every unfilter rule on decode; ``"none"`` writes
+    filter 0 everywhere (the trivially-decodable form).
+
+    ``interlace=True`` writes Adam7: seven reduced passes, each
+    filtered as its own image (the progressive layout every browser-
+    era PNG tool can emit); empty passes (images narrower/shorter
+    than the pass grid) contribute no scanlines, per spec.
+    """
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        color_type, bpp = 0, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w = px.shape[:2]
+        color_type, bpp = 2, 3
+    else:
+        raise ValueError("pixels must be (H, W) grey or (H, W, 3) RGB uint8")
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(
+                    _filter_rows(
+                        np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                        bpp,
+                        filter_mode,
+                    )
+                )
+        raw = b"".join(parts)
+    else:
+        raw = _filter_rows(px.reshape(h, w * bpp), bpp, filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -111,8 +152,9 @@ def encode_png(
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to an (H, W) or (H, W, 3) uint8 array.
 
-    Supports 8-bit color types 0 (grey) and 2 (RGB), non-interlaced;
-    multiple IDAT chunks are concatenated per the spec. Raises
+    Supports 8-bit color types 0 (grey) and 2 (RGB), both
+    non-interlaced and Adam7-interlaced streams; multiple IDAT chunks
+    are concatenated per the spec. Raises
     ValueError on anything else — loudly, not with a wrong picture.
     """
     if data[:8] != _SIGNATURE:
@@ -139,7 +181,7 @@ def decode_png(data: bytes) -> np.ndarray:
                     f"unsupported PNG: depth={depth} color_type={color_type} "
                     "(only 8-bit grey/RGB)"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG compression/filter/interlace")
         elif tag == b"IDAT":
             idat.extend(body)
@@ -149,16 +191,53 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     bpp = 1 if color_type == 0 else 3
-    stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
+    if interlace:
+        # Adam7: seven independently-filtered reduced images,
+        # concatenated in the IDAT stream; scatter each back onto the
+        # full-resolution grid
+        full = np.zeros((height, width * bpp), dtype=np.uint8)
+        img = full.reshape(height, width, bpp)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            ph = len(range(y0, height, ys))
+            pw = len(range(x0, width, xs))
+            if not ph or not pw:
+                continue
+            sub, off = _unfilter(raw, off, ph, pw * bpp, bpp)
+            img[y0::ys, x0::xs] = np.frombuffer(sub, np.uint8).reshape(
+                ph, pw, bpp
+            )
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = full
+    else:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        out, _ = _unfilter(raw, 0, height, stride, bpp)
+        # frombuffer over the bytearray keeps the array writable (bytes
+        # would hand callers a read-only view) without an extra copy
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(height, stride)
+    if color_type == 0:
+        return arr
+    return arr.reshape(height, width, 3)
+
+
+def _unfilter(
+    raw: bytes, off: int, height: int, stride: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Undo scanline filtering for one (sub)image of ``height`` rows
+    of ``stride`` bytes starting at ``raw[off]``; returns the pixel
+    bytes and the offset past the consumed rows."""
+    if off + height * (stride + 1) > len(raw):
         raise ValueError("PNG IDAT length mismatch")
     out = bytearray(height * stride)
     prior = bytes(stride)
     for i in range(height):
-        off = i * (stride + 1)
-        ft = raw[off]
-        filt = raw[off + 1 : off + 1 + stride]
+        base = off + i * (stride + 1)
+        ft = raw[base]
+        filt = raw[base + 1 : base + 1 + stride]
         if ft == 0:
             row = bytearray(filt)
         elif ft == 2:  # Up — no left dependency, whole-row numpy add
@@ -196,9 +275,4 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[i * stride : (i + 1) * stride] = row
         prior = bytes(row)
-    # frombuffer over the bytearray keeps the array writable (bytes would
-    # hand callers a read-only view) without an extra copy
-    arr = np.frombuffer(out, dtype=np.uint8).reshape(height, stride)
-    if color_type == 0:
-        return arr
-    return arr.reshape(height, width, 3)
+    return out, off + height * (stride + 1)

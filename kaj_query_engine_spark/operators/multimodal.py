@@ -87,7 +87,9 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_png_media(
+    df: DataFrame, id_col: str = "doc_id", interlace: bool = False
+) -> DataFrame:
     """REAL media ingest: a ``media`` column holding genuine PNG bytes
     (pure-stdlib encoder, ``functions.png``) plus the same typed
     ``media_meta`` struct as :func:`attach_fake_media`.
@@ -99,6 +101,11 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     any PNG code and the full encode→decode path is hash-checkable
     end-to-end (q93). The encoder cycles all five PNG scanline
     filters, so the oracle match also pins the decoder's filter math.
+
+    ``interlace=True`` writes Adam7 streams of the SAME pixels —
+    deinterlacing is lossless, so q93's 'adam7' branch shares the
+    plain decode oracle: a wrong pass geometry, within-pass filter
+    neighbor, or scatter index diverges from the digest.
     """
     from kaj_query_engine_spark.functions.png import encode_png
 
@@ -115,7 +122,9 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
                 for i in range(h)
             ]
-            return encode_png(np.stack(rows), filter_mode="cycle")
+            return encode_png(
+                np.stack(rows), filter_mode="cycle", interlace=interlace
+            )
 
         for pdf in batches:
             yield pd.DataFrame(

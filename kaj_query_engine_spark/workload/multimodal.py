@@ -119,15 +119,24 @@ def q92(spark, sf_dir):
 # yi = ti·H//8 reproduced in SQL.
 _PNG_W = "(16 + (doc_id % 4) * 4)"
 _PNG_H = "(12 + (doc_id % 3) * 6)"
-_PNG_DECODE_SQL = (
-    "SELECT 'decode' AS path, doc_id, "
-    f"CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height, "
-    "md5(array_to_string(list_transform("
-    f"generate_series(0, {_PNG_H} - 1), "
-    "i -> substr(sha256(concat(CAST(doc_id AS VARCHAR), ':r', "
-    f"CAST(i AS VARCHAR))), 1, 2 * {_PNG_W})), '')) AS pix_md5 "
-    "FROM documents"
-)
+
+
+def _png_decode_sql(path: str) -> str:
+    # pixel reconstruction is path-independent: the 'adam7' branch
+    # decodes the SAME model through interlaced framing, so any pass-
+    # geometry or scatter bug diverges from this SQL
+    return (
+        f"SELECT '{path}' AS path, doc_id, "
+        f"CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height, "
+        "md5(array_to_string(list_transform("
+        f"generate_series(0, {_PNG_H} - 1), "
+        "i -> substr(sha256(concat(CAST(doc_id AS VARCHAR), ':r', "
+        f"CAST(i AS VARCHAR))), 1, 2 * {_PNG_W})), '')) AS pix_md5 "
+        "FROM documents"
+    )
+
+
+_PNG_DECODE_SQL = _png_decode_sql("decode")
 _PNG_RESIZE_SQL = (
     "SELECT 'resize' AS path, doc_id, "
     "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
@@ -143,15 +152,19 @@ _PNG_RESIZE_SQL = (
 
 @register(
     "q93_png_decode",
-    f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL}",
+    f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL} "
+    f"UNION ALL ({_png_decode_sql('adam7')})",
     "REAL image decode, oracle-checked: genuine PNG bytes (pure-stdlib "
     "encoder cycling all five scanline filters) are decoded by the "
     "pure-stdlib codec inside mapInPandas; the oracle reconstructs the "
     "decoded pixel buffer from the sha256 scanline model in pure SQL, "
     "so a digest match pins zlib framing, CRCs, and the filter math "
     "end-to-end. 'resize' re-encodes the nearest-neighbor 8x8 sample "
-    "and decodes it again (floor index rule reproduced oracle-side). "
-    "Non-PNG codecs stay honestly guarded (no libraries here)",
+    "and decodes it again (floor index rule reproduced oracle-side); "
+    "'adam7' re-encodes the same pixels INTERLACED (seven "
+    "independently-filtered reduced passes) against the same decode "
+    "oracle — pass geometry and scatter pinned. Non-PNG codecs stay "
+    "honestly guarded (no libraries here)",
 )
 def q93(spark, sf_dir):
     # persist the generated PNG corpus: BOTH branches of the union read
@@ -175,7 +188,16 @@ def q93(spark, sf_dir):
         "height",
         pix_md5.alias("pix_md5"),
     )
-    return decoded.unionAll(resized)
+    adam7 = M.decode_media(
+        M.attach_png_media(t(spark, sf_dir, "documents"), interlace=True)
+    ).select(
+        F.lit("adam7").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    return decoded.unionAll(resized).unionAll(adam7)
 
 
 # q94: REAL WAV/PCM codec, oracle-checked. attach_wav_media's sample

@@ -53,6 +53,26 @@ def test_png_rgb_roundtrip(px, mode):
 
 @settings(**_SETTINGS)
 @given(
+    px=arrays(
+        np.uint8,
+        st.one_of(
+            st.tuples(st.integers(1, 40), st.integers(1, 40)),
+            st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)),
+        ),
+        elements=st.integers(0, 255),
+    ),
+    mode=st.sampled_from(["cycle", "none"]),
+)
+def test_png_adam7_roundtrip(px, mode):
+    """Adam7 deinterlace is lossless for every geometry — including
+    images smaller than the pass grid, where early passes are empty
+    (1x1 hits six empty passes)."""
+    out = decode_png(encode_png(px, mode, interlace=True))
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
     s=arrays(
         np.int16, st.integers(1, 2000), elements=st.integers(-32768, 32767)
     ),
