@@ -5,10 +5,11 @@ This container ships no image libraries, but GIF87a needs none: a
 logical screen descriptor + global color table around an LZW-coded
 index stream in length-prefixed sub-blocks (CompuServe GIF87a/89a
 spec — public; GIF's LZW is the variable-width LSB-first variant with
-in-band CLEAR/EOI codes). Supported here: single non-interlaced image,
+in-band CLEAR/EOI codes). Supported here: single image,
+interlaced or not (the four-pass row interleave of appendix E),
 global or local color table, 8-bit indices. GIF89a extensions
 (graphic control, comments, application) are SKIPPED per spec on
-decode; interlace and multi-image animations raise loudly.
+decode; multi-image animations raise loudly.
 
 LZW is lossless, so unlike JPEG the full PNG-style verification works:
 the q98 oracle reconstructs the decoded RGB buffer from the sha256
@@ -35,13 +36,34 @@ def _grayscale_palette() -> bytes:
     return bytes(v for i in range(256) for v in (i, i, i))
 
 
-def encode_gif(indices: np.ndarray, palette: bytes | None = None) -> bytes:
+def _interlace_order(h: int) -> list[int]:
+    """GIF's four-pass row interleave (spec appendix E): every 8th row
+    from 0, every 8th from 4, every 4th from 2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Encode an (H, W) uint8 index array as a single-image GIF87a.
 
     ``palette`` is 768 bytes of RGB triples (default: the grayscale
     ramp, palette[i] = (i, i, i)). The LZW encoder grows codes 9→12
     bits and emits CLEAR when the dictionary fills — the dynamics the
     decoder must reproduce exactly.
+
+    ``interlace=True`` writes the four-pass row interleave (rows
+    reordered in the pixel stream, descriptor bit 6 set — the LZW
+    layer is untouched, which is exactly why a decoder that ignores
+    the flag still 'works' and silently scrambles rows; the oracle
+    digest catches that class).
     """
     px = np.ascontiguousarray(indices, dtype=np.uint8)
     if px.ndim != 2:
@@ -50,7 +72,10 @@ def encode_gif(indices: np.ndarray, palette: bytes | None = None) -> bytes:
     pal = _grayscale_palette() if palette is None else palette
     if len(pal) != 768:
         raise ValueError("palette must be 768 bytes (256 RGB triples)")
-    data = px.tobytes()
+    if interlace:
+        data = np.ascontiguousarray(px[_interlace_order(h)]).tobytes()
+    else:
+        data = px.tobytes()
 
     # --- LZW compress (GIF variant, LSB-first) ---
     min_code_size = 8
@@ -105,7 +130,8 @@ def encode_gif(indices: np.ndarray, palette: bytes | None = None) -> bytes:
         + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
         + pal
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no local table, no interlace
+        # no local table; bit 6 = interlaced
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
         + bytes([min_code_size])
         + bytes(blocks)
         + b"\x3b"
@@ -116,8 +142,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     """Decode a single-image GIF to an (H, W, 3) uint8 RGB array.
 
     Implements the full GIF LZW decoder (variable width, CLEAR reset,
-    the KwKwK first-use case); skips 89a extension blocks; raises on
-    interlace, multiple images, or framing damage.
+    the KwKwK first-use case) and four-pass deinterlacing; skips 89a
+    extension blocks; raises on multiple images or framing damage.
     """
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
@@ -143,8 +169,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise ValueError("GIF missing image descriptor")
     left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
     pos += 10
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF unsupported")
+    interlaced = bool(ipacked & 0x40)
     if (left, top) != (0, 0) or (w, h) != (sw, sh):
         raise ValueError("GIF sub-rectangle images unsupported")
     if ipacked & 0x80:
@@ -232,8 +257,14 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise ValueError(
             f"GIF pixel count mismatch: expected {w * h}, decoded {len(out)}"
         )
-    idx = np.frombuffer(bytes(out), np.uint8)
+    idx = np.frombuffer(bytes(out), np.uint8).reshape(h, w)
+    if interlaced:
+        # undo the four-pass row interleave: stream row k is image
+        # row _interlace_order(h)[k]
+        deinter = np.empty_like(idx)
+        deinter[_interlace_order(h)] = idx
+        idx = deinter
     pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError("GIF index exceeds palette size")
-    return pal[idx].reshape(h, w, 3)
+    return pal[idx.reshape(-1)].reshape(h, w, 3)

@@ -990,7 +990,9 @@ def jpeg_coefficients(
 GIF_SPREAD = 8  # same sweep-measured partition floor as the others
 
 
-def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_gif_media(
+    df: DataFrame, id_col: str = "doc_id", interlace: bool = False
+) -> DataFrame:
     """REAL GIF ingest: a ``media`` column holding genuine GIF87a
     bytes (pure-stdlib LZW encoder, ``functions.gif``, grayscale
     palette) plus the typed ``media_meta`` struct.
@@ -1001,6 +1003,10 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     palette is the grayscale ramp, so the decoded RGB buffer is each
     model byte tripled — the q98 oracle rebuilds it with zero GIF
     code, pinning the LZW dictionary dynamics byte-exactly.
+
+    ``interlace=True`` writes the same pixels through the four-pass
+    row interleave — deinterlacing is lossless, so q98's 'interlaced'
+    branch shares the plain oracle and a wrong pass order diverges.
     """
     import numpy as np
 
@@ -1017,7 +1023,7 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
                 for i in range(h)
             ]
-            return encode_gif(np.stack(rows))
+            return encode_gif(np.stack(rows), interlace=interlace)
 
         for pdf in batches:
             yield pd.DataFrame(

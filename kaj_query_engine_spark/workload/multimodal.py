@@ -586,41 +586,56 @@ def q97(spark, sf_dir):
 # the palette mapping, with zero GIF code in the oracle.
 _GIF_W = "(16 + (doc_id % 4) * 4)"
 _GIF_H = "(12 + (doc_id % 3) * 6)"
-_GIF_SQL = (
-    "WITH rows_ AS (SELECT doc_id, r, "
-    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':g', "
-    f"CAST(r AS VARCHAR))), 1, 2 * {_GIF_W}) AS hx "
-    f"FROM documents, generate_series(0, 29) g(r) WHERE r < {_GIF_H}), "
-    "px AS (SELECT doc_id, r, i, repeat(substr(hx, 2 * i - 1, 2), 3) "
-    f"AS rgb FROM rows_, generate_series(1, 32) gi(i) WHERE i <= {_GIF_W}) "
-    "SELECT doc_id, "
-    f"CAST({_GIF_W} AS INT) AS width, CAST({_GIF_H} AS INT) AS height, "
-    "CAST(3 AS INT) AS channels, "
-    "md5(string_agg(rgb, '' ORDER BY r, i)) AS pix_md5 "
-    "FROM px GROUP BY doc_id"
-)
+def _gif_sql(path: str) -> str:
+    # pixel reconstruction is path-independent: the 'interlaced'
+    # branch decodes the SAME model through the four-pass row
+    # interleave, so a wrong pass order diverges from this SQL
+    return (
+        "WITH rows_ AS (SELECT doc_id, r, "
+        "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':g', "
+        f"CAST(r AS VARCHAR))), 1, 2 * {_GIF_W}) AS hx "
+        f"FROM documents, generate_series(0, 29) g(r) WHERE r < {_GIF_H}), "
+        "px AS (SELECT doc_id, r, i, repeat(substr(hx, 2 * i - 1, 2), 3) "
+        f"AS rgb FROM rows_, generate_series(1, 32) gi(i) WHERE i <= {_GIF_W}) "
+        f"SELECT '{path}' AS path, doc_id, "
+        f"CAST({_GIF_W} AS INT) AS width, CAST({_GIF_H} AS INT) AS height, "
+        "CAST(3 AS INT) AS channels, "
+        "md5(string_agg(rgb, '' ORDER BY r, i)) AS pix_md5 "
+        "FROM px GROUP BY doc_id"
+    )
+
+
+_GIF_SQL = _gif_sql("plain")
 
 
 @register(
     "q98_gif_decode",
-    _GIF_SQL,
+    f"{_GIF_SQL} UNION ALL ({_gif_sql('interlaced')})",
     "REAL GIF decode, oracle-checked: genuine GIF87a bytes (pure-"
     "stdlib LZW encoder, grayscale palette) decode through the pure-"
     "stdlib codec inside mapInPandas; LZW is lossless, so the oracle's "
     "SQL reconstruction of the RGB buffer pins the full dictionary "
     "machinery (9-12 bit growth, CLEAR resets, KwKwK, LSB-first "
     "packing, sub-block framing) and the palette mapping byte-exactly. "
+    "The 'interlaced' branch re-encodes the same pixels through the "
+    "four-pass row interleave against the same oracle — a decoder "
+    "that ignored the flag would scramble rows and diverge. "
     "mp3/compressed video stay honestly guarded",
 )
 def q98(spark, sf_dir):
-    d = M.attach_gif_media(t(spark, sf_dir, "documents"))
-    return M.decode_media(d).select(
-        "doc_id",
-        "width",
-        "height",
-        "channels",
-        F.md5(F.lower(F.hex(F.col("pixels")))).alias("pix_md5"),
-    )
+    docs = t(spark, sf_dir, "documents")
+
+    def branch(path, **kw):
+        return M.decode_media(M.attach_gif_media(docs, **kw)).select(
+            F.lit(path).alias("path"),
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            F.md5(F.lower(F.hex(F.col("pixels")))).alias("pix_md5"),
+        )
+
+    return branch("plain").unionAll(branch("interlaced", interlace=True))
 
 
 # q99: REAL FLAC codec — one oracle, two codecs. attach_flac_media

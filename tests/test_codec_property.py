@@ -192,6 +192,21 @@ def test_gif_roundtrip(idx):
     assert (out == idx[:, :, None]).all()
 
 
+@settings(**_SETTINGS)
+@given(
+    idx=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 48), st.integers(1, 48)),
+        elements=st.integers(0, 255),
+    )
+)
+def test_gif_interlaced_roundtrip(idx):
+    """The four-pass row interleave deinterlaces losslessly at every
+    height — including h < 8 where later passes carry most rows."""
+    out = decode_gif(encode_gif(idx, interlace=True))
+    assert (out == idx[:, :, None]).all()
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     val=st.integers(0, 255),
