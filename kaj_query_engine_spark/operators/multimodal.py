@@ -467,7 +467,9 @@ WAV_SPREAD = 8
 _WAV_BLOCK = DIGEST_BYTES // 2  # int16 samples per sha256 digest
 
 
-def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_wav_media(
+    df: DataFrame, id_col: str = "doc_id", stereo: bool = False
+) -> DataFrame:
     """REAL audio ingest: an ``audio`` column holding genuine 16-bit
     PCM WAV bytes (pure-stdlib encoder, ``functions.wav``) plus a typed
     ``audio_meta`` struct (rate, n_samples, format).
@@ -479,20 +481,31 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is therefore the digest concatenation byte-for-byte, so a DuckDB
     oracle regenerates the decoded sample buffer — and every derived
     feature — with zero WAV code (q94).
+
+    ``stereo=True`` adds a right channel from the sibling model
+    sha256(f"{d}:b{j}") — the same two-channel model the stereo FLAC
+    corpus uses, so the WAV interleave and the FLAC decorrelation
+    matrix are pinned by ONE oracle shape (q94 'stereo' / q99
+    'stereo').
     """
     import numpy as np
 
     from kaj_query_engine_spark.functions.wav import encode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(d: int) -> bytes:
+        def chan(d: int, tag: str) -> np.ndarray:
             blocks = [
-                hashlib.sha256(f"{d}:a{j}".encode()).digest()
+                hashlib.sha256(f"{d}:{tag}{j}".encode()).digest()
                 for j in range(6 + d % 4)
             ]
-            samples = np.frombuffer(b"".join(blocks), dtype="<i2").astype(
+            return np.frombuffer(b"".join(blocks), dtype="<i2").astype(
                 np.int16
             )
+
+        def one(d: int) -> bytes:
+            samples = chan(d, "a")
+            if stereo:
+                samples = np.column_stack([samples, chan(d, "b")])
             return encode_wav(samples, 8000 + (d % 3) * 4000)
 
         for pdf in batches:

@@ -228,6 +228,25 @@ _WAV_DECODE_SQL = (
     "CAST(j AS VARCHAR)))), '')) AS buf_md5, "
     f"{_WAV_NULL_FEATURES} FROM documents"
 )
+# stereo: channel-interleaved buffer — sample i contributes 4 hex
+# chars of the 'a' model then 4 of the 'b' model (the same interleave
+# oracle q99's stereo FLAC branch uses: one oracle shape, two codecs)
+_WAV_STEREO_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "array_to_string(list_transform(generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '') AS a, "
+    "array_to_string(list_transform(generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':b', "
+    "CAST(j AS VARCHAR)))), '') AS b "
+    "FROM documents) "
+    "SELECT 'stereo' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, {_WAV_N} - 1), "
+    "i -> substr(a, 4 * i + 1, 4) || substr(b, 4 * i + 1, 4)), '')) "
+    f"AS buf_md5, {_WAV_NULL_FEATURES} FROM h"
+)
 # one row per (doc, sample): quad = the sample's 4 hex chars (bytes in
 # buffer order: lo then hi), val = the signed int16 it encodes
 _WAV_SAMPLES_CTE = (
@@ -272,7 +291,7 @@ _WAV_RESAMPLE_SQL = (
 @register(
     "q94_wav_decode",
     f"{_WAV_DECODE_SQL} UNION ALL ({_WAV_FEATURES_SQL}) "
-    f"UNION ALL ({_WAV_RESAMPLE_SQL})",
+    f"UNION ALL ({_WAV_RESAMPLE_SQL}) UNION ALL ({_WAV_STEREO_SQL})",
     "REAL audio decode, oracle-checked: genuine 16-bit PCM WAV bytes "
     "(pure-stdlib RIFF encoder) decode through the pure-stdlib codec "
     "inside mapInPandas; the oracle reconstructs the PCM buffer AND "
@@ -280,7 +299,9 @@ _WAV_RESAMPLE_SQL = (
     "RIFF framing, int16 little-endian layout, and the feature math "
     "(energy kept exact-int so rms/duration are bit-identical IEEE "
     "derivations). 'resample' re-encodes a nearest-neighbor 64-sample "
-    "take and decodes it again. Non-WAV codecs stay honestly guarded",
+    "take and decodes it again; 'stereo' pins the two-channel "
+    "interleave with the same hex-interleave oracle q99's stereo FLAC "
+    "uses. Non-WAV codecs stay honestly guarded",
 )
 def q94(spark, sf_dir):
     # persist: all three branches read the generated WAV corpus (same
@@ -322,7 +343,17 @@ def q94(spark, sf_dir):
         buf_md5.alias("buf_md5"),
         *null_feats,
     )
-    return decoded.unionAll(feats).unionAll(resampled)
+    stereo = M.decode_audio(
+        M.attach_wav_media(t(spark, sf_dir, "documents"), stereo=True)
+    ).select(
+        F.lit("stereo").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        buf_md5.alias("buf_md5"),
+        *null_feats,
+    )
+    return decoded.unionAll(feats).unionAll(resampled).unionAll(stereo)
 
 
 # q95: REAL AVI video codec, oracle-checked. attach_avi_media's pixel
