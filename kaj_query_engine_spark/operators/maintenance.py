@@ -221,6 +221,40 @@ def merge_change_feed(
     )
 
 
+def incremental_join_view(
+    old_view: DataFrame,
+    old_left: DataFrame,
+    delta_left: DataFrame,
+    old_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Insert-only incremental maintenance of an inner equi-join view
+    V = L ⋈ R — the delta rule every IVM system implements
+    (Blakeley et al. 1986; Delta/Materialize-style views):
+
+        ΔV = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+
+    (the ΔL ⋈ ΔR overlap belongs to exactly one term — putting the
+    WHOLE new right side in the first term and only the OLD left in
+    the second is what makes the union exact, not double-counted).
+    Returns ``(new_view, delta_view)``.
+
+    Scale: both terms join a DELTA against a stored side — the
+    planner broadcasts the delta from its own size estimate, the big
+    stored sides are each scanned once, and the old view is never
+    recomputed; cost is O(Δ ⋈ side), not O(L ⋈ R). Insert-only by
+    contract (the training-corpus append case); updates/deletes need
+    keyed compensation — route them through the merge family first.
+    ``on`` are equi-join column names present on both sides (rename
+    before calling, as ``df.join(on=...)`` requires)."""
+    new_right = old_right.unionByName(delta_right)
+    delta_view = delta_left.join(new_right, on=on).unionByName(
+        old_left.join(delta_right, on=on)
+    )
+    return old_view.unionByName(delta_view), delta_view
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Audit diff of two snapshots of one table: rows tagged ``op`` ∈
     I (key only in ``new``), U (key in both, any value column differs

@@ -514,3 +514,76 @@ def q88(spark, sf_dir):
             )
         ).alias("est_ok"),
     )
+
+
+# q67: incremental JOIN-view maintenance — the delta rule
+# ΔV = ΔL ⋈ (R ∪ ΔR) ∪ L ⋈ ΔR. The oracle's 'delta' arm is computed
+# INDEPENDENTLY of the rule: delta aggregates = full-recompute
+# aggregates minus old-view aggregates, so a double-counted ΔL⋈ΔR
+# overlap or a missed term diverges from simple set algebra, not from
+# a mirror of the implementation. Exact integer sums (quantity as
+# BIGINT, price in cents) keep both engines bit-identical.
+_IVM_CUT_O = "1997-07-01 00:00:00"
+_IVM_CUT_L = "1997-10-01 00:00:00"
+_IVM_AGG = (
+    "l_returnflag AS flag, count(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_cents"
+)
+_IVM_ORACLE = (
+    f"WITH full_agg AS (SELECT {_IVM_AGG} FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1), "
+    f"old_agg AS (SELECT {_IVM_AGG} FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    f"WHERE o.o_orderdate < TIMESTAMP '{_IVM_CUT_O}' "
+    f"AND l.l_shipdate < TIMESTAMP '{_IVM_CUT_L}' GROUP BY 1) "
+    "SELECT 'view' AS path, flag, n, sum_qty, sum_cents FROM full_agg "
+    "UNION ALL SELECT 'delta', f.flag, f.n - COALESCE(o.n, 0), "
+    "f.sum_qty - COALESCE(o.sum_qty, 0), "
+    "f.sum_cents - COALESCE(o.sum_cents, 0) "
+    "FROM full_agg f LEFT JOIN old_agg o ON f.flag = o.flag "
+    "WHERE f.n - COALESCE(o.n, 0) > 0"
+)
+
+
+@register(
+    "q67_incremental_join",
+    _IVM_ORACLE,
+    "incremental JOIN-view maintenance (insert-only IVM, the "
+    "Blakeley delta rule): the orders⋈lineitem view maintained by "
+    "two append batches via dV = dL ⋈ (R ∪ dR) ∪ L ⋈ dR — each term "
+    "joins a DELTA against a stored side (planner broadcasts the "
+    "delta; the old view is never recomputed: O(delta⋈side), not "
+    "O(L⋈R)). Two tagged branches: 'view' aggregates the MAINTAINED "
+    "view against the full-recompute oracle (incremental==recompute "
+    "law), 'delta' aggregates dV against the INDEPENDENT difference "
+    "full−old, so overlap double-counting and missed terms both "
+    "diverge. Exact integer sums keep the engines bit-identical",
+)
+def q67(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    cut_o = F.lit(_IVM_CUT_O).cast("timestamp")
+    cut_l = F.lit(_IVM_CUT_L).cast("timestamp")
+    o0 = o.filter(F.col("o_orderdate") < cut_o)
+    do = o.filter(F.col("o_orderdate") >= cut_o)
+    l0 = li.filter(F.col("l_shipdate") < cut_l)
+    dl = li.filter(F.col("l_shipdate") >= cut_l)
+    view0 = o0.join(l0, on=["o_orderkey"])
+    new_view, delta_view = M.incremental_join_view(
+        view0, o0, do, l0, dl, ["o_orderkey"]
+    )
+
+    def agg(df, path):
+        return df.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        ).select(F.lit(path).alias("path"), "*")
+
+    return agg(new_view, "view").unionAll(agg(delta_view, "delta"))

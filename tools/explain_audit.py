@@ -223,6 +223,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q67_incremental_join": (
+        # IVM delta rule: both delta terms join a small delta against
+        # a stored side — the planner must broadcast the deltas; the
+        # full L-x-R recompute must NOT appear (no third join shape)
+        ["BroadcastHashJoin", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "q88_incremental_distinct": (
         # sketch states build as partial-able ObjectHashAggregates,
         # merge through ONE full-outer join, and the exact-distinct
