@@ -933,13 +933,22 @@ def test_gif_codec_roundtrip_all_lzw_regimes():
         decode_gif(b"JIF87a" + good[6:])
     with pytest.raises(ValueError, match="trailer|terminator|truncated"):
         decode_gif(good[:-2])
-    # interlace flag must be refused, not mis-decoded (the image
-    # descriptor sits structurally after header+LSD+768-byte palette —
-    # searching for 0x2C would match a gray palette triple instead)
+    # flipping the interlace flag on a non-interlaced stream must
+    # REORDER rows per the four-pass interleave, not be ignored (the
+    # image descriptor sits structurally after header+LSD+768-byte
+    # palette — searching for 0x2C would match a gray palette triple)
+    from kaj_query_engine_spark.functions.gif import _interlace_order
+
     i = 6 + 7 + 768 + 9
     assert good[6 + 7 + 768] == 0x2C
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(good[:i] + bytes([good[i] | 0x40]) + good[i + 1 :])
+    scrambled = decode_gif(
+        good[:i] + bytes([good[i] | 0x40]) + good[i + 1 :]
+    )
+    plain = decode_gif(good)
+    # deinterlace scatters stream row k to image row order[k], so
+    # gathering the scrambled rows back in interleave order recovers
+    # the plain decode
+    assert (scrambled[_interlace_order(plain.shape[0])] == plain).all()
 
 
 def test_gif_decode_media_pixels_match_model(spark):
