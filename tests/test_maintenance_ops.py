@@ -126,6 +126,44 @@ def test_null_safe_noop_detection(tables):
     assert [(r.op, r.k) for r in out.collect()] == [("U", 4)]
 
 
+def test_incremental_join_view_delta_rule(spark):
+    """IVM law: maintaining the join view across APPEND batches equals
+    recomputing it, the overlap term is not double-counted, and empty
+    deltas are no-ops."""
+    L = spark.createDataFrame(
+        [(1, "l1"), (2, "l2")], "k long, lv string"
+    )
+    R = spark.createDataFrame(
+        [(1, "r1"), (3, "r3")], "k long, rv string"
+    )
+    dL = spark.createDataFrame([(3, "l3"), (4, "l4")], "k long, lv string")
+    dR = spark.createDataFrame([(2, "r2"), (4, "r4")], "k long, rv string")
+    v0 = L.join(R, on=["k"])
+    v1, dv = M.incremental_join_view(v0, L, dL, R, dR, ["k"])
+    full = L.unionByName(dL).join(R.unionByName(dR), on=["k"])
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(v1) == canon(full)
+    # the dL x dR overlap (k=4) appears exactly once
+    assert canon(dv) == [(2, "l2", "r2"), (3, "l3", "r3"), (4, "l4", "r4")]
+    # empty deltas: view unchanged, delta empty
+    empty = spark.createDataFrame([], "k long, lv string")
+    empty_r = spark.createDataFrame([], "k long, rv string")
+    v2, dv2 = M.incremental_join_view(v1, L.unionByName(dL), empty,
+                                      R.unionByName(dR), empty_r, ["k"])
+    assert canon(v2) == canon(full) and dv2.count() == 0
+    # second append batch folds: maintain(maintain(v)) == recompute
+    dL2 = spark.createDataFrame([(5, "l5")], "k long, lv string")
+    dR2 = spark.createDataFrame([(5, "r5"), (1, "r1b")], "k long, rv string")
+    v3, _ = M.incremental_join_view(
+        v1, L.unionByName(dL), dL2, R.unionByName(dR), dR2, ["k"]
+    )
+    full3 = (
+        L.unionByName(dL).unionByName(dL2)
+        .join(R.unionByName(dR).unionByName(dR2), on=["k"])
+    )
+    assert canon(v3) == canon(full3)
+
+
 def test_apply_feed_reproduces_snapshot(spark):
     """The law that makes the feed trustworthy: target + feed == snapshot.
     Run on the real orders fixture with the q55 derivation so it holds
