@@ -637,6 +637,46 @@ def main() -> None:
             delete_condition=F.col("k") % 13 == 0,
         ).write.format("noop").mode("overwrite").save()
 
+    # IVM delta rule: the stored sides grow k-fold while the append
+    # deltas stay 10k rows — the timed region is computing dV =
+    # dL ⋈ (R ∪ dR) ∪ L ⋈ dR (the claim: never recompute L ⋈ R).
+    # The residual growth term is the map-only scan of each stored
+    # side probing the broadcast delta; at real scale key-bucketed
+    # sides turn that into pruned reads (sources/layout.py)
+    _ivm_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+    def ivm_sides(k: int) -> tuple[DataFrame, DataFrame]:
+        if k not in _ivm_cache:
+            frames = []
+            for tag, vcol in (("l", "lv"), ("r", "rv")):
+                p = f"{scratch}/ivm_{tag}_{k}"
+                spark.range(MAINT_BASE * k).select(
+                    F.col("id").alias("k"),
+                    F.xxhash64(F.col("id")).cast("string").alias(vcol),
+                ).write.mode("overwrite").parquet(p)
+                frames.append(spark.read.parquet(p))
+            _ivm_cache[k] = (frames[0], frames[1])
+        return _ivm_cache[k]
+
+    def run_ivm_join(k: int) -> None:
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        n = MAINT_BASE * k
+        left, right = ivm_sides(k)
+        d_left = spark.range(10_000).select(
+            (F.col("id") * 7 % (n + 5_000)).alias("k"),
+            F.lit("dl").alias("lv"),
+        )
+        d_right = spark.range(10_000).select(
+            (F.col("id") * 11 % (n + 5_000)).alias("k"),
+            F.lit("dr").alias("rv"),
+        )
+        _, dv = MN.incremental_join_view(
+            left.join(right, on=["k"]),  # lazy — never executed here
+            left, d_left, right, d_right, ["k"],
+        )
+        dv.write.format("noop").mode("overwrite").save()
+
     # partition-pruned merge: the table grows by ADDING partitions
     # (12.5k-row partitions, 8*k of them) while the batch keeps
     # touching only the first 8 — cost must stay flat, which is the
@@ -757,6 +797,7 @@ def main() -> None:
         "scd2_incremental_fixed_batch": run_scd2_incremental,
         "merge_upsert_fixed_batch": run_merge_upsert,
         "merge_partitioned_fixed_batch": run_merge_partitioned,
+        "ivm_join_fixed_delta": run_ivm_join,
         "bpe_encode_fixed_model": run_bpe_encode,
         "lexical_retrieval_fixed_queries": run_lexical_retrieval,
     }
@@ -790,6 +831,7 @@ def main() -> None:
         "scd2_incremental_fixed_batch": scd_dim,
         "merge_upsert_fixed_batch": merge_target,
         "merge_partitioned_fixed_batch": part_table,
+        "ivm_join_fixed_delta": ivm_sides,
         "bpe_encode_fixed_model": docs,
         "lexical_retrieval_fixed_queries": docs,
     }
@@ -809,6 +851,7 @@ def main() -> None:
         "scd2_incremental_fixed_batch": LIFECYCLE_SCALES,
         "merge_upsert_fixed_batch": LIFECYCLE_SCALES,
         "merge_partitioned_fixed_batch": LIFECYCLE_SCALES,
+        "ivm_join_fixed_delta": LIFECYCLE_SCALES,
         "bpe_encode_fixed_model": LIFECYCLE_SCALES,
         # the df-cut claim (e stays ~flat where saturation would send
         # the uncapped verifier quadratic) needs the saturation
@@ -864,7 +907,7 @@ def main() -> None:
         elif name == "flagship_join_skewed":
             base_n = FLAG_BASE_ORDERS
         elif name in ("scd2_incremental_fixed_batch", "merge_upsert_fixed_batch",
-                      "merge_partitioned_fixed_batch"):
+                      "merge_partitioned_fixed_batch", "ivm_join_fixed_delta"):
             base_n = MAINT_BASE
         elif name in ("embedding_neardup", "ann_lsh_topk", "ivf_query_materialized"):
             base_n = base_vecs
