@@ -1,16 +1,18 @@
-"""Pure stdlib+numpy baseline JPEG codec (ITU-T T.81) — grayscale,
-sequential DCT, Huffman entropy coding.
+"""Pure stdlib+numpy baseline JPEG codec (ITU-T T.81) — grayscale
+and YCbCr 4:4:4 color, sequential DCT, Huffman entropy coding.
 
 This container ships no image libraries, but baseline JPEG needs none:
 the format is marker-framed segments (DQT quantization table, SOF0
 frame header, DHT Huffman tables, SOS scan) around a bit-packed
 entropy-coded block stream (JPEG spec ITU-T T.81 / ISO 10918 —
-public). Supported here: 8-bit grayscale, one quantization table,
-custom canonical Huffman tables CARRIED IN THE FILE's DHT segments
+public). Supported here: 8-bit grayscale and
+3-component 4:4:4 color (interleaved MCUs, luma/chroma quantization
+tables 0/1, Huffman class pairs routed per the SOS specs), custom
+canonical Huffman tables CARRIED IN THE FILE's DHT segments
 (the decoder builds its tables from DHT like any real decoder — no
 reliance on the Annex K defaults), restart markers (DRI + RSTm
-cadence validation, byte-aligned fill, per-segment DC predictor
-reset), no progressive.
+cadence validation, byte-aligned fill, per-segment reset of ALL
+component DC predictors), no subsampling, no progressive.
 
 Verification strategy differs from the PNG/WAV/AVI twins because JPEG
 is LOSSY at the DCT layer but LOSSLESS at the entropy layer:
@@ -204,89 +206,149 @@ def _dht_payload(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
     return bytes([tc_th] + bits) + bytes(symbols)
 
 
+def default_chroma_qtable() -> np.ndarray:
+    """Deterministic chroma quantization table, distinct from the luma
+    one so per-component dequant is observable (zigzag order)."""
+    return (2 + (np.arange(64) % 5) * 2).astype(np.int64)
+
+
+def _encode_block(
+    w: "_BitWriter",
+    blk: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one 64-coefficient block (DPCM DC + RLE AC);
+    returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = [k for k in range(1, 64) if blk[k]]
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if not nz or nz[-1] != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return int(blk[0])
+
+
 def encode_jpeg(
     coeffs: np.ndarray,
     height: int,
     width: int,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    chroma_qtable: np.ndarray | None = None,
 ) -> bytes:
-    """Encode QUANTIZED coefficients to a baseline grayscale JPEG.
+    """Encode QUANTIZED coefficients to a baseline JPEG.
 
-    ``coeffs`` is (n_blocks, 64) int in ZIGZAG order — the values the
-    entropy layer stores losslessly (a pixel-domain encoder would
-    produce them via DCT+quantize; the fixture model specifies them
-    directly so the oracle can reconstruct them in SQL). Blocks run in
-    raster order over the ceil(h/8)×ceil(w/8) grid.
+    ``coeffs`` is int in ZIGZAG order — the values the entropy layer
+    stores losslessly (a pixel-domain encoder would produce them via
+    DCT+quantize; the fixture model specifies them directly so the
+    oracle can reconstruct them in SQL): shape (n_blocks, 64) for
+    GRAYSCALE, or (n_mcus, 3, 64) for COLOR (YCbCr 4:4:4 — one block
+    per component per MCU, interleaved Y, Cb, Cr in scan order).
+    Blocks/MCUs run in raster order over the ceil(h/8)×ceil(w/8)
+    grid.
+
+    Color streams carry the spec's two-table layout: quant table 0
+    (luma) + 1 (chroma, ``chroma_qtable``), and Huffman class pairs
+    (DC0/AC0 for Y, DC1/AC1 for Cb/Cr) — four DHT segments the
+    decoder must route per the SOS component specs.
 
     ``restart_interval`` > 0 writes a DRI segment and emits an RSTm
     marker (m cycling 0..7) after every ``restart_interval`` MCUs:
-    the entropy stream byte-aligns before the marker and the DC
-    predictor resets after it (T.81 F.1.2.3 / B.2.4.4) — the feature
-    that makes a 100 TB scan parallelizable WITHIN one image's scan,
-    and the one every camera emits for error resilience.
+    the entropy stream byte-aligns before the marker and ALL
+    component DC predictors reset after it (T.81 F.1.2.3 / B.2.4.4)
+    — the feature that makes a 100 TB scan parallelizable WITHIN one
+    image's scan, and the one every camera emits for error
+    resilience.
     """
     q = default_qtable() if qtable is None else np.asarray(qtable, np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("qtable must be 64 values in 1..255 (zigzag order)")
     blocks = np.asarray(coeffs, dtype=np.int64)
+    color = blocks.ndim == 3
     bx = (width + 7) // 8
     by = (height + 7) // 8
-    if blocks.shape != (bx * by, 64):
+    want = (bx * by, 3, 64) if color else (bx * by, 64)
+    if blocks.shape != want:
         raise ValueError(
-            f"need {bx * by} blocks of 64 zigzag coefficients for "
-            f"{width}x{height}, got {blocks.shape}"
+            f"need {want} zigzag coefficients for {width}x{height}, "
+            f"got {blocks.shape}"
         )
     if (np.abs(blocks) > 1023).any():
         raise ValueError("quantized coefficients must fit category <= 10")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart_interval must be in 0..65535")
+    cq = (
+        default_chroma_qtable()
+        if chroma_qtable is None
+        else np.asarray(chroma_qtable, np.int64)
+    )
+    if color and (cq.shape != (64,) or (cq < 1).any() or (cq > 255).any()):
+        raise ValueError("chroma_qtable must be 64 values in 1..255")
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    ncomp = 3 if color else 1
     w = _BitWriter()
-    prev_dc = 0
-    for bi, blk in enumerate(blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
-            w.put_marker(0xFFD0 + (bi // restart_interval - 1) % 8)
-            prev_dc = 0
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        s = _category(diff)
-        code, ln = dc_codes[s]
-        w.put(code, ln)
-        if s:
-            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-        run = 0
-        nz = [k for k in range(1, 64) if blk[k]]
-        for k in range(1, 64):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                w.put(code, ln)
-                run -= 16
-            s = _category(v)
-            code, ln = ac_codes[(run << 4) | s]
-            w.put(code, ln)
-            w.put(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if not nz or nz[-1] != 63:
-            code, ln = ac_codes[0x00]  # EOB
-            w.put(code, ln)
+    prev_dc = [0] * ncomp
+    for mi in range(bx * by):
+        if restart_interval and mi and mi % restart_interval == 0:
+            w.put_marker(0xFFD0 + (mi // restart_interval - 1) % 8)
+            prev_dc = [0] * ncomp
+        for ci in range(ncomp):
+            blk = blocks[mi, ci] if color else blocks[mi]
+            prev_dc[ci] = _encode_block(
+                w, blk, prev_dc[ci], dc_codes, ac_codes
+            )
     scan = w.flush()
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT 0
+    if color:
+        out += _seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in cq))
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
-    out += _seg(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
-        0xFFC0,
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
+    if color:
+        # SOF0: 8-bit, YCbCr 4:4:4 — ids 1/2/3, 1x1 sampling, q 0/1/1
+        out += _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    else:
+        out += _seg(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        )
     out += _seg(0xFFC4, _dht_payload(0x00, _DC_BITS, _DC_SYMBOLS))
     out += _seg(0xFFC4, _dht_payload(0x10, _AC_BITS, _AC_SYMBOLS))
-    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: Td=0 Ta=0
+    if color:
+        # chroma table pair: same canonical shapes under ids (0,1)/(1,1)
+        out += _seg(0xFFC4, _dht_payload(0x01, _DC_BITS, _DC_SYMBOLS))
+        out += _seg(0xFFC4, _dht_payload(0x11, _AC_BITS, _AC_SYMBOLS))
+        out += _seg(  # SOS: Y -> tables 0/0, Cb/Cr -> tables 1/1
+            0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        )
+    else:
+        out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: Td=0 Ta=0
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -310,15 +372,21 @@ def idct_block(freq: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
-    """Decode baseline grayscale JPEG to
+    """Decode baseline JPEG (grayscale or YCbCr 4:4:4 color) to
     ``(height, width, pixels, coeffs)``.
 
-    ``pixels`` is the (H, W) uint8 image (dequantize → IDCT → +128 →
-    clamp, round-half-away like libjpeg's descale); ``coeffs`` is the
-    (n_blocks, 64) int32 QUANTIZED coefficient array in zigzag order —
+    ``pixels`` is the (H, W) uint8 image for grayscale, or the
+    (H, W, 3) uint8 Y/Cb/Cr PLANES for color (dequantize → IDCT →
+    +128 → clamp, round-half-away like libjpeg's descale; no color
+    transform — the planes ARE the coded signal, and RGB conversion
+    is a lossy float map downstream of the codec). ``coeffs`` is the
+    int32 QUANTIZED coefficient array in zigzag order — (n_blocks,
+    64) for grayscale, (n_mcus, 3, 64) scan-interleaved for color —
     the lossless entropy-layer payload, byte-exactly what the encoder
     was given (q97's oracle target). Huffman tables come from the
-    file's DHT segments; anything non-baseline-grayscale raises.
+    file's DHT segments and are routed per the SOS component specs
+    (luma 0/0, chroma 1/1 in our encoder's layout — but any legal
+    routing decodes); subsampled color and progressive raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -326,7 +394,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     height = width = None
-    scan_td = scan_ta = None
+    comp_tq: list[int] = []
+    scan_tabs: list[tuple[int, int]] = []
     scan_start = None
     restart_interval = 0
     while pos + 4 <= len(data):
@@ -350,16 +419,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                 body = body[65:]
         elif marker == 0xFFC0:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG: precision={prec} components={ncomp} "
-                    "(8-bit grayscale baseline only)"
+                    "(8-bit grayscale or 3-component baseline only)"
                 )
-            comp_id, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            if tq not in qtables and tq != 0:
-                raise ValueError("SOF references unknown qtable")
+            comp_tq = []
+            for ci in range(ncomp):
+                _cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comp_tq.append(tq)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xFFC4:
@@ -376,25 +448,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
-            ncomp = body[0]
-            if ncomp != 1:
-                raise ValueError("multi-component scans unsupported")
-            scan_td, scan_ta = body[2] >> 4, body[2] & 0xF
+            scan_ncomp = body[0]
+            if scan_ncomp != len(comp_tq):
+                raise ValueError(
+                    "SOS component count contradicts SOF (single "
+                    "interleaved scan only)"
+                )
+            scan_tabs = [
+                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF)
+                for ci in range(scan_ncomp)
+            ]
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
     if height is None or scan_start is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if (0, scan_td) not in huff or (1, scan_ta) not in huff:
-        raise ValueError("SOS references undeclared Huffman tables")
-    q = qtables.get(0)
-    if q is None:
-        raise ValueError("JPEG missing quantization table 0")
+    for td, ta in scan_tabs:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("SOS references undeclared Huffman tables")
+    comp_q = []
+    for tq in comp_tq:
+        if tq not in qtables:
+            raise ValueError(f"JPEG missing quantization table {tq}")
+        comp_q.append(qtables[tq])
+    ncomp = len(comp_tq)
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
-    dc_tab = huff[(0, scan_td)]
-    ac_tab = huff[(1, scan_ta)]
 
     def read_symbol(r: _BitReader, tab: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -429,40 +509,53 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         raise ValueError("RST marker in scan but no DRI declared")
     seg_iter = iter(segments)
     r = _BitReader(next(seg_iter))
-    coeffs = np.zeros((bx * by, 64), dtype=np.int32)
-    prev_dc = 0
+    coeffs = np.zeros((bx * by, ncomp, 64), dtype=np.int32)
+    prev_dc = [0] * ncomp
     for b in range(bx * by):
         if restart_interval and b and b % restart_interval == 0:
-            # restart boundary: fresh entropy segment, predictor reset
+            # restart boundary: fresh entropy segment, ALL predictors
+            # reset (T.81 F.2.1.3.1)
             r = _BitReader(next(seg_iter))
-            prev_dc = 0
-        s = read_symbol(r, dc_tab)
-        diff = extend(r.bits(s), s) if s else 0
-        prev_dc += diff
-        coeffs[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = read_symbol(r, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, s = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("JPEG coefficient index overran the block")
-            coeffs[b, k] = extend(r.bits(s), s)
-            k += 1
-    # DCT layer: dequantize, de-zigzag, IDCT, level shift, clamp
-    pixels = np.empty((by * 8, bx * 8), dtype=np.uint8)
+            prev_dc = [0] * ncomp
+        for ci in range(ncomp):
+            dc_tab = huff[(0, scan_tabs[ci][0])]
+            ac_tab = huff[(1, scan_tabs[ci][1])]
+            s = read_symbol(r, dc_tab)
+            diff = extend(r.bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            coeffs[b, ci, 0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = read_symbol(r, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError(
+                        "JPEG coefficient index overran the block"
+                    )
+                coeffs[b, ci, k] = extend(r.bits(s), s)
+                k += 1
+    # DCT layer: dequantize (per component's table), de-zigzag, IDCT,
+    # level shift, clamp
+    planes = np.empty((ncomp, by * 8, bx * 8), dtype=np.uint8)
     for b in range(bx * by):
-        freq = np.zeros((8, 8), dtype=np.float64)
-        deq = coeffs[b].astype(np.int64) * q
-        for k, (rr, cc) in enumerate(_ZZ_INDEX):
-            freq[rr, cc] = deq[k]
-        spatial = idct_block(freq) + 128.0
-        clamped = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
         y0, x0 = (b // bx) * 8, (b % bx) * 8
-        pixels[y0 : y0 + 8, x0 : x0 + 8] = clamped
-    return height, width, pixels[:height, :width], coeffs
+        for ci in range(ncomp):
+            freq = np.zeros((8, 8), dtype=np.float64)
+            deq = coeffs[b, ci].astype(np.int64) * comp_q[ci]
+            for k, (rr, cc) in enumerate(_ZZ_INDEX):
+                freq[rr, cc] = deq[k]
+            spatial = idct_block(freq) + 128.0
+            clamped = np.clip(np.floor(spatial + 0.5), 0, 255).astype(
+                np.uint8
+            )
+            planes[ci, y0 : y0 + 8, x0 : x0 + 8] = clamped
+    if ncomp == 1:
+        return height, width, planes[0, :height, :width], coeffs[:, 0, :]
+    pixels = np.moveaxis(planes, 0, 2)[:height, :width]
+    return height, width, pixels, coeffs

@@ -895,6 +895,7 @@ def attach_jpeg_media(
     id_col: str = "doc_id",
     dc_only: bool = False,
     restart_interval: int = 0,
+    color: bool = False,
 ) -> DataFrame:
     """REAL JPEG ingest: a ``media`` column holding genuine baseline
     grayscale JPEG bytes (pure stdlib+numpy encoder,
@@ -921,22 +922,53 @@ def attach_jpeg_media(
     'rst' branch shares the plain branch's oracle — any predictor-
     reset, byte-alignment, or marker-cadence bug shows up as a
     payload hash mismatch.
+
+    ``color=True`` emits YCbCr 4:4:4 streams: MCU b's component c
+    takes its own digest sha256(f"{d}:j{b}c{c}") through the SAME
+    DC/AC formulas, so the q97 'color' oracle reconstructs the
+    scan-interleaved (b, c, k) coefficient buffer — three DC
+    predictor chains, table routing, and the two-quant-table layout
+    all pinned.
     """
     import numpy as np
 
     from kaj_query_engine_spark.functions.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def block(dig: bytes) -> np.ndarray:
+            co = np.zeros(64, dtype=np.int64)
+            co[0] = dig[0] % 32 - 16
+            if not dc_only:
+                for k in range(1, 64):
+                    if (dig[k % 32] + k) % 5 == 0:
+                        co[k] = dig[(k * 7 + 3) % 32] % 15 - 7
+            return co
+
         def one(d: int) -> bytes:
             bx, by = 1 + d % 2, 1 + d % 3
-            co = np.zeros((bx * by, 64), dtype=np.int64)
-            for b in range(bx * by):
-                dig = hashlib.sha256(f"{d}:j{b}".encode()).digest()
-                co[b, 0] = dig[0] % 32 - 16
-                if not dc_only:
-                    for k in range(1, 64):
-                        if (dig[k % 32] + k) % 5 == 0:
-                            co[b, k] = dig[(k * 7 + 3) % 32] % 15 - 7
+            if color:
+                co = np.stack(
+                    [
+                        np.stack(
+                            [
+                                block(
+                                    hashlib.sha256(
+                                        f"{d}:j{b}c{c}".encode()
+                                    ).digest()
+                                )
+                                for c in range(3)
+                            ]
+                        )
+                        for b in range(bx * by)
+                    ]
+                )
+            else:
+                co = np.stack(
+                    [
+                        block(hashlib.sha256(f"{d}:j{b}".encode()).digest())
+                        for b in range(bx * by)
+                    ]
+                )
             return encode_jpeg(
                 co, by * 8, bx * 8, restart_interval=restart_interval
             )
@@ -981,6 +1013,10 @@ def jpeg_coefficients(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> tuple[int, int, int, bytes]:
             h, w, _px, co = decode_jpeg(bytes(b))
+            # color coeffs are (n_mcus, 3, 64); flatten to scan order
+            # so n_blocks counts COMPONENT blocks and the buffer is
+            # the interleaved stream the oracle reconstructs
+            co = co.reshape(-1, 64)
             return w, h, co.shape[0], co.astype("<i2").tobytes()
 
         for pdf in batches:

@@ -539,6 +539,32 @@ def _jpg_coeffs_sql(path: str) -> str:
 
 
 _JPG_COEFFS_SQL = _jpg_coeffs_sql("coeffs")
+
+# color (YCbCr 4:4:4): MCU b, component c takes digest
+# sha256('<d>:j<b>c<c>') through the same DC/AC formulas; the buffer
+# is scan-interleaved, so quads order by (b, c, k) and n_blocks
+# counts component blocks (3 per MCU)
+_JPG_COLOR_DIG = (
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':j', CAST(b AS VARCHAR), "
+    "'c', CAST(c AS VARCHAR)))"
+)
+_JPG_COLOR_SQL = (
+    "WITH g AS (SELECT doc_id, b, c, "
+    f"{_JPG_COLOR_DIG} AS hx FROM documents, generate_series(0, 5) gb(b), "
+    f"generate_series(0, 2) gc(c) WHERE b < {_JPG_BX} * {_JPG_BY}), "
+    "co AS (SELECT doc_id, b, c, k, "
+    f"CASE WHEN k = 0 THEN {_JPG_DC} ELSE {_JPG_AC} END AS v "
+    "FROM g, generate_series(0, 63) gk(k)), "
+    "q AS (SELECT doc_id, b, c, k, "
+    "printf('%02x%02x', ((v + 65536) % 65536) % 256, "
+    "((v + 65536) % 65536) // 256) AS quad FROM co) "
+    "SELECT 'color' AS path, doc_id, "
+    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+    f"CAST({_JPG_BX} * {_JPG_BY} * 3 AS INT) AS n_blocks, "
+    "md5(string_agg(quad, '' ORDER BY b, c, k)) AS payload_md5 "
+    "FROM q GROUP BY doc_id"
+)
 # DC-only pixels: block (y//8, x//8) is a flat patch of
 # floor(DC/8 + 128.5) (q0 = 1, clamp is a no-op in DC's range)
 _JPG_PIX_SQL = (
@@ -563,7 +589,7 @@ _JPG_PIX_SQL = (
 @register(
     "q97_jpeg_decode",
     f"{_JPG_COEFFS_SQL} UNION ALL ({_jpg_coeffs_sql('rst')}) "
-    f"UNION ALL ({_JPG_PIX_SQL})",
+    f"UNION ALL ({_JPG_COLOR_SQL}) UNION ALL ({_JPG_PIX_SQL})",
     "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
     "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
     "Huffman tables carried in the file's DHT) decode through the "
@@ -572,10 +598,13 @@ _JPG_PIX_SQL = (
     "bit-packing all pinned); the 'rst' branch re-encodes the same "
     "corpus WITH restart markers (DRI interval 2: byte-aligned fill, "
     "RSTm cadence, per-segment DC predictor reset) against the same "
-    "coefficient oracle; and a DC-only corpus makes the IDCT pixel "
-    "layer itself SQL-reconstructible (flat 8x8 patches). Full-AC "
-    "pixels are pinned against the literal T.81 cosine sum in "
-    "pytest. mp3/compressed video stay honestly guarded",
+    "coefficient oracle; the 'color' branch is YCbCr 4:4:4 — "
+    "interleaved MCUs, three DC predictor chains, luma/chroma "
+    "quant+Huffman table routing — against a (b, c, k)-ordered "
+    "oracle; and a DC-only corpus makes the IDCT pixel layer itself "
+    "SQL-reconstructible (flat 8x8 patches). Full-AC pixels are "
+    "pinned against the literal T.81 cosine sum in pytest. "
+    "mp3/compressed video stay honestly guarded",
 )
 def q97(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -594,6 +623,7 @@ def q97(spark, sf_dir):
 
     coeffs = coeff_branch("coeffs")
     rst = coeff_branch("rst", restart_interval=2)
+    colored = coeff_branch("color", color=True)
     dc = M.decode_media(M.attach_jpeg_media(docs, dc_only=True)).select(
         F.lit("dcpatch").alias("path"),
         "doc_id",
@@ -604,7 +634,7 @@ def q97(spark, sf_dir):
         ).cast("int").alias("n_blocks"),
         F.md5(F.lower(F.hex(F.col("pixels")))).alias("payload_md5"),
     )
-    return coeffs.unionAll(rst).unionAll(dc)
+    return coeffs.unionAll(rst).unionAll(colored).unionAll(dc)
 
 
 # q98: REAL GIF codec, oracle-checked. attach_gif_media reuses the PNG

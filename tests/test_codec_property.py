@@ -142,6 +142,23 @@ def test_jpeg_entropy_layer_roundtrip(blocks):
 
 
 @settings(**_SETTINGS)
+@given(blocks=_jpeg_blocks(), ri=st.sampled_from([0, 1, 3]))
+def test_jpeg_color_roundtrip(blocks, ri):
+    """YCbCr 4:4:4: three interleaved component blocks per MCU, three
+    DC predictor chains, chroma table routing — the coefficient layer
+    stays lossless with and without restart framing."""
+    co, h, w = blocks
+    rng = np.random.default_rng(int(abs(co).sum()) % 2**31)
+    c3 = np.stack([co, np.roll(co, 1, axis=1), rng.permutation(co)], axis=1)
+    c3[:, :, 0] = np.clip(c3[:, :, 0], -1023, 1023)
+    H, W, px, dec = decode_jpeg(
+        encode_jpeg(c3, h, w, restart_interval=ri)
+    )
+    assert (H, W) == (h, w) and px.shape == (h, w, 3)
+    assert np.array_equal(dec, c3)
+
+
+@settings(**_SETTINGS)
 @given(blocks=_jpeg_blocks(), ri=st.integers(1, 10))
 def test_jpeg_restart_marker_roundtrip(blocks, ri):
     """DRI/RSTm framing is transparent at the coefficient layer:
