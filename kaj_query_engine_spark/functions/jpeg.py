@@ -256,6 +256,7 @@ def encode_jpeg(
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
     chroma_qtable: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode QUANTIZED coefficients to a baseline JPEG.
 
@@ -263,10 +264,14 @@ def encode_jpeg(
     stores losslessly (a pixel-domain encoder would produce them via
     DCT+quantize; the fixture model specifies them directly so the
     oracle can reconstruct them in SQL): shape (n_blocks, 64) for
-    GRAYSCALE, or (n_mcus, 3, 64) for COLOR (YCbCr 4:4:4 — one block
-    per component per MCU, interleaved Y, Cb, Cr in scan order).
-    Blocks/MCUs run in raster order over the ceil(h/8)×ceil(w/8)
-    grid.
+    GRAYSCALE; (n_mcus, 3, 64) for 4:4:4 COLOR (one block per
+    component per MCU, interleaved Y, Cb, Cr in scan order); or
+    (n_mcus, 6, 64) for 4:2:0 COLOR (``subsampling="420"``: each MCU
+    covers a 16×16 tile — four Y blocks in 2×2 raster order, then
+    Cb, Cr at quarter resolution, T.81 A.2.3 interleave). Blocks/MCUs
+    run in raster order over the ceil(h/8)×ceil(w/8) grid (4:4:4 /
+    grayscale) or the ceil(h/16)×ceil(w/16) grid (4:2:0 — edge MCUs
+    cover padding blocks, per spec).
 
     Color streams carry the spec's two-table layout: quant table 0
     (luma) + 1 (chroma, ``chroma_qtable``), and Huffman class pairs
@@ -286,9 +291,17 @@ def encode_jpeg(
         raise ValueError("qtable must be 64 values in 1..255 (zigzag order)")
     blocks = np.asarray(coeffs, dtype=np.int64)
     color = blocks.ndim == 3
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
-    want = (bx * by, 3, 64) if color else (bx * by, 64)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = color and subsampling == "420"
+    if sub420:
+        n_mcu = ((width + 15) // 16) * ((height + 15) // 16)
+        want = (n_mcu, 6, 64)
+    else:
+        bx = (width + 7) // 8
+        by = (height + 7) // 8
+        n_mcu = bx * by
+        want = (n_mcu, 3, 64) if color else (n_mcu, 64)
     if blocks.shape != want:
         raise ValueError(
             f"need {want} zigzag coefficients for {width}x{height}, "
@@ -308,14 +321,16 @@ def encode_jpeg(
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
     ncomp = 3 if color else 1
+    # per-slot component index within one MCU (4:2:0: 4 Y, Cb, Cr)
+    slot_comp = [0, 0, 0, 0, 1, 2] if sub420 else list(range(ncomp))
     w = _BitWriter()
     prev_dc = [0] * ncomp
-    for mi in range(bx * by):
+    for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
             w.put_marker(0xFFD0 + (mi // restart_interval - 1) % 8)
             prev_dc = [0] * ncomp
-        for ci in range(ncomp):
-            blk = blocks[mi, ci] if color else blocks[mi]
+        for si, ci in enumerate(slot_comp):
+            blk = blocks[mi, si] if color else blocks[mi]
             prev_dc[ci] = _encode_block(
                 w, blk, prev_dc[ci], dc_codes, ac_codes
             )
@@ -327,11 +342,13 @@ def encode_jpeg(
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     if color:
-        # SOF0: 8-bit, YCbCr 4:4:4 — ids 1/2/3, 1x1 sampling, q 0/1/1
+        # SOF0: 8-bit YCbCr — ids 1/2/3, q 0/1/1; Y samples 2x2 in
+        # the 4:2:0 layout, 1x1 otherwise
+        y_samp = 0x22 if sub420 else 0x11
         out += _seg(
             0xFFC0,
             struct.pack(">BHHB", 8, height, width, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
     else:
         out += _seg(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
@@ -425,13 +442,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                     "(8-bit grayscale or 3-component baseline only)"
                 )
             comp_tq = []
+            comp_samp = []
             for ci in range(ncomp):
                 _cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
+                comp_samp.append((sampling >> 4, sampling & 0xF))
                 comp_tq.append(tq)
+            if comp_samp not in (
+                [(1, 1)],
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+            ):
+                raise ValueError(
+                    f"unsupported JPEG sampling {comp_samp} "
+                    "(grayscale, 4:4:4, or 4:2:0 only)"
+                )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xFFC4:
@@ -487,17 +511,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
+    hmax = max(h_ for h_, _ in comp_samp)
+    vmax = max(v_ for _, v_ in comp_samp)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mx * my
+    # MCU slot layout in T.81 A.2.3 interleave order: component ci
+    # contributes hi*vi blocks per MCU, raster-ordered within the MCU
+    slot_comp: list[int] = []
+    slot_pos: list[tuple[int, int]] = []  # (block row, col) within MCU
+    for ci, (h_, v_) in enumerate(comp_samp):
+        for vy in range(v_):
+            for vx in range(h_):
+                slot_comp.append(ci)
+                slot_pos.append((vy, vx))
     segments, marks = _split_on_rst(data[scan_start:end])
     if marks and not restart_interval:
         raise ValueError("RST marker in scan but no DRI declared")
     if restart_interval:
-        expect = -(-bx * by // restart_interval)  # ceil: segment count
+        expect = -(-n_mcu // restart_interval)  # ceil: segment count
         if len(segments) != expect:
             raise ValueError(
                 f"JPEG restart cadence broken: {len(segments)} entropy "
-                f"segments for {bx * by} MCUs at interval {restart_interval}"
+                f"segments for {n_mcu} MCUs at interval {restart_interval}"
             )
         for i, m in enumerate(marks):
             if m != i % 8:
@@ -509,21 +545,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         raise ValueError("RST marker in scan but no DRI declared")
     seg_iter = iter(segments)
     r = _BitReader(next(seg_iter))
-    coeffs = np.zeros((bx * by, ncomp, 64), dtype=np.int32)
+    nslots = len(slot_comp)
+    coeffs = np.zeros((n_mcu, nslots, 64), dtype=np.int32)
     prev_dc = [0] * ncomp
-    for b in range(bx * by):
+    for b in range(n_mcu):
         if restart_interval and b and b % restart_interval == 0:
             # restart boundary: fresh entropy segment, ALL predictors
             # reset (T.81 F.2.1.3.1)
             r = _BitReader(next(seg_iter))
             prev_dc = [0] * ncomp
-        for ci in range(ncomp):
+        for si in range(nslots):
+            ci = slot_comp[si]
             dc_tab = huff[(0, scan_tabs[ci][0])]
             ac_tab = huff[(1, scan_tabs[ci][1])]
             s = read_symbol(r, dc_tab)
             diff = extend(r.bits(s), s) if s else 0
             prev_dc[ci] += diff
-            coeffs[b, ci, 0] = prev_dc[ci]
+            coeffs[b, si, 0] = prev_dc[ci]
             k = 1
             while k < 64:
                 sym = read_symbol(r, ac_tab)
@@ -538,24 +576,42 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                     raise ValueError(
                         "JPEG coefficient index overran the block"
                     )
-                coeffs[b, ci, k] = extend(r.bits(s), s)
+                coeffs[b, si, k] = extend(r.bits(s), s)
                 k += 1
     # DCT layer: dequantize (per component's table), de-zigzag, IDCT,
-    # level shift, clamp
-    planes = np.empty((ncomp, by * 8, bx * 8), dtype=np.uint8)
-    for b in range(bx * by):
-        y0, x0 = (b // bx) * 8, (b % bx) * 8
-        for ci in range(ncomp):
+    # level shift, clamp — each component decodes on its OWN sampling
+    # grid, then subsampled planes replicate up to full resolution
+    planes = []
+    for ci, (h_, v_) in enumerate(comp_samp):
+        planes.append(
+            np.empty((my * 8 * v_, mx * 8 * h_), dtype=np.uint8)
+        )
+    for b in range(n_mcu):
+        myi, mxi = b // mx, b % mx
+        for si in range(nslots):
+            ci = slot_comp[si]
+            vy, vx = slot_pos[si]
             freq = np.zeros((8, 8), dtype=np.float64)
-            deq = coeffs[b, ci].astype(np.int64) * comp_q[ci]
+            deq = coeffs[b, si].astype(np.int64) * comp_q[ci]
             for k, (rr, cc) in enumerate(_ZZ_INDEX):
                 freq[rr, cc] = deq[k]
             spatial = idct_block(freq) + 128.0
             clamped = np.clip(np.floor(spatial + 0.5), 0, 255).astype(
                 np.uint8
             )
-            planes[ci, y0 : y0 + 8, x0 : x0 + 8] = clamped
+            h_, v_ = comp_samp[ci]
+            y0 = (myi * v_ + vy) * 8
+            x0 = (mxi * h_ + vx) * 8
+            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = clamped
     if ncomp == 1:
-        return height, width, planes[0, :height, :width], coeffs[:, 0, :]
-    pixels = np.moveaxis(planes, 0, 2)[:height, :width]
+        return height, width, planes[0][:height, :width], coeffs[:, 0, :]
+    full = []
+    for ci, (h_, v_) in enumerate(comp_samp):
+        p = planes[ci]
+        if (h_, v_) != (hmax, vmax):  # box-replicate upsample
+            p = np.repeat(
+                np.repeat(p, vmax // v_, axis=0), hmax // h_, axis=1
+            )
+        full.append(p[: my * 8 * vmax, : mx * 8 * hmax])
+    pixels = np.stack(full, axis=2)[:height, :width]
     return height, width, pixels, coeffs

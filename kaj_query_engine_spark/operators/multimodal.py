@@ -896,6 +896,7 @@ def attach_jpeg_media(
     dc_only: bool = False,
     restart_interval: int = 0,
     color: bool = False,
+    subsampling: str = "444",
 ) -> DataFrame:
     """REAL JPEG ingest: a ``media`` column holding genuine baseline
     grayscale JPEG bytes (pure stdlib+numpy encoder,
@@ -928,7 +929,10 @@ def attach_jpeg_media(
     DC/AC formulas, so the q97 'color' oracle reconstructs the
     scan-interleaved (b, c, k) coefficient buffer — three DC
     predictor chains, table routing, and the two-quant-table layout
-    all pinned.
+    all pinned. ``subsampling="420"`` (with ``color``) emits the
+    4:2:0 layout instead — 16×16 MCUs of four Y + Cb + Cr blocks,
+    slot s of MCU m from sha256(f"{d}:j{m}s{s}") — pinning the
+    sampling-factor MCU interleave itself.
     """
     import numpy as np
 
@@ -944,33 +948,40 @@ def attach_jpeg_media(
                         co[k] = dig[(k * 7 + 3) % 32] % 15 - 7
             return co
 
+        def dig_block(key: str) -> np.ndarray:
+            return block(hashlib.sha256(key.encode()).digest())
+
         def one(d: int) -> bytes:
             bx, by = 1 + d % 2, 1 + d % 3
-            if color:
+            if color and subsampling == "420":
+                n_mcu = ((bx * 8 + 15) // 16) * ((by * 8 + 15) // 16)
                 co = np.stack(
                     [
                         np.stack(
-                            [
-                                block(
-                                    hashlib.sha256(
-                                        f"{d}:j{b}c{c}".encode()
-                                    ).digest()
-                                )
-                                for c in range(3)
-                            ]
+                            [dig_block(f"{d}:j{m}s{s}") for s in range(6)]
+                        )
+                        for m in range(n_mcu)
+                    ]
+                )
+            elif color:
+                co = np.stack(
+                    [
+                        np.stack(
+                            [dig_block(f"{d}:j{b}c{c}") for c in range(3)]
                         )
                         for b in range(bx * by)
                     ]
                 )
             else:
                 co = np.stack(
-                    [
-                        block(hashlib.sha256(f"{d}:j{b}".encode()).digest())
-                        for b in range(bx * by)
-                    ]
+                    [dig_block(f"{d}:j{b}") for b in range(bx * by)]
                 )
             return encode_jpeg(
-                co, by * 8, bx * 8, restart_interval=restart_interval
+                co,
+                by * 8,
+                bx * 8,
+                restart_interval=restart_interval,
+                subsampling=subsampling,
             )
 
         for pdf in batches:

@@ -565,6 +565,32 @@ _JPG_COLOR_SQL = (
     "md5(string_agg(quad, '' ORDER BY b, c, k)) AS payload_md5 "
     "FROM q GROUP BY doc_id"
 )
+
+# 4:2:0: 16x16 MCUs (mx = ceil(bx/2), my = ceil(by/2)), slot s of MCU
+# m from sha256('<d>:j<m>s<s>') — four Y blocks then Cb, Cr per MCU
+_JPG_MX = f"(({_JPG_BX} + 1) // 2)"
+_JPG_MY = f"(({_JPG_BY} + 1) // 2)"
+_JPG_420_DIG = (
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':j', CAST(m AS VARCHAR), "
+    "'s', CAST(s AS VARCHAR)))"
+)
+_JPG_420_SQL = (
+    "WITH g AS (SELECT doc_id, m, s, "
+    f"{_JPG_420_DIG} AS hx FROM documents, generate_series(0, 1) gm(m), "
+    f"generate_series(0, 5) gs(s) WHERE m < {_JPG_MX} * {_JPG_MY}), "
+    "co AS (SELECT doc_id, m, s, k, "
+    f"CASE WHEN k = 0 THEN {_JPG_DC} ELSE {_JPG_AC} END AS v "
+    "FROM g, generate_series(0, 63) gk(k)), "
+    "q AS (SELECT doc_id, m, s, k, "
+    "printf('%02x%02x', ((v + 65536) % 65536) % 256, "
+    "((v + 65536) % 65536) // 256) AS quad FROM co) "
+    "SELECT 'sub420' AS path, doc_id, "
+    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+    f"CAST({_JPG_MX} * {_JPG_MY} * 6 AS INT) AS n_blocks, "
+    "md5(string_agg(quad, '' ORDER BY m, s, k)) AS payload_md5 "
+    "FROM q GROUP BY doc_id"
+)
 # DC-only pixels: block (y//8, x//8) is a flat patch of
 # floor(DC/8 + 128.5) (q0 = 1, clamp is a no-op in DC's range)
 _JPG_PIX_SQL = (
@@ -589,7 +615,8 @@ _JPG_PIX_SQL = (
 @register(
     "q97_jpeg_decode",
     f"{_JPG_COEFFS_SQL} UNION ALL ({_jpg_coeffs_sql('rst')}) "
-    f"UNION ALL ({_JPG_COLOR_SQL}) UNION ALL ({_JPG_PIX_SQL})",
+    f"UNION ALL ({_JPG_COLOR_SQL}) UNION ALL ({_JPG_420_SQL}) "
+    f"UNION ALL ({_JPG_PIX_SQL})",
     "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
     "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
     "Huffman tables carried in the file's DHT) decode through the "
@@ -601,7 +628,9 @@ _JPG_PIX_SQL = (
     "coefficient oracle; the 'color' branch is YCbCr 4:4:4 — "
     "interleaved MCUs, three DC predictor chains, luma/chroma "
     "quant+Huffman table routing — against a (b, c, k)-ordered "
-    "oracle; and a DC-only corpus makes the IDCT pixel layer itself "
+    "oracle; the 'sub420' branch is 4:2:0 — 16x16 MCUs of four Y + "
+    "Cb + Cr blocks, the sampling-factor interleave itself pinned by "
+    "an (mcu, slot, k)-ordered oracle; and a DC-only corpus makes the IDCT pixel layer itself "
     "SQL-reconstructible (flat 8x8 patches). Full-AC pixels are "
     "pinned against the literal T.81 cosine sum in pytest. "
     "mp3/compressed video stay honestly guarded",
@@ -624,6 +653,7 @@ def q97(spark, sf_dir):
     coeffs = coeff_branch("coeffs")
     rst = coeff_branch("rst", restart_interval=2)
     colored = coeff_branch("color", color=True)
+    sub420 = coeff_branch("sub420", color=True, subsampling="420")
     dc = M.decode_media(M.attach_jpeg_media(docs, dc_only=True)).select(
         F.lit("dcpatch").alias("path"),
         "doc_id",
@@ -634,7 +664,10 @@ def q97(spark, sf_dir):
         ).cast("int").alias("n_blocks"),
         F.md5(F.lower(F.hex(F.col("pixels")))).alias("payload_md5"),
     )
-    return coeffs.unionAll(rst).unionAll(colored).unionAll(dc)
+    return (
+        coeffs.unionAll(rst).unionAll(colored).unionAll(sub420)
+        .unionAll(dc)
+    )
 
 
 # q98: REAL GIF codec, oracle-checked. attach_gif_media reuses the PNG

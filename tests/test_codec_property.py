@@ -159,6 +159,34 @@ def test_jpeg_color_roundtrip(blocks, ri):
 
 
 @settings(**_SETTINGS)
+@given(
+    mw=st.integers(1, 3),
+    mh=st.integers(1, 3),
+    trim_h=st.integers(0, 15),
+    trim_w=st.integers(0, 15),
+    ri=st.sampled_from([0, 1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_420_roundtrip(mw, mh, trim_h, trim_w, ri, seed):
+    """4:2:0 MCU interleave (4 Y + Cb + Cr per 16x16 tile) is lossless
+    at the coefficient layer for any geometry, including images that
+    end mid-MCU (padding blocks) and restart framing."""
+    h = max(1, mh * 16 - trim_h)
+    w = max(1, mw * 16 - trim_w)
+    n_mcu = ((w + 15) // 16) * ((h + 15) // 16)
+    rng = np.random.default_rng(seed)
+    co = np.zeros((n_mcu, 6, 64), dtype=np.int64)
+    co[..., 0] = rng.integers(-1023, 1024, (n_mcu, 6))
+    m = rng.random((n_mcu, 6, 63)) < 0.15
+    co[..., 1:][m] = rng.integers(-1023, 1024, m.sum())
+    H, W, px, dec = decode_jpeg(
+        encode_jpeg(co, h, w, restart_interval=ri, subsampling="420")
+    )
+    assert (H, W) == (h, w) and px.shape == (h, w, 3)
+    assert np.array_equal(dec, co)
+
+
+@settings(**_SETTINGS)
 @given(blocks=_jpeg_blocks(), ri=st.integers(1, 10))
 def test_jpeg_restart_marker_roundtrip(blocks, ri):
     """DRI/RSTm framing is transparent at the coefficient layer:
