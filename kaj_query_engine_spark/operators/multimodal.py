@@ -190,7 +190,8 @@ def decode_media(
         def one(b: bytes) -> tuple[int, int, int, bytes]:
             if bytes(b[:2]) == b"\xff\xd8":
                 h, w, px, _co = decode_jpeg(bytes(b))
-                return w, h, 1, px.tobytes()
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                return w, h, ch, px.tobytes()
             if bytes(b[:4]) == b"GIF8":
                 px = decode_gif(bytes(b))
                 return px.shape[1], px.shape[0], 3, px.tobytes()
