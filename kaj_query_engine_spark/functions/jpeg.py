@@ -615,3 +615,45 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         full.append(p[: my * 8 * vmax, : mx * 8 * hmax])
     pixels = np.stack(full, axis=2)[:height, :width]
     return height, width, pixels, coeffs
+
+
+# JFIF/BT.601 YCbCr -> RGB in 16.16 fixed point — libjpeg's constants
+# (jdcolor.c: FIX(1.40200), FIX(0.34414), FIX(0.71414), FIX(1.77200)).
+_FIX_CR_R = 91881
+_FIX_CB_G = 22554
+_FIX_CR_G = 46802
+_FIX_CB_B = 116130
+_RGB_BIAS = 1 << 30  # keeps the dividend positive: truncation == floor
+
+
+def _fx(v: np.ndarray) -> np.ndarray:
+    """floor((v + 1/2) / 2^16) via positive-biased TRUNCATING division
+    — written this way so a SQL oracle using truncating integer
+    division (DuckDB ``//`` truncates toward zero; Python ``//``
+    floors) reproduces it bit-exactly."""
+    return (v + 32768 + _RGB_BIAS) // 65536 - (_RGB_BIAS >> 16)
+
+
+def ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """Convert (H, W, 3) uint8 Y/Cb/Cr planes (what :func:`decode_jpeg`
+    returns for color) to (H, W, 3) uint8 RGB with the JFIF fixed-point
+    transform:
+
+        R = clamp(Y + fx( 91881·(Cr−128)))
+        G = clamp(Y + fx(−22554·(Cb−128) − 46802·(Cr−128)))
+        B = clamp(Y + fx(116130·(Cb−128)))
+
+    fx = floor((v + 32768) / 65536). Deterministic integer math —
+    reproducible in SQL, so the q97 'dcrgb' oracle pins the colorspace
+    transform externally (the float matrix differs by at most one code
+    per channel and is NOT what this implements)."""
+    p = np.asarray(planes, dtype=np.int64)
+    if p.ndim != 3 or p.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) YCbCr planes")
+    y = p[..., 0]
+    cb = p[..., 1] - 128
+    cr = p[..., 2] - 128
+    r = y + _fx(_FIX_CR_R * cr)
+    g = y + _fx(-_FIX_CB_G * cb - _FIX_CR_G * cr)
+    b = y + _fx(_FIX_CB_B * cb)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -161,17 +161,26 @@ def attach_png_media(
 
 
 def decode_media(
-    df: DataFrame, id_col: str = "doc_id", bin_col: str = "media"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "media",
+    rgb: bool = False,
 ) -> DataFrame:
     """Real codec decode — PNG, baseline JPEG and GIF for real,
     other codecs honestly guarded.
 
     PNG payloads (8-bit grey/RGB) decode via the pure-stdlib codec in
-    ``functions.png``, baseline grayscale JPEGs via ``functions.jpeg``
-    (Huffman → coefficients → IDCT), GIFs via ``functions.gif`` (LZW →
-    palette RGB), all inside one ``mapInPandas`` — Arrow batches in,
-    one (id, width, height, channels, pixels) row per media item out,
-    with ``pixels`` the row-major uint8 buffer.
+    ``functions.png``, baseline JPEGs (grayscale or YCbCr color) via
+    ``functions.jpeg`` (Huffman → coefficients → IDCT), GIFs via
+    ``functions.gif`` (LZW → palette RGB), all inside one
+    ``mapInPandas`` — Arrow batches in, one (id, width, height,
+    channels, pixels) row per media item out, with ``pixels`` the
+    row-major uint8 buffer.
+
+    ``rgb=True`` converts color-JPEG Y/Cb/Cr planes to RGB with the
+    JFIF fixed-point transform (:func:`functions.jpeg.ycbcr_to_rgb` —
+    deterministic integer math, oracle-reproducible); PNG/GIF output
+    is already RGB and passes through, grayscale stays single-plane.
     Other payloads (mp3 &c.) raise ``NotImplementedError`` in the
     task: this container ships no codecs for them, and silently
     skipping media would corrupt a training corpus — fail loudly,
@@ -179,7 +188,7 @@ def decode_media(
     that scan-cheap).
     """
     from kaj_query_engine_spark.functions.gif import decode_gif
-    from kaj_query_engine_spark.functions.jpeg import decode_jpeg
+    from kaj_query_engine_spark.functions.jpeg import decode_jpeg, ycbcr_to_rgb
     from kaj_query_engine_spark.functions.png import decode_png
 
     schema = (
@@ -190,6 +199,8 @@ def decode_media(
         def one(b: bytes) -> tuple[int, int, int, bytes]:
             if bytes(b[:2]) == b"\xff\xd8":
                 h, w, px, _co = decode_jpeg(bytes(b))
+                if rgb and px.ndim == 3:
+                    px = ycbcr_to_rgb(px)
                 ch = 1 if px.ndim == 2 else px.shape[2]
                 return w, h, ch, px.tobytes()
             if bytes(b[:4]) == b"GIF8":

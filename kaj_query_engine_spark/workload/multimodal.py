@@ -566,6 +566,52 @@ _JPG_COLOR_SQL = (
     "FROM q GROUP BY doc_id"
 )
 
+# dcrgb: the DC-only COLOR corpus decoded to RGB — flat per-block
+# Y/Cb/Cr patches (q0 luma 1, chroma 2) through the JFIF fixed-point
+# transform fx(v) = floor((v + 32768)/65536), written as positive-
+# biased TRUNCATING division so DuckDB's // reproduces it bit-exactly
+_JPG_DCRGB_FX = "({v} + 32768 + 1073741824) // 65536 - 16384"
+_JPG_DCRGB_CH = (
+    "CAST(LEAST(255, GREATEST(0, {expr})) AS INT)"
+)
+_JPG_DCRGB_SQL = (
+    "WITH g AS (SELECT doc_id, b, c, "
+    f"{_JPG_COLOR_DIG} AS hx FROM documents, generate_series(0, 5) gb(b), "
+    f"generate_series(0, 2) gc(c) WHERE b < {_JPG_BX} * {_JPG_BY}), "
+    f"d0 AS (SELECT doc_id, b, c, {_jpg_byte('hx', '0')} % 32 - 16 AS dc "
+    "FROM g), "
+    "pv AS (SELECT doc_id, b, "
+    "CAST(floor(MAX(CASE WHEN c = 0 THEN dc END) / 8.0 + 128.5) AS BIGINT)"
+    " AS yv, "
+    "CAST(floor(MAX(CASE WHEN c = 1 THEN dc END) / 4.0 + 128.5) AS BIGINT)"
+    " AS cbv, "
+    "CAST(floor(MAX(CASE WHEN c = 2 THEN dc END) / 4.0 + 128.5) AS BIGINT)"
+    " AS crv FROM d0 GROUP BY doc_id, b), "
+    "rgb AS (SELECT doc_id, b, printf('%02x%02x%02x', "
+    + _JPG_DCRGB_CH.format(
+        expr="yv + (" + _JPG_DCRGB_FX.format(v="91881 * (crv - 128)") + ")"
+    )
+    + ", "
+    + _JPG_DCRGB_CH.format(
+        expr="yv + ("
+        + _JPG_DCRGB_FX.format(v="-22554 * (cbv - 128) - 46802 * (crv - 128)")
+        + ")"
+    )
+    + ", "
+    + _JPG_DCRGB_CH.format(
+        expr="yv + (" + _JPG_DCRGB_FX.format(v="116130 * (cbv - 128)") + ")"
+    )
+    + ") AS hexpix FROM pv) "
+    "SELECT 'dcrgb' AS path, doc_id, "
+    f"CAST({_JPG_BX} * 8 AS INT) AS width, "
+    f"CAST({_JPG_BY} * 8 AS INT) AS height, "
+    f"CAST({_JPG_BX} * {_JPG_BY} * 3 AS INT) AS n_blocks, "
+    "md5(string_agg(hexpix, '' ORDER BY y, x)) AS payload_md5 "
+    "FROM rgb, generate_series(0, 23) gy(y), generate_series(0, 15) gx(x) "
+    f"WHERE y < {_JPG_BY} * 8 AND x < {_JPG_BX} * 8 "
+    f"AND b = (y // 8) * {_JPG_BX} + (x // 8) GROUP BY doc_id"
+)
+
 # 4:2:0: 16x16 MCUs (mx = ceil(bx/2), my = ceil(by/2)), slot s of MCU
 # m from sha256('<d>:j<m>s<s>') — four Y blocks then Cb, Cr per MCU
 _JPG_MX = f"(({_JPG_BX} + 1) // 2)"
@@ -616,7 +662,7 @@ _JPG_PIX_SQL = (
     "q97_jpeg_decode",
     f"{_JPG_COEFFS_SQL} UNION ALL ({_jpg_coeffs_sql('rst')}) "
     f"UNION ALL ({_JPG_COLOR_SQL}) UNION ALL ({_JPG_420_SQL}) "
-    f"UNION ALL ({_JPG_PIX_SQL})",
+    f"UNION ALL ({_JPG_DCRGB_SQL}) UNION ALL ({_JPG_PIX_SQL})",
     "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
     "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
     "Huffman tables carried in the file's DHT) decode through the "
@@ -630,7 +676,10 @@ _JPG_PIX_SQL = (
     "quant+Huffman table routing — against a (b, c, k)-ordered "
     "oracle; the 'sub420' branch is 4:2:0 — 16x16 MCUs of four Y + "
     "Cb + Cr blocks, the sampling-factor interleave itself pinned by "
-    "an (mcu, slot, k)-ordered oracle; and a DC-only corpus makes the IDCT pixel layer itself "
+    "an (mcu, slot, k)-ordered oracle; the 'dcrgb' branch decodes "
+    "the DC-only COLOR corpus all the way to RGB — flat Y/Cb/Cr "
+    "patches through the JFIF fixed-point colorspace transform, "
+    "integer-exactly reproduced in SQL; and a DC-only corpus makes the IDCT pixel layer itself "
     "SQL-reconstructible (flat 8x8 patches). Full-AC pixels are "
     "pinned against the literal T.81 cosine sum in pytest. "
     "mp3/compressed video stay honestly guarded",
@@ -654,6 +703,18 @@ def q97(spark, sf_dir):
     rst = coeff_branch("rst", restart_interval=2)
     colored = coeff_branch("color", color=True)
     sub420 = coeff_branch("sub420", color=True, subsampling="420")
+    dcrgb = M.decode_media(
+        M.attach_jpeg_media(docs, dc_only=True, color=True), rgb=True
+    ).select(
+        F.lit("dcrgb").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        ((F.col("width") / 8) * (F.col("height") / 8) * 3)
+        .cast("int")
+        .alias("n_blocks"),
+        F.md5(F.lower(F.hex(F.col("pixels")))).alias("payload_md5"),
+    )
     dc = M.decode_media(M.attach_jpeg_media(docs, dc_only=True)).select(
         F.lit("dcpatch").alias("path"),
         "doc_id",
@@ -666,7 +727,7 @@ def q97(spark, sf_dir):
     )
     return (
         coeffs.unionAll(rst).unionAll(colored).unionAll(sub420)
-        .unionAll(dc)
+        .unionAll(dcrgb).unionAll(dc)
     )
 
 

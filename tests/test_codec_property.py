@@ -160,6 +160,41 @@ def test_jpeg_color_roundtrip(blocks, ri):
 
 @settings(**_SETTINGS)
 @given(
+    p=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        elements=st.integers(0, 255),
+    )
+)
+def test_ycbcr_to_rgb_fixed_point(p):
+    """The JFIF fixed-point transform tracks the float matrix within
+    one code per channel and keeps the neutral (grey) axis exact."""
+    from kaj_query_engine_spark.functions.jpeg import ycbcr_to_rgb
+
+    got = ycbcr_to_rgb(p).astype(np.float64)
+    y = p[..., 0].astype(np.float64)
+    cb = p[..., 1].astype(np.float64) - 128
+    cr = p[..., 2].astype(np.float64) - 128
+    ref = np.clip(
+        np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    )
+    assert np.abs(got - ref).max() <= 1.0
+    grey = p.copy()
+    grey[..., 1:] = 128
+    assert (ycbcr_to_rgb(grey) == grey[..., 0:1]).all()
+
+
+@settings(**_SETTINGS)
+@given(
     mw=st.integers(1, 3),
     mh=st.integers(1, 3),
     trim_h=st.integers(0, 15),
