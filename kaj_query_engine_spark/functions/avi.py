@@ -8,8 +8,10 @@ header + one ``strl`` stream with ``strh``/``strf``) and a ``movi``
 LIST of ``00db`` frame chunks, each an uncompressed Windows DIB:
 bottom-up scanline order, BGR byte order, rows padded to 4 bytes
 (Microsoft AVI/RIFF + BITMAPINFOHEADER specs — public). Supported
-here: one 24-bit BI_RGB video stream ('vids'/'DIB '). Anything else
-raises loudly.
+here: one 24-bit BI_RGB video stream ('vids'/'DIB '), optionally
+muxed with one 16-bit mono PCM audio stream ('auds'/'01wb' chunks
+interleaved with the frames, WAVEFORMATEX strf) — the layout real
+muxers produce. Anything else raises loudly.
 
 Same design rules as the PNG/WAV twins: encoder and decoder are
 independent code paths (the decoder re-derives geometry from ``strf``
@@ -48,13 +50,24 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+def encode_avi(
+    frames: np.ndarray,
+    fps: int = 10,
+    audio: np.ndarray | None = None,
+    audio_rate: int = 8000,
+) -> bytes:
     """Encode an (N, H, W, 3) uint8 RGB frame stack to AVI bytes.
 
     Frames are stored as the spec demands for BI_RGB DIBs: BGR channel
     order, bottom-up rows, rows padded to 4-byte boundaries — the
     decoder undoes all three, so a round trip through both proves the
     layout math rather than assuming it.
+
+    ``audio`` (1-D int16 mono PCM) adds a second stream the way real
+    muxers do: an 'auds' strl (strh + WAVEFORMATEX strf) and '01wb'
+    chunks INTERLEAVED with the frames in movi — frame i is followed
+    by its ceil-even share of the samples, so a player can stream
+    without seeking. Demuxing is pure concatenation in chunk order.
     """
     f = np.ascontiguousarray(frames, dtype=np.uint8)
     if f.ndim != 4 or f.shape[3] != 3:
@@ -62,10 +75,17 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     n, h, w = f.shape[:3]
     if not (0 < fps <= 10**6):
         raise ValueError(f"bad fps {fps}")
+    if audio is not None:
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16 or audio.ndim != 1 or len(audio) == 0:
+            raise ValueError("audio must be a non-empty 1-D int16 array")
+        if not (1 <= audio_rate < 2**31):
+            raise ValueError(f"bad audio_rate {audio_rate}")
     row_bytes = _pad4(w * 3)
     frame_bytes = row_bytes * h
     dib = np.zeros((n, h, row_bytes), dtype=np.uint8)
     dib[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
         "<14I",
         10**6 // fps,  # dwMicroSecPerFrame
@@ -74,7 +94,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         0,  # dwFlags — no idx1 index is written, so HASINDEX stays off
         n,  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        n_streams,
         frame_bytes,  # dwSuggestedBufferSize
         w,
         h,
@@ -92,25 +112,52 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi = _list(
-        b"movi", b"".join(_chunk(b"00db", d.tobytes()) for d in dib)
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    if audio is not None:
+        a_strh = (
+            b"auds"
+            + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<10I", 0, 0, 0, 1, audio_rate, 0, len(audio), 2 * len(audio),
+                0, 2,  # dwSampleSize = 2 bytes (16-bit mono PCM)
+            )
+            + struct.pack("<4h", 0, 0, 0, 0)
+        )
+        a_strf = struct.pack(  # WAVEFORMATEX, PCM mono 16-bit
+            "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16
+        )
+        strls += _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
+    if audio is None:
+        movi_body = b"".join(_chunk(b"00db", d.tobytes()) for d in dib)
+    else:
+        spf = -(-len(audio) // n)  # ceil: every frame gets a share
+        parts = []
+        for i, d in enumerate(dib):
+            parts.append(_chunk(b"00db", d.tobytes()))
+            seg = audio[i * spf : (i + 1) * spf]
+            if len(seg):
+                parts.append(_chunk(b"01wb", seg.astype("<i2").tobytes()))
+        movi_body = b"".join(parts)
+    movi = _list(b"movi", movi_body)
     return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
 
 
-def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode AVI bytes to ``(fps, frames)`` with ``frames`` an
-    (N, H, W, 3) uint8 RGB array.
+def decode_avi_av(
+    data: bytes,
+) -> tuple[int, np.ndarray, int | None, np.ndarray | None]:
+    """Demux AVI bytes to ``(fps, frames, audio_rate, audio)``.
 
-    Strict: only one 24-bit BI_RGB 'vids' stream is accepted; frame
-    geometry is cross-validated between ``avih``, ``strf``, and each
-    ``00db`` chunk's length; truncation raises. Unknown chunks (idx1,
-    JUNK, INFO…) are skipped per the RIFF spec.
+    ``frames`` is (N, H, W, 3) uint8 RGB; ``audio`` is 1-D int16 mono
+    PCM concatenated from the interleaved '01wb' chunks (None with
+    rate None when the file carries no audio stream). Strict: one
+    24-bit BI_RGB 'vids' stream plus at most one 16-bit mono PCM
+    'auds' stream; frame geometry is cross-validated between
+    ``avih``, ``strf``, and each ``00db`` chunk's length; the audio
+    sample count is validated against the stream header's dwLength.
+    Unknown chunks (idx1, JUNK, INFO…) are skipped per the RIFF spec.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI: bad RIFF/AVI header")
@@ -121,9 +168,13 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
     fps = None
     n_frames = None
     raw_frames: list[bytes] = []
+    cur_type = None  # stream type of the strl being parsed
+    audio_rate = None
+    audio_len = None
+    audio_parts: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps, n_frames
+        nonlocal w, h, fps, n_frames, cur_type, audio_rate, audio_len
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -146,31 +197,57 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
                     raise ValueError("malformed strh: chunk too short")
                 fcc_type = data[body_start : body_start + 4]
                 handler = data[body_start + 4 : body_start + 8]
-                if fcc_type != b"vids":
+                cur_type = fcc_type
+                if fcc_type == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"unsupported AVI codec {handler!r} (BI_RGB DIB "
+                            "only — no compressed codecs in this environment)"
+                        )
+                elif fcc_type == b"auds":
+                    if length < 48:
+                        raise ValueError("malformed auds strh: too short")
+                    vals = struct.unpack(
+                        "<10I", data[body_start + 8 : body_start + 48]
+                    )
+                    audio_len = vals[6]  # dwLength, in samples
+                else:
                     raise ValueError(
                         f"unsupported AVI stream type {fcc_type!r} "
-                        "(video-only here)"
-                    )
-                if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
-                    raise ValueError(
-                        f"unsupported AVI codec {handler!r} (BI_RGB DIB only "
-                        "— no compressed codecs in this environment)"
+                        "(video + PCM audio only)"
                     )
             elif tag == b"strf":
-                if length < 20:
-                    raise ValueError("malformed strf: chunk too short")
-                size, bw, bh, planes, bits, comp = struct.unpack(
-                    "<IiiHHI", data[body_start : body_start + 20]
-                )
-                if bits != 24 or comp != 0:
-                    raise ValueError(
-                        f"unsupported AVI: bits={bits} compression={comp} "
-                        "(24-bit BI_RGB only)"
+                if cur_type == b"auds":
+                    if length < 16:
+                        raise ValueError("malformed WAVEFORMATEX: too short")
+                    fmt, ch, rate, _bps, _align, bits = struct.unpack(
+                        "<HHIIHH", data[body_start : body_start + 16]
                     )
-                if (bw, abs(bh)) != (w, h):
-                    raise ValueError("AVI strf geometry disagrees with avih")
+                    if fmt != 1 or ch != 1 or bits != 16:
+                        raise ValueError(
+                            f"unsupported AVI audio: fmt={fmt} ch={ch} "
+                            f"bits={bits} (16-bit mono PCM only)"
+                        )
+                    audio_rate = rate
+                else:
+                    if length < 20:
+                        raise ValueError("malformed strf: chunk too short")
+                    size, bw, bh, planes, bits, comp = struct.unpack(
+                        "<IiiHHI", data[body_start : body_start + 20]
+                    )
+                    if bits != 24 or comp != 0:
+                        raise ValueError(
+                            f"unsupported AVI: bits={bits} compression={comp} "
+                            "(24-bit BI_RGB only)"
+                        )
+                    if (bw, abs(bh)) != (w, h):
+                        raise ValueError(
+                            "AVI strf geometry disagrees with avih"
+                        )
             elif tag == b"00db":
                 raw_frames.append(data[body_start : body_start + length])
+            elif tag == b"01wb":
+                audio_parts.append(data[body_start : body_start + length])
             pos = body_start + length + (length % 2)
 
     walk(12, 8 + riff_size)
@@ -188,4 +265,25 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"AVI frame {i} has bad size {len(fb)}")
         dib = np.frombuffer(fb, dtype=np.uint8).reshape(h, row_bytes)
         out[i] = dib[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-    return fps, out
+    audio = None
+    if audio_rate is not None:
+        buf = b"".join(audio_parts)
+        if len(buf) % 2:
+            raise ValueError("AVI audio byte count is odd (int16 PCM)")
+        audio = np.frombuffer(buf, dtype="<i2")
+        if audio_len is not None and len(audio) != audio_len:
+            raise ValueError(
+                f"AVI audio length mismatch: header says {audio_len} "
+                f"samples, movi holds {len(audio)}"
+            )
+    elif audio_parts:
+        raise ValueError("AVI '01wb' chunks without an 'auds' stream")
+    return fps, out, audio_rate, audio
+
+
+def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode AVI bytes to ``(fps, frames)`` — the video-only view of
+    :func:`decode_avi_av` (an interleaved audio stream, if present,
+    demuxes cleanly and is simply not returned here)."""
+    fps, frames, _rate, _audio = decode_avi_av(data)
+    return fps, frames

@@ -711,7 +711,9 @@ AVI_SPREAD = 8
 _AVI_W = 10
 
 
-def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_avi_media(
+    df: DataFrame, id_col: str = "doc_id", with_audio: bool = False
+) -> DataFrame:
     """REAL video ingest: a ``video`` column holding genuine AVI bytes
     (pure-stdlib RIFF encoder, ``functions.avi``, uncompressed 24-bit
     DIB frames) plus a typed ``video_meta`` struct.
@@ -722,6 +724,13 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fps = 10. The encoder converts to the DIB's bottom-up BGR padded
     layout and the decoder converts back, so the q95 oracle's digest
     match pins that whole layout round trip with zero video code.
+
+    ``with_audio=True`` muxes the WAV twin's sample model (q94's
+    ``:a`` blocks, same rate rule) as an interleaved PCM stream: the
+    q95 'muxed' branch proves frames decode identically around the
+    interleaved '01wb' chunks, and 'sound' pins the demuxed PCM
+    against the same SQL digest q94 uses — one audio model, three
+    containers (WAV, FLAC, AVI).
     """
     import numpy as np
 
@@ -746,7 +755,17 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for f in range(2 + d % 3)
                 ]
             )
-            return encode_avi(frames, fps=10)
+            kw = {}
+            if with_audio:
+                blocks = [
+                    hashlib.sha256(f"{d}:a{j}".encode()).digest()
+                    for j in range(6 + d % 4)
+                ]
+                kw["audio"] = np.frombuffer(
+                    b"".join(blocks), dtype="<i2"
+                ).astype(np.int16)
+                kw["audio_rate"] = 8000 + (d % 3) * 4000
+            return encode_avi(frames, fps=10, **kw)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -816,6 +835,43 @@ def decode_video(
                     "n_frames",
                     "pixels",
                 ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def demux_audio(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "video"
+) -> DataFrame:
+    """Demux the PCM audio stream out of muxed AVI containers: one
+    (id, rate, n_samples, samples) row per item, ``samples`` the
+    concatenated int16-LE buffer from the interleaved '01wb' chunks
+    (:func:`functions.avi.decode_avi_av`). Items without an audio
+    stream raise — a corpus stage that expects sound should fail
+    loudly, not emit silence; filter upstream if audio is optional."""
+    from kaj_query_engine_spark.functions.avi import decode_avi_av
+
+    schema = f"{id_col} long, rate int, n_samples int, samples binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> tuple[int, int, bytes]:
+            _fps, _frames, rate, audio = decode_avi_av(bytes(b))
+            if rate is None:
+                raise ValueError(
+                    "demux_audio: AVI carries no audio stream — filter "
+                    "on container metadata upstream"
+                )
+            return rate, audio.shape[0], audio.astype("<i2").tobytes()
+
+        for pdf in batches:
+            dec = pdf[bin_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rate": dec.map(lambda t: t[0]).astype("int32"),
+                    "n_samples": dec.map(lambda t: t[1]).astype("int32"),
+                    "samples": dec.map(lambda t: t[2]),
+                }
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -379,6 +379,7 @@ _AVI_FRAME_MD5 = (
 _AVI_NULL_TAIL = (
     "CAST(NULL AS BIGINT) AS pix_sum, CAST(NULL AS DOUBLE) AS mean_byte"
 )
+_AVI_NULL_AUDIO = "CAST(NULL AS INT) AS rate, CAST(NULL AS INT) AS n_samples"
 _AVI_DIMS = (
     f"CAST(10 AS INT) AS width, CAST({_AVI_H} AS INT) AS height, "
     "CAST(10 AS INT) AS fps"
@@ -387,14 +388,30 @@ _AVI_FRAMES_SQL = (
     "SELECT 'frames' AS path, doc_id, CAST(fi AS INT) AS frame_idx, "
     f"{_AVI_DIMS}, CAST({_AVI_NF} AS INT) AS n_frames, "
     + _AVI_FRAME_MD5.format(row=_AVI_ROW.format(f="fi"))
-    + f" AS frame_md5, {_AVI_NULL_TAIL} "
+    + f" AS frame_md5, {_AVI_NULL_TAIL}, {_AVI_NULL_AUDIO} "
     f"FROM documents, generate_series(0, 3) g(fi) WHERE fi < {_AVI_NF}"
+)
+# 'muxed': identical frame reconstruction — the interleaved audio
+# chunks must be invisible to the video path
+_AVI_MUXED_SQL = _AVI_FRAMES_SQL.replace("'frames'", "'muxed'")
+# 'sound': the demuxed PCM digest — LITERALLY q94's buffer model
+_AVI_SOUND_SQL = (
+    "SELECT 'sound' AS path, doc_id, CAST(NULL AS INT) AS frame_idx, "
+    "CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height, "
+    f"CAST(10 AS INT) AS fps, CAST({_AVI_NF} AS INT) AS n_frames, "
+    "md5(array_to_string(list_transform("
+    "generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '')) AS frame_md5, "
+    f"{_AVI_NULL_TAIL}, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples "
+    "FROM documents"
 )
 _AVI_SAMPLE_SQL = (
     "SELECT 'sample' AS path, doc_id, CAST(fi AS INT) AS frame_idx, "
     f"{_AVI_DIMS}, CAST(({_AVI_NF} + 1) // 2 AS INT) AS n_frames, "
     + _AVI_FRAME_MD5.format(row=_AVI_ROW.format(f="2 * fi"))
-    + f" AS frame_md5, {_AVI_NULL_TAIL} "
+    + f" AS frame_md5, {_AVI_NULL_TAIL}, {_AVI_NULL_AUDIO} "
     "FROM documents, generate_series(0, 1) g(fi) "
     f"WHERE fi < ({_AVI_NF} + 1) // 2"
 )
@@ -417,7 +434,8 @@ _AVI_SUMMARY_SQL = (
     "CAST(NULL AS VARCHAR) AS frame_md5, "
     "CAST(SUM(s) AS BIGINT) AS pix_sum, "
     "CAST(SUM(s) AS DOUBLE) / "
-    f"({_AVI_NF} * {_AVI_H} * 30) AS mean_byte "
+    f"({_AVI_NF} * {_AVI_H} * 30) AS mean_byte, "
+    f"{_AVI_NULL_AUDIO} "
     "FROM sums GROUP BY doc_id"
 )
 
@@ -425,14 +443,19 @@ _AVI_SUMMARY_SQL = (
 @register(
     "q95_avi_decode",
     f"{_AVI_FRAMES_SQL} UNION ALL ({_AVI_SAMPLE_SQL}) "
-    f"UNION ALL ({_AVI_SUMMARY_SQL})",
+    f"UNION ALL ({_AVI_SUMMARY_SQL}) UNION ALL ({_AVI_MUXED_SQL}) "
+    f"UNION ALL ({_AVI_SOUND_SQL})",
     "REAL video decode, oracle-checked: genuine AVI bytes (pure-stdlib "
     "RIFF encoder, uncompressed 24-bit DIB frames stored bottom-up/BGR/"
     "row-padded) decode through the pure-stdlib container codec inside "
     "mapInPandas, exploded to one row per frame; the oracle "
     "reconstructs every frame's RGB buffer from the sha256 model in "
     "pure SQL, pinning the layout round trip. 'sample' re-encodes an "
-    "every-2nd-frame subsample and decodes it again; 'summary' keeps "
+    "every-2nd-frame subsample and decodes it again; 'muxed' decodes "
+    "the SAME frames from containers carrying an interleaved PCM "
+    "audio stream (audio chunks must be invisible to the video "
+    "path), and 'sound' pins the demuxed PCM against q94's buffer "
+    "digest — one audio model across WAV, FLAC, and AVI; 'summary' keeps "
     "the pixel sum exact-int so mean_byte is bit-identical IEEE. "
     "Compressed video stays honestly guarded",
 )
@@ -443,6 +466,10 @@ def q95(spark, sf_dir):
     null_tail = [
         F.lit(None).cast("long").alias("pix_sum"),
         F.lit(None).cast("double").alias("mean_byte"),
+    ]
+    null_audio = [
+        F.lit(None).cast("int").alias("rate"),
+        F.lit(None).cast("int").alias("n_samples"),
     ]
     frame_cols = [
         "doc_id",
@@ -457,12 +484,37 @@ def q95(spark, sf_dir):
         *frame_cols,
         frame_md5.alias("frame_md5"),
         *null_tail,
+        *null_audio,
     )
     sampled = M.decode_video(M.subsample_video(v, 2)).select(
         F.lit("sample").alias("path"),
         *frame_cols,
         frame_md5.alias("frame_md5"),
         *null_tail,
+        *null_audio,
+    )
+    av = M.attach_avi_media(
+        t(spark, sf_dir, "documents"), with_audio=True
+    ).persist()
+    muxed = M.decode_video(av).select(
+        F.lit("muxed").alias("path"),
+        *frame_cols,
+        frame_md5.alias("frame_md5"),
+        *null_tail,
+        *null_audio,
+    )
+    sound = M.demux_audio(av).select(
+        F.lit("sound").alias("path"),
+        "doc_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(10).cast("int").alias("fps"),
+        ((F.col("doc_id") % 3) + 2).cast("int").alias("n_frames"),
+        F.md5(F.lower(F.hex(F.col("samples")))).alias("frame_md5"),
+        *null_tail,
+        "rate",
+        "n_samples",
     )
     summary = M.video_summary(v).select(
         F.lit("summary").alias("path"),
@@ -475,8 +527,12 @@ def q95(spark, sf_dir):
         F.lit(None).cast("string").alias("frame_md5"),
         "pix_sum",
         "mean_byte",
+        *null_audio,
     )
-    return frames.unionAll(sampled).unionAll(summary)
+    return (
+        frames.unionAll(sampled).unionAll(summary).unionAll(muxed)
+        .unionAll(sound)
+    )
 
 
 # q97: REAL baseline JPEG codec, oracle-checked ONE LAYER DOWN. JPEG's

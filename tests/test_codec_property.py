@@ -117,6 +117,37 @@ def test_avi_roundtrip(f, fps):
     assert got_fps == fps and np.array_equal(out, f)
 
 
+@settings(**_SETTINGS)
+@given(
+    f=arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 4), st.integers(1, 10), st.integers(1, 10),
+            st.just(3),
+        ),
+        elements=st.integers(0, 255),
+    ),
+    ns=st.integers(1, 400),
+    rate=st.integers(1, 192000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_audio_mux_roundtrip(f, ns, rate, seed):
+    """An interleaved PCM stream demuxes byte-exactly and is invisible
+    to the video path — including sample counts that don't divide
+    evenly across frames."""
+    from kaj_query_engine_spark.functions.avi import decode_avi_av
+
+    rng = np.random.default_rng(seed)
+    au = rng.integers(-32768, 32768, ns).astype(np.int16)
+    data = encode_avi(f, 10, audio=au, audio_rate=rate)
+    fps, frames, got_rate, got_audio = decode_avi_av(data)
+    assert fps == 10 and np.array_equal(frames, f)
+    assert got_rate == rate and np.array_equal(got_audio, au)
+    # video-only view ignores the audio stream cleanly
+    fps2, frames2 = decode_avi(data)
+    assert np.array_equal(frames2, f)
+
+
 @st.composite
 def _jpeg_blocks(draw):
     bx = draw(st.integers(1, 3))
