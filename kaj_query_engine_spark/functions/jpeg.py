@@ -336,6 +336,11 @@ def encode_jpeg(
             )
     scan = w.flush()
     out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (1.02, no density, no thumbnail): what makes the file
+    # a .jfif real tools accept; the decoder skips APPn/COM generically
+    out += _seg(
+        0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
     out += _seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT 0
     if color:
         out += _seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in cq))

@@ -266,6 +266,21 @@ def test_jpeg_restart_marker_roundtrip(blocks, ri):
     assert np.array_equal(rst[2], plain[2])
 
 
+def test_jpeg_jfif_app0_and_foreign_segment_skip():
+    """Encoded files carry a JFIF APP0; the decoder skips APPn/COM
+    segments generically (length-framed, per T.81 B.1.1.4)."""
+    import struct
+
+    co = np.zeros((2, 64), dtype=np.int64)
+    co[:, 0] = [5, -5]
+    data = encode_jpeg(co, 8, 16)
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    com = struct.pack(">HH", 0xFFFE, 7) + b"hello"
+    app9 = struct.pack(">HH", 0xFFE9, 5) + b"xyz"
+    patched = data[:2] + com + app9 + data[2:]
+    assert np.array_equal(decode_jpeg(patched)[3], co)
+
+
 def test_jpeg_restart_marker_cycle_and_errors():
     """>8 restarts exercises the RSTm mod-8 cycle; a stripped DRI or
     an out-of-order marker id must raise, not mis-decode."""
