@@ -960,3 +960,93 @@ def simhash_fingerprints(
         for b in range(bits)
     ]
     return voted.select("id", F.concat(*bit_chars).alias("simhash"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring dedup — the ExactSubstr shape of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed relationally: flag every token position
+    whose k-token gram occurs ``min_count``+ times ANYWHERE in the
+    corpus (cross-doc or within-doc), then merge overlapping/adjacent
+    flagged [pos, pos+k) windows into maximal islands per document —
+    the character of the suffix-array approach (find long duplicated
+    passages, not duplicate documents) without the suffix array: a
+    corpus-wide sort over positional k-grams plays its role.
+
+    Output one row per island: (id, span_start, span_end, n_positions)
+    with token-index bounds [span_start, span_end) and the count of
+    flagged gram positions inside. Downstream removal is a substring
+    cut the trainer applies.
+
+    Scale: TWO shuffles — a window count over the gram (the global
+    duplicate test; positional grams, NOT distinct-per-doc, since
+    within-doc repetition must count) and a per-doc sort for the
+    island merge. Hot grams (boilerplate) widen one partition; the
+    same salting escape hatch as the aggregate family applies, and at
+    k=8 words genuine collisions are rare enough that the planner's
+    AQE skew split covers the tail.
+    """
+    from pyspark.sql import Window as W
+
+    from kaj_query_engine_spark.functions.text import tokens
+
+    sc = df.sparkSession.sparkContext
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:
+        n_input = 0
+    n_parts = max(sc.defaultParallelism, n_input)
+    toks = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, k)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    flagged = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(W.partitionBy("gram"))
+        )
+        .filter(F.col("c") >= min_count)
+        .select("id", "pos")
+    )
+    prev = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "st",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + k).over(prev), F.lit(-1))
+        ).cast("long"),
+    ).withColumn("gid", F.sum("st").over(run))
+    return islands.groupBy(F.col("id"), F.col("gid")).agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + k).cast("int").alias("span_end"),
+        F.count(F.lit(1)).cast("int").alias("n_positions"),
+    ).drop("gid")

@@ -348,3 +348,52 @@ def q64(spark, sf_dir):
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
     return pagerank_int(edges, iterations=4).withColumnRenamed("id", "doc_id")
+
+
+# q68: span-level exact-substring dedup (ExactSubstr, Lee et al. 2022)
+# — duplicated k-gram positions merged into maximal islands. The
+# oracle mirrors the relational reformulation arm-for-arm: positional
+# grams (NOT distinct — within-doc repetition counts), a corpus-wide
+# window count as the duplicate test, and the classic island merge.
+_SPAN_K = 8
+_SPAN_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t "
+    "FROM documents), "
+    "g0 AS (SELECT doc_id, unnest(list_transform("
+    f"range(1, len(t) - {_SPAN_K - 2}), "
+    "i -> {'pos': i - 1, "
+    f"'gram': array_to_string(t[i:i+{_SPAN_K - 1}], ' ')}})) AS u "
+    f"FROM toks WHERE len(t) >= {_SPAN_K}), "
+    "g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0), "
+    "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+    "count(*) OVER (PARTITION BY gram) AS c FROM g) WHERE c >= 2), "
+    "i AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE("
+    f"max(pos + {_SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+    "THEN 1 ELSE 0 END AS st FROM d), "
+    "isl AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM i) "
+    "SELECT doc_id AS id, CAST(MIN(pos) AS INT) AS span_start, "
+    f"CAST(MAX(pos) + {_SPAN_K} AS INT) AS span_end, "
+    "CAST(COUNT(*) AS INT) AS n_positions "
+    "FROM isl GROUP BY doc_id, gid"
+)
+
+
+@register(
+    "q68_span_dedup",
+    _SPAN_ORACLE,
+    "span-level exact-substring dedup (the ExactSubstr shape of Lee "
+    f"et al. 2022, relationally): every {_SPAN_K}-token gram position "
+    "occurring 2+ times ANYWHERE in the corpus is flagged — "
+    "positional grams, not distinct, so within-doc repetition counts "
+    "— and overlapping/adjacent flagged windows merge into maximal "
+    "per-doc islands [span_start, span_end) the trainer cuts. TWO "
+    "shuffles: a corpus-wide window count over the gram (the suffix "
+    "array's role, played by a sort) and the per-doc island merge; "
+    "hot boilerplate grams ride AQE's skew split",
+)
+def q68(spark, sf_dir):
+    return D.duplicated_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=_SPAN_K
+    )

@@ -77,6 +77,7 @@ _VERIFY_PRIORITY = [
     # new in round 7 (never externally checked yet):
     "q66_merge_evolve",
     "q67_incremental_join",
+    "q68_span_dedup",
     # last green row is from round 5 or earlier (rotated out of the
     # round-6 window) — next-stalest, fill the remaining slots:
     "q32_format_roundtrips",

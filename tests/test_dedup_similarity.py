@@ -1018,3 +1018,51 @@ def test_pagerank_partitioning_invariant(spark):
     b = sorted(map(tuple, pagerank_int(edges.repartition(13), iterations=3).collect()))
     # exact integer arithmetic: same ranks bit-for-bit at any parallelism
     assert a == b
+
+
+def test_duplicated_spans_semantics(spark):
+    """ExactSubstr span semantics: cross-doc duplicated k-grams flag,
+    overlapping/adjacent windows merge into one island, within-doc
+    repetition counts toward the duplicate test, and unique text
+    yields nothing."""
+    from kaj_query_engine_spark.operators.dedup import duplicated_spans
+
+    w = [f"w{i}" for i in range(30)]
+    shared = " ".join(w[:10])  # 10 tokens: positions 0..2 flag at k=8
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, " ".join(f"b{i}" for i in range(5)) + " " + shared),
+            # within-doc repetition: the same 8 tokens twice
+            (3, " ".join(w[20:28]) + " x " + " ".join(w[20:28])),
+            (4, " ".join(f"u{i}" for i in range(25))),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id, r.span_start, r.span_end, r.n_positions)
+        for r in duplicated_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    # doc1: shared at positions 0..2 -> island [0, 10)
+    # doc2: shared starts at token 5 -> positions 5..7 -> [5, 15)
+    # doc3: repeats at 0 and 9 -> windows [0,8) and [9,17) are
+    #       DISJOINT (9 > 0+8) -> two islands
+    assert out == {
+        (1, 0, 10, 3),
+        (2, 5, 15, 3),
+        (3, 0, 8, 1),
+        (3, 9, 17, 1),
+    }
+    # adjacency merges: positions 0 and 8 -> [0,8) + [8,16) -> one island
+    docs2 = spark.createDataFrame(
+        [
+            (1, " ".join(w[:16])),
+            (2, " ".join(w[:8]) + " q " + " ".join(w[8:16])),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs2, "doc_id", "text", k=8).collect()
+    }
+    assert (1, 0, 16) in out2  # doc1's two flagged windows merged

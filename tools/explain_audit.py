@@ -223,6 +223,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin FullOuter", "Union"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q68_span_dedup": (
+        # positional grams through ONE corpus-wide window on the gram
+        # (the duplicate test) + the per-doc island sort — window
+        # machinery, no joins at all
+        ["Window", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     "q67_incremental_join": (
         # IVM delta rule: both delta terms join a small delta against
         # a stored side — the planner must broadcast the deltas; the
