@@ -990,7 +990,11 @@ def duplicated_spans(
     island merge. Hot grams (boilerplate) widen one partition; the
     same salting escape hatch as the aggregate family applies, and at
     k=8 words genuine collisions are rare enough that the planner's
-    AQE skew split covers the tail.
+    AQE skew split covers the tail. At 100 TB the gram STRING (~50
+    bytes) is the shuffle payload — production runs shuffle
+    ``xxhash64(gram)`` instead (6-8x fewer shuffle bytes, false-flag
+    probability ~N²/2⁶⁴); this query keeps the exact string so the
+    duplicate test stays oracle-comparable.
     """
     from pyspark.sql import Window as W
 
