@@ -168,6 +168,11 @@ def main() -> None:
             _shared_cache[k] = spark.read.parquet(p)
         return _shared_cache[k]
 
+    def run_span_dedup(k: int) -> None:
+        D.duplicated_spans(
+            docs(k), "doc_id", "text", k=8
+        ).write.format("noop").mode("overwrite").save()
+
     def run_minhash(k: int) -> None:
         d = docs(k)
         D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
@@ -774,6 +779,7 @@ def main() -> None:
 
     ops = {
         "minhash_lsh_pairs": run_minhash,
+        "span_dedup_exactsubstr": run_span_dedup,
         "incremental_dedup_fixed_batch": run_incremental,
         "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
@@ -808,6 +814,7 @@ def main() -> None:
     # first doc-op's timing)
     op_inputs = {
         "minhash_lsh_pairs": docs,
+        "span_dedup_exactsubstr": docs,
         "incremental_dedup_fixed_batch": docs,
         "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
