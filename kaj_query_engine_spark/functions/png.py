@@ -115,20 +115,46 @@ def encode_png(
     filtered as its own image (the progressive layout every browser-
     era PNG tool can emit); empty passes (images narrower/shorter
     than the pass grid) contribute no scanlines, per spec.
+
+    A 2-D uint16 array encodes as 16-bit grayscale (depth 16, big-
+    endian sample bytes per spec; filters operate on BYTES with a
+    2-byte left offset — §7.2's "bpp is rounded up to one" rule
+    applied at depth 16).
     """
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        h, w = px.shape
-        color_type, bpp = 0, 1
-    elif px.ndim == 3 and px.shape[2] == 3:
-        h, w = px.shape[:2]
-        color_type, bpp = 2, 3
+    deep = (
+        isinstance(pixels, np.ndarray)
+        and pixels.dtype == np.uint16
+        and pixels.ndim == 2
+    )
+    if deep:
+        h, w = pixels.shape
+        color_type, bpp, depth = 0, 2, 16
+        # big-endian sample bytes are the wire format; filtering sees
+        # the byte grid (h, 2w)
+        px = np.frombuffer(
+            np.ascontiguousarray(pixels).astype(">u2").tobytes(), np.uint8
+        ).reshape(h, 2 * w)
+        px3 = px.reshape(h, w, 2)  # for interlace column slicing
     else:
-        raise ValueError("pixels must be (H, W) grey or (H, W, 3) RGB uint8")
+        px = np.ascontiguousarray(pixels, dtype=np.uint8)
+        depth = 8
+        if px.ndim == 2:
+            h, w = px.shape
+            color_type, bpp = 0, 1
+            px3 = px
+        elif px.ndim == 3 and px.shape[2] == 3:
+            h, w = px.shape[:2]
+            color_type, bpp = 2, 3
+            px3 = px
+        else:
+            raise ValueError(
+                "pixels must be (H, W) grey uint8/uint16 or (H, W, 3) "
+                "RGB uint8"
+            )
     if interlace:
         parts = []
         for x0, y0, xs, ys in _ADAM7:
-            sub = px[y0::ys, x0::xs]
+            sub = px3[y0::ys, x0::xs]
             if sub.shape[0] and sub.shape[1]:
                 parts.append(
                     _filter_rows(
@@ -140,7 +166,9 @@ def encode_png(
         raw = b"".join(parts)
     else:
         raw = _filter_rows(px.reshape(h, w * bpp), bpp, filter_mode)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -176,10 +204,13 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8 or color_type not in (0, 2):
+            if not (
+                (depth == 8 and color_type in (0, 2))
+                or (depth == 16 and color_type == 0)
+            ):
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color_type={color_type} "
-                    "(only 8-bit grey/RGB)"
+                    "(8-bit grey/RGB or 16-bit grey)"
                 )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG compression/filter/interlace")
@@ -190,7 +221,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    bpp = 1 if color_type == 0 else 3
+    # bpp = filter byte offset = bytes per pixel (spec §7.2)
+    bpp = (1 if color_type == 0 else 3) * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered reduced images,
@@ -219,6 +251,13 @@ def decode_png(data: bytes) -> np.ndarray:
         # frombuffer over the bytearray keeps the array writable (bytes
         # would hand callers a read-only view) without an extra copy
         arr = np.frombuffer(out, dtype=np.uint8).reshape(height, stride)
+    if depth == 16:
+        # big-endian sample bytes -> native uint16 array
+        return (
+            np.frombuffer(arr.tobytes(), dtype=">u2")
+            .astype(np.uint16)
+            .reshape(height, width)
+        )
     if color_type == 0:
         return arr
     return arr.reshape(height, width, 3)

@@ -88,7 +88,10 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def attach_png_media(
-    df: DataFrame, id_col: str = "doc_id", interlace: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    interlace: bool = False,
+    depth16: bool = False,
 ) -> DataFrame:
     """REAL media ingest: a ``media`` column holding genuine PNG bytes
     (pure-stdlib encoder, ``functions.png``) plus the same typed
@@ -106,6 +109,13 @@ def attach_png_media(
     deinterlacing is lossless, so q93's 'adam7' branch shares the
     plain decode oracle: a wrong pass geometry, within-pass filter
     neighbor, or scatter index diverges from the digest.
+
+    ``depth16=True`` reads the SAME first-W-bytes model as W/2
+    big-endian uint16 samples and writes 16-bit grayscale streams —
+    the decoded sample buffer's bytes equal the 8-bit model's, so
+    q93's 'grey16' branch shares the digest too (only the width
+    column halves): depth-16 filtering (2-byte left offset) and the
+    BE sample order are pinned for free.
     """
     from kaj_query_engine_spark.functions.png import encode_png
 
@@ -118,12 +128,15 @@ def attach_png_media(
             rows = [
                 np.frombuffer(
                     hashlib.sha256(f"{d}:r{i}".encode()).digest()[:w],
-                    dtype=np.uint8,
+                    dtype=(">u2" if depth16 else np.uint8),
                 )
                 for i in range(h)
             ]
+            px = np.stack(rows)
+            if depth16:
+                px = px.astype(np.uint16)
             return encode_png(
-                np.stack(rows), filter_mode="cycle", interlace=interlace
+                px, filter_mode="cycle", interlace=interlace
             )
 
         for pdf in batches:
@@ -187,6 +200,8 @@ def decode_media(
     filter by ``media_meta.format`` upstream (metadata pushdown makes
     that scan-cheap).
     """
+    import numpy as np
+
     from kaj_query_engine_spark.functions.gif import decode_gif
     from kaj_query_engine_spark.functions.jpeg import decode_jpeg, ycbcr_to_rgb
     from kaj_query_engine_spark.functions.png import decode_png
@@ -215,6 +230,10 @@ def decode_media(
                 )
             px = decode_png(bytes(b))
             ch = 1 if px.ndim == 2 else px.shape[2]
+            if px.dtype == np.uint16:
+                # 16-bit grey: emit the wire order (big-endian), which
+                # is also the fixture model's byte order
+                return px.shape[1], px.shape[0], ch, px.astype(">u2").tobytes()
             return px.shape[1], px.shape[0], ch, px.tobytes()
 
         for pdf in batches:

@@ -137,6 +137,21 @@ def _png_decode_sql(path: str) -> str:
 
 
 _PNG_DECODE_SQL = _png_decode_sql("decode")
+
+# grey16: the SAME first-W-bytes row model read as W/2 big-endian
+# uint16 samples — decoded sample bytes equal the 8-bit model's, so
+# only the width column halves (depth-16 filtering and BE sample
+# order ride the shared digest)
+_PNG_GREY16_SQL = (
+    "SELECT 'grey16' AS path, doc_id, "
+    f"CAST({_PNG_W} // 2 AS INT) AS width, "
+    f"CAST({_PNG_H} AS INT) AS height, "
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, {_PNG_H} - 1), "
+    "i -> substr(sha256(concat(CAST(doc_id AS VARCHAR), ':r', "
+    f"CAST(i AS VARCHAR))), 1, 2 * {_PNG_W})), '')) AS pix_md5 "
+    "FROM documents"
+)
 _PNG_RESIZE_SQL = (
     "SELECT 'resize' AS path, doc_id, "
     "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
@@ -153,7 +168,8 @@ _PNG_RESIZE_SQL = (
 @register(
     "q93_png_decode",
     f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL} "
-    f"UNION ALL ({_png_decode_sql('adam7')})",
+    f"UNION ALL ({_png_decode_sql('adam7')}) "
+    f"UNION ALL ({_PNG_GREY16_SQL})",
     "REAL image decode, oracle-checked: genuine PNG bytes (pure-stdlib "
     "encoder cycling all five scanline filters) are decoded by the "
     "pure-stdlib codec inside mapInPandas; the oracle reconstructs the "
@@ -163,7 +179,10 @@ _PNG_RESIZE_SQL = (
     "and decodes it again (floor index rule reproduced oracle-side); "
     "'adam7' re-encodes the same pixels INTERLACED (seven "
     "independently-filtered reduced passes) against the same decode "
-    "oracle — pass geometry and scatter pinned. Non-PNG codecs stay "
+    "oracle — pass geometry and scatter pinned; 'grey16' reads the "
+    "same byte model as big-endian uint16 samples through DEPTH-16 "
+    "streams (2-byte filter offset, BE wire order) against the same "
+    "digest. Non-PNG codecs stay "
     "honestly guarded (no libraries here)",
 )
 def q93(spark, sf_dir):
@@ -197,7 +216,16 @@ def q93(spark, sf_dir):
         "height",
         pix_md5.alias("pix_md5"),
     )
-    return decoded.unionAll(resized).unionAll(adam7)
+    grey16 = M.decode_media(
+        M.attach_png_media(t(spark, sf_dir, "documents"), depth16=True)
+    ).select(
+        F.lit("grey16").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    return decoded.unionAll(resized).unionAll(adam7).unionAll(grey16)
 
 
 # q94: REAL WAV/PCM codec, oracle-checked. attach_wav_media's sample

@@ -73,6 +73,24 @@ def test_png_adam7_roundtrip(px, mode):
 
 @settings(**_SETTINGS)
 @given(
+    px=arrays(
+        np.uint16,
+        st.tuples(st.integers(1, 32), st.integers(1, 32)),
+        elements=st.integers(0, 65535),
+    ),
+    mode=st.sampled_from(["cycle", "none"]),
+    il=st.booleans(),
+)
+def test_png_grey16_roundtrip(px, mode, il):
+    """Depth-16 grayscale: 2-byte filter offset, big-endian samples,
+    full 16-bit range, plain and Adam7."""
+    out = decode_png(encode_png(px, mode, interlace=il))
+    assert out.dtype == np.uint16
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
     s=arrays(
         np.int16, st.integers(1, 2000), elements=st.integers(-32768, 32767)
     ),
