@@ -116,25 +116,26 @@ def encode_png(
     era PNG tool can emit); empty passes (images narrower/shorter
     than the pass grid) contribute no scanlines, per spec.
 
-    A 2-D uint16 array encodes as 16-bit grayscale (depth 16, big-
-    endian sample bytes per spec; filters operate on BYTES with a
-    2-byte left offset — §7.2's "bpp is rounded up to one" rule
-    applied at depth 16).
+    A uint16 array encodes at depth 16 — (H, W) as 16-bit grayscale,
+    (H, W, 3) as 16-bit RGB (big-endian sample bytes per spec;
+    filters operate on BYTES with a 2- or 6-byte left offset — §7.2's
+    bpp rule applied at depth 16).
     """
     deep = (
         isinstance(pixels, np.ndarray)
         and pixels.dtype == np.uint16
-        and pixels.ndim == 2
+        and (pixels.ndim == 2 or (pixels.ndim == 3 and pixels.shape[2] == 3))
     )
     if deep:
-        h, w = pixels.shape
-        color_type, bpp, depth = 0, 2, 16
+        h, w = pixels.shape[:2]
+        nch = 1 if pixels.ndim == 2 else 3
+        color_type, bpp, depth = (0 if nch == 1 else 2), 2 * nch, 16
         # big-endian sample bytes are the wire format; filtering sees
-        # the byte grid (h, 2w)
+        # the byte grid (h, 2*nch*w)
         px = np.frombuffer(
             np.ascontiguousarray(pixels).astype(">u2").tobytes(), np.uint8
-        ).reshape(h, 2 * w)
-        px3 = px.reshape(h, w, 2)  # for interlace column slicing
+        ).reshape(h, 2 * nch * w)
+        px3 = px.reshape(h, w, 2 * nch)  # for interlace column slicing
     else:
         px = np.ascontiguousarray(pixels, dtype=np.uint8)
         depth = 8
@@ -204,13 +205,10 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if not (
-                (depth == 8 and color_type in (0, 2))
-                or (depth == 16 and color_type == 0)
-            ):
+            if depth not in (8, 16) or color_type not in (0, 2):
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color_type={color_type} "
-                    "(8-bit grey/RGB or 16-bit grey)"
+                    "(8/16-bit grey/RGB only)"
                 )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG compression/filter/interlace")
@@ -253,11 +251,12 @@ def decode_png(data: bytes) -> np.ndarray:
         arr = np.frombuffer(out, dtype=np.uint8).reshape(height, stride)
     if depth == 16:
         # big-endian sample bytes -> native uint16 array
-        return (
-            np.frombuffer(arr.tobytes(), dtype=">u2")
-            .astype(np.uint16)
-            .reshape(height, width)
+        deep = (
+            np.frombuffer(arr.tobytes(), dtype=">u2").astype(np.uint16)
         )
+        if color_type == 0:
+            return deep.reshape(height, width)
+        return deep.reshape(height, width, 3)
     if color_type == 0:
         return arr
     return arr.reshape(height, width, 3)

@@ -91,6 +91,24 @@ def test_png_grey16_roundtrip(px, mode, il):
 
 @settings(**_SETTINGS)
 @given(
+    px=arrays(
+        np.uint16,
+        st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3)),
+        elements=st.integers(0, 65535),
+    ),
+    mode=st.sampled_from(["cycle", "none"]),
+    il=st.booleans(),
+)
+def test_png_rgb48_roundtrip(px, mode, il):
+    """Depth-16 RGB: 6-byte filter offset, sample byte pairs kept
+    together through the Adam7 column slicer."""
+    out = decode_png(encode_png(px, mode, interlace=il))
+    assert out.dtype == np.uint16
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
     s=arrays(
         np.int16, st.integers(1, 2000), elements=st.integers(-32768, 32767)
     ),
