@@ -394,21 +394,24 @@ def idct_block(freq: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
-    """Decode baseline JPEG (grayscale or YCbCr 4:4:4 color) to
-    ``(height, width, pixels, coeffs)``.
+    """Decode baseline JPEG (grayscale, YCbCr 4:4:4, or YCbCr 4:2:0
+    color) to ``(height, width, pixels, coeffs)``.
 
     ``pixels`` is the (H, W) uint8 image for grayscale, or the
     (H, W, 3) uint8 Y/Cb/Cr PLANES for color (dequantize → IDCT →
-    +128 → clamp, round-half-away like libjpeg's descale; no color
+    +128 → clamp, round-half-away like libjpeg's descale; for 4:2:0
+    the chroma planes are replicated ×2 to full resolution; no color
     transform — the planes ARE the coded signal, and RGB conversion
     is a lossy float map downstream of the codec). ``coeffs`` is the
     int32 QUANTIZED coefficient array in zigzag order — (n_blocks,
-    64) for grayscale, (n_mcus, 3, 64) scan-interleaved for color —
-    the lossless entropy-layer payload, byte-exactly what the encoder
-    was given (q97's oracle target). Huffman tables come from the
-    file's DHT segments and are routed per the SOS component specs
-    (luma 0/0, chroma 1/1 in our encoder's layout — but any legal
-    routing decodes); subsampled color and progressive raise.
+    64) for grayscale, (n_mcus, n_slots, 64) scan-interleaved for
+    color, where n_slots is 3 for 4:4:4 (Y, Cb, Cr per MCU) and 6 for
+    4:2:0 (Y0..Y3, Cb, Cr per 16×16 MCU) — the lossless entropy-layer
+    payload, byte-exactly what the encoder was given (q97's oracle
+    target). Huffman tables come from the file's DHT segments and are
+    routed per the SOS component specs (luma 0/0, chroma 1/1 in our
+    encoder's layout — but any legal routing decodes); other
+    subsampling layouts and progressive scans raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")

@@ -179,9 +179,11 @@ def encode_png(
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to an (H, W) or (H, W, 3) uint8 array.
+    """Decode PNG bytes to an (H, W) or (H, W, 3) array — uint8 for
+    depth-8 streams, uint16 for depth-16 (big-endian sample bytes
+    reassembled per spec).
 
-    Supports 8-bit color types 0 (grey) and 2 (RGB), both
+    Supports 8- and 16-bit color types 0 (grey) and 2 (RGB), both
     non-interlaced and Adam7-interlaced streams; multiple IDAT chunks
     are concatenated per the spec. Raises
     ValueError on anything else — loudly, not with a wrong picture.

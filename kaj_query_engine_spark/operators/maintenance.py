@@ -108,6 +108,20 @@ def evolve_schemas(
     out_cols = list(target.columns) + new_cols
     s_types = dict(source.dtypes)
     t_types = dict(target.dtypes)
+    # Type drift on SHARED columns is not evolution — it would only
+    # surface later as an opaque struct-type analysis error inside the
+    # packed when(matched, _s).otherwise(_t); fail loudly here instead
+    # (the Delta behavior: mergeSchema adds columns, never retypes).
+    drifted = [
+        f"{c}: target {t_types[c]} vs source {s_types[c]}"
+        for c in source.columns
+        if c in t_types and s_types[c] != t_types[c]
+    ]
+    if drifted:
+        raise ValueError(
+            "column type drift is not schema evolution "
+            "(cast the source batch explicitly): " + "; ".join(drifted)
+        )
     tgt = target.select(
         *target.columns,
         *[F.lit(None).cast(s_types[c]).alias(c) for c in new_cols],

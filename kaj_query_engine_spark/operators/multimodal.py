@@ -30,9 +30,11 @@ against the spec's literal cosine sum in pytest, with a DC-only
 fixture making even pixels SQL-reconstructible). GIF decode is REAL
 as well (``functions.gif``: the full variable-width LSB-first LZW
 with CLEAR resets and the KwKwK case, palette mapping — q98).
-Remaining codecs (mp3/flac, compressed video) stay honestly guarded:
-the container ships no libraries for them, and the decode operators
-raise per-task rather than silently skipping media.
+FLAC decode is REAL (``functions.flac``: rice/LPC subframes, all four
+stereo channel assignments — oracle-checked as q99). Remaining codecs
+(mp3, non-MJPEG compressed video) stay honestly guarded: the container
+ships no libraries for them, and the decode operators raise per-task
+rather than silently skipping media.
 The fake payload generator and the
 byte-level feature path stay codec-free and deterministic
 (sha256-derived bytes), exercising the exact Spark plumbing — schema,

@@ -57,16 +57,23 @@ class VersionedTable:
         os.replace(tmp, self.path / _POINTER)  # atomic
 
     # ---- lifecycle --------------------------------------------------
-    def init(self, df: DataFrame) -> int:
+    def init(self, df: DataFrame, batch_id: int | None = None) -> int:
         """(Re)create the table at version 0 from ``df``. Destroys any
         existing history — callers use it for a fresh maintenance run,
         not on a live table. (It also removes any streaming checkpoint
         kept under the table path, so foreachBatch batch ids and
-        :meth:`last_applied_batch` restart together.)"""
+        :meth:`last_applied_batch` restart together.)
+
+        ``batch_id`` is recorded exactly as in :meth:`commit`: when the
+        very FIRST delivered micro-batch creates the table, dropping its
+        id would reopen the at-least-once double-apply hole for a crash
+        between this init and the streaming checkpoint."""
         if self.path.exists():
             shutil.rmtree(self.path)
         self.path.mkdir(parents=True)
         df.write.parquet(str(self.path / "v0"))
+        if batch_id is not None:
+            (self.path / "v0" / "_applied_batch").write_text(str(batch_id))
         self._swap_pointer(0)
         return 0
 
@@ -86,7 +93,7 @@ class VersionedTable:
         at-least-once re-deliveries."""
         cur = self.current_version()
         if cur is None:
-            return self.init(df)
+            return self.init(df, batch_id=batch_id)
         nxt = cur + 1
         df.write.mode("overwrite").parquet(str(self.path / f"v{nxt}"))
         if batch_id is not None:
@@ -149,8 +156,17 @@ class VersionedTable:
         so readers flip from many-files to few-files in one step and
         the pre-compaction version stays time-travelable until
         vacuumed. At real scale target_files derives from table bytes
-        / maxPartitionBytes rather than a constant."""
-        return self.commit(self.read(spark).coalesce(target_files))
+        / maxPartitionBytes rather than a constant.
+
+        The source version's ``_applied_batch`` marker is carried
+        forward: compaction rewrites the SAME logical state, so the
+        last streaming batch folded into it is unchanged — dropping
+        the marker would make the next at-least-once re-delivery look
+        fresh and double-apply it."""
+        return self.commit(
+            self.read(spark).coalesce(target_files),
+            batch_id=self.last_applied_batch(),
+        )
 
     def file_count(self, version: int | None = None) -> int:
         v = self.current_version() if version is None else version

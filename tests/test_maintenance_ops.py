@@ -114,6 +114,17 @@ def test_schema_evolution_merge_semantics(tables):
         )
 
 
+def test_schema_evolution_rejects_type_drift(tables):
+    """A shared column whose TYPE changed is not evolution — it must
+    fail with a clear error at evolve time, not as an opaque struct
+    mismatch inside the packed merge arms."""
+    drifted = tables(
+        [(1, 7, 1.0)], schema="k long, v int, n double"  # v: string→int
+    )
+    with pytest.raises(ValueError, match="type drift.*v.*string.*int"):
+        M.merge_upsert(tables(TARGET), drifted, ["k"], schema_evolution=True)
+
+
 def test_null_safe_noop_detection(tables):
     # NULL == NULL must count as "unchanged" (eqNullSafe), so a batch
     # row re-stating a NULL-valued target row is suppressed

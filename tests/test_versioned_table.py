@@ -311,6 +311,35 @@ def test_stream_agg_state_multi_batch_equals_recompute(spark, tmp_path):
     assert tbl.versions() == [0, 1, 2, 3]
 
 
+def test_first_batch_init_records_batch_id(spark, tmp_path):
+    """commit(df, batch_id=N) on an UNINITIALIZED table must still
+    record N: the very first delivered micro-batch creating the table
+    is exactly the crash window where dropping the id would double-
+    apply on re-delivery."""
+    tbl = VersionedTable(tmp_path / "t")
+    assert tbl.commit(df_(spark, [(1, "a")]), batch_id=0) == 0
+    assert tbl.last_applied_batch() == 0
+    tbl.commit(df_(spark, [(1, "a"), (2, "b")]), batch_id=1)
+    assert tbl.last_applied_batch() == 1
+
+
+def test_compact_carries_applied_batch_forward(spark, tmp_path):
+    """compact() rewrites the same logical state, so the last applied
+    streaming batch is unchanged — the marker must survive compaction
+    or the next at-least-once re-delivery double-applies."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+    tbl.commit(df_(spark, [(1, "a"), (2, "b")]), batch_id=7)
+    assert tbl.last_applied_batch() == 7
+    tbl.compact(spark, target_files=1)
+    assert tbl.last_applied_batch() == 7
+    # and a table that never saw a streaming commit stays None
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(df_(spark, [(1, "a")]))
+    tbl2.compact(spark, target_files=1)
+    assert tbl2.last_applied_batch() is None
+
+
 def test_stream_merge_checkpoint_exactly_once_pickup(spark, tmp_path):
     """The exactly-once contract of the foreachBatch maintenance
     family: re-running the stream over the same checkpoint commits
