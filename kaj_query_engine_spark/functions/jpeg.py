@@ -34,6 +34,7 @@ training-pipeline extension surface.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -59,6 +60,10 @@ for _k in range(64):
             _r += 1
             _c -= 1
 del _r, _c, _k
+
+# de-zigzag permutation: natural_flat[j] = zigzag[_ZZ_INV[j]]
+_ZZ_INV = np.empty(64, dtype=np.int64)
+_ZZ_INV[[rr * 8 + cc for rr, cc in _ZZ_INDEX]] = np.arange(64)
 
 # canonical Huffman table shapes written into DHT: every DC category
 # (0..11) gets a 4-bit code, every AC run/size symbol an 8-bit code.
@@ -87,6 +92,28 @@ def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int
             code += 1
         code <<= 1
     return out
+
+
+@lru_cache(maxsize=64)
+def _huff_lut(bits: bytes, symbols: bytes) -> list[int]:
+    """16-bit-lookahead decode LUT (the standard table-driven Huffman
+    decode): entry ``lut[look]`` for any 16-bit window whose prefix is
+    a valid code packs ``(code_length << 8) | symbol``; 0 where no
+    code is a prefix. Cached across calls — a corpus of files sharing
+    DHT tables (every fixture batch, and in practice every camera
+    firmware) builds each table once per process."""
+    lut = np.zeros(1 << 16, np.int32)
+    code = 0
+    i = 0
+    for li, n in enumerate(bits):
+        length = li + 1
+        for _ in range(n):
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (length << 8) | symbols[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return lut.tolist()
 
 
 def default_qtable() -> np.ndarray:
@@ -135,36 +162,36 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+_ERR_EXHAUSTED = "JPEG entropy data exhausted mid-block"
+_ERR_MARKER = "unexpected marker inside JPEG scan"
+_PAD6 = b"\x00" * 6  # peek window slack past the last real byte
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data exhausted mid-block")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                raise ValueError("unexpected marker inside JPEG scan")
-            self.pos += 1  # skip the stuffed zero
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+def _unstuff(seg: bytes) -> tuple[bytes, int, str]:
+    """Strip byte stuffing from one entropy segment in one vectorized
+    pass: every 0xFF inside a scan must be followed by a stuffed 0x00.
+    Returns ``(payload, n_real_bits, end_error)`` where ``end_error``
+    is the ValueError message to raise if decoding needs bits past
+    ``n_real_bits`` — "exhausted" for a clean segment end, "unexpected
+    marker" when the segment is cut short by a bare 0xFF (a foreign
+    marker), matching what a bit-at-a-time reader would hit there."""
+    if b"\xff" not in seg:
+        return seg, len(seg) * 8, _ERR_EXHAUSTED
+    arr = np.frombuffer(seg, np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    nxt = ff + 1
+    ok = (nxt < len(arr)) & (arr[np.minimum(nxt, len(arr) - 1)] == 0)
+    if ok.all():
+        keep = np.ones(len(arr), bool)
+        keep[nxt] = False
+        out = arr[keep].tobytes()
+        return out, len(out) * 8, _ERR_EXHAUSTED
+    cut = int(ff[~ok][0])  # first bare 0xFF: payload ends here
+    good = ff[ff < cut]
+    keep = np.ones(cut, bool)
+    keep[good + 1] = False
+    out = arr[:cut][keep].tobytes()
+    return out, len(out) * 8, _ERR_MARKER
 
 
 def _split_on_rst(buf: bytes) -> tuple[list[bytes], list[int]]:
@@ -175,21 +202,24 @@ def _split_on_rst(buf: bytes) -> tuple[list[bytes], list[int]]:
     can never be produced by entropy data. Returns the entropy
     segments (stuffing left intact for the bit reader) and the marker
     indices m (0..7) in order of appearance."""
+    # vectorized: an entropy-data 0xFF is ALWAYS followed by a stuffed
+    # 0x00, so any "FF Dm" pair is unambiguously a marker — no
+    # left-to-right state needed to classify
+    arr = np.frombuffer(buf, np.uint8)
+    if len(arr) < 2:
+        return [buf], []
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    if ff.size == 0:
+        return [buf], []
+    nxt = arr[ff + 1]
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
     segments: list[bytes] = []
     marks: list[int] = []
-    start = i = 0
-    while i + 1 < len(buf):
-        if buf[i] != 0xFF:
-            i += 1
-        elif buf[i + 1] == 0x00:  # stuffed data byte
-            i += 2
-        elif 0xD0 <= buf[i + 1] <= 0xD7:
-            segments.append(buf[start:i])
-            marks.append(buf[i + 1] - 0xD0)
-            i += 2
-            start = i
-        else:  # foreign marker — let the bit reader raise in context
-            i += 1
+    start = 0
+    for p in rst.tolist():
+        segments.append(buf[start:p])
+        marks.append(buf[p + 1] - 0xD0)
+        start = p + 2
     segments.append(buf[start:])
     return segments, marks
 
@@ -206,6 +236,12 @@ def _dht_payload(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
     return bytes([tc_th] + bits) + bytes(symbols)
 
 
+# the encoder always writes the canonical table shapes above — build
+# its symbol->(code, length) maps once at import
+_ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
 def default_chroma_qtable() -> np.ndarray:
     """Deterministic chroma quantization table, distinct from the luma
     one so per-component dequant is observable (zigzag order)."""
@@ -220,33 +256,33 @@ def _encode_block(
     ac_codes: dict,
 ) -> int:
     """Huffman-encode one 64-coefficient block (DPCM DC + RLE AC);
-    returns the new DC predictor."""
-    diff = int(blk[0]) - prev_dc
+    returns the new DC predictor. Walks only the nonzero AC positions
+    (run lengths are index gaps) — the zero coefficients every sparse
+    block is mostly made of cost nothing."""
+    vals = blk.tolist()
+    diff = vals[0] - prev_dc
     s = _category(diff)
     code, ln = dc_codes[s]
     w.put(code, ln)
     if s:
         w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-    run = 0
-    nz = [k for k in range(1, 64) if blk[k]]
-    for k in range(1, 64):
-        v = int(blk[k])
-        if v == 0:
-            run += 1
-            continue
+    last = 0
+    for k in (np.flatnonzero(blk[1:]) + 1).tolist():
+        run = k - last - 1
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
             w.put(code, ln)
             run -= 16
+        v = vals[k]
         s = _category(v)
         code, ln = ac_codes[(run << 4) | s]
         w.put(code, ln)
         w.put(v if v > 0 else v + (1 << s) - 1, s)
-        run = 0
-    if not nz or nz[-1] != 63:
+        last = k
+    if last != 63:
         code, ln = ac_codes[0x00]  # EOB
         w.put(code, ln)
-    return int(blk[0])
+    return vals[0]
 
 
 def encode_jpeg(
@@ -318,8 +354,8 @@ def encode_jpeg(
     )
     if color and (cq.shape != (64,) or (cq < 1).any() or (cq > 255).any()):
         raise ValueError("chroma_qtable must be 64 values in 1..255")
-    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
     ncomp = 3 if color else 1
     # per-slot component index within one MCU (4:2:0: 4 Y, Cb, Cr)
     slot_comp = [0, 0, 0, 0, 1, 2] if sub420 else list(range(ncomp))
@@ -469,13 +505,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         elif marker == 0xFFC4:
             while body:
                 tc_th = body[0]
-                bits = list(body[1:17])
-                n = sum(bits)
-                symbols = list(body[17 : 17 + n])
-                codes = _canonical_codes(bits, symbols)
-                huff[(tc_th >> 4, tc_th & 0xF)] = {
-                    (ln, code): sym for sym, (code, ln) in codes.items()
-                }
+                n = sum(body[1:17])
+                # store the raw DHT payload; the decode LUT is built
+                # (or fetched from the cross-call cache) at scan time
+                huff[(tc_th >> 4, tc_th & 0xF)] = (
+                    bytes(body[1:17]),
+                    bytes(body[17 : 17 + n]),
+                )
                 body = body[17 + n :]
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -507,18 +543,6 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
-
-    def read_symbol(r: _BitReader, tab: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | r.bit()
-            if (length, code) in tab:
-                return tab[(length, code)]
-        raise ValueError("invalid Huffman code in JPEG scan")
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
     hmax = max(h_ for h_, _ in comp_samp)
     vmax = max(v_ for _, v_ in comp_samp)
     mx = (width + 8 * hmax - 1) // (8 * hmax)
@@ -551,66 +575,116 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                 )
     elif len(segments) != 1:
         raise ValueError("RST marker in scan but no DRI declared")
+    # per-slot decode LUTs (16-bit lookahead, cached across calls)
+    slot_dc = [_huff_lut(*huff[(0, scan_tabs[ci][0])]) for ci in slot_comp]
+    slot_ac = [_huff_lut(*huff[(1, scan_tabs[ci][1])]) for ci in slot_comp]
     seg_iter = iter(segments)
-    r = _BitReader(next(seg_iter))
+    buf, nbits, end_err = _unstuff(next(seg_iter))
+    pad = buf + _PAD6
+    pos = 0
     nslots = len(slot_comp)
     coeffs = np.zeros((n_mcu, nslots, 64), dtype=np.int32)
     prev_dc = [0] * ncomp
+    from_bytes = int.from_bytes  # hot-loop local
     for b in range(n_mcu):
         if restart_interval and b and b % restart_interval == 0:
             # restart boundary: fresh entropy segment, ALL predictors
             # reset (T.81 F.2.1.3.1)
-            r = _BitReader(next(seg_iter))
+            buf, nbits, end_err = _unstuff(next(seg_iter))
+            pad = buf + _PAD6
+            pos = 0
             prev_dc = [0] * ncomp
         for si in range(nslots):
             ci = slot_comp[si]
-            dc_tab = huff[(0, scan_tabs[ci][0])]
-            ac_tab = huff[(1, scan_tabs[ci][1])]
-            s = read_symbol(r, dc_tab)
-            diff = extend(r.bits(s), s) if s else 0
-            prev_dc[ci] += diff
+            alut = slot_ac[si]
+            # DC: one 48-bit window covers code (<=16) + value (<=11)
+            sh = pos & 7
+            w = from_bytes(pad[pos >> 3 : (pos >> 3) + 6], "big")
+            e = slot_dc[si][(w >> (32 - sh)) & 0xFFFF]
+            ln = e >> 8
+            if not ln:
+                # no code is a prefix of the lookahead: a 16-bit read
+                # would have run off the segment first if short
+                raise ValueError(
+                    "invalid Huffman code in JPEG scan"
+                    if nbits - pos >= 16
+                    else end_err
+                )
+            s = e & 0xFF
+            if s:
+                v = (w >> (48 - sh - ln - s)) & ((1 << s) - 1)
+                pos += ln + s
+                if pos > nbits:
+                    raise ValueError(end_err)
+                prev_dc[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            else:
+                pos += ln
+                if pos > nbits:
+                    raise ValueError(end_err)
             coeffs[b, si, 0] = prev_dc[ci]
             k = 1
             while k < 64:
-                sym = read_symbol(r, ac_tab)
+                sh = pos & 7
+                w = from_bytes(pad[pos >> 3 : (pos >> 3) + 6], "big")
+                e = alut[(w >> (32 - sh)) & 0xFFFF]
+                ln = e >> 8
+                if not ln:
+                    raise ValueError(
+                        "invalid Huffman code in JPEG scan"
+                        if nbits - pos >= 16
+                        else end_err
+                    )
+                sym = e & 0xFF
                 if sym == 0x00:  # EOB
+                    pos += ln
+                    if pos > nbits:
+                        raise ValueError(end_err)
                     break
                 if sym == 0xF0:  # ZRL
+                    pos += ln
+                    if pos > nbits:
+                        raise ValueError(end_err)
                     k += 16
                     continue
-                run, s = sym >> 4, sym & 0xF
-                k += run
+                s = sym & 0xF
+                v = (w >> (48 - sh - ln - s)) & ((1 << s) - 1)
+                pos += ln + s
+                if pos > nbits:
+                    raise ValueError(end_err)
+                k += sym >> 4
                 if k > 63:
                     raise ValueError(
                         "JPEG coefficient index overran the block"
                     )
-                coeffs[b, si, k] = extend(r.bits(s), s)
+                coeffs[b, si, k] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                )
                 k += 1
-    # DCT layer: dequantize (per component's table), de-zigzag, IDCT,
-    # level shift, clamp — each component decodes on its OWN sampling
-    # grid, then subsampled planes replicate up to full resolution
+    # DCT layer, batched over every block at once: dequantize (per
+    # component's table), de-zigzag (one permutation take), one
+    # broadcast matmul pair for the IDCT, level shift, clamp — each
+    # component decodes on its OWN sampling grid, then subsampled
+    # planes replicate up to full resolution
+    q_slot = np.stack([comp_q[ci] for ci in slot_comp])  # (nslots, 64)
+    deq = coeffs.astype(np.int64) * q_slot[None, :, :]
+    natural = deq[:, :, _ZZ_INV].reshape(-1, 8, 8).astype(np.float64)
+    spatial = (_IDCT_M.T @ natural @ _IDCT_M) + 128.0
+    clamped = (
+        np.clip(np.floor(spatial + 0.5), 0, 255)
+        .astype(np.uint8)
+        .reshape(n_mcu, nslots, 8, 8)
+    )
     planes = []
     for ci, (h_, v_) in enumerate(comp_samp):
-        planes.append(
-            np.empty((my * 8 * v_, mx * 8 * h_), dtype=np.uint8)
-        )
-    for b in range(n_mcu):
-        myi, mxi = b // mx, b % mx
+        grid = np.empty((my * v_, mx * h_, 8, 8), dtype=np.uint8)
         for si in range(nslots):
-            ci = slot_comp[si]
+            if slot_comp[si] != ci:
+                continue
             vy, vx = slot_pos[si]
-            freq = np.zeros((8, 8), dtype=np.float64)
-            deq = coeffs[b, si].astype(np.int64) * comp_q[ci]
-            for k, (rr, cc) in enumerate(_ZZ_INDEX):
-                freq[rr, cc] = deq[k]
-            spatial = idct_block(freq) + 128.0
-            clamped = np.clip(np.floor(spatial + 0.5), 0, 255).astype(
-                np.uint8
-            )
-            h_, v_ = comp_samp[ci]
-            y0 = (myi * v_ + vy) * 8
-            x0 = (mxi * h_ + vx) * 8
-            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = clamped
+            grid[vy::v_, vx::h_] = clamped[:, si].reshape(my, mx, 8, 8)
+        planes.append(
+            grid.transpose(0, 2, 1, 3).reshape(my * v_ * 8, mx * h_ * 8)
+        )
     if ncomp == 1:
         return height, width, planes[0][:height, :width], coeffs[:, 0, :]
     full = []
