@@ -48,25 +48,36 @@ _FIXED_COEFFS = {
 }
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+_M80 = (1 << 80) - 1  # full 10-byte peek-window mask
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -121,30 +132,57 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit reader. ``read`` pulls one big-endian window per
+    call instead of looping per bit; ``read_unary`` scans whole bytes
+    for the terminating 1-bit via ``int.bit_length``."""
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.byte = pos
         self.bit = 0
 
     def read(self, width: int) -> int:
-        v = 0
-        for _ in range(width):
-            if self.byte >= len(self.data):
-                raise ValueError("FLAC bitstream exhausted")
-            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return v
+        if width == 0:
+            return 0
+        pos = (self.byte << 3) + self.bit
+        end = pos + width
+        data = self.data
+        if end > len(data) << 3:
+            raise ValueError("FLAC bitstream exhausted")
+        i = pos >> 3
+        nb = ((end + 7) >> 3) - i
+        w = int.from_bytes(data[i : i + nb], "big")
+        self.byte = end >> 3
+        self.bit = end & 7
+        return (w >> ((nb << 3) - (pos & 7) - width)) & ((1 << width) - 1)
 
     def read_unary(self) -> int:
+        data = self.data
+        total = len(data) << 3
+        pos = (self.byte << 3) + self.bit
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        while True:
+            if pos >= total:
+                raise ValueError("FLAC bitstream exhausted")
+            i = pos >> 3
+            nb = min(8, len(data) - i)
+            avail = (nb << 3) - (pos & 7)
+            chunk = int.from_bytes(data[i : i + nb], "big") & (
+                (1 << avail) - 1
+            )
+            if chunk:
+                lead = avail - chunk.bit_length()
+                q += lead
+                pos += lead + 1
+                if q > 1 << 20:
+                    raise ValueError("runaway FLAC unary code")
+                self.byte = pos >> 3
+                self.bit = pos & 7
+                return q
+            q += avail
+            pos += avail
             if q > 1 << 20:
                 raise ValueError("runaway FLAC unary code")
-        return q
 
     def align(self) -> None:
         if self.bit:
@@ -435,6 +473,9 @@ def _read_rice_residuals(
     if nb % nparts or (nb >> porder) <= order and porder:
         raise ValueError("bad FLAC rice partition order")
     idx = order
+    data = br.data
+    total = len(data) << 3
+    from_bytes = int.from_bytes  # hot-loop local
     for part in range(nparts):
         cnt = (nb >> porder) - (order if part == 0 else 0)
         k = br.read(pbits)
@@ -447,11 +488,47 @@ def _read_rice_residuals(
                 blk[idx] = v
                 idx += 1
         else:
+            # fused unary+k decode: one 10-byte window per sample
+            # covers any q+1+k <= 80-7 bits; longer unary runs (and
+            # the stream tail) fall back to the per-call reader
+            kmask = (1 << k) - 1
+            pos = (br.byte << 3) + br.bit
+            dlen = len(data)
+            vals = []
+            append = vals.append
             for _ in range(cnt):
-                q = br.read_unary()
-                z = (q << k) | (br.read(k) if k else 0)
-                blk[idx] = (z >> 1) ^ -(z & 1)  # un-zigzag
-                idx += 1
+                i = pos >> 3
+                sh = pos & 7
+                if i + 10 <= dlen:
+                    chunk = from_bytes(data[i : i + 10], "big") & (
+                        _M80 >> sh
+                    )
+                    avail = 80 - sh
+                else:
+                    seg = data[i : i + 10]
+                    avail = (len(seg) << 3) - sh
+                    chunk = (
+                        from_bytes(seg, "big") & ((1 << avail) - 1)
+                        if avail > 0
+                        else 0
+                    )
+                bl = chunk.bit_length()
+                if bl > k:  # unary run + terminator + k bits all inside
+                    z = ((avail - bl) << k) | (
+                        (chunk >> (bl - 1 - k)) & kmask
+                    )
+                    pos += avail - bl + 1 + k
+                else:
+                    br.byte = pos >> 3
+                    br.bit = pos & 7
+                    q = br.read_unary()
+                    z = (q << k) | (br.read(k) if k else 0)
+                    pos = (br.byte << 3) + br.bit
+                append((z >> 1) ^ -(z & 1))  # un-zigzag
+            br.byte = pos >> 3
+            br.bit = pos & 7
+            blk[idx : idx + cnt] = vals
+            idx += cnt
 
 
 def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
@@ -485,11 +562,15 @@ def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
                 v -= 1 << bps
             blk[i] = v
         _read_rice_residuals(br, nb, order, blk)
-        for i in range(order, nb):  # undo the fixed predictor
-            pred = 0
-            for j, c in enumerate(_FIXED_COEFFS[order]):
-                pred += c * blk[i - 1 - j]
-            blk[i] += pred
+        if order:  # undo the fixed predictor (exact int list math)
+            coefs = _FIXED_COEFFS[order]
+            vals = blk.tolist()
+            for i in range(order, nb):
+                acc = vals[i]
+                for j, c in enumerate(coefs):
+                    acc += c * vals[i - 1 - j]
+                vals[i] = acc
+            blk[:] = vals
     elif stype >= 32:  # LPC, order = low 5 bits + 1
         order = (stype & 0x1F) + 1
         for i in range(order):
@@ -514,11 +595,16 @@ def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
                 c -= 1 << precision
             qlp.append(c)
         _read_rice_residuals(br, nb, order, blk)
-        for i in range(order, nb):  # undo the LPC predictor
+        # undo the LPC predictor — exact int list math (Python's >>
+        # floors like an arithmetic shift; ints never overflow)
+        vals = blk.tolist()
+        rng_o = range(order)
+        for i in range(order, nb):
             pred = 0
-            for j in range(order):
-                pred += qlp[j] * int(blk[i - 1 - j])
-            blk[i] += pred >> shift  # arithmetic shift, 64-bit sum
+            for j in rng_o:
+                pred += qlp[j] * vals[i - 1 - j]
+            vals[i] += pred >> shift
+        blk[:] = vals
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
