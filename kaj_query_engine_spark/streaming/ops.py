@@ -125,7 +125,55 @@ def state_partitions_for_keys(
     return max(min(floor, parallelism), min(p, parallelism))
 
 
-def auto_state_partitions(batch_df: DataFrame, *keys) -> int:
+def _source_fingerprint(batch_df: DataFrame) -> tuple | None:
+    """Staleness token for a file-backed DataFrame: the sorted input
+    file listing, with (size, mtime) for locally-stattable paths.
+    Metadata-only — no data is read. For parquet-style sources a data
+    change always changes the listing (new part files), and object
+    stores write immutable uniquely-named objects, so the listing IS
+    the token. Returns None for non-file sources (no cheap token
+    exists — callers then rescan rather than risk a stale count)."""
+    import os
+    from urllib.parse import urlparse
+
+    files = batch_df.inputFiles()
+    if not files:
+        return None
+    out = []
+    for f in sorted(files):
+        p = urlparse(f)
+        if p.scheme in ("", "file"):
+            try:
+                st = os.stat(p.path)
+                out.append((f, st.st_size, st.st_mtime_ns))
+                continue
+            except OSError:
+                pass
+        out.append((f, None, None))
+    return tuple(out)
+
+
+def _scan_key_cardinality(batch_df: DataFrame, keys: tuple) -> int:
+    """The one full-source pass: column-pruned approx_count_distinct
+    over the batch view. Separated out so tests can count invocations."""
+    return (
+        batch_df.select(
+            F.approx_count_distinct(F.struct(*keys)).alias("n")
+        ).first()
+        .n
+    )
+
+
+_ASP_MEMO: dict = {}
+
+
+def auto_state_partitions(
+    batch_df: DataFrame,
+    *keys,
+    python_stateful: bool = False,
+    cache_path: str | None = None,
+    cache_entry: str | None = None,
+) -> int:
     """Derive ``state_partitions`` from OBSERVED key cardinality: one
     cheap column-pruned ``approx_count_distinct`` over the batch view
     of the same source (streaming sources are backed by data you can
@@ -134,15 +182,54 @@ def auto_state_partitions(batch_df: DataFrame, *keys) -> int:
     ``state_partitions=8`` constant; ``keys`` are the stateful
     operator's grouping columns/exprs (window keys pass the batch
     window expression).
+
+    The pre-scan is a FULL read of the source — at 100 TB that must
+    not run per stream start, so the cardinality is memoized
+    in-process behind a metadata-only staleness token (the source's
+    file listing + sizes/mtimes) and, when ``cache_path`` names a
+    JSON file, persisted there so later processes skip the scan too —
+    paid once per source GENERATION, like a materialized layout.
+    Non-file sources have no cheap token and rescan every call
+    (documented cost; give such a source a landing-dir batch view).
     """
-    n = (
-        batch_df.select(
-            F.approx_count_distinct(F.struct(*keys)).alias("n")
-        ).first()
-        .n
-    )
+    token = _source_fingerprint(batch_df)
+    key_sig = tuple(str(k) for k in keys)
+    parallelism = batch_df.sparkSession.sparkContext.defaultParallelism
+    if token is None:
+        return state_partitions_for_keys(
+            _scan_key_cardinality(batch_df, keys),
+            parallelism,
+            python_stateful=python_stateful,
+        )
+    memo_key = (token, key_sig)
+    n = _ASP_MEMO.get(memo_key)
+    if n is None and cache_path is not None:
+        import json
+        import os
+        from pathlib import Path
+
+        path = Path(cache_path)
+        entry = cache_entry if cache_entry is not None else "|".join(key_sig)
+        try:
+            persisted = json.loads(path.read_text())
+        except (OSError, ValueError):
+            persisted = {}
+        rec = persisted.get(entry)
+        tok_repr = repr(token)
+        if rec and rec.get("token") == tok_repr:
+            n = rec["n"]
+        else:
+            n = _scan_key_cardinality(batch_df, keys)
+            persisted[entry] = {"token": tok_repr, "n": n}
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(persisted, indent=1, sort_keys=True))
+            os.replace(tmp, path)
+    elif n is None:
+        n = _scan_key_cardinality(batch_df, keys)
+    _ASP_MEMO[memo_key] = n
     return state_partitions_for_keys(
-        n, batch_df.sparkSession.sparkContext.defaultParallelism
+        n, parallelism, python_stateful=python_stateful
     )
 
 

