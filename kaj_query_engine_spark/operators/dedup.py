@@ -968,6 +968,7 @@ def duplicated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Span-level exact-substring dedup — the ExactSubstr shape of Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -991,10 +992,14 @@ def duplicated_spans(
     same salting escape hatch as the aggregate family applies, and at
     k=8 words genuine collisions are rare enough that the planner's
     AQE skew split covers the tail. At 100 TB the gram STRING (~50
-    bytes) is the shuffle payload — production runs shuffle
-    ``xxhash64(gram)`` instead (6-8x fewer shuffle bytes, false-flag
-    probability ~N²/2⁶⁴); this query keeps the exact string so the
-    duplicate test stays oracle-comparable.
+    bytes) is the shuffle payload — ``hash_grams=True`` shuffles
+    ``xxhash64(gram)`` instead (8 fixed bytes, 6-8x fewer shuffle
+    bytes at k=8 words; false-flag probability ~N²/2⁶⁴ — at N = 10¹²
+    positions that is ~3% odds of ONE spurious flagged window in the
+    whole corpus, and a flagged window only ever widens a cut span).
+    The default keeps the exact string so the duplicate test stays
+    oracle-comparable; hashed==exact is pinned differentially in
+    pytest on the fixture corpus.
     """
     from pyspark.sql import Window as W
 
@@ -1024,7 +1029,13 @@ def duplicated_spans(
                 ),
             )
         ).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    ).select(
+        "id",
+        F.col("g.pos").alias("pos"),
+        (
+            F.xxhash64(F.col("g.gram")) if hash_grams else F.col("g.gram")
+        ).alias("gram"),
+    )
     flagged = (
         grams.withColumn(
             "c", F.count(F.lit(1)).over(W.partitionBy("gram"))

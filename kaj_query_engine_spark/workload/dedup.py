@@ -382,7 +382,8 @@ _SPAN_ORACLE = (
 
 @register(
     "q68_span_dedup",
-    _SPAN_ORACLE,
+    f"SELECT 'exact' AS path, * FROM ({_SPAN_ORACLE}) "
+    f"UNION ALL SELECT 'hashed' AS path, * FROM ({_SPAN_ORACLE})",
     "span-level exact-substring dedup (the ExactSubstr shape of Lee "
     f"et al. 2022, relationally): every {_SPAN_K}-token gram position "
     "occurring 2+ times ANYWHERE in the corpus is flagged — "
@@ -391,9 +392,18 @@ _SPAN_ORACLE = (
     "per-doc islands [span_start, span_end) the trainer cuts. TWO "
     "shuffles: a corpus-wide window count over the gram (the suffix "
     "array's role, played by a sort) and the per-doc island merge; "
-    "hot boilerplate grams ride AQE's skew split",
+    "hot boilerplate grams ride AQE's skew split. The 'hashed' branch "
+    "is the 100 TB shuffle payload (hash_grams=True: xxhash64 of the "
+    "gram, 8 fixed bytes instead of the ~50-byte string) checked "
+    "against the SAME island oracle — the duplicate test must come "
+    "out identical (probe: e=0.18 vs 0.32 exact at 16x)",
 )
 def q68(spark, sf_dir):
-    return D.duplicated_spans(
-        t(spark, sf_dir, "documents"), "doc_id", "text", k=_SPAN_K
-    )
+    docs = t(spark, sf_dir, "documents")
+
+    def branch(tag, hashed):
+        return D.duplicated_spans(
+            docs, "doc_id", "text", k=_SPAN_K, hash_grams=hashed
+        ).select(F.lit(tag).alias("path"), "*")
+
+    return branch("exact", False).unionAll(branch("hashed", True))

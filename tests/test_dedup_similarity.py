@@ -1066,3 +1066,27 @@ def test_duplicated_spans_semantics(spark):
         for r in duplicated_spans(docs2, "doc_id", "text", k=8).collect()
     }
     assert (1, 0, 16) in out2  # doc1's two flagged windows merged
+
+
+def test_duplicated_spans_hashed_equals_exact(spark):
+    """The production shuffle payload (hash_grams=True: xxhash64 of
+    the gram, 8 fixed bytes) must produce byte-identical spans to the
+    oracle-comparable exact-string run on a real corpus slice — the
+    differential pin for the 100 TB variant."""
+    from kaj_query_engine_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def spans(hashed):
+        return sorted(
+            map(
+                tuple,
+                duplicated_spans(
+                    docs, "doc_id", "text", k=8, hash_grams=hashed
+                ).collect(),
+            )
+        )
+
+    exact = spans(False)
+    assert exact  # the fixture corpus genuinely contains duplicates
+    assert spans(True) == exact

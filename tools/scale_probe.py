@@ -173,6 +173,13 @@ def main() -> None:
             docs(k), "doc_id", "text", k=8
         ).write.format("noop").mode("overwrite").save()
 
+    def run_span_dedup_hashed(k: int) -> None:
+        # the 100 TB shuffle payload: xxhash64(gram) instead of the
+        # gram string (hashed==exact pinned differentially in pytest)
+        D.duplicated_spans(
+            docs(k), "doc_id", "text", k=8, hash_grams=True
+        ).write.format("noop").mode("overwrite").save()
+
     def run_minhash(k: int) -> None:
         d = docs(k)
         D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
@@ -780,6 +787,7 @@ def main() -> None:
     ops = {
         "minhash_lsh_pairs": run_minhash,
         "span_dedup_exactsubstr": run_span_dedup,
+        "span_dedup_hashed_grams": run_span_dedup_hashed,
         "incremental_dedup_fixed_batch": run_incremental,
         "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
@@ -815,6 +823,7 @@ def main() -> None:
     op_inputs = {
         "minhash_lsh_pairs": docs,
         "span_dedup_exactsubstr": docs,
+        "span_dedup_hashed_grams": docs,
         "incremental_dedup_fixed_batch": docs,
         "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
