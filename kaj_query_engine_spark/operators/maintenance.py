@@ -258,8 +258,8 @@ def incremental_join_view(
     planner broadcasts the delta from its own size estimate, the big
     stored sides are each scanned once, and the old view is never
     recomputed; cost is O(Δ ⋈ side), not O(L ⋈ R). Insert-only by
-    contract (the training-corpus append case); updates/deletes need
-    keyed compensation — route them through the merge family first.
+    contract (the training-corpus append case); updates/deletes take
+    the keyed compensation in :func:`incremental_join_view_keyed`.
     ``on`` are equi-join column names present on both sides (rename
     before calling, as ``df.join(on=...)`` requires)."""
     new_right = old_right.unionByName(delta_right)
@@ -267,6 +267,98 @@ def incremental_join_view(
         old_left.join(delta_right, on=on)
     )
     return old_view.unionByName(delta_view), delta_view
+
+
+def incremental_join_view_keyed(
+    old_view: DataFrame,
+    old_left: DataFrame,
+    old_right: DataFrame,
+    on: list[str],
+    left_key: list[str],
+    right_key: list[str],
+    *,
+    left_upserts: DataFrame | None = None,
+    left_deletes: DataFrame | None = None,
+    right_upserts: DataFrame | None = None,
+    right_deletes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of V = L ⋈ R under UPDATES and DELETES
+    as well as inserts — the keyed compensation the insert-only
+    :func:`incremental_join_view` routes away. Standard DBToaster-
+    style signed-multiset rule: an update is delete-then-insert, each
+    side's delta is a bag of (row, m) with m = −1 for the stored
+    pre-image of every touched key and m = +1 for each upsert
+    post-image, and the view delta is the SAME two-term identity as
+    the insert-only rule, now over signed deltas:
+
+        ΔV = ΔL ⋈ (R + ΔR)  +  L ⋈ ΔR       (m multiplies through)
+
+    Net per view row (rows of V are keyed by left_key × right_key, so
+    full-row netting is exact): −1 rows are pre-images to remove, +1
+    rows are post-images to add; an idempotent upsert cancels to 0 and
+    touches nothing. Returns ``(new_view, signed_delta)`` where
+    ``signed_delta`` carries the view columns plus ``m`` ∈ {−1, +1} —
+    a change feed of the view.
+
+    ``left_key`` / ``right_key`` are the sides' ROW identities (may be
+    composite); ``left_upserts``/``right_upserts`` carry full
+    post-image rows, ``left_deletes``/``right_deletes`` just the key
+    columns. Deletes of absent keys and upserts restating the current
+    image are no-ops.
+
+    Scale: every stored relation is scanned ONCE (old_right once to
+    build R+ΔR and collect pre-images, old_left once for the L ⋈ ΔR
+    term and pre-images, old_view once for the final compensation
+    anti-join); everything else is delta-bounded and explicitly
+    broadcast — cost O(Δ ⋈ side + scan), never O(L ⋈ R).
+    """
+
+    def side(old, ups, dels, key):
+        empty = old.limit(0)
+        ups = ups if ups is not None else empty
+        dels = (
+            dels.select(*key)
+            if dels is not None
+            else empty.select(*key)
+        )
+        touched = ups.select(*key).unionByName(dels).distinct()
+        minus = old.join(F.broadcast(touched), on=key, how="left_semi")
+        delta = minus.withColumn("m", F.lit(-1)).unionByName(
+            ups.withColumn("m", F.lit(1))
+        )
+        new = old.join(F.broadcast(touched), on=key, how="left_anti")
+        new = new.unionByName(ups)
+        return delta, new
+
+    d_left, _ = side(old_left, left_upserts, left_deletes, left_key)
+    d_right, new_right = side(
+        old_right, right_upserts, right_deletes, right_key
+    )
+    view_cols = old_view.columns
+    dv = (
+        d_left.join(new_right, on=on)
+        .select(*view_cols, "m")
+        .unionByName(old_left.join(d_right, on=on).select(*view_cols, "m"))
+    )
+    dv_net = (
+        dv.groupBy(*view_cols)
+        .agg(F.sum("m").cast("int").alias("m"))
+        .filter(F.col("m") != 0)
+    )
+    # view row identity: union of both keys (dedup — a shared join
+    # column may BE one side's key)
+    view_key = list(dict.fromkeys(left_key + right_key))
+    removed = dv_net.filter(F.col("m") < 0).select(*view_key)
+    added = dv_net.filter(F.col("m") > 0).select(*view_cols)
+    new_view = (
+        old_view.join(
+            F.broadcast(removed.distinct()), on=view_key,
+            how="left_anti",
+        )
+        .select(*view_cols)  # the anti-join fronts the key columns
+        .unionByName(added)
+    )
+    return new_view, dv_net
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:

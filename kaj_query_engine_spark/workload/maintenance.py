@@ -546,20 +546,72 @@ _IVM_ORACLE = (
     "WHERE f.n - COALESCE(o.n, 0) > 0"
 )
 
+# keyed IVM scenario (updates + deletes + inserts on BOTH sides of
+# orders⋈customer): the oracle recomputes the POST-change sides from
+# the same deterministic modulo classes the Spark query derives its
+# change batches from, entirely independent of the signed-delta rule.
+# sum_qty doubles as an order-key checksum here (no quantity column
+# in this view); sum_cents is exact integer cents.
+_KIVM_O_NEW = (
+    "SELECT o_orderkey, o_custkey, CASE WHEN "
+    f"o_orderdate < TIMESTAMP '{_IVM_CUT_O}' "
+    "AND o_orderkey % 5 = 0 AND o_orderkey % 13 != 0 "
+    "THEN o_totalprice + 1 ELSE o_totalprice END AS tp "
+    "FROM orders WHERE o_orderkey % 13 != 0"
+)
+_KIVM_C_NEW = (
+    "SELECT c_custkey, CASE WHEN c_custkey % 6 = 0 AND c_custkey % 17 != 0 "
+    "THEN 'MOVED' ELSE c_mktsegment END AS seg "
+    "FROM customer WHERE c_custkey % 17 != 0"
+)
+_KIVM_AGG = (
+    "seg AS flag, count(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(round(tp * 100) AS BIGINT)) AS BIGINT) AS sum_cents"
+)
+_KIVM_ORACLE = (
+    f"WITH o_new AS ({_KIVM_O_NEW}), c_new AS ({_KIVM_C_NEW}), "
+    f"new_agg AS (SELECT {_KIVM_AGG} FROM o_new "
+    "JOIN c_new ON o_custkey = c_custkey GROUP BY 1), "
+    "old_agg AS (SELECT c_mktsegment AS flag, count(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey "
+    f"WHERE o_orderdate < TIMESTAMP '{_IVM_CUT_O}' GROUP BY 1) "
+    "SELECT 'keyed' AS path, flag, n, sum_qty, sum_cents FROM new_agg "
+    "UNION ALL SELECT 'keyed_delta', COALESCE(f.flag, o.flag), "
+    "COALESCE(f.n, 0) - COALESCE(o.n, 0), "
+    "COALESCE(f.sum_qty, 0) - COALESCE(o.sum_qty, 0), "
+    "COALESCE(f.sum_cents, 0) - COALESCE(o.sum_cents, 0) "
+    "FROM new_agg f FULL OUTER JOIN old_agg o ON f.flag = o.flag "
+    "WHERE COALESCE(f.n, 0) - COALESCE(o.n, 0) != 0 "
+    "OR COALESCE(f.sum_qty, 0) - COALESCE(o.sum_qty, 0) != 0 "
+    "OR COALESCE(f.sum_cents, 0) - COALESCE(o.sum_cents, 0) != 0"
+)
+
 
 @register(
     "q67_incremental_join",
-    _IVM_ORACLE,
-    "incremental JOIN-view maintenance (insert-only IVM, the "
-    "Blakeley delta rule): the orders⋈lineitem view maintained by "
-    "two append batches via dV = dL ⋈ (R ∪ dR) ∪ L ⋈ dR — each term "
-    "joins a DELTA against a stored side (planner broadcasts the "
-    "delta; the old view is never recomputed: O(delta⋈side), not "
-    "O(L⋈R)). Two tagged branches: 'view' aggregates the MAINTAINED "
-    "view against the full-recompute oracle (incremental==recompute "
-    "law), 'delta' aggregates dV against the INDEPENDENT difference "
-    "full−old, so overlap double-counting and missed terms both "
-    "diverge. Exact integer sums keep the engines bit-identical",
+    f"{_IVM_ORACLE} UNION ALL ({_KIVM_ORACLE})",
+    "incremental JOIN-view maintenance. Insert-only branches "
+    "('view'/'delta', the Blakeley delta rule): the orders⋈lineitem "
+    "view maintained by two append batches via "
+    "dV = dL ⋈ (R ∪ dR) ∪ L ⋈ dR — each term joins a DELTA against a "
+    "stored side (planner broadcasts the delta; the old view is never "
+    "recomputed: O(delta⋈side), not O(L⋈R)); 'view' aggregates the "
+    "MAINTAINED view against the full-recompute oracle "
+    "(incremental==recompute law), 'delta' aggregates dV against the "
+    "INDEPENDENT difference full−old, so overlap double-counting and "
+    "missed terms both diverge. Keyed branches ('keyed'/'keyed_delta', "
+    "DBToaster-style signed compensation): the orders⋈customer view "
+    "maintained under UPDATES (order totalprice bumps, customer "
+    "segment moves — rows change aggregation groups), DELETES on both "
+    "sides, and inserts, via signed deltas (update = delete-then-"
+    "insert) through the same two-term identity; 'keyed' checks the "
+    "maintained view against an independent post-change recompute, "
+    "'keyed_delta' checks the signed feed against the recompute "
+    "difference new−old (negative counts included). Exact integer "
+    "sums keep the engines bit-identical",
 )
 def q67(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -586,4 +638,59 @@ def q67(spark, sf_dir):
             ).alias("sum_cents"),
         ).select(F.lit(path).alias("path"), "*")
 
-    return agg(new_view, "view").unionAll(agg(delta_view, "delta"))
+    # ---- keyed branches: updates + deletes + inserts ----------------
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    ok = F.col("o_orderkey")
+    ck = F.col("o_custkey")
+    o_slim = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    o0k = o_slim.filter(F.col("o_orderdate") < cut_o).drop("o_orderdate")
+    view0k = o0k.join(cust, on=["o_custkey"])
+    ups_o = (
+        o_slim.filter(
+            (F.col("o_orderdate") >= cut_o) & (ok % 13 != 0)
+        ).drop("o_orderdate")  # inserts, raw
+        .unionByName(
+            o0k.filter((ok % 5 == 0) & (ok % 13 != 0)).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )  # updates
+        )
+    )
+    del_o = o_slim.filter(ok % 13 == 0).select("o_orderkey")
+    ups_c = cust.filter((ck % 6 == 0) & (ck % 17 != 0)).withColumn(
+        "seg", F.lit("MOVED")
+    )
+    del_c = cust.filter(ck % 17 == 0).select("o_custkey")
+    v_keyed, dv_keyed = M.incremental_join_view_keyed(
+        view0k, o0k, cust, ["o_custkey"], ["o_orderkey"], ["o_custkey"],
+        left_upserts=ups_o, left_deletes=del_o,
+        right_upserts=ups_c, right_deletes=del_c,
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keyed = v_keyed.groupBy(F.col("seg").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_qty"),
+        F.sum(cents).alias("sum_cents"),
+    ).select(F.lit("keyed").alias("path"), "*")
+    keyed_delta = (
+        dv_keyed.groupBy(F.col("seg").alias("flag"))
+        .agg(
+            F.sum("m").cast("long").alias("n"),
+            F.sum(F.col("m") * F.col("o_orderkey")).alias("sum_qty"),
+            F.sum(F.col("m") * cents).alias("sum_cents"),
+        )
+        .filter(
+            (F.col("n") != 0)
+            | (F.col("sum_qty") != 0)
+            | (F.col("sum_cents") != 0)
+        )
+        .select(F.lit("keyed_delta").alias("path"), "*")
+    )
+    return (
+        agg(new_view, "view")
+        .unionAll(agg(delta_view, "delta"))
+        .unionAll(keyed)
+        .unionAll(keyed_delta)
+    )

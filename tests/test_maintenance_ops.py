@@ -175,6 +175,64 @@ def test_incremental_join_view_delta_rule(spark):
     assert canon(v3) == canon(full3)
 
 
+def test_incremental_join_view_keyed_updates_deletes(spark):
+    """Keyed IVM law: maintaining the view under updates + deletes +
+    inserts on BOTH sides equals recomputing it from the post-change
+    sides; idempotent upserts and deletes of absent keys are no-ops;
+    the signed delta nets to the recompute difference."""
+    # left keyed by lk (non-unique join col k), right keyed by rk
+    L = spark.createDataFrame(
+        [(10, 1, "l1"), (11, 1, "l1b"), (12, 2, "l2"), (13, 3, "l3")],
+        "lk long, k long, lv string",
+    )
+    R = spark.createDataFrame(
+        [(20, 1, "r1"), (21, 2, "r2"), (22, 3, "r3"), (23, 3, "r3b")],
+        "rk long, k long, rv string",
+    )
+    v0 = L.join(R, on=["k"]).select("k", "lk", "lv", "rk", "rv")
+    # left: update lk=10's value, delete lk=12, insert lk=14 (k=2),
+    # restate lk=13 unchanged (must be a no-op)
+    l_ups = spark.createDataFrame(
+        [(10, 1, "L1*"), (14, 2, "l4"), (13, 3, "l3")],
+        "lk long, k long, lv string",
+    )
+    l_del = spark.createDataFrame([(12,), (999,)], "lk long")  # 999 absent
+    # right: update rk=22, delete rk=20, insert rk=24 (k=1)
+    r_ups = spark.createDataFrame(
+        [(22, 3, "R3*"), (24, 1, "r4")], "rk long, k long, rv string"
+    )
+    r_del = spark.createDataFrame([(20,)], "rk long")
+    v1, dv = M.incremental_join_view_keyed(
+        v0, L, R, ["k"], ["lk"], ["rk"],
+        left_upserts=l_ups, left_deletes=l_del,
+        right_upserts=r_ups, right_deletes=r_del,
+    )
+    L2 = spark.createDataFrame(
+        [(10, 1, "L1*"), (11, 1, "l1b"), (13, 3, "l3"), (14, 2, "l4")],
+        "lk long, k long, lv string",
+    )
+    R2 = spark.createDataFrame(
+        [(21, 2, "r2"), (22, 3, "R3*"), (23, 3, "r3b"), (24, 1, "r4")],
+        "rk long, k long, rv string",
+    )
+    full = L2.join(R2, on=["k"]).select("k", "lk", "lv", "rk", "rv")
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(v1) == canon(full)
+    # signed delta: applying it to v0 as a bag reproduces v1
+    plus = dv.filter(F.col("m") > 0).drop("m")
+    minus = dv.filter(F.col("m") < 0).drop("m")
+    assert canon(v0.exceptAll(minus).unionByName(plus)) == canon(full)
+    # the no-op restatement (lk=13) produced no delta rows
+    assert dv.filter(F.col("lk") == 13).filter(
+        ~F.col("rk").isin(20, 22)
+    ).count() == 0
+    # all-empty changes: view unchanged, delta empty
+    v2, dv2 = M.incremental_join_view_keyed(
+        v1, L2, R2, ["k"], ["lk"], ["rk"]
+    )
+    assert canon(v2) == canon(full) and dv2.count() == 0
+
+
 def test_apply_feed_reproduces_snapshot(spark):
     """The law that makes the feed trustworthy: target + feed == snapshot.
     Run on the real orders fixture with the q55 derivation so it holds

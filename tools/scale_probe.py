@@ -689,6 +689,42 @@ def main() -> None:
         )
         dv.write.format("noop").mode("overwrite").save()
 
+    # keyed IVM (updates+deletes+inserts): fixed change batches against
+    # growing stored sides + view — the delta terms stay bounded, the
+    # residual is the one scan of each stored relation (honest linear)
+    _ivm_view_cache: dict[int, DataFrame] = {}
+
+    def ivm_view(k: int) -> DataFrame:
+        if k not in _ivm_view_cache:
+            p = f"{scratch}/ivm_view_{k}"
+            left, right = ivm_sides(k)
+            left.join(right, on=["k"]).write.mode("overwrite").parquet(p)
+            _ivm_view_cache[k] = spark.read.parquet(p)
+        return _ivm_view_cache[k]
+
+    def run_ivm_keyed(k: int) -> None:
+        from kaj_query_engine_spark.operators import maintenance as MN
+
+        left, right = ivm_sides(k)
+        n = MAINT_BASE * k
+        upd_l = spark.range(2_500).select(
+            F.col("id").alias("k"), F.lit("u").alias("lv")
+        )
+        ins_l = spark.range(2_500).select(
+            (F.col("id") + n).alias("k"), F.lit("i").alias("lv")
+        )
+        del_l = spark.range(2_500).select((F.col("id") + 5_000).alias("k"))
+        upd_r = spark.range(2_500).select(
+            (F.col("id") + 10_000).alias("k"), F.lit("u").alias("rv")
+        )
+        del_r = spark.range(2_500).select((F.col("id") + 15_000).alias("k"))
+        _, dv = MN.incremental_join_view_keyed(
+            ivm_view(k), left, right, ["k"], ["k"], ["k"],
+            left_upserts=upd_l.unionByName(ins_l), left_deletes=del_l,
+            right_upserts=upd_r, right_deletes=del_r,
+        )
+        dv.write.format("noop").mode("overwrite").save()
+
     # partition-pruned merge: the table grows by ADDING partitions
     # (12.5k-row partitions, 8*k of them) while the batch keeps
     # touching only the first 8 — cost must stay flat, which is the
@@ -812,6 +848,7 @@ def main() -> None:
         "merge_upsert_fixed_batch": run_merge_upsert,
         "merge_partitioned_fixed_batch": run_merge_partitioned,
         "ivm_join_fixed_delta": run_ivm_join,
+        "ivm_keyed_fixed_delta": run_ivm_keyed,
         "bpe_encode_fixed_model": run_bpe_encode,
         "lexical_retrieval_fixed_queries": run_lexical_retrieval,
     }
@@ -848,6 +885,7 @@ def main() -> None:
         "merge_upsert_fixed_batch": merge_target,
         "merge_partitioned_fixed_batch": part_table,
         "ivm_join_fixed_delta": ivm_sides,
+        "ivm_keyed_fixed_delta": ivm_sides,
         "bpe_encode_fixed_model": docs,
         "lexical_retrieval_fixed_queries": docs,
     }
@@ -868,6 +906,7 @@ def main() -> None:
         "merge_upsert_fixed_batch": LIFECYCLE_SCALES,
         "merge_partitioned_fixed_batch": LIFECYCLE_SCALES,
         "ivm_join_fixed_delta": LIFECYCLE_SCALES,
+        "ivm_keyed_fixed_delta": LIFECYCLE_SCALES,
         "bpe_encode_fixed_model": LIFECYCLE_SCALES,
         # the df-cut claim (e stays ~flat where saturation would send
         # the uncapped verifier quadratic) needs the saturation
@@ -899,6 +938,9 @@ def main() -> None:
                 "note": "one-time corpus band-bucket index build+write "
                 "(O(corpus) shingle compute, amortized over every batch)",
             }, sf_dir)
+        if name == "ivm_keyed_fixed_delta":
+            for kk in scales:  # view build stays outside the timing
+                ivm_view(kk)
         if name == "band_index_merge_fixed_batch":
             for kk in scales:  # index build stays outside the timing
                 band_index(kk)
