@@ -145,6 +145,67 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
 
 
+_MJPG_FOURCC = 0x47504A4D  # "MJPG" little-endian
+
+
+def encode_avi_mjpeg(
+    jpegs: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode pre-compressed baseline JPEG frames as a Motion-JPEG
+    AVI — the one compressed-video format this environment can build
+    and verify without any codec library, because an 'MJPG' stream is
+    just concatenated standalone JPEGs (each ``00dc`` chunk is one
+    complete JFIF image, decoded by ``functions.jpeg``). Same RIFF
+    grammar as :func:`encode_avi`; the video strl carries handler
+    'MJPG' and ``biCompression = 'MJPG'``, and frames land in ``00dc``
+    (compressed) chunks instead of ``00db``.
+    """
+    if not jpegs:
+        raise ValueError("need at least one JPEG frame")
+    for i, j in enumerate(jpegs):
+        if j[:2] != b"\xff\xd8":
+            raise ValueError(f"frame {i} is not a JPEG (missing SOI)")
+    if not (0 < fps <= 10**6):
+        raise ValueError(f"bad fps {fps}")
+    n = len(jpegs)
+    buf_size = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        10**6 // fps,
+        buf_size * fps,
+        0,
+        0,
+        n,
+        0,
+        1,  # one stream
+        buf_size,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n, buf_size, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, _MJPG_FOURCC, buf_size, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi_av(
     data: bytes,
 ) -> tuple[int, np.ndarray, int | None, np.ndarray | None]:
@@ -153,11 +214,15 @@ def decode_avi_av(
     ``frames`` is (N, H, W, 3) uint8 RGB; ``audio`` is 1-D int16 mono
     PCM concatenated from the interleaved '01wb' chunks (None with
     rate None when the file carries no audio stream). Strict: one
-    24-bit BI_RGB 'vids' stream plus at most one 16-bit mono PCM
-    'auds' stream; frame geometry is cross-validated between
-    ``avih``, ``strf``, and each ``00db`` chunk's length; the audio
-    sample count is validated against the stream header's dwLength.
-    Unknown chunks (idx1, JUNK, INFO…) are skipped per the RIFF spec.
+    'vids' stream — 24-bit BI_RGB DIB ('00db' chunks) or Motion-JPEG
+    ('MJPG' handler/compression, '00dc' chunks each holding one
+    complete baseline JPEG, decoded through ``functions.jpeg``;
+    grayscale frames replicate to RGB, color frames pass through the
+    JFIF fixed-point YCbCr→RGB transform) — plus at most one 16-bit
+    mono PCM 'auds' stream; frame geometry is cross-validated between
+    ``avih``, ``strf``, and each frame chunk; the audio sample count
+    is validated against the stream header's dwLength. Unknown chunks
+    (idx1, JUNK, INFO…) are skipped per the RIFF spec.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI: bad RIFF/AVI header")
@@ -169,12 +234,14 @@ def decode_avi_av(
     n_frames = None
     raw_frames: list[bytes] = []
     cur_type = None  # stream type of the strl being parsed
+    codec = "dib"
     audio_rate = None
     audio_len = None
     audio_parts: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps, n_frames, cur_type, audio_rate, audio_len
+        nonlocal w, h, fps, n_frames, cur_type, codec
+        nonlocal audio_rate, audio_len
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -199,10 +266,13 @@ def decode_avi_av(
                 handler = data[body_start + 4 : body_start + 8]
                 cur_type = fcc_type
                 if fcc_type == b"vids":
-                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    if handler == b"MJPG":
+                        codec = "mjpg"
+                    elif handler not in (b"DIB ", b"\x00\x00\x00\x00"):
                         raise ValueError(
                             f"unsupported AVI codec {handler!r} (BI_RGB DIB "
-                            "only — no compressed codecs in this environment)"
+                            "or MJPG only — no codec libraries in this "
+                            "environment)"
                         )
                 elif fcc_type == b"auds":
                     if length < 48:
@@ -235,16 +305,17 @@ def decode_avi_av(
                     size, bw, bh, planes, bits, comp = struct.unpack(
                         "<IiiHHI", data[body_start : body_start + 20]
                     )
-                    if bits != 24 or comp != 0:
+                    want_comp = _MJPG_FOURCC if codec == "mjpg" else 0
+                    if bits != 24 or comp != want_comp:
                         raise ValueError(
                             f"unsupported AVI: bits={bits} compression={comp} "
-                            "(24-bit BI_RGB only)"
+                            "(24-bit BI_RGB or MJPG only)"
                         )
                     if (bw, abs(bh)) != (w, h):
                         raise ValueError(
                             "AVI strf geometry disagrees with avih"
                         )
-            elif tag == b"00db":
+            elif tag in (b"00db", b"00dc"):
                 raw_frames.append(data[body_start : body_start + length])
             elif tag == b"01wb":
                 audio_parts.append(data[body_start : body_start + length])
@@ -258,13 +329,31 @@ def decode_avi_av(
             f"AVI frame count mismatch: header says {n_frames}, "
             f"movi holds {len(raw_frames)}"
         )
-    row_bytes = _pad4(w * 3)
     out = np.empty((len(raw_frames), h, w, 3), dtype=np.uint8)
-    for i, fb in enumerate(raw_frames):
-        if len(fb) != row_bytes * h:
-            raise ValueError(f"AVI frame {i} has bad size {len(fb)}")
-        dib = np.frombuffer(fb, dtype=np.uint8).reshape(h, row_bytes)
-        out[i] = dib[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if codec == "mjpg":
+        from kaj_query_engine_spark.functions.jpeg import (
+            decode_jpeg,
+            ycbcr_to_rgb,
+        )
+
+        for i, fb in enumerate(raw_frames):
+            fh, fw, px, _coeffs = decode_jpeg(bytes(fb))
+            if (fh, fw) != (h, w):
+                raise ValueError(
+                    f"MJPG frame {i} geometry {fw}x{fh} disagrees with "
+                    f"the AVI header's {w}x{h}"
+                )
+            if px.ndim == 2:  # grayscale: replicate to RGB
+                out[i] = np.repeat(px[:, :, None], 3, axis=2)
+            else:  # YCbCr planes -> RGB (JFIF fixed-point)
+                out[i] = ycbcr_to_rgb(px)
+    else:
+        row_bytes = _pad4(w * 3)
+        for i, fb in enumerate(raw_frames):
+            if len(fb) != row_bytes * h:
+                raise ValueError(f"AVI frame {i} has bad size {len(fb)}")
+            dib = np.frombuffer(fb, dtype=np.uint8).reshape(h, row_bytes)
+            out[i] = dib[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
     audio = None
     if audio_rate is not None:
         buf = b"".join(audio_parts)

@@ -31,10 +31,13 @@ fixture making even pixels SQL-reconstructible). GIF decode is REAL
 as well (``functions.gif``: the full variable-width LSB-first LZW
 with CLEAR resets and the KwKwK case, palette mapping — q98).
 FLAC decode is REAL (``functions.flac``: rice/LPC subframes, all four
-stereo channel assignments — oracle-checked as q99). Remaining codecs
-(mp3, non-MJPEG compressed video) stay honestly guarded: the container
-ships no libraries for them, and the decode operators raise per-task
-rather than silently skipping media.
+stereo channel assignments — oracle-checked as q99). Compressed video
+is REAL for Motion-JPEG AVI (q95's RIFF container composed with q97's
+JPEG entropy layer — 'MJPG' streams are concatenated baseline JPEGs;
+the q95 'mjpg' branch). Remaining codecs (mp3, non-MJPEG compressed
+video) stay honestly guarded: the container ships no libraries for
+them, and the decode operators raise per-task rather than silently
+skipping media.
 The fake payload generator and the
 byte-level feature path stay codec-free and deterministic
 (sha256-derived bytes), exercising the exact Spark plumbing — schema,
@@ -812,11 +815,74 @@ def attach_avi_media(
     )
 
 
+# MJPEG fixture geometry: 2 blocks wide (16 px), 1-3 blocks tall
+_MJPG_BX = 2
+
+
+def attach_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """COMPRESSED video ingest: a ``video`` column holding genuine
+    Motion-JPEG AVI bytes — q95's RIFF container composed with q97's
+    JPEG entropy layer ('MJPG' streams are concatenated baseline
+    JPEGs), the one compressed-video format this environment can
+    verify with zero codec libraries.
+
+    The frame model keeps the pixel layer SQL-reconstructible by the
+    q97 'dcpatch' trick: every frame is a DC-ONLY grayscale JPEG
+    (block b of frame f of doc d has DC = byte0(sha256(f"{d}:v{f}b{b}"))
+    % 32 − 16, all ACs zero; luma quant q0 = 1), so the decoded frame
+    is flat 8×8 patches of floor(DC/8 + 128.5), replicated grey→RGB
+    by the demuxer. Geometry: 16×(8·(1+d%3)) px, 2+d%3 frames, fps 10.
+    JPEG entropy framing inside a video container is pinned by the
+    same digest the DIB branches use.
+    """
+    import numpy as np
+
+    from kaj_query_engine_spark.functions.avi import encode_avi_mjpeg
+    from kaj_query_engine_spark.functions.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: int) -> bytes:
+            by = 1 + d % 3
+            jpegs = []
+            for f in range(2 + d % 3):
+                coeffs = np.zeros((_MJPG_BX * by, 64), dtype=np.int64)
+                for b in range(_MJPG_BX * by):
+                    digest = hashlib.sha256(f"{d}:v{f}b{b}".encode()).digest()
+                    coeffs[b, 0] = digest[0] % 32 - 16
+                jpegs.append(encode_jpeg(coeffs, by * 8, _MJPG_BX * 8))
+            return encode_avi_mjpeg(jpegs, _MJPG_BX * 8, by * 8, fps=10)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "video": pdf[id_col].map(one)}
+            )
+
+    video = (
+        df.select(id_col)
+        .repartition(
+            max(AVI_SPREAD, len(df.inputFiles())), F.col(id_col)
+        )
+        .mapInPandas(gen, f"{id_col} long, video binary")
+    )
+    return video.withColumn(
+        "video_meta",
+        F.struct(
+            F.lit(_MJPG_BX * 8).cast("int").alias("width"),
+            ((F.lit(1) + F.col(id_col) % 3) * 8).cast("int").alias("height"),
+            (F.lit(2) + F.col(id_col) % 3).cast("int").alias("n_frames"),
+            F.lit(10).cast("int").alias("fps"),
+            F.lit("mjpg").alias("format"),
+        ),
+    )
+
+
 def decode_video(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "video"
 ) -> DataFrame:
-    """Real video decode — AVI/DIB for real, other containers honestly
-    guarded (same contract as :func:`decode_media`/:func:`decode_audio`).
+    """Real video decode — AVI containers for real (uncompressed DIB
+    and Motion-JPEG streams, ``functions.avi``), other containers
+    honestly guarded (same contract as
+    :func:`decode_media`/:func:`decode_audio`).
 
     Output EXPLODES the container: one row per frame,
     (id, frame_idx, width, height, fps, n_frames, pixels) with
@@ -837,9 +903,10 @@ def decode_video(
             for d, b in zip(pdf[id_col], pdf[bin_col]):
                 if bytes(b[:4]) != b"RIFF":
                     raise NotImplementedError(
-                        "decode_video: only AVI/DIB decodes in this "
-                        "environment (no codec libraries installed) — "
-                        "filter on video_meta.format == 'avi'"
+                        "decode_video: only AVI containers (DIB or "
+                        "MJPG streams) decode in this environment (no "
+                        "codec libraries installed) — filter on "
+                        "video_meta.format in ('avi', 'mjpg')"
                     )
                 fps, frames = decode_avi(bytes(b))
                 n, h, w = frames.shape[:3]

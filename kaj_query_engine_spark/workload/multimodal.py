@@ -468,11 +468,40 @@ _AVI_SUMMARY_SQL = (
 )
 
 
+# 'mjpg': COMPRESSED video — Motion-JPEG AVI (the q95 container around
+# q97's JPEG entropy layer). Frames are DC-only grayscale JPEGs, so the
+# decoded pixel layer is SQL-reconstructible (the dcpatch trick): block
+# b of frame fi of doc d is a flat patch of floor((byte0 % 32 - 16)/8
+# + 128.5), replicated grey->RGB by the demuxer. 16 px wide (2 blocks),
+# 8*(1+d%3) tall, 2+d%3 frames.
+_MJPG_H = "(8 * (1 + doc_id % 3))"
+_MJPG_DIG = (
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':v', CAST(fi AS VARCHAR), "
+    "'b', CAST((y // 8) * 2 + (x // 8) AS VARCHAR)))"
+)
+_AVI_MJPG_SQL = (
+    "WITH px AS (SELECT doc_id, fi, y, x, CAST(floor(("
+    f"((strpos('0123456789abcdef', {_MJPG_DIG}[1]) - 1) * 16 "
+    f"+ (strpos('0123456789abcdef', {_MJPG_DIG}[2]) - 1))"
+    " % 32 - 16) / 8.0 + 128.5) AS INT) AS pv "
+    "FROM documents, generate_series(0, 3) g(fi), "
+    "generate_series(0, 23) gy(y), generate_series(0, 15) gx(x) "
+    f"WHERE fi < {_AVI_NF} AND y < {_MJPG_H}) "
+    "SELECT 'mjpg' AS path, doc_id, CAST(fi AS INT) AS frame_idx, "
+    f"CAST(16 AS INT) AS width, CAST({_MJPG_H} AS INT) AS height, "
+    f"CAST(10 AS INT) AS fps, CAST({_AVI_NF} AS INT) AS n_frames, "
+    "md5(string_agg(printf('%02x%02x%02x', pv, pv, pv), '' "
+    "ORDER BY y, x)) AS frame_md5, "
+    f"{_AVI_NULL_TAIL}, {_AVI_NULL_AUDIO} "
+    "FROM px GROUP BY doc_id, fi"
+)
+
+
 @register(
     "q95_avi_decode",
     f"{_AVI_FRAMES_SQL} UNION ALL ({_AVI_SAMPLE_SQL}) "
     f"UNION ALL ({_AVI_SUMMARY_SQL}) UNION ALL ({_AVI_MUXED_SQL}) "
-    f"UNION ALL ({_AVI_SOUND_SQL})",
+    f"UNION ALL ({_AVI_SOUND_SQL}) UNION ALL ({_AVI_MJPG_SQL})",
     "REAL video decode, oracle-checked: genuine AVI bytes (pure-stdlib "
     "RIFF encoder, uncompressed 24-bit DIB frames stored bottom-up/BGR/"
     "row-padded) decode through the pure-stdlib container codec inside "
@@ -485,7 +514,12 @@ _AVI_SUMMARY_SQL = (
     "path), and 'sound' pins the demuxed PCM against q94's buffer "
     "digest — one audio model across WAV, FLAC, and AVI; 'summary' keeps "
     "the pixel sum exact-int so mean_byte is bit-identical IEEE. "
-    "Compressed video stays honestly guarded",
+    "'mjpg' is COMPRESSED video for real: Motion-JPEG AVI ('MJPG' "
+    "streams are concatenated baseline JPEGs — this container composed "
+    "with q97's entropy layer), DC-only grayscale frames keeping the "
+    "pixel layer SQL-reconstructible (flat floor(DC/8+128.5) patches, "
+    "grey replicated to RGB by the demuxer). Non-MJPEG compressed "
+    "video stays honestly guarded",
 )
 def q95(spark, sf_dir):
     # persist: all three branches read the generated AVI corpus (q93/94)
@@ -544,6 +578,15 @@ def q95(spark, sf_dir):
         "rate",
         "n_samples",
     )
+    mjpg = M.decode_video(
+        M.attach_mjpeg_media(t(spark, sf_dir, "documents"))
+    ).select(
+        F.lit("mjpg").alias("path"),
+        *frame_cols,
+        frame_md5.alias("frame_md5"),
+        *null_tail,
+        *null_audio,
+    )
     summary = M.video_summary(v).select(
         F.lit("summary").alias("path"),
         "doc_id",
@@ -559,7 +602,7 @@ def q95(spark, sf_dir):
     )
     return (
         frames.unionAll(sampled).unionAll(summary).unionAll(muxed)
-        .unionAll(sound)
+        .unionAll(sound).unionAll(mjpg)
     )
 
 

@@ -10,6 +10,7 @@ these run the codecs directly, fast enough for wide sweeps)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
@@ -182,6 +183,47 @@ def test_avi_audio_mux_roundtrip(f, ns, rate, seed):
     # video-only view ignores the audio stream cleanly
     fps2, frames2 = decode_avi(data)
     assert np.array_equal(frames2, f)
+
+
+@settings(**_SETTINGS)
+@given(
+    dcs=st.lists(
+        st.lists(st.integers(-1023, 1023), min_size=2, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+    bx=st.integers(1, 3),
+    fps=st.integers(1, 120),
+)
+def test_avi_mjpeg_roundtrip(dcs, bx, fps):
+    """Motion-JPEG AVI: the entropy layer survives the container (the
+    coefficient payload of every frame round-trips bit-exactly), and
+    the demuxed pixels equal decoding each standalone JPEG — the
+    compressed-video composition of the RIFF and JPEG codecs."""
+    from kaj_query_engine_spark.functions.avi import encode_avi_mjpeg
+    from kaj_query_engine_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    nb = len(dcs[0])
+    by = -(-nb // bx)
+    jpegs = []
+    for frame_dcs in dcs:
+        co = np.zeros((bx * by, 64), dtype=np.int64)
+        take = min(len(frame_dcs), nb)
+        co[:take, 0] = frame_dcs[:take]
+        jpegs.append(encode_jpeg(co, by * 8, bx * 8))
+    got_fps, frames = decode_avi(
+        encode_avi_mjpeg(jpegs, bx * 8, by * 8, fps=fps)
+    )
+    assert got_fps == fps and frames.shape == (len(dcs), by * 8, bx * 8, 3)
+    for i, j in enumerate(jpegs):
+        _h, _w, px, _ = decode_jpeg(j)
+        assert np.array_equal(frames[i], np.repeat(px[:, :, None], 3, 2))
+    # geometry mismatch between header and frames fails loudly
+    with pytest.raises(ValueError, match="geometry"):
+        decode_avi(encode_avi_mjpeg(jpegs, bx * 8 + 8, by * 8, fps=fps))
 
 
 @st.composite
