@@ -71,6 +71,7 @@ def register(
 # versioned-table batch_id fixes (q85, q86, q87, q96) and the
 # auto_state_partitions memoization (q80, q82, q83, q84, q87).
 _CHANGED_THIS_ROUND = [
+    "q81_stream_late_data",  # NEW in round 8
     "q97_jpeg_decode",
     "q95_avi_decode",
     "q96_stream_media_decode",

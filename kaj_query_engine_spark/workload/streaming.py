@@ -250,6 +250,128 @@ def q84(spark, sf_dir):
     )
 
 
+# q81: the late-data semantics every other streaming query here is too
+# single-batch to exercise — a three-file landing directory with one
+# deliberately OUT-OF-ORDER batch, so the watermark genuinely drops
+# rows and append mode genuinely withholds open windows. Batch layout
+# (derived from the events fixture by fixed calendar cuts, so both
+# engines can reproduce it): batch 0 = ts < Jan-11 minus the
+# stragglers, batch 1 = Jan-11..Jan-21, batch 2 = ts >= Jan-21 PLUS
+# the stragglers (event_id % 10 = 0 with ts < Jan-08, replayed ~2
+# weeks out of order). By batch 2 the late-events watermark sits at
+# ~Jan-11 (data through batch 0) minus the 10-minute delay — days past
+# every straggler's window — so ALL stragglers are dropped; the
+# margins are DAYS wide on purpose, so the result never depends on
+# which of Spark's two watermark values (eviction vs late-events, one
+# batch apart) applies. Append mode emits exactly the windows whose
+# end <= final watermark (max event time - 10 min): the trailing
+# window(s) of the month stay withheld at stream end.
+_LATE_CUT1 = "2024-01-11 00:00:00"
+_LATE_CUT2 = "2024-01-21 00:00:00"
+_LATE_STRAG = "2024-01-08 00:00:00"
+
+
+def _late_landing(spark, sf_dir: str) -> str:
+    """Write-once landing dir (same staleness-token rule as the
+    materialized layouts): three single-file parquet batches with
+    ascending mtimes, one micro-batch each under maxFilesPerTrigger."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    dst = _SCRATCH / _tag(sf_dir) / "late_landing"
+    token = _layout_token(src, "late:v1")
+    if not _layout_current(token, str(dst)):
+        ev = t(spark, sf_dir, "events")
+        c1 = F.lit(_LATE_CUT1).cast("timestamp")
+        c2 = F.lit(_LATE_CUT2).cast("timestamp")
+        strag = (F.col("event_id") % 10 == 0) & (
+            F.col("ts") < F.lit(_LATE_STRAG).cast("timestamp")
+        )
+        batches = [
+            ev.filter((F.col("ts") < c1) & ~strag),
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.filter((F.col("ts") >= c2) | strag),
+        ]
+        shutil.rmtree(dst, ignore_errors=True)
+        dst.mkdir(parents=True, exist_ok=True)
+        base = 1_700_000_000
+        for i, b in enumerate(batches):
+            tmp = str(dst / f"_tmp{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            tgt = dst / f"part-b{i:03d}.parquet"
+            shutil.move(str(part), str(tgt))
+            shutil.rmtree(tmp)
+            os.utime(tgt, (base + 60 * i, base + 60 * i))
+        _stamp_layout(token, str(dst))
+    return str(dst)
+
+
+@register(
+    "q81_stream_late_data",
+    "WITH wmf AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm "
+    "FROM events), "
+    "base AS (SELECT * FROM events WHERE NOT (event_id % 10 = 0 "
+    f"AND ts < TIMESTAMP '{_LATE_STRAG}')), "
+    "agg AS (SELECT CAST(event_type AS VARCHAR) AS k, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, "
+    "epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') "
+    "AS we_us, count(*) AS n, "
+    f"{DSUM_V_SQL} AS sum_v FROM base GROUP BY 1, 2, 3) "
+    "SELECT k, ws_us, we_us, n, sum_v FROM agg, wmf "
+    "WHERE we_us <= epoch_us(wm)",
+    "watermark late-data semantics, genuinely exercised: a three-file "
+    "landing dir replays a straggler batch ~2 weeks out of order "
+    "(maxFilesPerTrigger=1, one micro-batch per file), so the 10-min "
+    "watermark REALLY drops the stragglers (their windows closed days "
+    "earlier) and append mode REALLY withholds the still-open trailing "
+    "windows at stream end. Oracle: tumbling-window aggregates over "
+    "the non-straggler rows, restricted to windows whose end <= final "
+    "watermark (max event time - 10 min) — the exact set append mode "
+    "must emit, with the drop and the withholding both diverging if "
+    "the engine mishandles either",
+)
+def q81(spark, sf_dir):
+    landing = _late_landing(spark, sf_dir)
+    schema = spark.read.parquet(landing).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_v"),
+        )
+    )
+    sp = _state_parts(
+        spark, sf_dir, "events",
+        F.date_trunc("hour", F.col("ts")), F.col("event_type"),
+        tag="tumble",
+    )
+    res = run_available_now(agg, "append", state_partitions=sp)
+    return res.select(
+        F.col("event_type").alias("k"),
+        F.unix_micros("window.start").alias("ws_us"),
+        F.unix_micros("window.end").alias("we_us"),
+        "n",
+        "sum_v",
+    )
+
+
 @register(
     "q83_stream_stateful_totals",
     "SELECT user_id, count(*) AS n_events, "
