@@ -148,12 +148,36 @@ def main() -> None:
             new_ref = ref
             if measured < ref and prev_measured is not None and prev_measured < ref:
                 new_ref = max(measured, prev_measured)
+            # second probe at the END of the run: the canary's warm
+            # slot sits mid-alphabet, so a host that degrades for part
+            # of the run evades a single point probe (observed live in
+            # round 8: q53-q68 read 7-22x slow while q45's slot and
+            # the tail were normal, and the artifact still said
+            # canary_ok). ok now requires BOTH probes within bound;
+            # the ratchet still keys on the slot reading only.
+            end_measured = None
+            for _ in range(2):  # same retry-on-slow rule as the slot
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                start = time.time()
+                queries[canary_name].spark(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                took = round(time.time() - start, 3)
+                end_measured = took if end_measured is None else min(
+                    end_measured, took
+                )
+                if end_measured <= 1.10 * ref:
+                    break
             canary = {
                 "query": canary_name,
                 "ref": round(new_ref, 3),
                 "measured": measured,
                 "ratio": round(measured / ref, 3),
-                "ok": measured <= 1.10 * ref,
+                "end_measured": end_measured,
+                "end_ratio": round(end_measured / ref, 3),
+                "ok": measured <= 1.10 * ref
+                and end_measured <= 1.10 * ref,
             }
 
     total = round(sum(timings.values()), 3)
