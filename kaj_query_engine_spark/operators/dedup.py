@@ -1043,6 +1043,17 @@ def duplicated_spans(
         .filter(F.col("c") >= min_count)
         .select("id", "pos")
     )
+    return _merge_flagged_islands(flagged, k)
+
+
+def _merge_flagged_islands(flagged: DataFrame, k: int) -> DataFrame:
+    """Merge flagged k-gram positions (columns ``id``, ``pos``) into
+    maximal per-doc islands: one row per island with token-index
+    bounds [span_start, span_end) and the flagged-position count.
+    ONE per-doc sort — shared by the corpus-duplicate (q68) and
+    benchmark-contamination (q69) span families."""
+    from pyspark.sql import Window as W
+
     prev = (
         W.partitionBy("id")
         .orderBy("pos")
@@ -1065,3 +1076,70 @@ def duplicated_spans(
         (F.max("pos") + k).cast("int").alias("span_end"),
         F.count(F.lit(1)).cast("int").alias("n_positions"),
     ).drop("gid")
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION — the production
+    complement of :func:`duplicated_spans` (q68) and the span-exact
+    upgrade of the bloom n-gram decontaminator: flag every corpus
+    token position whose k-token gram appears ANYWHERE in the
+    benchmark set, then merge flagged [pos, pos+k) windows into
+    maximal per-doc islands the trainer cuts (cutting just the island
+    keeps the rest of the document — doc-level drop wastes data;
+    Lee et al. 2022 / GPT-3 appendix-C shape).
+
+    Output (id, span_start, span_end, n_positions), like q68.
+
+    Scale: the benchmark gram set is SMALL by construction (eval sets
+    are thousands of documents, not billions), so the duplicate test
+    is a BROADCAST left-semi join — the corpus-side plan is map-only
+    (no corpus-wide shuffle on the gram, unlike q68's within-corpus
+    test); the only shuffle is the per-doc island sort.
+    ``hash_grams=True`` broadcasts xxhash64 digests instead of gram
+    strings (8 bytes/entry — a 1M-gram benchmark broadcasts in 8 MB);
+    a hash collision can only widen a cut, never leak contamination.
+    """
+    from kaj_query_engine_spark.functions.text import tokens
+
+    def grams_of(df: DataFrame, with_pos: bool) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        ).filter(F.size("t") >= k)
+        g = toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i + 1, k)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        ).select(
+            "id",
+            F.col("g.pos").alias("pos"),
+            (
+                F.xxhash64(F.col("g.gram"))
+                if hash_grams
+                else F.col("g.gram")
+            ).alias("gram"),
+        )
+        return g if with_pos else g.select("gram").distinct()
+
+    bench_grams = grams_of(benchmark, with_pos=False)
+    flagged = (
+        grams_of(corpus, with_pos=True)
+        .join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .select("id", "pos")
+    )
+    return _merge_flagged_islands(flagged, k)

@@ -407,3 +407,73 @@ def q68(spark, sf_dir):
         ).select(F.lit(tag).alias("path"), "*")
 
     return branch("exact", False).unionAll(branch("hashed", True))
+
+
+# q69: span-level benchmark decontamination — the q68 machinery with
+# the duplicate test swapped for membership in the BENCHMARK gram set
+# (docs with doc_id % 17 = 0 play the eval set; the corpus is the
+# rest). The oracle reuses q68's positional-gram + island SQL with an
+# EXISTS membership test instead of the corpus-wide window count.
+def _decon_oracle(k: int) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t "
+        "FROM documents), "
+        "g0 AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(t) - {k - 2}), "
+        "i -> {'pos': i - 1, "
+        f"'gram': array_to_string(t[i:i+{k - 1}], ' ')}})) AS u "
+        f"FROM toks WHERE len(t) >= {k}), "
+        "g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0), "
+        "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0), "
+        "d AS (SELECT doc_id, pos FROM g WHERE doc_id % 17 != 0 "
+        "AND gram IN (SELECT gram FROM bg)), "
+        "i AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE("
+        f"max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+        "THEN 1 ELSE 0 END AS st FROM d), "
+        "isl AS (SELECT doc_id, pos, SUM(st) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM i) "
+        "SELECT doc_id AS id, CAST(MIN(pos) AS INT) AS span_start, "
+        f"CAST(MAX(pos) + {k} AS INT) AS span_end, "
+        "CAST(COUNT(*) AS INT) AS n_positions "
+        "FROM isl GROUP BY doc_id, gid"
+    )
+
+
+@register(
+    "q69_span_decontaminate",
+    f"SELECT 'exact' AS path, * FROM ({_decon_oracle(_SPAN_K)}) "
+    f"UNION ALL SELECT 'hashed' AS path, * FROM ({_decon_oracle(_SPAN_K)}) "
+    f"UNION ALL SELECT 'k4' AS path, * FROM ({_decon_oracle(4)})",
+    "span-level benchmark decontamination (the GPT-3 appendix-C / "
+    "Lee et al. production shape, span-exact where q48's bloom "
+    f"decontaminator is doc-level): every corpus {_SPAN_K}-token gram "
+    "position found in the BENCHMARK gram set (docs with doc_id % 17 "
+    "= 0 play the eval set) is flagged and merged into maximal "
+    "per-doc islands the trainer cuts — cutting the island keeps the "
+    "rest of the document. Scale shape BEATS q68: the benchmark gram "
+    "set is small by construction, so the membership test is a "
+    "BROADCAST left-semi join and the corpus-side plan is MAP-ONLY "
+    "(no corpus-wide gram shuffle); the per-doc island sort is the "
+    "only exchange. The 'hashed' branch broadcasts xxhash64 digests "
+    "(8 bytes/gram — a 1M-gram benchmark fits in 8 MB; a collision "
+    "only widens a cut, never leaks contamination) against the SAME "
+    "island oracle; 'k4' re-runs at gram width 4 (aggressive eval "
+    "protection — many more docs flagged on the fixture corpus), "
+    "pinning the k-parametrization",
+)
+def q69(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+
+    def branch(tag, k, hashed):
+        return D.contaminated_spans(
+            corpus, bench, "doc_id", "text", k=k, hash_grams=hashed
+        ).select(F.lit(tag).alias("path"), "*")
+
+    return (
+        branch("exact", _SPAN_K, False)
+        .unionAll(branch("hashed", _SPAN_K, True))
+        .unionAll(branch("k4", 4, False))
+    )

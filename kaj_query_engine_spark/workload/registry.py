@@ -72,6 +72,7 @@ def register(
 # auto_state_partitions memoization (q80, q82, q83, q84, q87).
 _CHANGED_THIS_ROUND = [
     "q81_stream_late_data",  # NEW in round 8
+    "q69_span_decontaminate",  # NEW in round 8
     "q97_jpeg_decode",
     "q95_avi_decode",
     "q96_stream_media_decode",

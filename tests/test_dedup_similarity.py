@@ -1068,6 +1068,45 @@ def test_duplicated_spans_semantics(spark):
     assert (1, 0, 16) in out2  # doc1's two flagged windows merged
 
 
+def test_contaminated_spans_semantics(spark):
+    """Benchmark-span decontamination: only corpus positions whose
+    k-gram appears in the BENCHMARK flag (within-corpus duplication
+    does NOT), islands merge, and hashed==exact."""
+    from kaj_query_engine_spark.operators.dedup import contaminated_spans
+
+    w = [f"w{i}" for i in range(40)]
+    bench = spark.createDataFrame(
+        [(100, " ".join(w[:12]))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # doc 1 contains bench tokens 0..11 at offset 3
+            (1, "x0 x1 x2 " + " ".join(w[:12]) + " y0 y1"),
+            # docs 2+3 duplicate EACH OTHER (not the bench): no flags
+            (2, " ".join(w[20:32])),
+            (3, " ".join(w[20:32])),
+            (4, " ".join(f"u{i}" for i in range(20))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(hashed):
+        return sorted(
+            map(
+                tuple,
+                contaminated_spans(
+                    corpus, bench, "doc_id", "text", k=8,
+                    hash_grams=hashed,
+                ).collect(),
+            )
+        )
+
+    out = run(False)
+    # doc 1: bench grams flag positions 3..7 -> one island [3, 15)
+    assert out == [(1, 3, 15, 5)]
+    assert run(True) == out  # hashed payload, identical spans
+
+
 def test_duplicated_spans_hashed_equals_exact(spark):
     """The production shuffle payload (hash_grams=True: xxhash64 of
     the gram, 8 fixed bytes) must produce byte-identical spans to the

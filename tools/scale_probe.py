@@ -180,6 +180,17 @@ def main() -> None:
             docs(k), "doc_id", "text", k=8, hash_grams=True
         ).write.format("noop").mode("overwrite").save()
 
+    def run_span_decontaminate(k: int) -> None:
+        # fixed benchmark set (from the 1x corpus), growing corpus:
+        # the membership test is a broadcast semi-join, so the plan is
+        # map-only on the corpus side + the per-doc island sort
+        d = docs(k)
+        bench = docs(1).filter(F.col("doc_id") % 17 == 0)
+        D.contaminated_spans(
+            d.filter(F.col("doc_id") % 17 != 0), bench,
+            "doc_id", "text", k=8, hash_grams=True,
+        ).write.format("noop").mode("overwrite").save()
+
     def run_minhash(k: int) -> None:
         d = docs(k)
         D.minhash_lsh_candidates(d, "doc_id", "text").write.format("noop").mode(
@@ -824,6 +835,7 @@ def main() -> None:
         "minhash_lsh_pairs": run_minhash,
         "span_dedup_exactsubstr": run_span_dedup,
         "span_dedup_hashed_grams": run_span_dedup_hashed,
+        "span_decontaminate_fixed_bench": run_span_decontaminate,
         "incremental_dedup_fixed_batch": run_incremental,
         "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
@@ -861,6 +873,7 @@ def main() -> None:
         "minhash_lsh_pairs": docs,
         "span_dedup_exactsubstr": docs,
         "span_dedup_hashed_grams": docs,
+        "span_decontaminate_fixed_bench": docs,
         "incremental_dedup_fixed_batch": docs,
         "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
