@@ -778,3 +778,44 @@ def stream_agg_state_apply(
     )
     q.awaitTermination()
     return table.read(sdf.sparkSession)
+
+
+def stream_join_view_apply(
+    sdf: DataFrame,
+    table,
+    static_left: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Streaming incremental JOIN-view maintenance — the fourth member
+    of the foreachBatch-maintenance family (MERGE q85, SCD2 q86,
+    aggregates q87, join views here): each micro-batch of right-side
+    appends ΔR folds into the stored view V = L ⋈ R by the insert-only
+    IVM delta rule's right-delta term ΔV = L ⋈ ΔR (the left side is a
+    static dimension here, so the ΔL terms vanish), committed to the
+    snapshot-isolated versioned table. Cost per batch is one
+    delta-bounded join (the planner broadcasts ΔR) plus the snapshot
+    append — the stored view is never recomputed.
+
+    The append is NOT idempotent (re-delivering a batch would append
+    its delta rows twice), so like the aggregate path each commit
+    records its foreachBatch id and an already-applied id is skipped —
+    effectively-once on top of at-least-once delivery."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = table.last_applied_batch()
+        if last is not None and batch_id <= last:
+            return  # at-least-once re-delivery of an applied batch
+        delta_view = static_left.join(batch_df, on=on)
+        table.commit(
+            table.read(spark).unionByName(delta_view), batch_id=batch_id
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(table.path / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(sdf.sparkSession)

@@ -546,6 +546,66 @@ _IVM_ORACLE = (
     "WHERE f.n - COALESCE(o.n, 0) > 0"
 )
 
+# q89: the STREAMING twin of q67's insert-only IVM — right-side
+# append batches folded into the stored join view through foreachBatch
+# (dV = L x dR; the left side is static, so the dL terms vanish). The
+# oracle is the full recompute, so stream == batch == recompute holds
+# for join views exactly as q87 pins it for aggregates.
+_SJV_ORACLE = (
+    f"SELECT {_IVM_AGG} FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1"
+)
+
+
+@register(
+    "q89_stream_join_view",
+    _SJV_ORACLE,
+    "streaming incremental JOIN-view maintenance (the fourth "
+    "foreachBatch-maintenance family member: MERGE q85, SCD2 q86, "
+    "aggregates q87, join views here): the orders⋈lineitem view "
+    "seeded from pre-cut shipments, then maintained by the later "
+    "lineitem rows streamed through foreachBatch — each batch folds "
+    "in as ONE delta-bounded join dV = L ⋈ dR appended to the "
+    "snapshot-isolated versioned table (per-commit batch ids upgrade "
+    "at-least-once to effectively-once; the stored view is never "
+    "recomputed). Oracle = the full recompute, completing the "
+    "stream==batch==recompute triple for join views",
+)
+def q89(spark, sf_dir):
+    from kaj_query_engine_spark.sources.versioned import VersionedTable
+    from kaj_query_engine_spark.streaming import read_stream_table
+    from kaj_query_engine_spark.streaming.ops import stream_join_view_apply
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    o_slim = t(spark, sf_dir, "orders").select("o_orderkey")
+    li_cols = [
+        "o_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_shipdate",
+    ]
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .select(*li_cols)
+    )
+    cut_l = F.lit(_IVM_CUT_L).cast("timestamp")
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_join_view")
+    tbl.init(o_slim.join(li.filter(F.col("l_shipdate") < cut_l), "o_orderkey"))
+    stream = (
+        read_stream_table(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .select(*li_cols)
+        .filter(F.col("l_shipdate") >= cut_l)
+    )
+    final = stream_join_view_apply(stream, tbl, o_slim, ["o_orderkey"])
+    return final.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
 # keyed IVM scenario (updates + deletes + inserts on BOTH sides of
 # orders⋈customer): the oracle recomputes the POST-change sides from
 # the same deterministic modulo classes the Spark query derives its
