@@ -74,6 +74,7 @@ _CHANGED_THIS_ROUND = [
     "q81_stream_late_data",  # NEW in round 8
     "q69_span_decontaminate",  # NEW in round 8
     "q89_stream_join_view",  # NEW in round 8
+    "q91_kmeans_int",  # NEW in round 8
     "q97_jpeg_decode",
     "q95_avi_decode",
     "q96_stream_media_decode",

@@ -487,3 +487,84 @@ def q65(spark, sf_dir):
     q = e.filter(F.col("vec_id").isin(list(Q_DOCS)))
     vec = S.brute_force_topk(e, q, k=R_K)
     return R.rrf_fuse(lex, vec)
+
+
+# q91: integer fixed-point k-means — ORACLE-EXACT iterative clustering
+# (the PageRank/BPE recipe applied to Lloyd's algorithm: quantize once
+# to a shared fixed-point grid, integer squared-L2 distances, argmin
+# ties to the smaller centroid index, floor-division centroid means
+# via the pmod trick). The oracle unrolls the three Lloyd iterations
+# as a CTE chain and must match bit-for-bit.
+_KM_K = 8
+_KM_T = 3
+_KM_SCALE = 10_000
+_KM_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    ).format(d=_KM_DIM + 1)
+    parts = [
+        "WITH qv AS (SELECT vec_id AS id, list_transform(embedding, "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * {_KM_SCALE}.0 + 0.5) AS BIGINT)"
+        ") AS q FROM embeddings), "
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) "
+        f"AS j, q AS c FROM (SELECT id, q FROM qv ORDER BY id LIMIT {_KM_K}))"
+    ]
+    for it in range(1, _KM_T + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (SELECT id, q, j FROM ("
+            f"SELECT qv.id, qv.q, {prev}.j, ROW_NUMBER() OVER ("
+            f"PARTITION BY qv.id ORDER BY {dist.replace('c[', prev + '.c[')}"
+            f", {prev}.j) AS rn FROM qv, {prev}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT j, i, SUM(q[i]) AS s, COUNT(*) AS n "
+            f"FROM a{it}, range(1, {_KM_DIM + 1}) r(i) GROUP BY j, i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT j, list(CAST((s - ((s % n + n) % n)) // n "
+            f"AS BIGINT) ORDER BY i) AS c FROM u{it} GROUP BY j "
+            f"UNION ALL SELECT j, c FROM {prev} "
+            f"WHERE j NOT IN (SELECT DISTINCT j FROM a{it}))"
+        )
+    final_a = f"a{_KM_T}"
+    final_c = f"c{_KM_T}"
+    return (
+        ", ".join(parts)
+        + f" SELECT {final_a}.j AS cluster, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(id) AS BIGINT) AS id_sum, cs.c_sum "
+        f"FROM {final_a} JOIN (SELECT j, CAST(list_sum(c) AS BIGINT) "
+        f"AS c_sum FROM {final_c}) cs ON {final_a}.j = cs.j "
+        f"GROUP BY {final_a}.j, cs.c_sum"
+    )
+
+
+@register(
+    "q91_kmeans_int",
+    _kmeans_oracle(),
+    "integer fixed-point k-means over the embeddings (Lloyd's "
+    f"algorithm, k={_KM_K}, {_KM_T} iterations) — ORACLE-EXACT "
+    "iterative clustering, the PageRank/BPE recipe applied to the "
+    "training pipeline's data-mix workhorse (topic balancing, domain "
+    "discovery, cluster-stratified sampling): vectors quantize once "
+    f"to a global 1/{_KM_SCALE} fixed-point grid, distances are "
+    "integer squared-L2, ties break to the smaller centroid index, "
+    "centroid means are floor divisions via the pmod trick — so the "
+    "unrolled-CTE DuckDB oracle reproduces all three iterations "
+    "bit-for-bit. Per iteration: one broadcast of the k x dim integer "
+    "centroid table against the quantized corpus (map-side distance + "
+    "argmin) and one (cluster, dim)-grouped partial-aggregated mean; "
+    "driver state is the bounded centroid table, same contract as the "
+    "IVF builder",
+)
+def q91(spark, sf_dir):
+    from kaj_query_engine_spark.operators.clustering import kmeans_int
+
+    return kmeans_int(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KM_K, iterations=_KM_T, scale=_KM_SCALE,
+    )

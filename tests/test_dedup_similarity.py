@@ -1129,3 +1129,45 @@ def test_duplicated_spans_hashed_equals_exact(spark):
     exact = spans(False)
     assert exact  # the fixture corpus genuinely contains duplicates
     assert spans(True) == exact
+
+
+def test_kmeans_int_blobs_and_invariance(spark):
+    """Integer k-means: separated blobs recover exactly, the result is
+    partitioning-invariant bit-for-bit (pure integer arithmetic), and
+    an empty cluster keeps its previous centroid instead of crashing."""
+    from kaj_query_engine_spark.operators.clustering import kmeans_int
+
+    # three tight blobs in 4-d around distinct corners; ids interleave
+    # (vid % 3 = blob) so the k-smallest-ids init spans the blobs
+    rows = []
+    centers = [(0.4, 0.4, 0.0, 0.0), (0.0, 0.0, 0.4, 0.4), (-0.4, 0.0, 0.0, -0.4)]
+    for m in range(6):
+        for b, c in enumerate(centers):
+            vid = 3 * m + b
+            rows.append(
+                (vid, [c[d] + 0.001 * ((vid * 7 + d) % 5) for d in range(4)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.cluster: (r.n, r.id_sum)
+        for r in kmeans_int(df, "vec_id", "embedding", k=3, iterations=3).collect()
+    }
+    # blob b holds ids {b, b+3, ..., b+15}: sums 45 / 51 / 57
+    assert sorted(n for n, _ in out.values()) == [6, 6, 6]
+    assert sorted(s for _, s in out.values()) == [45, 51, 57]
+    # bit-for-bit partitioning invariance
+    out2 = {
+        r.cluster: (r.n, r.id_sum)
+        for r in kmeans_int(
+            df.repartition(7), "vec_id", "embedding", k=3, iterations=3
+        ).collect()
+    }
+    assert out2 == out
+    # identical points with k=3: clusters 1,2 go empty on the first
+    # assignment (ties break to j=0) and must carry their centroids
+    same = spark.createDataFrame(
+        [(i, [0.1, 0.2]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    sout = kmeans_int(same, "vec_id", "embedding", k=3, iterations=2).collect()
+    assert [(r.cluster, r.n, r.id_sum) for r in sout] == [(0, 5, 10)]

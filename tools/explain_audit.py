@@ -230,6 +230,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    "q69_span_decontaminate": (
+        # benchmark membership must be a BROADCAST semi-join (the
+        # corpus side stays map-only, no corpus-wide gram shuffle —
+        # q68's within-corpus window must NOT be the mechanism here);
+        # the island merge is the only per-doc sort
+        ["BroadcastHashJoin", "LeftSemi", "Window", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     "q67_incremental_join": (
         # IVM delta rule: both delta terms join a small delta against
         # a stored side — the planner must broadcast the deltas; the

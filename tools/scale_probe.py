@@ -242,6 +242,16 @@ def main() -> None:
 
     base_vecs = base_vecs_df.count()
 
+    def run_kmeans(k: int) -> None:
+        # iterative clustering: per iteration one broadcast of the
+        # k x dim centroid table + one argmin + one (j, dim) mean —
+        # cost linear in corpus size, independent of corpus^2
+        from kaj_query_engine_spark.operators import clustering as C
+
+        C.kmeans_int(
+            vecs(k), "vec_id", "embedding", k=8, iterations=3
+        ).write.format("noop").mode("overwrite").save()
+
     def run_neardup(k: int) -> None:
         v = vecs(k)
         # NO caller-supplied sizing: rows_per_band=None auto-sizes from
@@ -839,6 +849,7 @@ def main() -> None:
         "incremental_dedup_fixed_batch": run_incremental,
         "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
+        "kmeans_int_fixed_k": run_kmeans,
         "simhash": run_simhash,
         "exact_dedup": run_exact,
         "dedup_clusters_cc": run_cluster,
@@ -877,6 +888,7 @@ def main() -> None:
         "incremental_dedup_fixed_batch": docs,
         "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
+        "kmeans_int_fixed_k": vecs,
         "simhash": docs,
         "exact_dedup": docs,
         "dedup_clusters_cc": docs,
