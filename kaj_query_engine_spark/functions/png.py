@@ -103,9 +103,15 @@ def _filter_rows(flat: np.ndarray, bpp: int, filter_mode: str) -> bytes:
 
 
 def encode_png(
-    pixels: np.ndarray, filter_mode: str = "cycle", interlace: bool = False
+    pixels: np.ndarray,
+    filter_mode: str = "cycle",
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
 ) -> bytes:
-    """Encode an (H, W) uint8 greyscale or (H, W, 3) uint8 RGB array.
+    """Encode an (H, W) uint8 greyscale, (H, W, 3) uint8 RGB,
+    (H, W, 4) uint8 RGBA, or — with ``palette`` — (H, W) uint8
+    palette-INDEX array (color type 3, the PLTE chunk carrying the
+    (P, 3) uint8 palette).
 
     ``filter_mode="cycle"`` filters scanline i with type i % 5 —
     exercising every unfilter rule on decode; ``"none"`` writes
@@ -121,9 +127,11 @@ def encode_png(
     filters operate on BYTES with a 2- or 6-byte left offset — §7.2's
     bpp rule applied at depth 16).
     """
+    plte = b""
     deep = (
         isinstance(pixels, np.ndarray)
         and pixels.dtype == np.uint16
+        and palette is None
         and (pixels.ndim == 2 or (pixels.ndim == 3 and pixels.shape[2] == 3))
     )
     if deep:
@@ -136,6 +144,19 @@ def encode_png(
             np.ascontiguousarray(pixels).astype(">u2").tobytes(), np.uint8
         ).reshape(h, 2 * nch * w)
         px3 = px.reshape(h, w, 2 * nch)  # for interlace column slicing
+    elif palette is not None:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        px = np.ascontiguousarray(pixels, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+            raise ValueError("palette must be (P, 3) uint8, P in 1..256")
+        if px.ndim != 2:
+            raise ValueError("paletted pixels must be (H, W) uint8 indices")
+        if px.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        h, w = px.shape
+        color_type, bpp, depth = 3, 1, 8
+        px3 = px
+        plte = _chunk(b"PLTE", pal.tobytes())
     else:
         px = np.ascontiguousarray(pixels, dtype=np.uint8)
         depth = 8
@@ -143,14 +164,16 @@ def encode_png(
             h, w = px.shape
             color_type, bpp = 0, 1
             px3 = px
-        elif px.ndim == 3 and px.shape[2] == 3:
+        elif px.ndim == 3 and px.shape[2] in (3, 4):
             h, w = px.shape[:2]
-            color_type, bpp = 2, 3
+            color_type = 2 if px.shape[2] == 3 else 6
+            bpp = px.shape[2]
             px3 = px
+            px = px.reshape(h, w * bpp)
         else:
             raise ValueError(
-                "pixels must be (H, W) grey uint8/uint16 or (H, W, 3) "
-                "RGB uint8"
+                "pixels must be (H, W) grey uint8/uint16, (H, W, 3) RGB, "
+                "(H, W, 4) RGBA, or (H, W) indices with a palette"
             )
     if interlace:
         parts = []
@@ -173,26 +196,30 @@ def encode_png(
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + plte  # PLTE sits between IHDR and IDAT (spec §5.6), type 3 only
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to an (H, W) or (H, W, 3) array — uint8 for
-    depth-8 streams, uint16 for depth-16 (big-endian sample bytes
-    reassembled per spec).
+    """Decode PNG bytes — uint8 (H, W) grey / (H, W, 3) RGB /
+    (H, W, 4) RGBA for depth-8 streams, uint16 for depth-16 grey/RGB
+    (big-endian sample bytes reassembled per spec). Paletted streams
+    (color type 3) return the PLTE-mapped (H, W, 3) RGB image.
 
-    Supports 8- and 16-bit color types 0 (grey) and 2 (RGB), both
-    non-interlaced and Adam7-interlaced streams; multiple IDAT chunks
-    are concatenated per the spec. Raises
-    ValueError on anything else — loudly, not with a wrong picture.
+    Supports color types 0 (grey, 8/16-bit), 2 (RGB, 8/16-bit),
+    3 (paletted, 8-bit), and 6 (RGBA, 8-bit), both non-interlaced and
+    Adam7-interlaced streams; multiple IDAT chunks are concatenated
+    per the spec. Raises ValueError on anything else — loudly, not
+    with a wrong picture.
     """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = None
     color_type = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -207,13 +234,20 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth not in (8, 16) or color_type not in (0, 2):
+            ok = (color_type in (0, 2) and depth in (8, 16)) or (
+                color_type in (3, 6) and depth == 8
+            )
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color_type={color_type} "
-                    "(8/16-bit grey/RGB only)"
+                    "(8/16-bit grey/RGB, 8-bit paletted/RGBA only)"
                 )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG compression/filter/interlace")
+        elif tag == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("malformed PLTE chunk")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -222,7 +256,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     # bpp = filter byte offset = bytes per pixel (spec §7.2)
-    bpp = (1 if color_type == 0 else 3) * (depth // 8)
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color_type] * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered reduced images,
@@ -261,7 +295,14 @@ def decode_png(data: bytes) -> np.ndarray:
         return deep.reshape(height, width, 3)
     if color_type == 0:
         return arr
-    return arr.reshape(height, width, 3)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        idx = np.asarray(arr).reshape(height, width)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]  # (H, W, 3) RGB
+    return arr.reshape(height, width, bpp)  # RGB (3) or RGBA (4)
 
 
 def _unfilter(

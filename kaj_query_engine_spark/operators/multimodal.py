@@ -97,6 +97,8 @@ def attach_png_media(
     id_col: str = "doc_id",
     interlace: bool = False,
     depth16: bool = False,
+    palette: bool = False,
+    rgba: bool = False,
 ) -> DataFrame:
     """REAL media ingest: a ``media`` column holding genuine PNG bytes
     (pure-stdlib encoder, ``functions.png``) plus the same typed
@@ -121,27 +123,62 @@ def attach_png_media(
     q93's 'grey16' branch shares the digest too (only the width
     column halves): depth-16 filtering (2-byte left offset) and the
     BE sample order are pinned for free.
+
+    ``palette=True`` writes color type 3 (PLTE) streams: the SAME
+    first-W-bytes rows become palette INDICES through the ramp
+    palette[i] = (i, 255−i, (7i) mod 256) — a non-trivial mapping, so
+    decoded RGB pixel (b, 255−b, 7b mod 256) pins real PLTE indexing
+    while staying one printf away in SQL. ``rgba=True`` writes color
+    type 6: row r = the first 4W bytes of sha256(f"{d}:q{r}:0..3")
+    concatenated (4 bytes per pixel needs 4 digests per row).
     """
     from kaj_query_engine_spark.functions.png import encode_png
 
     import numpy as np
 
+    if palette and (rgba or depth16):
+        raise ValueError("palette excludes rgba/depth16")
+    pal = (
+        np.stack(
+            [
+                np.arange(256),
+                255 - np.arange(256),
+                (np.arange(256) * 7) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        if palette
+        else None
+    )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(d: int) -> bytes:
             w = 16 + (d % 4) * 4
             h = 12 + (d % 3) * 6
-            rows = [
-                np.frombuffer(
-                    hashlib.sha256(f"{d}:r{i}".encode()).digest()[:w],
-                    dtype=(">u2" if depth16 else np.uint8),
-                )
-                for i in range(h)
-            ]
+            if rgba:
+                rows = [
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.sha256(f"{d}:q{i}:{s}".encode()).digest()
+                            for s in range(4)
+                        )[: 4 * w],
+                        dtype=np.uint8,
+                    ).reshape(w, 4)
+                    for i in range(h)
+                ]
+            else:
+                rows = [
+                    np.frombuffer(
+                        hashlib.sha256(f"{d}:r{i}".encode()).digest()[:w],
+                        dtype=(">u2" if depth16 else np.uint8),
+                    )
+                    for i in range(h)
+                ]
             px = np.stack(rows)
             if depth16:
                 px = px.astype(np.uint16)
             return encode_png(
-                px, filter_mode="cycle", interlace=interlace
+                px, filter_mode="cycle", interlace=interlace, palette=pal
             )
 
         for pdf in batches:

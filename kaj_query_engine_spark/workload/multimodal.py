@@ -165,11 +165,46 @@ _PNG_RESIZE_SQL = (
 )
 
 
+# palette: the same row model as palette INDICES through the ramp
+# palette[i] = (i, 255-i, 7i mod 256); decoded RGB pixel = that triple
+# per model byte — real PLTE indexing, one printf away in SQL
+_PNG_PALETTE_SQL = (
+    "WITH px AS (SELECT doc_id, i, j, "
+    "(strpos('0123456789abcdef', hx[2*j-1]) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', hx[2*j]) - 1) AS b "
+    "FROM (SELECT doc_id, i, sha256(concat(CAST(doc_id AS VARCHAR), "
+    "':r', CAST(i AS VARCHAR))) AS hx FROM documents, "
+    f"generate_series(0, 23) g(i) WHERE i < {_PNG_H}), "
+    f"generate_series(1, 32) gj(j) WHERE j <= {_PNG_W}) "
+    "SELECT 'palette' AS path, doc_id, "
+    f"CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height, "
+    "md5(string_agg(printf('%02x%02x%02x', b, 255 - b, (b * 7) % 256), "
+    "'' ORDER BY i, j)) AS pix_md5 FROM px GROUP BY doc_id"
+)
+# rgba: row r = first 4W bytes of four concatenated digests — the
+# decoded RGBA buffer is the model byte-for-byte
+_PNG_RGBA_SQL = (
+    "SELECT 'rgba' AS path, doc_id, "
+    f"CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height, "
+    "md5(array_to_string(list_transform("
+    f"generate_series(0, 23), "
+    "i -> CASE WHEN i < " + _PNG_H + " THEN "
+    "substr(concat("
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':q', CAST(i AS VARCHAR), ':0')), "
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':q', CAST(i AS VARCHAR), ':1')), "
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':q', CAST(i AS VARCHAR), ':2')), "
+    "sha256(concat(CAST(doc_id AS VARCHAR), ':q', CAST(i AS VARCHAR), ':3'))"
+    f"), 1, 8 * {_PNG_W}) ELSE '' END), '')) AS pix_md5 "
+    "FROM documents"
+)
+
+
 @register(
     "q93_png_decode",
     f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL} "
     f"UNION ALL ({_png_decode_sql('adam7')}) "
-    f"UNION ALL ({_PNG_GREY16_SQL})",
+    f"UNION ALL ({_PNG_GREY16_SQL}) "
+    f"UNION ALL ({_PNG_PALETTE_SQL}) UNION ALL ({_PNG_RGBA_SQL})",
     "REAL image decode, oracle-checked: genuine PNG bytes (pure-stdlib "
     "encoder cycling all five scanline filters) are decoded by the "
     "pure-stdlib codec inside mapInPandas; the oracle reconstructs the "
@@ -182,7 +217,10 @@ _PNG_RESIZE_SQL = (
     "oracle — pass geometry and scatter pinned; 'grey16' reads the "
     "same byte model as big-endian uint16 samples through DEPTH-16 "
     "streams (2-byte filter offset, BE wire order) against the same "
-    "digest. Non-PNG codecs stay "
+    "digest; 'palette' writes color type 3 (PLTE) — the row model as "
+    "indices through the ramp palette (i, 255-i, 7i mod 256), so the "
+    "decoded RGB pins real palette indexing; 'rgba' writes color "
+    "type 6 (4-byte pixels, 4 digests per row). Non-PNG codecs stay "
     "honestly guarded (no libraries here)",
 )
 def q93(spark, sf_dir):
@@ -225,7 +263,28 @@ def q93(spark, sf_dir):
         "height",
         pix_md5.alias("pix_md5"),
     )
-    return decoded.unionAll(resized).unionAll(adam7).unionAll(grey16)
+    paletted = M.decode_media(
+        M.attach_png_media(t(spark, sf_dir, "documents"), palette=True)
+    ).select(
+        F.lit("palette").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    rgba = M.decode_media(
+        M.attach_png_media(t(spark, sf_dir, "documents"), rgba=True)
+    ).select(
+        F.lit("rgba").alias("path"),
+        "doc_id",
+        "width",
+        "height",
+        pix_md5.alias("pix_md5"),
+    )
+    return (
+        decoded.unionAll(resized).unionAll(adam7).unionAll(grey16)
+        .unionAll(paletted).unionAll(rgba)
+    )
 
 
 # q94: REAL WAV/PCM codec, oracle-checked. attach_wav_media's sample

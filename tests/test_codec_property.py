@@ -471,3 +471,37 @@ def test_flac_stereo_roundtrip(s, bs, mode, order, lpc):
         encode_flac(s, 44100, block_size=bs, channel_mode=mode, **kw)
     )
     assert r == 44100 and out.shape == s.shape and np.array_equal(out, s)
+
+
+@settings(**_SETTINGS)
+@given(
+    f=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(4)),
+        elements=st.integers(0, 255),
+    ),
+    il=st.booleans(),
+)
+def test_png_rgba_roundtrip(f, il):
+    assert np.array_equal(decode_png(encode_png(f, interlace=il)), f)
+
+
+@settings(**_SETTINGS)
+@given(
+    idx=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 20), st.integers(1, 20)),
+        elements=st.integers(0, 255),
+    ),
+    il=st.booleans(),
+)
+def test_png_palette_roundtrip(idx, il):
+    pal = np.stack(
+        [np.arange(256), 255 - np.arange(256), (np.arange(256) * 7) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    out = decode_png(encode_png(idx, interlace=il, palette=pal))
+    assert np.array_equal(out, pal[idx])
+    # narrow palettes validate index range at encode time
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png(np.full((2, 2), 5, np.uint8), palette=pal[:4])
