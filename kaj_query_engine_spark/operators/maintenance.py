@@ -336,9 +336,13 @@ def incremental_join_view_keyed(
     )
     view_cols = old_view.columns
     dv = (
-        d_left.join(new_right, on=on)
+        F.broadcast(d_left)
+        .join(new_right, on=on)
         .select(*view_cols, "m")
-        .unionByName(old_left.join(d_right, on=on).select(*view_cols, "m"))
+        .unionByName(
+            old_left.join(F.broadcast(d_right), on=on)
+            .select(*view_cols, "m")
+        )
     )
     dv_net = (
         dv.groupBy(*view_cols)

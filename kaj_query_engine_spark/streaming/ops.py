@@ -792,9 +792,12 @@ def stream_join_view_apply(
     appends ΔR folds into the stored view V = L ⋈ R by the insert-only
     IVM delta rule's right-delta term ΔV = L ⋈ ΔR (the left side is a
     static dimension here, so the ΔL terms vanish), committed to the
-    snapshot-isolated versioned table. Cost per batch is one
-    delta-bounded join (the planner broadcasts ΔR) plus the snapshot
-    append — the stored view is never recomputed.
+    snapshot-isolated versioned table. The JOIN work per batch is
+    delta-bounded (the planner broadcasts ΔR; the view is never
+    re-joined) — the full-snapshot read+write per commit is the
+    demonstration-grade VersionedTable trade-off its module docstring
+    states loudly: a real table format appends the delta's data files
+    plus a manifest, making the whole batch O(Δ).
 
     The append is NOT idempotent (re-delivering a batch would append
     its delta rows twice), so like the aggregate path each commit
