@@ -28,16 +28,27 @@ import struct
 import numpy as np
 
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """Encode int16 PCM samples to WAV bytes.
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """Encode PCM samples to WAV bytes.
 
     ``samples`` is (N,) for mono or (N, C) interleaved-on-write for
-    C-channel audio (C ≤ 2). Little-endian 16-bit PCM, one ``fmt `` +
-    one ``data`` chunk — the canonical minimal WAV.
+    C-channel audio (C ≤ 2); one ``fmt `` + one ``data`` chunk — the
+    canonical minimal WAV. ``bits`` selects the wire format:
+
+    - 16 (default): int16 samples, little-endian;
+    - 8: **uint8** samples — WAV 8-bit PCM is offset-binary (unsigned,
+      128 = silence), per spec;
+    - 24: int32 samples within ±2²³, packed as 3-byte little-endian —
+      the studio-capture depth every real ingest eventually meets.
     """
     s = np.asarray(samples)
-    if s.dtype != np.int16:
-        raise ValueError("samples must be int16 PCM")
+    want = {8: np.uint8, 16: np.int16, 24: np.int32}.get(bits)
+    if want is None:
+        raise ValueError(f"bits must be 8, 16, or 24, not {bits}")
+    if s.dtype != want:
+        raise ValueError(
+            f"{bits}-bit PCM takes {np.dtype(want).name} samples"
+        )
     if s.ndim == 1:
         channels = 1
     elif s.ndim == 2 and s.shape[1] in (1, 2):
@@ -46,10 +57,22 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         raise ValueError("samples must be (N,) mono or (N, C<=2)")
     if not (0 < rate <= 2**31 - 1):
         raise ValueError(f"bad sample rate {rate}")
-    data = np.ascontiguousarray(s, dtype="<i2").tobytes()
-    block_align = channels * 2
+    if bits == 8:
+        data = np.ascontiguousarray(s).tobytes()
+    elif bits == 16:
+        data = np.ascontiguousarray(s, dtype="<i2").tobytes()
+    else:
+        s64 = s.astype(np.int64)
+        if (s64 < -(1 << 23)).any() or (s64 > (1 << 23) - 1).any():
+            raise ValueError("24-bit samples must fit in [-2^23, 2^23)")
+        # 3-byte little-endian: drop the high byte of the LE int32
+        quads = np.ascontiguousarray(s, dtype="<i4").view(np.uint8)
+        data = np.ascontiguousarray(
+            quads.reshape(-1, 4)[:, :3]
+        ).tobytes()
+    block_align = channels * (bits // 8)
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
     )
     body = (
         b"WAVE"
@@ -67,8 +90,10 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode WAV bytes to ``(rate, channels, samples)``.
 
-    ``samples`` is an int16 array, (N,) for mono or (N, C) for C
-    channels. Only PCM 16-bit is accepted; unknown chunks (LIST,
+    ``samples`` is (N,) for mono or (N, C) for C channels; the dtype
+    follows the wire format — uint8 for 8-bit PCM (offset-binary per
+    spec, returned as stored), int16 for 16-bit, int32 for 24-bit
+    (3-byte little-endian sign-extended). Unknown chunks (LIST,
     fact, …) are skipped per the RIFF spec, truncation and size
     mismatches raise ValueError.
     """
@@ -93,10 +118,10 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             audio_fmt, channels, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits not in (8, 16, 24):
                 raise ValueError(
                     f"unsupported WAV: format_tag={audio_fmt} bits={bits} "
-                    "(only 16-bit PCM)"
+                    "(8/16/24-bit PCM only)"
                 )
             if channels not in (1, 2):
                 raise ValueError(f"unsupported WAV: {channels} channels")
@@ -107,9 +132,22 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("WAV missing fmt chunk")
     if pcm is None:
         raise ValueError("WAV missing data chunk")
-    if len(pcm) % (2 * channels):
+    if len(pcm) % ((bits // 8) * channels):
         raise ValueError("WAV data chunk not a whole number of frames")
-    samples = np.frombuffer(pcm, dtype="<i2").astype(np.int16, copy=True)
+    if bits == 8:
+        samples = np.frombuffer(pcm, dtype=np.uint8).copy()
+    elif bits == 16:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int16, copy=True)
+    else:
+        # 3-byte LE -> int32 with sign extension: widen to 4 bytes with
+        # a zero high byte, view as <i4, then arithmetic-shift the
+        # value into the top and back down
+        tri = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3)
+        quad = np.zeros((len(tri), 4), dtype=np.uint8)
+        quad[:, :3] = tri
+        samples = (
+            quad.view("<i4").reshape(-1).astype(np.int32) << 8
+        ) >> 8
     if channels > 1:
         samples = samples.reshape(-1, channels)
     return rate, channels, samples

@@ -541,7 +541,10 @@ _WAV_BLOCK = DIGEST_BYTES // 2  # int16 samples per sha256 digest
 
 
 def attach_wav_media(
-    df: DataFrame, id_col: str = "doc_id", stereo: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stereo: bool = False,
+    bits: int = 16,
 ) -> DataFrame:
     """REAL audio ingest: an ``audio`` column holding genuine 16-bit
     PCM WAV bytes (pure-stdlib encoder, ``functions.wav``) plus a typed
@@ -560,6 +563,12 @@ def attach_wav_media(
     corpus uses, so the WAV interleave and the FLAC decorrelation
     matrix are pinned by ONE oracle shape (q94 'stereo' / q99
     'stereo').
+
+    ``bits`` selects the PCM width over the SAME block model: 8 reads
+    each digest as 32 unsigned bytes (offset-binary per the WAV spec),
+    24 reads the first 30 bytes as 10 three-byte little-endian signed
+    samples (sign extension is the decode step the q94 'pcm24' oracle
+    pins), 16 (default) as 16 little-endian int16 values.
     """
     import numpy as np
 
@@ -571,15 +580,25 @@ def attach_wav_media(
                 hashlib.sha256(f"{d}:{tag}{j}".encode()).digest()
                 for j in range(6 + d % 4)
             ]
-            return np.frombuffer(b"".join(blocks), dtype="<i2").astype(
-                np.int16
-            )
+            buf = b"".join(blocks)
+            if bits == 8:
+                return np.frombuffer(buf, dtype=np.uint8).copy()
+            if bits == 24:
+                tri = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 32)[
+                    :, :30
+                ].reshape(-1, 3)
+                quad = np.zeros((len(tri), 4), dtype=np.uint8)
+                quad[:, :3] = tri
+                return (
+                    quad.view("<i4").reshape(-1).astype(np.int32) << 8
+                ) >> 8
+            return np.frombuffer(buf, dtype="<i2").astype(np.int16)
 
         def one(d: int) -> bytes:
             samples = chan(d, "a")
             if stereo:
                 samples = np.column_stack([samples, chan(d, "b")])
-            return encode_wav(samples, 8000 + (d % 3) * 4000)
+            return encode_wav(samples, 8000 + (d % 3) * 4000, bits=bits)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -597,7 +616,8 @@ def attach_wav_media(
             max(WAV_SPREAD, len(df.inputFiles())), F.col(id_col)
         )
     audio = base.mapInPandas(gen, f"{id_col} long, audio binary")
-    n_samples = ((F.lit(6) + F.col(id_col) % 4) * _WAV_BLOCK).cast("int")
+    per_block = {8: 32, 16: _WAV_BLOCK, 24: 10}[bits]
+    n_samples = ((F.lit(6) + F.col(id_col) % 4) * per_block).cast("int")
     return audio.withColumn(
         "audio_meta",
         F.struct(
@@ -620,7 +640,9 @@ def decode_audio(
     ``audio_meta.format`` upstream).
 
     Output one row per item: (id, rate, channels, n_samples, samples)
-    with ``samples`` the raw little-endian int16 PCM buffer.
+    with ``samples`` the raw little-endian PCM buffer at the source's
+    own width — uint8 bytes for 8-bit streams, int16 LE for 16-bit
+    (and FLAC), int32 LE for 24-bit (sign-extended by the decoder).
     """
     from kaj_query_engine_spark.functions.flac import decode_flac
     from kaj_query_engine_spark.functions.wav import decode_wav
@@ -649,7 +671,12 @@ def decode_audio(
                 )
             rate, channels, samples = decode_wav(bytes(b))
             n = samples.shape[0]
-            return rate, channels, n, samples.astype("<i2").tobytes()
+            wire = {
+                1: samples,  # uint8: stored bytes ARE the wire form
+                2: samples.astype("<i2"),
+                4: samples.astype("<i4"),
+            }[samples.dtype.itemsize]
+            return rate, channels, n, wire.tobytes()
 
         for pdf in batches:
             dec = pdf[bin_col].map(one)

@@ -375,10 +375,55 @@ _WAV_RESAMPLE_SQL = (
 )
 
 
+# pcm8: the same block model read as UNSIGNED bytes (WAV 8-bit PCM is
+# offset-binary) — the decoded buffer is the digest concatenation with
+# 32 samples per block
+_WAV_PCM8_SQL = (
+    "SELECT 'pcm8' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, "
+    "CAST((6 + doc_id % 4) * 32 AS INT) AS n_samples, "
+    "md5(array_to_string(list_transform("
+    "generate_series(0, 5 + doc_id % 4), "
+    "j -> sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(j AS VARCHAR)))), '')) AS buf_md5, "
+    f"{_WAV_NULL_FEATURES} FROM documents"
+)
+# pcm24: first 30 bytes of each block as 10 three-byte LE signed
+# samples; the oracle re-derives the SIGN EXTENSION (the real decode
+# step) and re-packs each value as the int32 LE buffer the decoder
+# emits
+_WAV_PCM24_NIB = "(strpos('0123456789abcdef', hx[{p}]) - 1)"
+_WAV_PCM24_SQL = (
+    "WITH t AS (SELECT doc_id, k, "
+    "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':a', "
+    "CAST(k // 10 AS VARCHAR))), (k % 10) * 6 + 1, 6) AS hx "
+    "FROM documents, generate_series(0, 89) g(k) "
+    "WHERE k < (6 + doc_id % 4) * 10), "
+    "v AS (SELECT doc_id, k, (("
+    + _WAV_PCM24_NIB.format(p=1) + " * 16 + " + _WAV_PCM24_NIB.format(p=2)
+    + ") + 256 * ("
+    + _WAV_PCM24_NIB.format(p=3) + " * 16 + " + _WAV_PCM24_NIB.format(p=4)
+    + ") + 65536 * ("
+    + _WAV_PCM24_NIB.format(p=5) + " * 16 + " + _WAV_PCM24_NIB.format(p=6)
+    + ") + 8388608) % 16777216 - 8388608 AS val FROM t), "
+    "u AS (SELECT doc_id, k, "
+    "CAST((val + 4294967296) % 4294967296 AS BIGINT) AS uv FROM v) "
+    "SELECT 'pcm24' AS path, doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, "
+    "CAST((6 + doc_id % 4) * 10 AS INT) AS n_samples, "
+    "md5(string_agg(printf('%02x%02x%02x%02x', "
+    "CAST(uv % 256 AS INT), CAST((uv // 256) % 256 AS INT), "
+    "CAST((uv // 65536) % 256 AS INT), "
+    "CAST((uv // 16777216) % 256 AS INT)), '' ORDER BY k)) AS buf_md5, "
+    f"{_WAV_NULL_FEATURES} FROM u GROUP BY doc_id"
+)
+
+
 @register(
     "q94_wav_decode",
     f"{_WAV_DECODE_SQL} UNION ALL ({_WAV_FEATURES_SQL}) "
-    f"UNION ALL ({_WAV_RESAMPLE_SQL}) UNION ALL ({_WAV_STEREO_SQL})",
+    f"UNION ALL ({_WAV_RESAMPLE_SQL}) UNION ALL ({_WAV_STEREO_SQL}) "
+    f"UNION ALL ({_WAV_PCM8_SQL}) UNION ALL ({_WAV_PCM24_SQL})",
     "REAL audio decode, oracle-checked: genuine 16-bit PCM WAV bytes "
     "(pure-stdlib RIFF encoder) decode through the pure-stdlib codec "
     "inside mapInPandas; the oracle reconstructs the PCM buffer AND "
@@ -388,7 +433,11 @@ _WAV_RESAMPLE_SQL = (
     "derivations). 'resample' re-encodes a nearest-neighbor 64-sample "
     "take and decodes it again; 'stereo' pins the two-channel "
     "interleave with the same hex-interleave oracle q99's stereo FLAC "
-    "uses. Non-WAV codecs stay honestly guarded",
+    "uses; 'pcm8' reads the model as UNSIGNED offset-binary bytes "
+    "(the WAV 8-bit spec quirk), and 'pcm24' reads 3-byte "
+    "little-endian samples whose SIGN EXTENSION the oracle re-derives "
+    "and re-packs as the decoder's int32 buffer. Non-WAV codecs stay "
+    "honestly guarded",
 )
 def q94(spark, sf_dir):
     # persist: all three branches read the generated WAV corpus (same
@@ -440,7 +489,30 @@ def q94(spark, sf_dir):
         buf_md5.alias("buf_md5"),
         *null_feats,
     )
-    return decoded.unionAll(feats).unionAll(resampled).unionAll(stereo)
+    pcm8 = M.decode_audio(
+        M.attach_wav_media(t(spark, sf_dir, "documents"), bits=8)
+    ).select(
+        F.lit("pcm8").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        buf_md5.alias("buf_md5"),
+        *null_feats,
+    )
+    pcm24 = M.decode_audio(
+        M.attach_wav_media(t(spark, sf_dir, "documents"), bits=24)
+    ).select(
+        F.lit("pcm24").alias("path"),
+        "doc_id",
+        "rate",
+        "n_samples",
+        buf_md5.alias("buf_md5"),
+        *null_feats,
+    )
+    return (
+        decoded.unionAll(feats).unionAll(resampled).unionAll(stereo)
+        .unionAll(pcm8).unionAll(pcm24)
+    )
 
 
 # q95: REAL AVI video codec, oracle-checked. attach_avi_media's pixel

@@ -505,3 +505,38 @@ def test_png_palette_roundtrip(idx, il):
     # narrow palettes validate index range at encode time
     with pytest.raises(ValueError, match="index out of range"):
         encode_png(np.full((2, 2), 5, np.uint8), palette=pal[:4])
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(np.uint8, st.integers(1, 600), elements=st.integers(0, 255)),
+    rate=st.integers(1, 96000),
+)
+def test_wav_pcm8_roundtrip(s, rate):
+    """8-bit PCM is offset-binary UNSIGNED per spec — bytes round-trip
+    as stored, dtype uint8."""
+    r, ch, out = decode_wav(encode_wav(s, rate, bits=8))
+    assert (r, ch) == (rate, 1) and out.dtype == np.uint8
+    assert np.array_equal(out, s)
+
+
+@settings(**_SETTINGS)
+@given(
+    s=arrays(
+        np.int32,
+        st.one_of(
+            st.integers(1, 300),
+            st.tuples(st.integers(1, 150), st.just(2)),
+        ),
+        elements=st.integers(-(1 << 23), (1 << 23) - 1),
+    ),
+    rate=st.integers(1, 192000),
+)
+def test_wav_pcm24_roundtrip(s, rate):
+    """24-bit PCM: 3-byte little-endian packing and SIGN EXTENSION
+    round-trip the full signed range, mono and stereo."""
+    r, ch, out = decode_wav(encode_wav(s, rate, bits=24))
+    assert out.dtype == np.int32
+    assert np.array_equal(out.reshape(s.shape), s)
+    with pytest.raises(ValueError, match="fit in"):
+        encode_wav(np.array([1 << 23], np.int32), rate, bits=24)
