@@ -259,18 +259,37 @@ def _quantized_lpc(
     return qlp, shift
 
 
-def _put_rice_residual(fw: "_BitWriter", res: np.ndarray) -> None:
-    """Residual coding: method 1 (Rice2, 5-bit params), partition
-    order 0 — shared by the FIXED and LPC subframe writers."""
+def _put_rice_residual(
+    fw: "_BitWriter",
+    res: np.ndarray,
+    order: int = 0,
+    nb: int | None = None,
+    porder: int = 0,
+) -> None:
+    """Residual coding: method 1 (Rice2, 5-bit params) — shared by the
+    FIXED and LPC subframe writers. ``porder`` writes 2^porder Rice
+    partitions, each with its OWN best k (partition 0 loses the
+    ``order`` warmup samples, per spec §9.2.7); it auto-clamps down
+    when the block is too short or indivisible — the spec's validity
+    rule, applied per frame so the stream tail stays legal."""
+    nb = len(res) + order if nb is None else nb
+    while porder and (nb % (1 << porder) or (nb >> porder) <= order):
+        porder -= 1
     z = _zigzag(res)
-    k = _best_rice_k(z) if len(z) else 0
     fw.put(1, 2)
-    fw.put(0, 4)
-    fw.put(k, 5)
-    for v in z:
-        v = int(v)
-        fw.put_unary(v >> k)
-        fw.put(v & ((1 << k) - 1), k)
+    fw.put(porder, 4)
+    psize = nb >> porder
+    idx = 0
+    for part in range(1 << porder):
+        cnt = psize - (order if part == 0 else 0)
+        seg = z[idx : idx + cnt]
+        idx += cnt
+        k = _best_rice_k(seg) if len(seg) else 0
+        fw.put(k, 5)
+        for v in seg:
+            v = int(v)
+            fw.put_unary(v >> k)
+            fw.put(v & ((1 << k) - 1), k)
 
 
 def _write_subframe(
@@ -279,6 +298,7 @@ def _write_subframe(
     bps: int,
     force_order: int | None,
     lpc_order: int | None,
+    rice_porder: int = 0,
 ) -> None:
     """One subframe (FIXED or LPC) at ``bps`` bits per sample — the
     bps parameter is what stereo decorrelation needs: a side channel
@@ -315,7 +335,7 @@ def _write_subframe(
         fw.put(shift & 0x1F, 5)
         for c in qlp:
             fw.put(c & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
-        _put_rice_residual(fw, res)
+        _put_rice_residual(fw, res, lo, nb, rice_porder)
         return
     # choose FIXED order
     if force_order is not None:
@@ -347,7 +367,7 @@ def _write_subframe(
     fw.put(0, 1)
     for w in blk[:order]:
         fw.put(int(w) & mask, bps)  # warmup, two's complement
-    _put_rice_residual(fw, res)
+    _put_rice_residual(fw, res, order, nb, rice_porder)
 
 
 # frame-header channel-assignment codes (spec §9.1.3)
@@ -366,6 +386,7 @@ def encode_flac(
     force_order: int | None = None,
     lpc_order: int | None = None,
     channel_mode: str = "mid-side",
+    rice_porder: int = 0,
 ) -> bytes:
     """Encode int16 PCM to FLAC (FIXED or LPC predictors, Rice2
     residual method). ``samples`` is 1-D for mono or (n, 2) for
@@ -450,7 +471,7 @@ def encode_flac(
                 "mid-side": [((left + right) >> 1, 16), (side, 17)],
             }[channel_mode]
         for chan, bps in chans:
-            _write_subframe(fw, chan, bps, force_order, lpc_order)
+            _write_subframe(fw, chan, bps, force_order, lpc_order, rice_porder)
         fw.align()
         body = fw.bytes()
         out += body + struct.pack(">H", _crc16(body))

@@ -1390,7 +1390,10 @@ _FLAC_MODES = ["independent", "left-side", "right-side", "mid-side"]
 
 
 def attach_flac_media(
-    df: DataFrame, id_col: str = "doc_id", stereo: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stereo: bool = False,
+    rice_porder: int = 0,
 ) -> DataFrame:
     """REAL compressed-audio ingest: an ``audio`` column holding
     genuine FLAC bytes (pure-stdlib encoder, ``functions.flac``) plus
@@ -1412,6 +1415,11 @@ def attach_flac_media(
     (independent / left-side / right-side / mid-side), so every
     decorrelation mode is pinned by the interleaved-buffer digest —
     a wrong side width, parity bit, or reconstruction sign diverges.
+
+    ``rice_porder`` writes PARTITIONED Rice residuals (2^porder
+    partitions per subframe, each with its own parameter — what real
+    encoders emit at -l defaults); decode is identical, so the q99
+    'rice2' branch shares the same digest oracle.
     """
     import numpy as np
 
@@ -1429,7 +1437,7 @@ def attach_flac_media(
 
         def one(d: int) -> bytes:
             samples = chan(d, "a")
-            kw = {}
+            kw = {"rice_porder": rice_porder}
             if stereo:
                 samples = np.column_stack([samples, chan(d, "b")])
                 kw["channel_mode"] = _FLAC_MODES[d % 4]

@@ -1096,7 +1096,8 @@ _FLAC_STEREO_SQL = (
 
 @register(
     "q99_flac_decode",
-    f"{_FLAC_SQL} UNION ALL ({_FLAC_STEREO_SQL})",
+    f"{_FLAC_SQL} UNION ALL ({_FLAC_STEREO_SQL}) "
+    f"UNION ALL ({_FLAC_SQL.replace(chr(39) + 'mono' + chr(39), chr(39) + 'rice2' + chr(39))})",
     "REAL compressed-lossless audio decode: genuine FLAC bytes (pure-"
     "stdlib encoder — FIXED orders 0-2 on half the corpus, "
     "Levinson-Durbin LPC orders 1-3 on the other half, Rice-coded "
@@ -1108,7 +1109,11 @@ _FLAC_STEREO_SQL = (
     "channel and cycles all FOUR channel assignments (independent / "
     "left-side / right-side / mid-side, side subframes 17-bit) — the "
     "interleaved-buffer digest pins the whole decorrelation matrix. "
-    "mp3 (lossy) stays honestly guarded",
+    "The 'rice2' branch re-encodes the mono corpus with PARTITIONED "
+    "Rice residuals (2^2 partitions per subframe, per-partition "
+    "parameters — what real encoders emit) against the same digest, "
+    "so the multi-partition decode path is driver-pinned, not just "
+    "unit-tested. mp3 (lossy) stays honestly guarded",
 )
 def q99(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -1122,4 +1127,8 @@ def q99(spark, sf_dir):
             F.md5(F.lower(F.hex(F.col("samples")))).alias("buf_md5"),
         )
 
-    return branch("mono").unionAll(branch("stereo", stereo=True))
+    return (
+        branch("mono")
+        .unionAll(branch("stereo", stereo=True))
+        .unionAll(branch("rice2", rice_porder=2))
+    )

@@ -79,6 +79,7 @@ _CHANGED_THIS_ROUND = [
     "q91_kmeans_int",  # NEW in round 8
     "q93_png_decode",
     "q94_wav_decode",
+    "q99_flac_decode",
     "q97_jpeg_decode",
     "q95_avi_decode",
     "q96_stream_media_decode",

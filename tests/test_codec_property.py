@@ -540,3 +540,24 @@ def test_wav_pcm24_roundtrip(s, rate):
     assert np.array_equal(out.reshape(s.shape), s)
     with pytest.raises(ValueError, match="fit in"):
         encode_wav(np.array([1 << 23], np.int32), rate, bits=24)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(17, 300),
+    porder=st.integers(0, 4),
+    bs=st.sampled_from([16, 64, 96]),
+    lpc=st.one_of(st.none(), st.integers(1, 4)),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_partitioned_rice_roundtrip(n, porder, bs, lpc, seed):
+    """Partitioned-Rice residuals (per-partition parameters, spec
+    §9.2.7) round-trip at every legal partition order, with the
+    auto-clamp keeping short/indivisible tail frames legal."""
+    from kaj_query_engine_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-3000, 3000, n).astype(np.int16)
+    e = encode_flac(s, 8000, block_size=bs, lpc_order=lpc, rice_porder=porder)
+    rate, out = decode_flac(e)
+    assert np.array_equal(out, s)
