@@ -230,6 +230,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    "q91_kmeans_int": (
+        # the centroid fan-out IS a broadcast cross join by design
+        # (every vector scores against the k-row broadcast centroid
+        # table — BroadcastNestedLoopJoin with an 8-row build side is
+        # the correct plan, not an accident), the c_sum attach is a
+        # broadcast hash join, and the per-cluster agg is two-phase;
+        # an un-broadcast CartesianProduct is the failure mode
+        ["BroadcastNestedLoopJoin", "BroadcastHashJoin",
+         "HashAggregate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "q69_span_decontaminate": (
         # benchmark membership must be a BROADCAST semi-join (the
         # corpus side stays map-only, no corpus-wide gram shuffle —
