@@ -822,3 +822,59 @@ def stream_join_view_apply(
     )
     q.awaitTermination()
     return table.read(sdf.sparkSession)
+
+
+def stream_join_view_cdc_apply(
+    sdf: DataFrame,
+    table,
+    static_left: DataFrame,
+    on: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Streaming join-view maintenance under a CDC feed on the RIGHT
+    side — the keyed twin of :func:`stream_join_view_apply`, closing
+    the IVM matrix (batch/stream × insert-only/keyed): each micro-
+    batch carries dimension changes tagged ``op`` ∈ {I, U, D} keyed by
+    the join columns (the dimension's key). Because the LEFT side is
+    static and the right is keyed by ``on``, the keyed compensation
+    collapses to a touched-key refresh — a special case of the signed
+    rule where every term lands on the same keys:
+
+        V' = (V ∖ V⋉touched)  ∪  L ⋈ upserts
+
+    (the view rows for a touched key ARE its pre-image contribution,
+    so no separate right-side state table is needed; deletes of
+    absent keys and re-inserts after deletes fold correctly because
+    the refresh is keyed, not signed). Per batch: one broadcast
+    anti-join of the view against the batch's touched keys plus one
+    delta-bounded join — delta-bounded join work, same full-snapshot
+    commit disclosure as the append twin. Batches are treated as
+    compacted CDC (at most one change per key per batch — the usual
+    feed contract; pre-compact with the merge family otherwise).
+    Idempotent per batch ID via the recorded commit marker (a keyed
+    refresh is naturally idempotent, but skipping re-deliveries keeps
+    the version history one-commit-per-batch)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = table.last_applied_batch()
+        if last is not None and batch_id <= last:
+            return  # at-least-once re-delivery of an applied batch
+        touched = batch_df.select(*on).distinct()
+        ups = batch_df.filter(F.col(op_col) != "D").drop(op_col)
+        view = table.read(spark)
+        new_view = (
+            view.join(F.broadcast(touched), on=on, how="left_anti")
+            .select(*view.columns)  # anti-join fronts the key columns
+            .unionByName(static_left.join(F.broadcast(ups), on=on))
+        )
+        table.commit(new_view, batch_id=batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(table.path / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(sdf.sparkSession)

@@ -546,30 +546,106 @@ _IVM_ORACLE = (
     "WHERE f.n - COALESCE(o.n, 0) > 0"
 )
 
-# q89: the STREAMING twin of q67's insert-only IVM — right-side
-# append batches folded into the stored join view through foreachBatch
-# (dV = L x dR; the left side is static, so the dL terms vanish). The
-# oracle is the full recompute, so stream == batch == recompute holds
-# for join views exactly as q87 pins it for aggregates.
+# q89: the STREAMING twins of q67's IVM, closing the matrix
+# (batch/stream x insert-only/keyed). 'append': right-side append
+# batches folded in through foreachBatch (dV = L x dR; the left side
+# is static, so the dL terms vanish), oracle = the full recompute.
+# 'cdc': a compacted CDC feed on the CUSTOMER dimension (U segment
+# moves, D deletes, I late inserts — one op per key per batch) applied
+# as a keyed touched-key refresh; the oracle folds the same
+# deterministic modulo-class scenario to the final dimension state and
+# recomputes. Delete-then-reinsert ordering is exercised: keys with
+# custkey % 5 = 0 AND % 17 = 0 are deleted in batch 1 (a no-op — not
+# yet present) and inserted in batch 2, so they MUST appear at close.
 _SJV_ORACLE = (
-    f"SELECT {_IVM_AGG} FROM orders o "
-    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1"
+    f"SELECT 'append' AS path, {_IVM_AGG} FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 2"
 )
+_SJV_CDC_ORACLE = (
+    "SELECT 'cdc' AS path, seg AS flag, count(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_cents "
+    "FROM orders o JOIN (SELECT c_custkey, "
+    "CASE WHEN c_custkey % 5 != 0 AND c_custkey % 6 = 0 THEN 'MOVED' "
+    "ELSE c_mktsegment END AS seg FROM customer "
+    "WHERE c_custkey % 5 = 0 OR c_custkey % 17 != 0) c "
+    "ON o.o_custkey = c.c_custkey "
+    f"WHERE o.o_orderdate < TIMESTAMP '{_IVM_CUT_O}' GROUP BY 2"
+)
+
+
+def _cdc_landing(spark, sf_dir: str) -> str:
+    """Write-once compacted-CDC landing dir for the customer dimension
+    (same staleness-token pattern as q81's): three single-file batches
+    with ascending mtimes — segment updates, deletes, late inserts."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/customer.parquet"
+    dst = _SCRATCH / _tag(sf_dir) / "cdc_landing"
+    token = _layout_token(src, "cdc:v1")
+    if not _layout_current(token, str(dst)):
+        cust = t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        ck = F.col("o_custkey")
+        batches = [
+            cust.filter((ck % 5 != 0) & (ck % 6 == 0)).select(
+                F.lit("U").alias("op"), "o_custkey",
+                F.lit("MOVED").alias("seg"),
+            ),
+            cust.filter(ck % 17 == 0).select(
+                F.lit("D").alias("op"), "o_custkey",
+                F.lit(None).cast("string").alias("seg"),
+            ),
+            cust.filter(ck % 5 == 0).select(
+                F.lit("I").alias("op"), "o_custkey", "seg"
+            ),
+        ]
+        shutil.rmtree(dst, ignore_errors=True)
+        dst.mkdir(parents=True, exist_ok=True)
+        base = 1_700_000_000
+        for i, b in enumerate(batches):
+            tmp = str(dst / f"_tmp{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            tgt = dst / f"part-b{i:03d}.parquet"
+            shutil.move(str(part), str(tgt))
+            shutil.rmtree(tmp)
+            os.utime(tgt, (base + 60 * i, base + 60 * i))
+        _stamp_layout(token, str(dst))
+    return str(dst)
 
 
 @register(
     "q89_stream_join_view",
-    _SJV_ORACLE,
+    f"{_SJV_ORACLE} UNION ALL ({_SJV_CDC_ORACLE})",
     "streaming incremental JOIN-view maintenance (the fourth "
     "foreachBatch-maintenance family member: MERGE q85, SCD2 q86, "
-    "aggregates q87, join views here): the orders⋈lineitem view "
-    "seeded from pre-cut shipments, then maintained by the later "
-    "lineitem rows streamed through foreachBatch — each batch folds "
-    "in as ONE delta-bounded join dV = L ⋈ dR appended to the "
+    "aggregates q87, join views here), TWO branches closing the IVM "
+    "matrix. 'append': the orders⋈lineitem view seeded from pre-cut "
+    "shipments, maintained by the later lineitem rows — each batch "
+    "folds in as ONE delta-bounded join dV = L ⋈ dR appended to the "
     "snapshot-isolated versioned table (per-commit batch ids upgrade "
     "at-least-once to effectively-once; the stored view is never "
-    "recomputed). Oracle = the full recompute, completing the "
-    "stream==batch==recompute triple for join views",
+    "re-joined); oracle = the full recompute. 'cdc': a compacted CDC "
+    "feed on the CUSTOMER dimension (segment moves, deletes, late "
+    "inserts across three micro-batches, delete-then-reinsert "
+    "ordering exercised) applied as a keyed touched-key refresh — "
+    "view rows for a touched dimension key ARE its pre-image, so no "
+    "separate right-side state table is needed; oracle = the "
+    "recompute from the folded final dimension state",
 )
 def q89(spark, sf_dir):
     from kaj_query_engine_spark.sources.versioned import VersionedTable
@@ -597,13 +673,49 @@ def q89(spark, sf_dir):
         .filter(F.col("l_shipdate") >= cut_l)
     )
     final = stream_join_view_apply(stream, tbl, o_slim, ["o_orderkey"])
-    return final.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    append = final.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         F.sum(
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).alias("sum_cents"),
+    ).select(F.lit("append").alias("path"), "*")
+
+    # ---- 'cdc' branch: keyed refresh under a dimension CDC feed -----
+    from kaj_query_engine_spark.streaming.ops import (
+        stream_join_view_cdc_apply,
     )
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    o_dim = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_IVM_CUT_O).cast("timestamp"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    landing = _cdc_landing(spark, sf_dir)
+    tbl2 = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_join_view_cdc")
+    tbl2.init(
+        o_dim.join(cust.filter(F.col("o_custkey") % 5 != 0), "o_custkey")
+    )
+    cdc_stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    final_cdc = stream_join_view_cdc_apply(
+        cdc_stream, tbl2, o_dim, ["o_custkey"]
+    )
+    cdc = final_cdc.groupBy(F.col("seg").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_qty"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    ).select(F.lit("cdc").alias("path"), "*")
+    return append.unionAll(cdc)
 
 
 # keyed IVM scenario (updates + deletes + inserts on BOTH sides of

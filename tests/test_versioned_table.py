@@ -393,6 +393,56 @@ def test_stream_join_view_multi_batch_and_redelivery(spark, tmp_path):
     assert tbl.versions() == [0, 1, 2, 3]
 
 
+def test_stream_join_view_cdc_multi_batch(spark, tmp_path):
+    """The keyed CDC apply: updates move view rows, deletes remove
+    them, delete-then-reinsert across batches folds correctly, and the
+    final view equals recomputing from the folded dimension state."""
+    from kaj_query_engine_spark.streaming.ops import (
+        stream_join_view_cdc_apply,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30), (5, 40)], "rid long, k long"
+    )
+    dim0 = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "k long, v string"
+    )
+    batches = [
+        [("U", 10, "a2"), ("D", 30, None)],   # move k=10, drop k=30
+        [("D", 40, None), ("I", 40, "d")],    # delete absent, then...
+        [("U", 40, "d2"), ("I", 30, "c2")],   # ...update it; reinsert 30
+    ]
+    d = tmp_path / "cdc"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = d / f"b{i:03d}.parquet"
+        pq.write_table(
+            pa.table({
+                "op": pa.array([r[0] for r in rows], pa.string()),
+                "k": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.string()),
+            }),
+            p,
+        )
+        os.utime(p, (base + i * 60, base + i * 60))
+    tbl = VersionedTable(tmp_path / "view")
+    tbl.init(left.join(dim0, "k"))
+    sdf = (
+        spark.readStream.schema("op string, k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    final = stream_join_view_cdc_apply(sdf, tbl, left, ["k"])
+    dim_final = spark.createDataFrame(
+        [(10, "a2"), (20, "b"), (30, "c2"), (40, "d2")], "k long, v string"
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(final) == canon(left.join(dim_final, "k"))
+    assert tbl.versions() == [0, 1, 2, 3]
+    assert tbl.last_applied_batch() == 2
+
+
 def test_stream_merge_checkpoint_exactly_once_pickup(spark, tmp_path):
     """The exactly-once contract of the foreachBatch maintenance
     family: re-running the stream over the same checkpoint commits
