@@ -316,6 +316,18 @@ def decode_avi_av(
                             "AVI strf geometry disagrees with avih"
                         )
             elif tag in (b"00db", b"00dc"):
+                # the chunk tag must match the declared codec (00db =
+                # uncompressed DIB, 00dc = compressed/MJPG): a DIB-
+                # declared file carrying 00dc chunks would otherwise be
+                # decoded as raw DIB and only fail later on a size
+                # mismatch — or not at all if sizes coincide
+                want_tag = b"00dc" if codec == "mjpg" else b"00db"
+                if tag != want_tag:
+                    raise ValueError(
+                        f"AVI frame chunk {tag!r} disagrees with the "
+                        f"declared codec ({'MJPG' if codec == 'mjpg' else 'DIB'} "
+                        f"expects {want_tag!r})"
+                    )
                 raw_frames.append(data[body_start : body_start + length])
             elif tag == b"01wb":
                 audio_parts.append(data[body_start : body_start + length])

@@ -591,7 +591,13 @@ def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
                 for j, c in enumerate(coefs):
                     acc += c * vals[i - 1 - j]
                 vals[i] = acc
-            blk[:] = vals
+            try:  # runaway residuals in a corrupt stream can overflow
+                blk[:] = vals  # int64 — keep the ValueError contract
+            except OverflowError as e:
+                raise ValueError(
+                    "FLAC fixed-predictor output exceeds int64 "
+                    "(corrupt stream)"
+                ) from e
     elif stype >= 32:  # LPC, order = low 5 bits + 1
         order = (stype & 0x1F) + 1
         for i in range(order):

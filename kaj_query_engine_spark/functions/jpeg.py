@@ -95,13 +95,24 @@ def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int
 
 
 @lru_cache(maxsize=64)
-def _huff_lut(bits: bytes, symbols: bytes) -> list[int]:
+def _huff_lut(bits: bytes, symbols: bytes, dc: bool = False) -> list[int]:
     """16-bit-lookahead decode LUT (the standard table-driven Huffman
     decode): entry ``lut[look]`` for any 16-bit window whose prefix is
     a valid code packs ``(code_length << 8) | symbol``; 0 where no
     code is a prefix. Cached across calls — a corpus of files sharing
     DHT tables (every fixture batch, and in practice every camera
-    firmware) builds each table once per process."""
+    firmware) builds each table once per process.
+
+    DC tables validate symbol magnitude here (a category is at most 11
+    per T.81 table F.1): a hostile DHT carrying a larger DC symbol
+    would otherwise surface later as an opaque negative-shift-count
+    error inside the 48-bit decode window."""
+    if dc:
+        bad = [s for s in symbols if s > 11]
+        if bad:
+            raise ValueError(
+                f"invalid JPEG Huffman DC category {bad[0]} (max 11)"
+            )
     lut = np.zeros(1 << 16, np.int32)
     code = 0
     i = 0
@@ -576,7 +587,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     elif len(segments) != 1:
         raise ValueError("RST marker in scan but no DRI declared")
     # per-slot decode LUTs (16-bit lookahead, cached across calls)
-    slot_dc = [_huff_lut(*huff[(0, scan_tabs[ci][0])]) for ci in slot_comp]
+    slot_dc = [
+        _huff_lut(*huff[(0, scan_tabs[ci][0])], dc=True) for ci in slot_comp
+    ]
     slot_ac = [_huff_lut(*huff[(1, scan_tabs[ci][1])]) for ci in slot_comp]
     seg_iter = iter(segments)
     buf, nbits, end_err = _unstuff(next(seg_iter))

@@ -64,6 +64,8 @@ def kmeans_int(
     the FINAL assignment: (cluster, n, id_sum, c_sum) where ``id_sum``
     checksums the membership and ``c_sum`` the final centroid — all
     BIGINT, so the unrolled-CTE oracle matches bit-for-bit."""
+    if iterations < 1:
+        raise ValueError("kmeans_int needs iterations >= 1")
     spark = vecs.sparkSession
     # persisted across the iterations (and still referenced by the
     # returned plan); Spark reclaims the cache with the session — the

@@ -1,48 +1,108 @@
-"""A minimal versioned parquet table: snapshot-isolated commits and
-time travel over a plain directory.
+"""A minimal versioned parquet table with O(Δ) commits: manifest-based
+snapshots, snapshot-isolated pointer swaps, and time travel over a
+plain directory.
 
-This exists to give the streaming MERGE path (q85) a transactional
-target without a table format dependency: real deployments put a
-Delta/Iceberg table here (whose MERGE INTO is the transactional twin
-of ``operators.maintenance.merge_upsert``); the mechanism — immutable
-version directories plus one atomically-swapped CURRENT pointer — is
-the same idea those formats implement with a commit log, reduced to
-what a single-writer maintenance job needs:
+This exists to give the streaming maintenance family (q85–q87, q89) a
+transactional target without a table-format dependency: real
+deployments put a Delta/Iceberg table here. The mechanism is the same
+idea those formats implement with a commit log, reduced to what a
+single-writer maintenance job needs:
 
-- **Readers never see a torn table.** A version directory is written
-  COMPLETELY before the pointer moves, and the pointer swap is an
-  ``os.replace`` (atomic on POSIX). A concurrent reader resolves the
-  pointer once and reads an immutable directory.
-- **Writes are full-snapshot, O(table).** Honest trade-off, stated
-  loudly: this is the demonstration-grade mechanism. At 100 TB the
-  pointer/version idea survives but the rewrite must not — a real
-  format commits per-PARTITION file replacements (dynamic partition
-  overwrite + a manifest), so a merge costs O(touched partitions);
-  see ``operators/maintenance`` for the partition-pruned merge
-  economics this plugs into.
+- **A version is a MANIFEST, not a directory of rewritten data.**
+  Every version ``N`` is a JSON file listing the immutable data files
+  that make up that snapshot. New data files land under
+  ``data/c{N}/``; the manifest may also carry forward files written by
+  earlier commits, byte-identical — never copied, never rewritten.
+  That is what makes incremental commits O(Δ):
+
+  * :meth:`commit` — full snapshot (the manifest references only the
+    new files). Used for init and compaction.
+  * :meth:`commit_append` — writes ONLY the delta's files; the
+    manifest is ``previous.files + delta.files``. Per-batch bytes
+    written scale with \\|Δ\\|, not \\|table\\| (pinned by a
+    counted-bytes test and a 64×-view probe).
+  * :meth:`commit_keyed` — for a table bucketed on its key
+    (``init(..., bucket_keys=...)``, data files hash-partitioned into
+    ``_kb=K/`` directories): rewrites only the key-buckets the batch
+    touches; every untouched bucket's files are carried forward
+    byte-identical (mtime-pinned). The streaming twin of the
+    touched-partition MERGE
+    (:func:`~kaj_query_engine_spark.operators.maintenance.merge_into_partitioned`).
+
+- **Readers never see a torn table.** Data files are written
+  completely, then the manifest, then the pointer moves
+  (``os.replace``, atomic on POSIX). A concurrent reader resolves the
+  pointer once and reads immutable files. A crash mid-commit leaves
+  the table at the previous version; the orphan data directory is
+  cleared on retry and unreferenced by any manifest.
 - **Single writer.** Streaming ``foreachBatch`` delivers batches
   serially, which is exactly this model; multi-writer coordination
-  (optimistic re-try on pointer CAS) is a table-format concern, out
-  of scope here.
+  (optimistic retry on pointer CAS) is a table-format concern, out of
+  scope here.
 
-Time travel falls out for free: every committed version stays
-readable until vacuumed.
+Time travel falls out for free: every committed version stays readable
+until vacuumed. :meth:`vacuum` garbage-collects by reference count
+over the surviving manifests — a data file shared by ten manifests
+dies only when the last of them is dropped (the Iceberg
+expire-snapshots rule).
+
+Reads use the manifest's recorded schema explicitly, so a schema-
+evolved table reads old files with the new schema (missing columns
+NULL) — the same read-path contract as mergeSchema'd parquet tables.
+
+The bucket column ``_kb = pmod(xxhash64(keys...), n_buckets)`` exists
+only in directory names, never in the data or the read schema.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _POINTER = "_CURRENT"
+_META = "_TABLE.json"
+_KB = "_kb"
 
 
 class VersionedTable:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
+        self._meta_cache: dict | None = None
+
+    # ---- table meta (bucket spec) -----------------------------------
+    def _meta(self) -> dict:
+        if self._meta_cache is None:
+            try:
+                self._meta_cache = json.loads(
+                    (self.path / _META).read_text()
+                )
+            except (OSError, ValueError):
+                self._meta_cache = {}
+        return self._meta_cache
+
+    @property
+    def bucket_keys(self) -> list[str] | None:
+        return self._meta().get("bucket_keys")
+
+    @property
+    def n_buckets(self) -> int | None:
+        return self._meta().get("n_buckets")
+
+    @property
+    def is_bucketed(self) -> bool:
+        return self.bucket_keys is not None
+
+    def _kb_expr(self) -> Column:
+        keys = self.bucket_keys
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets)
+        )
 
     # ---- pointer ----------------------------------------------------
     def current_version(self) -> int | None:
@@ -56,50 +116,249 @@ class VersionedTable:
         tmp.write_text(str(version))
         os.replace(tmp, self.path / _POINTER)  # atomic
 
+    # ---- manifests --------------------------------------------------
+    def _manifest_path(self, version: int) -> Path:
+        return self.path / f"v{version}.json"
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"uninitialized versioned table: {self.path}")
+        p = self._manifest_path(v)
+        if not p.exists():
+            raise ValueError(f"version {v} not found (vacuumed?): {self.path}")
+        return json.loads(p.read_text())
+
+    def _write_manifest(
+        self,
+        version: int,
+        files: list[dict],
+        schema: StructType,
+        batch_id: int | None,
+    ) -> None:
+        man = {
+            "version": version,
+            "applied_batch": batch_id,
+            "schema": json.loads(schema.json()),
+            "files": files,
+        }
+        tmp = self.path / f"v{version}.json.tmp"
+        tmp.write_text(json.dumps(man))
+        os.replace(tmp, self._manifest_path(version))
+
+    # ---- data writes ------------------------------------------------
+    def _write_data(
+        self, df: DataFrame, version: int, bucketed: bool | None = None
+    ) -> list[dict]:
+        """Write ``df``'s rows as this commit's data files under
+        ``data/c{version}`` and return their manifest entries. Bucketed
+        tables hash-partition into ``_kb=K/`` directories (the bucket
+        id recorded per file); empty partitions write no file, so a
+        delta touching one bucket produces files for that bucket only.
+        ``bucketed=False`` skips the bucket split even on a bucketed
+        table — append deltas use it (kb=None "stray" files), because
+        splitting a small delta across every bucket would pay one
+        parquet file's fixed overhead PER BUCKET; strays are read by
+        every keyed commit until compaction re-buckets them (exactly
+        how unclustered data files behave in real table formats).
+        A leftover directory from a crashed attempt is cleared first —
+        it is unreferenced by construction (manifests are written only
+        after the data write succeeds)."""
+        cdir = self.path / "data" / f"c{version}"
+        if cdir.exists():
+            shutil.rmtree(cdir)
+        if self.is_bucketed and bucketed is not False:
+            df.withColumn(_KB, self._kb_expr()).repartition(
+                self.n_buckets, F.col(_KB)
+            ).write.partitionBy(_KB).parquet(str(cdir))
+        else:
+            df.write.parquet(str(cdir))
+        files: list[dict] = []
+        for p in sorted(cdir.rglob("part-*")):
+            if not p.is_file():
+                continue
+            kb = None
+            if p.parent.name.startswith(f"{_KB}="):
+                kb = int(p.parent.name.split("=", 1)[1])
+            files.append(
+                {"path": str(p.relative_to(self.path)), "kb": kb}
+            )
+        return files
+
+    def _read_files(
+        self, spark: SparkSession, files: list[dict], schema: StructType
+    ) -> DataFrame:
+        """Read exactly these manifest files with the recorded schema
+        (leaf-file reads never infer the _kb path segment; files
+        predating an evolved column read it as NULL)."""
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[str(self.path / f["path"]) for f in files]
+        )
+
+    @staticmethod
+    def _schema_of(man: dict) -> StructType:
+        return StructType.fromJson(man["schema"])
+
     # ---- lifecycle --------------------------------------------------
-    def init(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def init(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        *,
+        bucket_keys: list[str] | None = None,
+        n_buckets: int = 8,
+    ) -> int:
         """(Re)create the table at version 0 from ``df``. Destroys any
         existing history — callers use it for a fresh maintenance run,
         not on a live table. (It also removes any streaming checkpoint
         kept under the table path, so foreachBatch batch ids and
         :meth:`last_applied_batch` restart together.)
 
+        ``bucket_keys`` hash-partitions the data into ``n_buckets``
+        key-buckets, enabling :meth:`commit_keyed`'s touched-bucket
+        rewrites; the one-time bucketing shuffle here is the standard
+        price of a bucketed layout.
+
         ``batch_id`` is recorded exactly as in :meth:`commit`: when the
-        very FIRST delivered micro-batch creates the table, dropping its
-        id would reopen the at-least-once double-apply hole for a crash
-        between this init and the streaming checkpoint."""
+        very FIRST delivered micro-batch creates the table, dropping
+        its id would reopen the at-least-once double-apply hole for a
+        crash between this init and the streaming checkpoint."""
         if self.path.exists():
             shutil.rmtree(self.path)
         self.path.mkdir(parents=True)
-        df.write.parquet(str(self.path / "v0"))
-        if batch_id is not None:
-            (self.path / "v0" / "_applied_batch").write_text(str(batch_id))
+        self._meta_cache = None
+        if bucket_keys is not None:
+            missing = [k for k in bucket_keys if k not in df.columns]
+            if missing:
+                raise ValueError(f"bucket keys absent from schema: {missing}")
+            (self.path / _META).write_text(
+                json.dumps(
+                    {"bucket_keys": list(bucket_keys), "n_buckets": n_buckets}
+                )
+            )
+        files = self._write_data(df, 0)
+        self._write_manifest(0, files, df.schema, batch_id)
         self._swap_pointer(0)
         return 0
 
     def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
-        """Write ``df`` as the next immutable version, then move the
-        pointer. The write completes before the swap, so a crash
-        mid-commit leaves the table at the previous version —
-        re-running the batch is safe (the orphan directory is
-        overwritten).
+        """Full-snapshot commit: write ``df`` completely as the next
+        version's data files, then move the pointer. O(table) by
+        design — init, compaction, and non-incremental rewrites use
+        it; incremental maintenance uses :meth:`commit_append` /
+        :meth:`commit_keyed` instead.
 
-        ``batch_id`` (foreachBatch's id) is recorded INSIDE the
-        version directory before the pointer swap, so (version,
-        applied-batch) flip together atomically — the underscore
-        prefix keeps Spark's parquet reader from seeing it. Callers
-        whose merge is NOT naturally idempotent (the algebraic
-        aggregate add) check :meth:`last_applied_batch` to skip
+        ``batch_id`` (foreachBatch's id) is recorded in the manifest
+        before the pointer swap, so (version, applied-batch) flip
+        together atomically. Callers whose merge is NOT naturally
+        idempotent check :meth:`last_applied_batch` to skip
         at-least-once re-deliveries."""
         cur = self.current_version()
         if cur is None:
-            return self.init(df, batch_id=batch_id)
+            return self.init(df, batch_id)
         nxt = cur + 1
-        df.write.mode("overwrite").parquet(str(self.path / f"v{nxt}"))
-        if batch_id is not None:
-            (self.path / f"v{nxt}" / "_applied_batch").write_text(
-                str(batch_id)
+        files = self._write_data(df, nxt)
+        self._write_manifest(nxt, files, df.schema, batch_id)
+        self._swap_pointer(nxt)
+        return nxt
+
+    def commit_append(self, delta: DataFrame, batch_id: int | None = None) -> int:
+        """O(Δ) append commit: write ONLY ``delta``'s rows as new data
+        files; the new manifest references the previous version's
+        files unchanged plus the delta's. Bytes written per commit
+        scale with the delta, never with the table — the insert-only
+        IVM write path (q89 'append')."""
+        cur = self.current_version()
+        if cur is None:
+            return self.init(delta, batch_id)
+        man = self.manifest(cur)
+        nxt = cur + 1
+        new_files = self._write_data(delta, nxt, bucketed=False)
+        self._write_manifest(
+            nxt, man["files"] + new_files, delta.schema, batch_id
+        )
+        self._swap_pointer(nxt)
+        return nxt
+
+    def commit_keyed(
+        self,
+        replacement: DataFrame,
+        touched_keys: DataFrame,
+        batch_id: int | None = None,
+    ) -> int:
+        """O(touched buckets) keyed commit: drop every stored row whose
+        key appears in ``touched_keys`` (all of its columns join) and
+        add ``replacement`` — the write half of a keyed merge/refresh.
+        On a bucketed table only the buckets containing touched keys
+        are read and rewritten; every other bucket's files are carried
+        forward into the new manifest byte-identical. On an unbucketed
+        table this degenerates to a full-snapshot rewrite (correct,
+        not incremental) — bucket the table to get the O(Δ) path.
+
+        ``replacement`` may carry columns the stored schema lacks
+        (schema evolution): survivors are padded NULL and the manifest
+        schema widens, so untouched files read the new column as NULL
+        without being rewritten."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"commit_keyed needs an initialized table: {self.path}"
             )
+        spark = replacement.sparkSession
+        man = self.manifest(cur)
+        schema = self._schema_of(man)
+        tk = touched_keys.distinct()
+        tcols = tk.columns
+        stray_files: list[dict] = []
+        if self.is_bucketed:
+            bkeys = self.bucket_keys
+            missing = [k for k in bkeys if k not in tcols]
+            if missing:
+                raise ValueError(
+                    f"touched_keys must carry the bucket keys; missing: {missing}"
+                )
+            # touched bucket ids: bounded by n_buckets, driver-safe
+            tb = {
+                r[0]
+                for r in tk.select(self._kb_expr().alias(_KB))
+                .distinct()
+                .collect()
+            }
+            touched_files = [f for f in man["files"] if f["kb"] in tb]
+            carried = [f for f in man["files"] if f["kb"] not in tb and f["kb"] is not None]
+            # kb=None strays (commit_append deltas not yet compacted
+            # into buckets) may hold ANY key, so they are always read
+            # and filtered; their survivors are re-written as strays —
+            # re-bucketing a small scattered delta would pay one
+            # parquet file's overhead per bucket it grazes. Compaction
+            # folds strays into buckets for real.
+            stray_files = [f for f in man["files"] if f["kb"] is None]
+        else:
+            touched_files, carried = man["files"], []
+
+        def _survivors(files: list[dict]) -> DataFrame:
+            return (
+                self._read_files(spark, files, schema)
+                .join(F.broadcast(tk), on=tcols, how="left_anti")
+                .select(*schema.fieldNames())  # anti fronts key columns
+            )
+
+        new_data = _survivors(touched_files).unionByName(
+            replacement, allowMissingColumns=True
+        )
+        nxt = cur + 1
+        new_files = self._write_data(new_data, nxt)
+        if stray_files:
+            sdir = self.path / "data" / f"c{nxt}" / "stray"
+            _survivors(stray_files).write.parquet(str(sdir))
+            new_files += [
+                {"path": str(p.relative_to(self.path)), "kb": None}
+                for p in sorted(sdir.glob("part-*"))
+                if p.is_file()
+            ]
+        self._write_manifest(nxt, carried + new_files, new_data.schema, batch_id)
         self._swap_pointer(nxt)
         return nxt
 
@@ -110,66 +369,111 @@ class VersionedTable:
         v = self.current_version()
         if v is None:
             return None
-        try:
-            return int((self.path / f"v{v}" / "_applied_batch").read_text())
-        except (OSError, ValueError):
-            return None
+        return self.manifest(v).get("applied_batch")
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current snapshot, or time-travel to ``version``."""
-        v = self.current_version() if version is None else version
-        if v is None:
-            raise ValueError(f"uninitialized versioned table: {self.path}")
-        return spark.read.parquet(str(self.path / f"v{v}"))
+        man = self.manifest(version)
+        return self._read_files(spark, man["files"], self._schema_of(man))
+
+    def read_buckets(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
+        """The rows of every bucket containing a key from ``keys_df``
+        (a SUPERSET of the keys' rows — same-bucket neighbours and
+        not-yet-compacted append strays come along; callers semi-join
+        to narrow). This is the delta-bounded read half of a keyed
+        merge: untouched buckets are never scanned. Unbucketed tables
+        return the full snapshot."""
+        if not self.is_bucketed:
+            return self.read(spark)
+        man = self.manifest()
+        tb = {
+            r[0]
+            for r in keys_df.select(self._kb_expr().alias(_KB))
+            .distinct()
+            .collect()
+        } | {None}
+        files = [f for f in man["files"] if f["kb"] in tb]
+        return self._read_files(spark, files, self._schema_of(man))
 
     def versions(self) -> list[int]:
         return sorted(
-            int(p.name[1:])
-            for p in self.path.glob("v*")
-            if p.name[1:].isdigit()
+            int(p.stem[1:])
+            for p in self.path.glob("v*.json")
+            if p.stem[1:].isdigit()
         )
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (the current
-        version is always kept regardless). Returns the versions
-        removed. Time travel reaches only what vacuum leaves — same
-        contract as any table format's retention window."""
+        version is always kept regardless), then garbage-collect data
+        files no surviving manifest references — reference-counted, so
+        a file carried forward across fifty incremental commits lives
+        until the LAST manifest naming it is dropped. Returns the
+        versions removed. Time travel reaches only what vacuum leaves
+        — same contract as any table format's retention window."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self.current_version()
-        keep = set(self.versions()[-keep_last:]) | ({cur} if cur is not None else set())
+        keep = set(self.versions()[-keep_last:]) | (
+            {cur} if cur is not None else set()
+        )
         dropped = []
         for v in self.versions():
             if v not in keep:
-                shutil.rmtree(self.path / f"v{v}")
+                self._manifest_path(v).unlink()
                 dropped.append(v)
+        referenced = {
+            f["path"] for v in self.versions() for f in self.manifest(v)["files"]
+        }
+        data = self.path / "data"
+        if data.exists():
+            for p in sorted(data.rglob("*")):
+                if p.is_file() and str(p.relative_to(self.path)) not in referenced:
+                    p.unlink()
+            # prune now-empty commit/bucket directories, deepest first
+            for d in sorted(
+                (d for d in data.rglob("*") if d.is_dir()),
+                key=lambda d: -len(d.parts),
+            ):
+                if not any(d.iterdir()):
+                    d.rmdir()
         return dropped
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
-        """Rewrite the CURRENT version's data as ``target_files``
-        files and commit it as a new version — the small-files
-        maintenance every streaming-ingested table needs (each q85
-        micro-batch commit writes shuffle-partition-many files; a
-        compaction pass restores scan-friendly file sizes). Data is
-        bit-identical by construction: the rewrite is a coalesce of
-        the same rows, committed through the same atomic pointer swap,
-        so readers flip from many-files to few-files in one step and
-        the pre-compaction version stays time-travelable until
-        vacuumed. At real scale target_files derives from table bytes
-        / maxPartitionBytes rather than a constant.
+        """Rewrite the CURRENT version's data compactly and commit it
+        as a new full-snapshot version — the small-files maintenance
+        every incrementally-committed table needs (each commit_append /
+        commit_keyed adds files; compaction restores scan-friendly
+        sizes). Unbucketed tables coalesce to ``target_files``;
+        bucketed tables rewrite to one file per bucket (the bucketed
+        layout's floor — ``target_files`` is ignored). Data is
+        bit-identical by construction, committed through the same
+        atomic pointer swap, and the pre-compaction version stays
+        time-travelable until vacuumed. At real scale target_files
+        derives from table bytes / maxPartitionBytes rather than a
+        constant.
 
-        The source version's ``_applied_batch`` marker is carried
-        forward: compaction rewrites the SAME logical state, so the
-        last streaming batch folded into it is unchanged — dropping
-        the marker would make the next at-least-once re-delivery look
+        The source version's applied-batch marker is carried forward:
+        compaction rewrites the SAME logical state, so the last
+        streaming batch folded into it is unchanged — dropping the
+        marker would make the next at-least-once re-delivery look
         fresh and double-apply it."""
-        return self.commit(
-            self.read(spark).coalesce(target_files),
-            batch_id=self.last_applied_batch(),
-        )
+        df = self.read(spark)
+        if not self.is_bucketed:
+            df = df.coalesce(target_files)
+        return self.commit(df, batch_id=self.last_applied_batch())
 
     def file_count(self, version: int | None = None) -> int:
+        return len(self.manifest(version)["files"])
+
+    def bytes_added(self, version: int | None = None) -> int:
+        """Bytes of data WRITTEN by this commit (its new files under
+        ``data/c{version}`` only, carried-forward files excluded) —
+        the quantity the O(Δ) contract bounds and the counted-bytes
+        tests/probes measure."""
         v = self.current_version() if version is None else version
+        prefix = f"data/c{v}/"
         return sum(
-            1 for f in (self.path / f"v{v}").glob("part-*") if f.is_file()
+            (self.path / f["path"]).stat().st_size
+            for f in self.manifest(v)["files"]
+            if f["path"].startswith(prefix)
         )

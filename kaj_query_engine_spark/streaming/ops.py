@@ -201,8 +201,17 @@ def auto_state_partitions(
             parallelism,
             python_stateful=python_stateful,
         )
-    memo_key = (token, key_sig)
-    n = _ASP_MEMO.get(memo_key)
+    # the memo is keyed by (source dir, keys) and stores only a DIGEST
+    # of the fingerprint: a regenerated source replaces its entry
+    # instead of accumulating one arbitrarily-large listing-sized key
+    # per generation in a long-lived driver
+    import hashlib
+    import os as _os
+
+    tok_digest = hashlib.sha256(repr(token).encode()).hexdigest()
+    memo_key = (_os.path.dirname(token[0][0]), key_sig)
+    rec = _ASP_MEMO.get(memo_key)
+    n = rec[1] if rec is not None and rec[0] == tok_digest else None
     if n is None and cache_path is not None:
         import json
         import os
@@ -215,19 +224,18 @@ def auto_state_partitions(
         except (OSError, ValueError):
             persisted = {}
         rec = persisted.get(entry)
-        tok_repr = repr(token)
-        if rec and rec.get("token") == tok_repr:
+        if rec and rec.get("token") == tok_digest:
             n = rec["n"]
         else:
             n = _scan_key_cardinality(batch_df, keys)
-            persisted[entry] = {"token": tok_repr, "n": n}
+            persisted[entry] = {"token": tok_digest, "n": n}
             path.parent.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp")
             tmp.write_text(json.dumps(persisted, indent=1, sort_keys=True))
             os.replace(tmp, path)
     elif n is None:
         n = _scan_key_cardinality(batch_df, keys)
-    _ASP_MEMO[memo_key] = n
+    _ASP_MEMO[memo_key] = (tok_digest, n)
     return state_partitions_for_keys(
         n, parallelism, python_stateful=python_stateful
     )
@@ -650,27 +658,36 @@ def stream_merge_apply(
     (same law as the stream==batch pins on dedup/windows: q85's
     oracle is literally q55's snapshot SQL).
 
-    Each batch is one full-outer equi-join against the current
-    snapshot followed by a snapshot-isolated commit; batches apply
-    serially (foreachBatch's contract), so last-writer-wins across
-    batches and re-running a failed batch just re-commits the same
-    result. Returns the final table state as a batch DataFrame."""
+    Each batch is delta-bounded end to end: the batch's distinct keys
+    select only the key-buckets they live in (``read_buckets`` — on a
+    bucketed table untouched buckets are never scanned), the merge
+    join runs over touched rows ∪ batch only, and ``commit_keyed``
+    rewrites only the touched buckets, carrying every other bucket's
+    files forward byte-identical. Batches apply serially
+    (foreachBatch's contract), so last-writer-wins across batches and
+    re-running a failed batch just re-commits the same result.
+    Returns the final table state as a batch DataFrame."""
     from kaj_query_engine_spark.operators.maintenance import merge_upsert
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        touched = batch_df.select(*keys).distinct()
+        touched_rows = table.read_buckets(spark, touched).join(
+            F.broadcast(touched), on=keys, how="left_semi"
+        )
         merged = merge_upsert(
-            table.read(spark),
+            touched_rows,
             batch_df,
             keys,
             delete_condition=delete_condition,
             # evolution composes with versioning for free: the first
-            # drifted batch widens the snapshot schema, later batches
-            # and readers see the evolved table (same as Delta's
-            # mergeSchema on a streaming MERGE sink)
+            # drifted batch widens the manifest schema; untouched
+            # buckets' files read the new column as NULL without
+            # being rewritten (same as Delta's mergeSchema on a
+            # streaming MERGE sink)
             schema_evolution=schema_evolution,
         )
-        table.commit(merged)
+        table.commit_keyed(merged, touched)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -707,20 +724,33 @@ def stream_scd2_apply(
     Late events belong in a reconciliation rebuild of their keys (see
     ``operators/maintenance.scd2_merge_batch``). Run-collapse
     idempotence absorbs at-least-once re-delivery. Returns the final
-    dimension state."""
+    dimension state.
+
+    Delta-bounded like its siblings: only the buckets holding the
+    batch's keys are read (``read_buckets``), the run re-collapse runs
+    over touched keys' versions ∪ batch events only, and
+    ``commit_keyed`` rewrites only those buckets — untouched keys'
+    files are carried forward byte-identical, never re-windowed."""
     from kaj_query_engine_spark.operators.maintenance import scd2_merge_batch
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        touched = batch_df.select(key).distinct()
+        touched_rows = table.read_buckets(spark, touched).join(
+            F.broadcast(touched), on=[key], how="left_semi"
+        )
+        # dim restricted to touched keys → scd2_merge_batch's "kept"
+        # arm is empty by construction; the whole result is the
+        # replacement for exactly the touched keys
         merged = scd2_merge_batch(
-            table.read(spark),
+            touched_rows,
             batch_df,
             key,
             ts_col,
             state_col,
             tiebreak=tiebreak,
         )
-        table.commit(merged)
+        table.commit_keyed(merged, touched)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -757,7 +787,12 @@ def stream_agg_state_apply(
     double counts/sums. Each commit therefore records its batch id
     with the version (atomically — same pointer swap), and an already
     applied id is skipped on re-delivery, upgrading this path to
-    effectively-once."""
+    effectively-once.
+
+    Delta-bounded: the batch state's keys select their buckets only
+    (``read_buckets``), the algebraic merge joins touched state ∪
+    batch state, and ``commit_keyed`` rewrites only those buckets —
+    untouched keys' state files are carried forward byte-identical."""
     from kaj_query_engine_spark.operators.maintenance import merge_agg_state
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -765,10 +800,13 @@ def stream_agg_state_apply(
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
-        merged = merge_agg_state(
-            table.read(spark), batch_state_of(batch_df), keys, merge_exprs
+        bs = batch_state_of(batch_df)
+        touched = bs.select(*keys).distinct()
+        touched_state = table.read_buckets(spark, touched).join(
+            F.broadcast(touched), on=keys, how="left_semi"
         )
-        table.commit(merged, batch_id=batch_id)
+        merged = merge_agg_state(touched_state, bs, keys, merge_exprs)
+        table.commit_keyed(merged, touched, batch_id=batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -792,12 +830,13 @@ def stream_join_view_apply(
     appends ΔR folds into the stored view V = L ⋈ R by the insert-only
     IVM delta rule's right-delta term ΔV = L ⋈ ΔR (the left side is a
     static dimension here, so the ΔL terms vanish), committed to the
-    snapshot-isolated versioned table. The JOIN work per batch is
-    delta-bounded (the planner broadcasts ΔR; the view is never
-    re-joined) — the full-snapshot read+write per commit is the
-    demonstration-grade VersionedTable trade-off its module docstring
-    states loudly: a real table format appends the delta's data files
-    plus a manifest, making the whole batch O(Δ).
+    snapshot-isolated versioned table. The whole batch is O(Δ): the
+    JOIN is delta-bounded (the planner broadcasts ΔR; the view is
+    never re-joined) and the commit is ``commit_append`` — the delta's
+    data files plus a manifest referencing the prior version's files,
+    so bytes written per batch scale with the delta, never with the
+    view (the manifest design a real table format implements with a
+    commit log).
 
     The append is NOT idempotent (re-delivering a batch would append
     its delta rows twice), so like the aggregate path each commit
@@ -805,14 +844,11 @@ def stream_join_view_apply(
     effectively-once on top of at-least-once delivery."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
         delta_view = static_left.join(batch_df, on=on)
-        table.commit(
-            table.read(spark).unionByName(delta_view), batch_id=batch_id
-        )
+        table.commit_append(delta_view, batch_id=batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -845,30 +881,27 @@ def stream_join_view_cdc_apply(
     (the view rows for a touched key ARE its pre-image contribution,
     so no separate right-side state table is needed; deletes of
     absent keys and re-inserts after deletes fold correctly because
-    the refresh is keyed, not signed). Per batch: one broadcast
-    anti-join of the view against the batch's touched keys plus one
-    delta-bounded join — delta-bounded join work, same full-snapshot
-    commit disclosure as the append twin. Batches are treated as
-    compacted CDC (at most one change per key per batch — the usual
-    feed contract; pre-compact with the merge family otherwise).
-    Idempotent per batch ID via the recorded commit marker (a keyed
-    refresh is naturally idempotent, but skipping re-deliveries keeps
-    the version history one-commit-per-batch)."""
+    the refresh is keyed, not signed). The whole batch is O(Δ): one
+    delta-bounded join builds the touched keys' replacement rows
+    (broadcast upserts against the static left), and ``commit_keyed``
+    does the touched-key removal AND the write in one step — only the
+    key-buckets the batch touches are read and rewritten; every other
+    bucket's files are carried forward byte-identical (bucket the view
+    on the dimension key at init to get this path). Batches are
+    treated as compacted CDC (at most one change per key per batch —
+    the usual feed contract; pre-compact with the merge family
+    otherwise). Idempotent per batch ID via the recorded commit marker
+    (a keyed refresh is naturally idempotent, but skipping
+    re-deliveries keeps the version history one-commit-per-batch)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
         touched = batch_df.select(*on).distinct()
         ups = batch_df.filter(F.col(op_col) != "D").drop(op_col)
-        view = table.read(spark)
-        new_view = (
-            view.join(F.broadcast(touched), on=on, how="left_anti")
-            .select(*view.columns)  # anti-join fronts the key columns
-            .unionByName(static_left.join(F.broadcast(ups), on=on))
-        )
-        table.commit(new_view, batch_id=batch_id)
+        replacement = static_left.join(F.broadcast(ups), on=on)
+        table.commit_keyed(replacement, touched, batch_id=batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)

@@ -697,8 +697,12 @@ def q89(spark, sf_dir):
     )
     landing = _cdc_landing(spark, sf_dir)
     tbl2 = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_join_view_cdc")
+    # bucketed on the dimension key: each CDC batch reads/rewrites
+    # ONLY the key-buckets it touches (commit_keyed O(Δ) path)
     tbl2.init(
-        o_dim.join(cust.filter(F.col("o_custkey") % 5 != 0), "o_custkey")
+        o_dim.join(cust.filter(F.col("o_custkey") % 5 != 0), "o_custkey"),
+        bucket_keys=["o_custkey"],
+        n_buckets=8,
     )
     cdc_stream = (
         spark.readStream.schema(spark.read.parquet(landing).schema)

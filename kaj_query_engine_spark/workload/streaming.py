@@ -475,15 +475,17 @@ def q85(spark, sf_dir):
         ),
     )
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_merge_table")
-    tbl.init(target)  # fresh maintenance run per invocation
+    # fresh maintenance run per invocation; bucketed on the merge key
+    # so every micro-batch reads and rewrites ONLY touched buckets
+    tbl.init(target, bucket_keys=["o_orderkey"], n_buckets=8)
     stream_merge_apply(
         batch_stream, tbl, ["o_orderkey"], delete_condition=delete
     )
     # maintenance lifecycle, invariant-asserted so a violation fails
     # the driver row loudly instead of passing on luck:
     pre = tbl.current_version()
-    post = tbl.compact(spark, target_files=2)
-    if tbl.file_count(post) > 2:
+    post = tbl.compact(spark)
+    if tbl.file_count(post) > tbl.n_buckets:  # bucketed floor: 1/bucket
         raise RuntimeError("compaction left more files than target")
     tbl.vacuum(keep_last=2)
     if pre not in tbl.versions():  # retention window covers pre-compact
@@ -528,7 +530,8 @@ def q86(spark, sf_dir):
         tiebreak="event_id",
     )
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_scd2_table")
-    tbl.init(dim)  # fresh maintenance run per invocation
+    # fresh run; bucketed on the dimension key → touched-bucket commits
+    tbl.init(dim, bucket_keys=["user_id"], n_buckets=8)
     batch_stream = read_stream_table(spark, sf_dir, "events").filter(
         F.col("ts") >= cut
     )
@@ -568,7 +571,12 @@ def q87(spark, sf_dir):
         )
 
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "stream_agg_state")
-    tbl.init(state_of(o.filter(F.col("o_orderdate") < cut)))
+    # bucketed on the state key → touched-bucket commits per batch
+    tbl.init(
+        state_of(o.filter(F.col("o_orderdate") < cut)),
+        bucket_keys=["o_custkey"],
+        n_buckets=8,
+    )
     stream = read_stream_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= cut
     )

@@ -561,3 +561,72 @@ def test_flac_partitioned_rice_roundtrip(n, porder, bs, lpc, seed):
     e = encode_flac(s, 8000, block_size=bs, lpc_order=lpc, rice_porder=porder)
     rate, out = decode_flac(e)
     assert np.array_equal(out, s)
+
+
+# ---- hostile-input guards (round-8 ADVICE items) -------------------
+
+
+def test_jpeg_hostile_dc_category_rejected_clearly():
+    """A DHT carrying a DC symbol > 11 (T.81 table F.1's max category)
+    must raise a descriptive ValueError at LUT build, not Python's
+    opaque 'negative shift count' from deep inside the decode loop."""
+    from kaj_query_engine_spark.functions.jpeg import _huff_lut
+
+    with pytest.raises(ValueError, match="DC category"):
+        _huff_lut(bytes([1] + [0] * 15), bytes([26]), dc=True)
+    # the same symbol is a VALID AC symbol (run=1, size=10): no dc flag,
+    # no rejection
+    assert _huff_lut(bytes([1] + [0] * 15), bytes([26]))[0] != 0
+
+
+def test_avi_frame_chunk_tag_must_match_declared_codec():
+    """A DIB-declared AVI carrying 00dc (compressed) frame chunks is a
+    codec mismatch, not raw DIB data that happens to parse — and the
+    reverse for MJPG carrying 00db."""
+    f = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_avi(f, 10))
+    i = data.find(b"00db")
+    assert i > 0
+    data[i : i + 4] = b"00dc"
+    with pytest.raises(ValueError, match="disagrees with the declared codec"):
+        decode_avi(bytes(data))
+
+
+def test_flac_runaway_predictor_raises_valueerror_not_overflow():
+    """A corrupt stream whose fixed-predictor accumulation exceeds
+    int64 must keep the documented ValueError contract (not escape as
+    OverflowError). Craft an order-4 FIXED subframe with ±2³¹ warmup
+    at 32 bps and all-zero residuals: zero residuals make the 4th
+    difference zero, so samples follow the cubic −8A·C(n,3) through
+    the alternating warmup — past int64 well before sample 4096."""
+    from kaj_query_engine_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_subframe,
+    )
+
+    bw = _BitWriter()
+    bw.put(0, 1)  # subframe pad bit
+    bw.put(12, 6)  # FIXED, order 4
+    bw.put(0, 1)  # no wasted bits
+    A = (1 << 31) - 1
+    for v in (A, -A, A, -A):  # warmup: huge alternating 3rd difference
+        bw.put(v & 0xFFFFFFFF, 32)
+    bw.put(0, 2)  # residual method: 4-bit Rice
+    bw.put(0, 4)  # partition order 0
+    bw.put(0, 4)  # Rice k = 0
+    for _ in range(4096 - 4):
+        bw.put(1, 1)  # unary-coded zero residual
+    bw.align()
+    with pytest.raises(ValueError, match="int64"):
+        _read_subframe(_BitReader(bw.bytes()), 4096, 32)
+
+
+def test_kmeans_int_rejects_zero_iterations(spark):
+    from kaj_query_engine_spark.operators.clustering import kmeans_int
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        kmeans_int(vecs, "vec_id", "embedding", k=2, iterations=0)

@@ -1166,3 +1166,23 @@ def test_flac_lpc_subframes_roundtrip_and_compress():
     zeros = np.zeros(100, dtype=np.int16)
     _r, out = decode_flac(encode_flac(zeros, 8000, lpc_order=8))
     assert np.array_equal(out, zeros)
+
+
+def test_auto_state_partitions_memo_bounded_per_source(spark, tmp_path):
+    """Round-8 ADVICE: the memo must not grow one listing-sized entry
+    per source GENERATION — a regenerated source replaces its entry
+    (keyed by source dir + keys, token held as a digest), so a
+    long-lived driver over a frequently-rewritten landing dir holds
+    one bounded record per (source, keys)."""
+    from kaj_query_engine_spark.streaming import ops as S
+
+    src = tmp_path / "src"
+    S._ASP_MEMO.clear()
+    for gen in range(3):  # three generations of the same source
+        spark.range(1000 + gen).selectExpr("id % 50 AS k").write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        S.auto_state_partitions(spark.read.parquet(str(src)), F.col("k"))
+    assert len(S._ASP_MEMO) == 1  # superseded generations evicted
+    ((key, (digest, _n)),) = S._ASP_MEMO.items()
+    assert key[0].endswith("src") and len(digest) == 64  # digest, not listing

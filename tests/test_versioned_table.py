@@ -543,3 +543,144 @@ def test_stream_agg_state_redelivery_does_not_double_add(spark, tmp_path):
     again = sorted(map(tuple, run().collect()))
     assert again == first  # re-delivery skipped, no double add
     assert tbl.last_applied_batch() == 2
+
+
+# ---- O(Δ) commit contract (manifest-based versions) ----------------
+#
+# The round-8 review's one "weak" item: full-snapshot rewrites per
+# micro-batch. These pins hold the cure in place — bytes WRITTEN per
+# incremental commit scale with the delta, untouched files are carried
+# forward byte-identical (path + mtime), and vacuum's reference-counted
+# GC never collects a file a surviving manifest still names.
+
+
+def test_commit_append_writes_only_delta_bytes(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    tbl.init(big)
+    base_bytes = tbl.bytes_added(0)
+    before = {
+        f["path"]: (tbl.path / f["path"]).stat().st_mtime_ns
+        for f in tbl.manifest(0)["files"]
+    }
+    tbl.commit_append(df_(spark, [(1_000_001, "d1"), (1_000_002, "d2")]))
+    # the delta commit wrote a tiny fraction of the table's bytes
+    assert tbl.bytes_added(1) < base_bytes / 10
+    # every v0 file is referenced by v1 verbatim, byte-identical
+    man1 = {f["path"] for f in tbl.manifest(1)["files"]}
+    for path, mtime in before.items():
+        assert path in man1
+        assert (tbl.path / path).stat().st_mtime_ns == mtime
+    assert tbl.read(spark).count() == 200_002
+
+
+def test_commit_keyed_rewrites_only_touched_buckets(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    big = spark.range(100_000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    tbl.init(big, bucket_keys=["k"], n_buckets=8)
+    base_bytes = tbl.bytes_added(0)
+    touched = spark.createDataFrame([(5,), (77,)], "k long")
+    repl = df_(spark, [(5, "FIVE"), (77, "SEVENTY-SEVEN")])
+    tbl.commit_keyed(repl, touched)
+    # only the touched keys' buckets were rewritten
+    tb = {
+        r[0]
+        for r in touched.select(tbl._kb_expr().alias("b")).distinct().collect()
+    }
+    assert tbl.bytes_added(1) < base_bytes * (len(tb) / 8) * 1.5
+    man0 = {f["path"]: f["kb"] for f in tbl.manifest(0)["files"]}
+    man1 = {f["path"]: f["kb"] for f in tbl.manifest(1)["files"]}
+    for path, kb in man0.items():
+        if kb not in tb:  # untouched bucket: file carried forward
+            assert path in man1
+        else:  # touched bucket: file replaced
+            assert path not in man1
+    got = {r.k: r.v for r in tbl.read(spark).collect() if r.k in (5, 77, 9)}
+    assert got == {5: "FIVE", 77: "SEVENTY-SEVEN", 9: "9"}
+    assert tbl.read(spark).count() == 100_000
+
+
+def test_commit_keyed_deletes_and_unbucketed_degenerate(spark, tmp_path):
+    # keyed commit with an empty replacement = pure delete
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a"), (2, "b"), (3, "c")]),
+             bucket_keys=["k"], n_buckets=4)
+    tbl.commit_keyed(
+        spark.createDataFrame([], SCHEMA),
+        spark.createDataFrame([(2,)], "k long"),
+    )
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 3]
+    # unbucketed table: same semantics, full rewrite (correct, not O(Δ))
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(df_(spark, [(1, "a"), (2, "b")]))
+    tbl2.commit_keyed(
+        df_(spark, [(2, "B2"), (9, "new")]),
+        spark.createDataFrame([(2,), (9,)], "k long"),
+    )
+    assert {r.k: r.v for r in tbl2.read(spark).collect()} == {
+        1: "a", 2: "B2", 9: "new"
+    }
+    with pytest.raises(ValueError, match="initialized"):
+        VersionedTable(tmp_path / "t3").commit_keyed(
+            df_(spark, [(1, "a")]), spark.createDataFrame([(1,)], "k long")
+        )
+
+
+def test_commit_keyed_schema_evolution_reads_old_files_null(spark, tmp_path):
+    """A widened replacement evolves the manifest schema; files from
+    BEFORE the evolution (untouched buckets) are never rewritten and
+    read the new column as NULL."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(20)]),
+             bucket_keys=["k"], n_buckets=4)
+    repl = spark.createDataFrame([(3, "V3", "web")], "k long, v string, c string")
+    tbl.commit_keyed(repl, spark.createDataFrame([(3,)], "k long"))
+    cur = tbl.read(spark)
+    assert cur.columns == ["k", "v", "c"]
+    got = {r.k: (r.v, r.c) for r in cur.collect()}
+    assert got[3] == ("V3", "web")
+    assert all(got[k] == (f"v{k}", None) for k in got if k != 3)
+    # at least one v0 file survived un-rewritten into v1
+    man0 = {f["path"] for f in tbl.manifest(0)["files"]}
+    man1 = {f["path"] for f in tbl.manifest(1)["files"]}
+    assert man0 & man1
+
+
+def test_vacuum_refcounted_gc_keeps_carried_files(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, "base") for i in range(50)]))
+    for i in range(3):
+        tbl.commit_append(df_(spark, [(100 + i, f"d{i}")]))
+    v0_files = [f["path"] for f in tbl.manifest(0)["files"]]
+    dropped = tbl.vacuum(keep_last=1)
+    assert dropped == [0, 1, 2]
+    # v0's data files are REFERENCED by the surviving v3 manifest:
+    # reference-counted GC must keep them, and the table still reads
+    for p in v0_files:
+        assert (tbl.path / p).exists()
+    assert tbl.read(spark).count() == 53
+    # a full-snapshot commit then orphans everything older; vacuum
+    # now collects the old files for real
+    tbl.commit(tbl.read(spark))
+    tbl.vacuum(keep_last=1)
+    for p in v0_files:
+        assert not (tbl.path / p).exists()
+    assert tbl.read(spark).count() == 53
+
+
+def test_compact_bucketed_one_file_per_bucket(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(100)]),
+             bucket_keys=["k"], n_buckets=4)
+    for i in range(5):
+        tbl.commit_append(df_(spark, [(200 + i, f"d{i}")]))
+    frag = tbl.file_count()
+    v = tbl.compact(spark)
+    assert tbl.file_count(v) <= 4 < frag
+    before, after = tbl.read(spark, v - 1), tbl.read(spark)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
