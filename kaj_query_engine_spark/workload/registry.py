@@ -64,65 +64,92 @@ def register(
 # Every query keeps identical semantics — this is ordering of
 # verification attention only, never a behavior change.
 
-# Queries touched in round 8 (this commit range): four NEW queries
-# (q81 late-data, q69 span decontamination, q89 streaming join view,
-# q91 integer k-means), the JPEG entropy decoder rewrite (q97), the
-# MJPEG-in-AVI branch (q95 + q96 shares the decode stack), PNG
-# palette/RGBA branches (q93), hashed-gram span dedup (q68),
-# update/delete IVM (q67), evolve_schemas type-drift check (q66, q85,
-# q86), the versioned-table batch_id fixes (q85, q86, q87, q96, q89)
-# and the auto_state_partitions memoization (q80, q82, q83, q84, q87).
+# RULE 1 is now MECHANICALLY DERIVED (round-8 review "What's wrong"
+# #2): ``tools/changed_queries.py`` maps the round's git diff (since
+# the driver's last ``round N:`` commit, working tree included)
+# through each registering module's static import closure, and
+# ``tests/test_registry_rotation.py`` pins this list ⊇ the derived
+# set — an under-maintained hand list now FAILS pytest instead of
+# silently starving a changed query of its external check.
+#
+# Round 9's derived set (module-closure granularity, deliberately a
+# superset): the VersionedTable manifest/O(Δ) rewrite + rerouted
+# foreachBatch maintenance pins the streaming and maintenance
+# modules (q44, q55–q59, q66, q67, q80–q89, q96); the codec guard
+# fixes (jpeg DC category, avi chunk tag, flac overflow) pin the
+# multimodal module (q90–q99); the kmeans iterations guard pins the
+# similarity module (q60–q63, q65, q91).
 _CHANGED_THIS_ROUND = [
-    "q81_stream_late_data",  # NEW in round 8
-    "q69_span_decontaminate",  # NEW in round 8
-    "q89_stream_join_view",  # NEW in round 8
-    "q91_kmeans_int",  # NEW in round 8
-    "q93_png_decode",
-    "q94_wav_decode",
-    "q99_flac_decode",
-    "q97_jpeg_decode",
-    "q95_avi_decode",
-    "q96_stream_media_decode",
-    "q68_span_dedup",
-    "q67_incremental_join",
-    "q66_merge_evolve",
-    "q85_stream_merge",
+    "q85_stream_merge",  # O(Δ) keyed commits land here
     "q86_stream_scd2",
     "q87_stream_agg_state",
+    "q89_stream_join_view",
     "q80_stream_windows",
+    "q81_stream_late_data",
     "q82_stream_dedup",
     "q83_stream_stateful_totals",
     "q84_stream_stream_join",
-]
-
-# Stalest-first (RULE 2): last green driver row is from round 6 for
-# all of these (round 7's window checked the other half; the round-7
-# review independently re-verified these 29 at sf0.01 — all PASS —
-# but driver rows should not go >2 rounds stale).
-_STALEST = [
-    "q51_minhash_lsh",
-    "q52_ngram_jaccard",
-    "q53_simhash",
-    "q54_dedup_clusters",
+    "q96_stream_media_decode",
+    "q44_incremental_agg",
+    "q55_merge_upsert",
+    "q56_scd2_dimension",
+    "q57_scd2_incremental",
+    "q58_constraint_audit",
+    "q59_pit_join",
+    "q66_merge_evolve",
+    "q67_incremental_join",
+    "q88_incremental_distinct",
+    "q90_media_frames",
+    "q91_kmeans_int",
+    "q92_media_features",
+    "q93_png_decode",
+    "q94_wav_decode",
+    "q95_avi_decode",
+    "q97_jpeg_decode",
+    "q98_gif_decode",
+    "q99_flac_decode",
     "q60_ann_brute_force",
     "q61_ann_lsh",
     "q62_embedding_neardup",
     "q63_ann_ivf",
-    "q64_pagerank",
     "q65_hybrid_retrieval",
-    "q70_windows",
-    "q72_sessionize",
-    "q73_asof_join",
-    "q74_range_join",
-    "q75_time_rollup",
-    "q76_json_props",
-    "q77_rolling_window",
-    "q78_funnel",
-    "q79_retention_cohorts",
-    "q90_media_frames",
-    "q92_media_features",
-    "q93_png_decode",
-    "q94_wav_decode",
+]
+
+# Stalest-first (RULE 2): the round-8 verdict's rotation list — last
+# green DRIVER row is round 7 for all of these (the round-8 review
+# re-verified every one at sf0.01 today-green, but driver rows should
+# not go >2 rounds stale). Eight of the verdict's 33 (q55–q59, q44,
+# q88, q98) are already pinned by RULE 1 above; of the remaining 25,
+# the 50-query window holds the first 17 — the tail (q42, q43, q45,
+# q46, q47, q48, q49, q50: the pipeline/text family, all
+# pytest-covered) carries to round 10's fill, an explicit consequence
+# of RULE 1 taking precedence over rotation.
+_STALEST = [
+    "q00_flagship_revenue",
+    "q20_set_ops",
+    "q23_limit_topk",
+    "q24_scalar_string_math",
+    "q25_date_case",
+    "q27_grouped_analytics",
+    "q29_pivot",
+    "q30_count_distinct",
+    "q32_format_roundtrips",
+    "q34_text_etl_sink",
+    "q35_partition_pruning",
+    "q36_bucketed_join",
+    "q37_salted_agg",
+    "q38_percentiles",
+    "q39_partitioned_merge",
+    "q40_text_stats",
+    "q41_bpe_tokenizer",
+    "q42_group_sample",
+    "q43_temperature_mix",
+    "q45_sketch_aggregates",
+    "q46_profile_topk",
+    "q47_training_mix",
+    "q48_decontaminate",
+    "q49_doc_chunks",
+    "q50_dedup_exact",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [

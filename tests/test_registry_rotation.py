@@ -1,0 +1,90 @@
+"""RULE 1 enforcement: the registry's hand-curated
+``_CHANGED_THIS_ROUND`` pin must be a SUPERSET of the set derived
+mechanically from the round's git diff (``tools/changed_queries.py``)
+— the round-8 review's "What's wrong" #2: a silently under-maintained
+list would let a changed query rotate out of the externally-checked
+window, which is exactly the failure mode the rotation policy exists
+to prevent.
+
+The hand list may legitimately be LARGER than the derived set (e.g. a
+data-fixture or oracle-constant change git's module mapping can't
+see); it may never be smaller.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+import changed_queries as CQ  # noqa: E402
+
+from kaj_query_engine_spark.workload.registry import (  # noqa: E402
+    _CHANGED_THIS_ROUND,
+    _STALEST,
+    _VERIFY_PRIORITY,
+    all_queries,
+)
+
+
+def _in_git_checkout() -> bool:
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "--git-dir"],
+            cwd=REPO, capture_output=True, check=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def test_changed_this_round_superset_of_derived():
+    if not _in_git_checkout():  # exported tree without history
+        pytest.skip("not a git checkout — derivation needs the diff")
+    derived = set(CQ.derive())
+    missing = derived - set(_CHANGED_THIS_ROUND)
+    assert not missing, (
+        "RULE 1 violation: queries whose code changed this round are "
+        f"missing from _CHANGED_THIS_ROUND: {sorted(missing)} — "
+        "run `python tools/changed_queries.py` and add them"
+    )
+
+
+def test_derivation_mechanics():
+    """The closure walk itself: function-local imports count (q85's
+    body imports sources.versioned), transitive edges count (workload.
+    streaming → streaming.ops), and the registry leaf does not
+    collapse every closure to the whole package."""
+    pkg = "kaj_query_engine_spark"
+    c = CQ.import_closure(f"{pkg}.workload.streaming")
+    assert f"{pkg}.streaming.ops" in c
+    assert f"{pkg}.sources.versioned" in c  # via q85's body import
+    # genuine cross-workload dataflow IS an edge (streaming imports
+    # dedup's materialized index helper)...
+    assert f"{pkg}.workload.dedup" in c
+    # ...but the registry's register-every-module fan-out is not: a
+    # module with no real dependence on the streaming stack must not
+    # acquire one through the shared registry
+    assert f"{pkg}.workload.streaming" not in CQ.import_closure(
+        f"{pkg}.workload.text"
+    )
+    # every registered query maps to a module the walker can read
+    for name, mod in CQ.query_modules().items():
+        assert CQ._module_file(mod) is not None, (name, mod)
+
+
+def test_pin_lists_name_real_queries_and_fill_window():
+    names = set(all_queries())
+    for n in _CHANGED_THIS_ROUND + _STALEST:
+        assert n in names, f"pin list names unknown query {n}"
+    # the externally-checked window is the 50-prefix: RULE 1 pins must
+    # all land inside it, and the priority list must carry no dupes
+    assert len(_VERIFY_PRIORITY) == len(set(_VERIFY_PRIORITY))
+    window = list(all_queries())[:50]
+    for n in _CHANGED_THIS_ROUND:
+        assert n in window, f"RULE 1 pin {n} fell outside the window"
