@@ -200,3 +200,84 @@ def test_random_theta_join(engine, duck, op):
         "WHERE c.cid < 12 AND k.cartid < 12"
     )
     assert_same_result(engine.sql(q), duck, sql)
+
+
+# ---- grouped aggregates (default mode) vs DuckDB -------------------
+#
+# The compiled-reference golden fuzzer cannot cover GROUP BY (the
+# reference parses GROUPBY but aborts planning with "GroupBy is not
+# implemented.", src/qp/optimizer/RandomInitialPlan.java:51-54), so
+# the grouped lowering path previously rode on the two hand-written
+# queries alone. This class sweeps it differentially against DuckDB:
+# 1-2 group keys ⊆ the select list, 1-2 of the five aggregates,
+# optional quoted-literal filter, optional ORDERBY on a key.
+
+GROUP_TABLES = {
+    # table: (candidate group keys, aggregatable int columns, filter col)
+    "customer_ref": (["gender", "firstname"], ["cid", "gender"], "cid"),
+    "cart_ref": (["status", "cid"], ["cartid", "cid"], "cid"),
+    "cartdetails_ref": (["qty", "cartid"], ["iid", "qty"], "qty"),
+    "bill_ref": (["iid", "remarks"], ["amount", "billid"], "amount"),
+}
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_grouped_aggregates(engine, duck, data):
+    tbl = data.draw(st.sampled_from(sorted(GROUP_TABLES)), label="table")
+    keys_pool, agg_cols, fcol = GROUP_TABLES[tbl]
+    keys = data.draw(
+        st.lists(st.sampled_from(keys_pool), min_size=1, max_size=2,
+                 unique=True),
+        label="keys",
+    )
+    aggs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["MIN", "MAX", "SUM", "COUNT", "AVG"]),
+                st.sampled_from(agg_cols),
+            ),
+            min_size=1, max_size=2, unique=True,
+        ),
+        label="aggs",
+    )
+    where = data.draw(
+        st.none()
+        | st.tuples(st.sampled_from(OPS), st.integers(0, 2500)),
+        label="where",
+    )
+    order = data.draw(
+        st.none() | st.sampled_from(["", " DESC"]), label="order"
+    )
+
+    sel = [f"{tbl}.{k}" for k in keys] + [
+        f"{a}({tbl}.{c})" for a, c in aggs
+    ]
+    q = f"SELECT {', '.join(sel)} FROM {tbl}"
+    sql_where = ""
+    if where is not None:
+        op, lit = where
+        q += f' WHERE {tbl}.{fcol}{op}"{lit}"'
+        sql_where = f"WHERE {fcol} {DUCK_OP.get(op, op)} {lit}"
+    q += f" GROUPBY {', '.join(f'{tbl}.{k}' for k in keys)}"
+    if order is not None:
+        q += f" ORDERBY {tbl}.{keys[0]}{order}"
+
+    def duck_agg(a, c):
+        # COUNT counts rows (the reference's ungrouped semantics carry
+        # over); SUM/COUNT surface as BIGINT like the Spark lowering
+        expr = "count(*)" if a == "COUNT" else f"{a.lower()}({c})"
+        if a in ("SUM", "COUNT"):
+            expr = f"CAST({expr} AS BIGINT)"
+        return f'{expr} AS "{a}({tbl}.{c})"'
+
+    sql = (
+        f"SELECT {', '.join(keys)}, "
+        f"{', '.join(duck_agg(a, c) for a, c in aggs)} "
+        f"FROM {tbl} {sql_where} GROUP BY {', '.join(keys)}"
+    )
+    assert_same_result(engine.sql(q), duck, sql)
