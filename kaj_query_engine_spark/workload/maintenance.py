@@ -870,3 +870,129 @@ def q67(spark, sf_dir):
         .unionAll(keyed)
         .unionAll(keyed_delta)
     )
+
+
+# ---- q33: table time travel / version change feed -------------------
+#
+# The round-9 manifest machinery under its own oracle: a bucketed
+# VersionedTable seeded from pre-cut orders takes three SMALL keyed
+# batches (update / delete / late insert — sparse modulo classes, so
+# most of the 64 buckets are untouched and their files carry forward
+# byte-identical across all three commits), then three branches read
+# THROUGH the table: the frozen v0 snapshot (time travel), the final
+# state, and snapshot_diff(v0, final) — a change feed computed between
+# two VERSIONS of one table, which is what every incremental consumer
+# replays after the fact. All-integer cents, so the oracle recomputes
+# every branch from the same modulo classes exactly.
+_TT_CUT = _IVM_CUT_O
+_TT_UPD, _TT_DEL, _TT_INS = 701, 1103, 997
+_TT_BASE = (
+    "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) "
+    f"AS cents FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'"
+)
+_TT_INS_SQL = (
+    "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) "
+    f"AS cents FROM orders WHERE o_orderdate >= TIMESTAMP '{_TT_CUT}' "
+    f"AND o_orderkey % {_TT_INS} = 0"
+)
+_TT_ORACLE = (
+    f"WITH base AS ({_TT_BASE}), ins AS ({_TT_INS_SQL}), "
+    "fin AS (SELECT k, CASE WHEN k % "
+    f"{_TT_UPD} = 0 THEN cents + 1000 ELSE cents END AS cents "
+    f"FROM base WHERE k % {_TT_DEL} != 0 "
+    "UNION ALL SELECT k, cents FROM ins) "
+    "SELECT 'v0' AS path, '-' AS op, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) "
+    "AS cents_sum FROM base "
+    "UNION ALL SELECT 'final', '-', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM fin "
+    "UNION ALL SELECT 'feed', 'I', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ins "
+    "HAVING count(*) > 0 "
+    "UNION ALL SELECT 'feed', 'U', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents + 1000) AS BIGINT) "
+    f"FROM base WHERE k % {_TT_UPD} = 0 AND k % {_TT_DEL} != 0 "
+    "HAVING count(*) > 0 "
+    "UNION ALL SELECT 'feed', 'D', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) "
+    f"FROM base WHERE k % {_TT_DEL} = 0 HAVING count(*) > 0"
+)
+
+
+@register(
+    "q33_table_time_travel",
+    _TT_ORACLE,
+    "table time travel + version change feed over the manifest-based "
+    "VersionedTable: pre-cut orders (integer cents) seeded at v0 in a "
+    "64-bucket keyed layout, then three sparse keyed batches — "
+    f"updates (+1000 cents, keys % {_TT_UPD}), deletes (% {_TT_DEL}), "
+    f"late inserts (post-cut keys % {_TT_INS}) — applied via "
+    "commit_keyed, so each commit rewrites only the few buckets its "
+    "keys hash into and carries the rest forward byte-identical "
+    "(invariant-asserted: v0 data files still referenced by the final "
+    "manifest, delta commits smaller than init). Branches: 'v0' reads "
+    "the frozen version (time travel), 'final' the current state, "
+    "'feed' = snapshot_diff between the two VERSIONS (I/U/D with "
+    "integer checksums) — the replay every incremental consumer wants "
+    "from a table format's history. Oracle recomputes all three from "
+    "the same modulo classes",
+)
+def q33(spark, sf_dir):
+    from kaj_query_engine_spark.sources.versioned import VersionedTable
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    cut = F.lit(_TT_CUT).cast("timestamp")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(F.col("o_orderdate") < cut).select(
+        k.alias("k"), "cents"
+    )
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "time_travel_table")
+    tbl.init(base, bucket_keys=["k"], n_buckets=64)
+
+    kk = F.col("k")
+    upd = base.filter(kk % _TT_UPD == 0).select(
+        "k", (F.col("cents") + 1000).alias("cents")
+    )
+    tbl.commit_keyed(upd, upd.select("k"))
+    dels = base.filter(kk % _TT_DEL == 0).select("k")
+    tbl.commit_keyed(base.limit(0), dels)
+    ins = o.filter((F.col("o_orderdate") >= cut) & (k % _TT_INS == 0)).select(
+        k.alias("k"), "cents"
+    )
+    tbl.commit_keyed(ins, ins.select("k"))
+
+    # manifest invariants, asserted loudly (q85's discipline): history
+    # intact, untouched v0 files carried into the FINAL manifest, and
+    # every keyed commit wrote less than the init did
+    if tbl.versions() != [0, 1, 2, 3]:
+        raise RuntimeError("time-travel history lost a version")
+    v0_files = {f["path"] for f in tbl.manifest(0)["files"]}
+    fin_files = {f["path"] for f in tbl.manifest(3)["files"]}
+    if not (v0_files & fin_files):
+        raise RuntimeError("keyed commits rewrote every v0 file")
+    if any(tbl.bytes_added(v) >= tbl.bytes_added(0) for v in (1, 2, 3)):
+        raise RuntimeError("a keyed delta commit wrote init-scale bytes")
+
+    v0 = tbl.read(spark, 0)
+    fin = tbl.read(spark)
+    feed = M.snapshot_diff(v0, fin, ["k"])
+
+    def arm(df, path, op_col):
+        return df.groupBy(op_col.alias("op")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        ).select(F.lit(path).alias("path"), "op", "n", "key_sum", "cents_sum")
+
+    return (
+        arm(v0, "v0", F.lit("-"))
+        .unionAll(arm(fin, "final", F.lit("-")))
+        .unionAll(arm(feed, "feed", F.col("op")))
+    )

@@ -1171,3 +1171,53 @@ def test_kmeans_int_blobs_and_invariance(spark):
     )
     sout = kmeans_int(same, "vec_id", "embedding", k=3, iterations=2).collect()
     assert [(r.cluster, r.n, r.id_sum) for r in sout] == [(0, 5, 10)]
+
+
+# ---- multi-source BFS (operators/graph.py) --------------------------
+
+
+def test_bfs_hops_min_hop_semantics(spark):
+    """Diamond + chain: a node reachable at hops 2 AND 3 reports 2
+    (min rule); unreachable nodes are absent; seeds report 0 even when
+    an edge re-enters them."""
+    from kaj_query_engine_spark.operators.traversal import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 5), (5, 4),  # 4 at hop 2 (via 2)
+         (4, 1),                                   # cycle back to seed
+         (8, 9)],                                  # disconnected
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.hop for r in bfs_hops(edges, seeds, 4).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_bfs_hops_multi_seed_and_zero_hops(spark):
+    from kaj_query_engine_spark.operators.traversal import bfs_hops
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,), (10,)], "id long")  # dup seed
+    got = {r.id: r.hop for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}  # 3 via 10 beats 3 via 1,2
+    # max_hops=0: just the (deduped) seeds
+    got0 = {r.id: r.hop for r in bfs_hops(edges, seeds, 0).collect()}
+    assert got0 == {1: 0, 10: 0}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(edges, seeds, -1)
+
+
+def test_bfs_hops_partitioning_invariance(spark):
+    """Same graph, adversarial partitioning: identical hop map (the
+    oracle-exactness claim — no float, no order sensitivity)."""
+    from kaj_query_engine_spark.operators.traversal import bfs_hops
+
+    rows = [(i, (i * 7) % 50) for i in range(50)] + [(i, i + 1) for i in range(49)]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    e2 = e1.repartition(13, "dst")
+    seeds = spark.createDataFrame([(0,), (25,)], "id long")
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(bfs_hops(e1, seeds, 5)) == canon(bfs_hops(e2, seeds, 5))
