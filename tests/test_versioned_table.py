@@ -684,3 +684,63 @@ def test_compact_bucketed_one_file_per_bucket(spark, tmp_path):
     before, after = tbl.read(spark, v - 1), tbl.read(spark)
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_random_commit_sequences_match_dict_model(spark, tmp_path):
+    """Model-based pin of the manifest machinery: random sequences of
+    full-snapshot / append / keyed / compact / vacuum operations must
+    keep (a) the current read equal to a plain dict model, and (b)
+    every un-vacuumed version equal to the model snapshot recorded
+    when it was committed — across bucketed and unbucketed tables,
+    with history surviving carried-file GC."""
+    import random
+
+    rng = random.Random(90210)
+    for case in range(6):
+        bucketed = case % 2 == 0
+        tbl = VersionedTable(tmp_path / f"m{case}")
+        model = {k: f"v{k}" for k in rng.sample(range(100), 12)}
+        if bucketed:
+            tbl.init(df_(spark, sorted(model.items())),
+                     bucket_keys=["k"], n_buckets=rng.choice([2, 4, 8]))
+        else:
+            tbl.init(df_(spark, sorted(model.items())))
+        history = {0: dict(model)}
+        fresh = 1000  # append-only key counter
+        for _ in range(5):
+            op = rng.choice(["full", "append", "keyed", "compact", "vacuum"])
+            if op == "full":
+                model = {k: f"f{k}" for k in rng.sample(range(100), rng.randint(0, 15))}
+                v = tbl.commit(df_(spark, sorted(model.items())))
+            elif op == "append":
+                new = {fresh + i: f"a{fresh + i}" for i in range(rng.randint(0, 4))}
+                fresh += 10
+                model.update(new)
+                v = tbl.commit_append(df_(spark, sorted(new.items())))
+            elif op == "keyed":
+                ups = {k: f"u{k}" for k in rng.sample(range(100), rng.randint(0, 5))}
+                dels = set(rng.sample(sorted(model) or [0], min(2, len(model))))
+                touched = sorted(set(ups) | dels)
+                for k in touched:
+                    model.pop(k, None)
+                model.update(ups)
+                v = tbl.commit_keyed(
+                    df_(spark, sorted(ups.items())),
+                    spark.createDataFrame([(k,) for k in touched] or [], "k long"),
+                )
+            elif op == "compact":
+                v = tbl.compact(spark)
+            else:
+                keep = rng.randint(1, 3)
+                tbl.vacuum(keep_last=keep)
+                dropped = [h for h in history if h not in tbl.versions()]
+                for h in dropped:
+                    del history[h]
+                v = tbl.current_version()
+            history[v] = dict(model)
+            got = {r.k: r.v for r in tbl.read(spark).collect()}
+            assert got == model, (case, op, v)
+        # time travel: every surviving version reads its snapshot
+        for v, snap in history.items():
+            got = {r.k: r.v for r in tbl.read(spark, v).collect()}
+            assert got == snap, (case, "travel", v)

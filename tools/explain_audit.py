@@ -68,6 +68,21 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "dynamicpruningexpression"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "q33_table_time_travel": (
+        # three aggregate arms over manifest-file scans, each with a
+        # map-side partial; the version change feed is ONE full-outer
+        # join (full outer cannot broadcast — SMJ is the correct
+        # shape, not a smell here)
+        ["Union", "HashAggregate", "SortMergeJoin FullOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "q71_bfs_reach": (
+        # the iterative BFS ran eagerly through localCheckpoint; the
+        # returned plan is the per-hop aggregate over the checkpointed
+        # visited set — two-phase hash aggregate, nothing quadratic
+        ["Scan ExistingRDD", "HashAggregate"],
+        ["CartesianProduct", "SortAggregate", "BroadcastNestedLoopJoin"],
+    ),
     "q73_asof_join": (
         # union trick: exactly ONE exchange (the window shuffle)
         ["Window", "Union"],
