@@ -885,7 +885,12 @@ def q67(spark, sf_dir):
 # replays after the fact. All-integer cents, so the oracle recomputes
 # every branch from the same modulo classes exactly.
 _TT_CUT = _IVM_CUT_O
-_TT_UPD, _TT_DEL, _TT_INS = 701, 1103, 997
+# sparse classes on purpose: a handful of touched keys per batch hash
+# into a few of the 64 buckets, so MOST buckets carry forward through
+# all three commits at every fixture scale (at sf0.1's ~112k pre-cut
+# orders these are ~16 / ~10 / ~4 keys; denser classes would touch
+# every bucket and reduce the carry-forward invariant to luck)
+_TT_UPD, _TT_DEL, _TT_INS = 7001, 11003, 9973
 _TT_BASE = (
     "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) "
     f"AS cents FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'"
