@@ -477,3 +477,72 @@ class VersionedTable:
             for f in self.manifest(v)["files"]
             if f["path"].startswith(prefix)
         )
+
+    def history(self) -> list[dict]:
+        """Commit history as plain rows (newest last): one dict per
+        surviving version with its applied batch id, file/byte
+        footprint, and how much of it was newly written vs carried
+        forward — the DESCRIBE HISTORY every table format exposes,
+        reduced to what the maintenance jobs need to audit their own
+        write amplification (the q33/q89 invariants read it)."""
+        out = []
+        for v in self.versions():
+            man = self.manifest(v)
+            files = man["files"]
+            prefix = f"data/c{v}/"
+            out.append({
+                "version": v,
+                "applied_batch": man.get("applied_batch"),
+                "n_files": len(files),
+                "n_stray_files": sum(1 for f in files if f["kb"] is None)
+                if self.is_bucketed else 0,
+                "bytes_total": sum(
+                    (self.path / f["path"]).stat().st_size for f in files
+                ),
+                "bytes_added": sum(
+                    (self.path / f["path"]).stat().st_size
+                    for f in files
+                    if f["path"].startswith(prefix)
+                ),
+            })
+        return out
+
+    def stray_bytes(self, version: int | None = None) -> int:
+        """Bytes held in kb=None stray files (append deltas not yet
+        folded into buckets) at ``version`` — the auto-compaction
+        trigger metric."""
+        if not self.is_bucketed:
+            return 0
+        return sum(
+            (self.path / f["path"]).stat().st_size
+            for f in self.manifest(version)["files"]
+            if f["kb"] is None
+        )
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        *,
+        max_stray_fraction: float = 0.25,
+        max_files: int | None = None,
+    ) -> int | None:
+        """Compact WHEN WARRANTED, else do nothing: triggers when
+        stray bytes exceed ``max_stray_fraction`` of the table (every
+        keyed commit re-reads all strays, so their cost is paid per
+        batch until folded) or the file count exceeds ``max_files``.
+        Returns the new version or None — the background OPTIMIZE
+        policy a streaming-ingested table runs between batches,
+        reduced to a threshold check the caller can afford every
+        commit (metadata-only: sizes come from the manifest's files).
+        """
+        files = self.file_count()
+        total = sum(
+            (self.path / f["path"]).stat().st_size
+            for f in self.manifest()["files"]
+        )
+        stray = self.stray_bytes()
+        if (total and stray / total > max_stray_fraction) or (
+            max_files is not None and files > max_files
+        ):
+            return self.compact(spark)
+        return None

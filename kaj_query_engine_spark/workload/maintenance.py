@@ -673,6 +673,20 @@ def q89(spark, sf_dir):
         .filter(F.col("l_shipdate") >= cut_l)
     )
     final = stream_join_view_apply(stream, tbl, o_slim, ["o_orderkey"])
+    # the round-9 O(Δ) write contract, asserted in the driver-checked
+    # query itself — structurally, not by size (this fixture's delta
+    # happens to be LARGER than the seed): every append manifest must
+    # reference ALL of the previous version's files unchanged, i.e.
+    # nothing already stored was ever rewritten (q33 pins the keyed
+    # twin's carry-forward the same way)
+    vs = tbl.versions()
+    for prev, cur in zip(vs, vs[1:]):
+        pf = {f["path"] for f in tbl.manifest(prev)["files"]}
+        cf = {f["path"] for f in tbl.manifest(cur)["files"]}
+        if not pf <= cf:
+            raise RuntimeError(
+                f"append commit v{cur} rewrote stored files: {sorted(pf - cf)[:3]}"
+            )
     append = final.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),

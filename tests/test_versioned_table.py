@@ -744,3 +744,49 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path):
         for v, snap in history.items():
             got = {r.k: r.v for r in tbl.read(spark, v).collect()}
             assert got == snap, (case, "travel", v)
+
+
+def test_history_and_auto_compaction(spark, tmp_path):
+    """history() reports per-version footprint and write amplification;
+    maybe_compact triggers on the stray-byte fraction (the cost every
+    keyed commit pays re-reading unfolded append deltas) or the file
+    count, and does NOTHING below both thresholds."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(
+        spark.range(20_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        ),
+        bucket_keys=["k"],
+        n_buckets=4,
+    )
+    assert tbl.maybe_compact(spark) is None  # fresh table: no trigger
+    assert tbl.stray_bytes() == 0
+    for i in range(3):
+        tbl.commit_append(
+            df_(spark, [(10_000 + 10 * i + j, "a") for j in range(5)]),
+            batch_id=i,
+        )
+    h = tbl.history()
+    assert [r["version"] for r in h] == [0, 1, 2, 3]
+    assert h[0]["applied_batch"] is None and h[3]["applied_batch"] == 2
+    # append commits: tiny bytes_added on a growing bytes_total,
+    # stray files accumulating
+    assert h[3]["bytes_total"] > h[3]["bytes_added"]
+    assert all(r["bytes_added"] < h[0]["bytes_added"] for r in h[1:])
+    assert h[3]["n_stray_files"] > 0 and tbl.stray_bytes() > 0
+    # small strays, default threshold: still no trigger
+    assert tbl.maybe_compact(spark) is None
+    # low threshold: triggers, folds strays into buckets
+    v = tbl.maybe_compact(spark, max_stray_fraction=0.0001)
+    assert v == 4 and tbl.stray_bytes() == 0
+    assert tbl.read(spark).count() == 20_015
+    assert tbl.last_applied_batch() == 2  # marker carried
+    # file-count trigger on an unbucketed table
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ).repartition(8))
+    assert tbl2.maybe_compact(spark, max_files=16) is None
+    assert tbl2.maybe_compact(spark, max_files=4) == 1
+    assert tbl2.file_count() == 1
