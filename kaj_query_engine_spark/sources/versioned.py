@@ -98,6 +98,10 @@ class VersionedTable:
     def is_bucketed(self) -> bool:
         return self.bucket_keys is not None
 
+    @property
+    def has_change_feed(self) -> bool:
+        return bool(self._meta().get("change_feed"))
+
     def _kb_expr(self) -> Column:
         keys = self.bucket_keys
         return F.pmod(
@@ -135,6 +139,7 @@ class VersionedTable:
         files: list[dict],
         schema: StructType,
         batch_id: int | None,
+        cdf: dict | None = None,
     ) -> None:
         man = {
             "version": version,
@@ -142,6 +147,8 @@ class VersionedTable:
             "schema": json.loads(schema.json()),
             "files": files,
         }
+        if cdf is not None:
+            man["cdf"] = cdf
         tmp = self.path / f"v{version}.json.tmp"
         tmp.write_text(json.dumps(man))
         os.replace(tmp, self._manifest_path(version))
@@ -209,6 +216,7 @@ class VersionedTable:
         *,
         bucket_keys: list[str] | None = None,
         n_buckets: int = 8,
+        change_feed: bool = False,
     ) -> int:
         """(Re)create the table at version 0 from ``df``. Destroys any
         existing history — callers use it for a fresh maintenance run,
@@ -229,15 +237,17 @@ class VersionedTable:
             shutil.rmtree(self.path)
         self.path.mkdir(parents=True)
         self._meta_cache = None
-        if bucket_keys is not None:
-            missing = [k for k in bucket_keys if k not in df.columns]
+        if bucket_keys is not None or change_feed:
+            missing = [k for k in (bucket_keys or []) if k not in df.columns]
             if missing:
                 raise ValueError(f"bucket keys absent from schema: {missing}")
-            (self.path / _META).write_text(
-                json.dumps(
-                    {"bucket_keys": list(bucket_keys), "n_buckets": n_buckets}
-                )
-            )
+            meta: dict = {"change_feed": change_feed}
+            if bucket_keys is not None:
+                meta |= {
+                    "bucket_keys": list(bucket_keys),
+                    "n_buckets": n_buckets,
+                }
+            (self.path / _META).write_text(json.dumps(meta))
         files = self._write_data(df, 0)
         self._write_manifest(0, files, df.schema, batch_id)
         self._swap_pointer(0)
@@ -277,7 +287,15 @@ class VersionedTable:
         nxt = cur + 1
         new_files = self._write_data(delta, nxt, bucketed=False)
         self._write_manifest(
-            nxt, man["files"] + new_files, delta.schema, batch_id
+            nxt,
+            man["files"] + new_files,
+            delta.schema,
+            batch_id,
+            # CDF for a pure append IS the delta: no second copy, the
+            # version's own new files replay as op='I' (the same
+            # file-reuse trick Delta's CDF does for insert-only
+            # commits)
+            cdf={"mode": "insert_files"} if self.has_change_feed else None,
         )
         self._swap_pointer(nxt)
         return nxt
@@ -358,9 +376,100 @@ class VersionedTable:
                 for p in sorted(sdir.glob("part-*"))
                 if p.is_file()
             ]
-        self._write_manifest(nxt, carried + new_files, new_data.schema, batch_id)
+        cdf = None
+        if self.has_change_feed:
+            # record this commit's effective I/U/D rows, O(Δ): the
+            # pre-images are exactly the touched keys' stored rows
+            # (already-read touched buckets + strays), the post-images
+            # the replacement; snapshot_diff nets bit-identical no-ops
+            # away. Written inside the version's data dir, referenced
+            # from the manifest, GC'd with it.
+            from kaj_query_engine_spark.operators.maintenance import (
+                snapshot_diff,
+            )
+
+            widen = new_data.limit(0)
+            pre = (
+                self._read_files(
+                    spark, touched_files + stray_files, schema
+                )
+                .join(F.broadcast(tk), on=tcols, how="left_semi")
+                .unionByName(widen, allowMissingColumns=True)
+            )
+            post = replacement.unionByName(widen, allowMissingColumns=True)
+            changes = snapshot_diff(pre, post, tcols)
+            cpath = self.path / "data" / f"c{nxt}" / "_changes"
+            changes.write.parquet(str(cpath))
+            cdf = {
+                "mode": "files",
+                "files": [
+                    str(p.relative_to(self.path))
+                    for p in sorted(cpath.glob("part-*"))
+                    if p.is_file()
+                ],
+                "schema": json.loads(changes.schema.json()),
+            }
+        self._write_manifest(
+            nxt, carried + new_files, new_data.schema, batch_id, cdf=cdf
+        )
         self._swap_pointer(nxt)
         return nxt
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """The change data feed: every commit's effective I/U/D rows
+        for versions in ``(from_version, to_version]``, tagged with
+        ``op`` and ``_commit_version`` — what an incremental consumer
+        replays instead of diffing snapshots (the Delta CDF contract).
+        Requires the table to have been initialized with
+        ``change_feed=True``; a full-snapshot :meth:`commit` records
+        no feed and makes ranges crossing it raise (compaction does
+        NOT break the feed — it is logically changeless)."""
+        to_v = self.current_version() if to_version is None else to_version
+        frames = []
+        for v in range(from_version + 1, to_v + 1):
+            man = self.manifest(v)
+            cdf = man.get("cdf")
+            if cdf is None:
+                raise ValueError(
+                    f"no change feed recorded for version {v} (feed "
+                    "disabled at init, or a full-snapshot commit broke it)"
+                )
+            if cdf["mode"] == "empty":
+                continue
+            if cdf["mode"] == "insert_files":
+                prefix = f"data/c{v}/"
+                files = [
+                    f for f in man["files"] if f["path"].startswith(prefix)
+                ]
+                df = self._read_files(
+                    spark, files, self._schema_of(man)
+                ).select(F.lit("I").alias("op"), "*")
+            else:
+                cschema = StructType.fromJson(cdf["schema"])
+                if cdf["files"]:
+                    df = spark.read.schema(cschema).parquet(
+                        *[str(self.path / p) for p in cdf["files"]]
+                    )
+                else:
+                    df = spark.createDataFrame([], cschema)
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            man = self.manifest(to_v)
+            empty = spark.createDataFrame([], self._schema_of(man))
+            return empty.select(
+                F.lit("I").alias("op"),
+                "*",
+                F.lit(0).alias("_commit_version"),
+            ).limit(0)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def last_applied_batch(self) -> int | None:
         """The foreachBatch batch id recorded with the CURRENT version,
@@ -421,9 +530,11 @@ class VersionedTable:
             if v not in keep:
                 self._manifest_path(v).unlink()
                 dropped.append(v)
-        referenced = {
-            f["path"] for v in self.versions() for f in self.manifest(v)["files"]
-        }
+        referenced = set()
+        for v in self.versions():
+            man = self.manifest(v)
+            referenced |= {f["path"] for f in man["files"]}
+            referenced |= set(man.get("cdf", {}).get("files", []))
         data = self.path / "data"
         if data.exists():
             for p in sorted(data.rglob("*")):
@@ -460,7 +571,17 @@ class VersionedTable:
         df = self.read(spark)
         if not self.is_bucketed:
             df = df.coalesce(target_files)
-        return self.commit(df, batch_id=self.last_applied_batch())
+        v = self.commit(df, batch_id=self.last_applied_batch())
+        if self.has_change_feed:
+            # compaction is logically changeless: mark the version so
+            # the change feed reads straight through it instead of
+            # treating it as a feed break
+            man = self.manifest(v)
+            man["cdf"] = {"mode": "empty"}
+            tmp = self.path / f"v{v}.json.tmp"
+            tmp.write_text(json.dumps(man))
+            os.replace(tmp, self._manifest_path(v))
+        return v
 
     def file_count(self, version: int | None = None) -> int:
         return len(self.manifest(version)["files"])

@@ -934,6 +934,23 @@ _TT_ORACLE = (
     "HAVING count(*) > 0 "
     "UNION ALL SELECT 'feed', 'D', CAST(count(*) AS BIGINT), "
     "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) "
+    f"FROM base WHERE k % {_TT_DEL} = 0 HAVING count(*) > 0 "
+    # the recorded change feed is PER-COMMIT, not endpoint-to-endpoint:
+    # a key in both the update and delete classes (key 0 qualifies for
+    # every modulo class) shows U at v1 and then D at v2 with the
+    # UPDATED pre-image -- exactly where a CDF legitimately differs
+    # from snapshot_diff(v0, final), so the oracle models each commit:
+    # U = every updated key (even if later deleted), D pre-image =
+    # the state at deletion time
+    "UNION ALL SELECT 'cdf', 'I', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ins "
+    "HAVING count(*) > 0 "
+    "UNION ALL SELECT 'cdf', 'U', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents + 1000) AS BIGINT) "
+    f"FROM base WHERE k % {_TT_UPD} = 0 HAVING count(*) > 0 "
+    "UNION ALL SELECT 'cdf', 'D', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents + CASE WHEN k % "
+    f"{_TT_UPD} = 0 THEN 1000 ELSE 0 END) AS BIGINT) "
     f"FROM base WHERE k % {_TT_DEL} = 0 HAVING count(*) > 0"
 )
 
@@ -952,9 +969,13 @@ _TT_ORACLE = (
     "manifest, delta commits smaller than init). Branches: 'v0' reads "
     "the frozen version (time travel), 'final' the current state, "
     "'feed' = snapshot_diff between the two VERSIONS (I/U/D with "
-    "integer checksums) — the replay every incremental consumer wants "
-    "from a table format's history. Oracle recomputes all three from "
-    "the same modulo classes",
+    "integer checksums), 'cdf' = the RECORDED change data feed "
+    "(read_changes over all three commits — per-commit I/U/D written "
+    "O(Δ) at commit time; key 0 sits in every modulo class, so the "
+    "feed shows its U-then-D sequence with the updated pre-image, "
+    "which the endpoint diff cannot — a genuine CDF discriminator). "
+    "Oracle recomputes all four branches from the same modulo "
+    "classes",
 )
 def q33(spark, sf_dir):
     from kaj_query_engine_spark.sources.versioned import VersionedTable
@@ -973,7 +994,7 @@ def q33(spark, sf_dir):
         k.alias("k"), "cents"
     )
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "time_travel_table")
-    tbl.init(base, bucket_keys=["k"], n_buckets=64)
+    tbl.init(base, bucket_keys=["k"], n_buckets=64, change_feed=True)
 
     kk = F.col("k")
     upd = base.filter(kk % _TT_UPD == 0).select(
@@ -1010,8 +1031,10 @@ def q33(spark, sf_dir):
             F.sum("cents").alias("cents_sum"),
         ).select(F.lit(path).alias("path"), "op", "n", "key_sum", "cents_sum")
 
+    cdf = tbl.read_changes(spark, 0, 3).drop("_commit_version")
     return (
         arm(v0, "v0", F.lit("-"))
         .unionAll(arm(fin, "final", F.lit("-")))
         .unionAll(arm(feed, "feed", F.col("op")))
+        .unionAll(arm(cdf, "cdf", F.col("op")))
     )

@@ -790,3 +790,111 @@ def test_history_and_auto_compaction(spark, tmp_path):
     assert tbl2.maybe_compact(spark, max_files=16) is None
     assert tbl2.maybe_compact(spark, max_files=4) == 1
     assert tbl2.file_count() == 1
+
+
+def test_concurrent_reader_never_sees_torn_state(spark, tmp_path):
+    """The atomicity claim, exercised for real: a reader thread
+    resolves the pointer and reads WHILE the writer commits keyed
+    deltas. Every read must equal one of the committed model states —
+    never a mix, never a partial write. (Single-writer multi-READER is
+    in the design contract; this pins it.)"""
+    import threading
+
+    tbl = VersionedTable(tmp_path / "t")
+    # version v's state: keys 0..99, values f"g{v}" for updated keys
+    tbl.init(df_(spark, [(k, "g0") for k in range(100)]),
+             bucket_keys=["k"], n_buckets=4)
+    valid = {frozenset((k, "g0") for k in range(100))}
+    seen, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = frozenset(
+                    (r.k, r.v) for r in tbl.read(spark).collect()
+                )
+                seen.append(rows)
+            except Exception as ex:  # torn read = failure
+                errors.append(repr(ex))
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    state = {k: "g0" for k in range(100)}
+    try:
+        for gen in range(1, 6):
+            ups = {k: f"g{gen}" for k in range(gen * 7, gen * 7 + 20)}
+            state.update(ups)
+            tbl.commit_keyed(
+                df_(spark, sorted(ups.items())),
+                spark.createDataFrame([(k,) for k in ups], "k long"),
+            )
+            valid.add(frozenset(state.items()))
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errors, errors
+    assert seen, "reader never completed a read"
+    torn = [s for s in seen if s not in valid]
+    assert not torn, f"reader saw {len(torn)} torn states"
+
+
+def test_change_data_feed_records_and_replays(spark, tmp_path):
+    """CDF contract: every commit's effective I/U/D rows replay from
+    the feed (inserts reuse the append's own data files; keyed commits
+    record a snapshot_diff of touched pre/post images, netting
+    bit-identical no-op upserts away); compaction reads through as
+    changeless; a full-snapshot commit breaks the feed; vacuum keeps a
+    surviving version's change files."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a"), (2, "b"), (3, "c")]),
+             bucket_keys=["k"], n_buckets=2, change_feed=True)
+    assert tbl.has_change_feed
+    # v1: pure append -> I rows from the delta's own files
+    tbl.commit_append(df_(spark, [(10, "x"), (11, "y")]))
+    # v2: keyed with update + delete + no-op upsert + insert
+    tbl.commit_keyed(
+        df_(spark, [(1, "A"), (2, "b"), (42, "new")]),  # (2,'b') = no-op
+        spark.createDataFrame([(1,), (2,), (3,), (42,)], "k long"),
+    )
+    # v3: compaction (changeless)
+    tbl.compact(spark)
+    feed = tbl.read_changes(spark, 0)
+    got = sorted((r._commit_version, r.op, r.k, r.v) for r in feed.collect())
+    assert got == [
+        (1, "I", 10, "x"), (1, "I", 11, "y"),
+        (2, "D", 3, "c"), (2, "I", 42, "new"), (2, "U", 1, "A"),
+    ]
+    # windowed read: only v2's changes
+    assert {r.op for r in tbl.read_changes(spark, 1, 2).collect()} == {
+        "I", "U", "D"
+    }
+    # the feed replays to the final state: apply ops onto v0
+    state = {r.k: r.v for r in tbl.read(spark, 0).collect()}
+    for _, op, k, v in got:
+        if op == "D":
+            state.pop(k)
+        else:
+            state[k] = v
+    assert state == {r.k: r.v for r in tbl.read(spark).collect()}
+    # vacuum: v2's change files survive while v2 survives
+    tbl.vacuum(keep_last=2)  # keeps v2 (has cdf files), v3, current
+    assert {r.op for r in tbl.read_changes(spark, 1, 2).collect()} == {
+        "I", "U", "D"
+    }
+    # a full-snapshot commit breaks the feed across it
+    tbl.commit(df_(spark, [(1, "z")]))
+    with pytest.raises(ValueError, match="full-snapshot"):
+        tbl.read_changes(spark, 2).collect()
+    # an un-fed table refuses cleanly
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(df_(spark, [(1, "a")]))
+    tbl2.commit_append(df_(spark, [(2, "b")]))
+    with pytest.raises(ValueError, match="disabled"):
+        tbl2.read_changes(spark, 0)
+    # empty range on a fed table: empty frame, stable schema
+    t3 = VersionedTable(tmp_path / "t3")
+    t3.init(df_(spark, [(1, "a")]), change_feed=True)
+    cf = t3.read_changes(spark, 0)
+    assert cf.count() == 0 and cf.columns == ["op", "k", "v", "_commit_version"]
