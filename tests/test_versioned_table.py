@@ -898,3 +898,45 @@ def test_change_data_feed_records_and_replays(spark, tmp_path):
     t3.init(df_(spark, [(1, "a")]), change_feed=True)
     cf = t3.read_changes(spark, 0)
     assert cf.count() == 0 and cf.columns == ["op", "k", "v", "_commit_version"]
+
+
+def test_change_feed_replay_law(spark, tmp_path):
+    """apply_change_feed(read(a), read_changes(a, b)) == read(b) for
+    EVERY version pair of a key-unique fed table — the law that makes
+    the recorded feed a substitute for snapshot diffing."""
+    import random
+
+    from kaj_query_engine_spark.operators.maintenance import (
+        apply_change_feed,
+    )
+
+    rng = random.Random(424242)
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(k, f"v{k}") for k in range(40)]),
+             bucket_keys=["k"], n_buckets=4, change_feed=True)
+    fresh = 100
+    for step in range(4):
+        if step % 2 == 0:
+            ups = {k: f"u{step}k{k}" for k in rng.sample(range(40), 6)}
+            dels = set(rng.sample(range(40), 2)) - set(ups)
+            touched = sorted(set(ups) | dels)
+            tbl.commit_keyed(
+                df_(spark, sorted(ups.items())),
+                spark.createDataFrame([(k,) for k in touched], "k long"),
+            )
+        else:
+            tbl.commit_append(
+                df_(spark, [(fresh + j, f"a{fresh + j}") for j in range(3)])
+            )
+            fresh += 10
+    vs = tbl.versions()
+    for a in vs:
+        for b in vs:
+            if a >= b:
+                continue
+            replayed = apply_change_feed(
+                tbl.read(spark, a), tbl.read_changes(spark, a, b), ["k"]
+            )
+            want = sorted(map(tuple, tbl.read(spark, b).collect()))
+            got = sorted(map(tuple, replayed.collect()))
+            assert got == want, (a, b)
