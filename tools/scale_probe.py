@@ -1182,6 +1182,61 @@ def main() -> None:
         assert e_cold <= 0.15, f"cold-key refresh bytes grew with skewed view: e={e_cold:.2f}"
         assert e_hot >= 0.8, f"hot-key refresh should be honestly linear: e={e_hot:.2f}"
 
+    # ---- multi-source BFS under graph growth ------------------------
+    # Fixed 20-seed set, 4 hops, graph grows 16×: the constant-degree
+    # construction keeps the reached set FLAT (recorded per bracket to
+    # prove it), so the honest residual is the per-hop edge scan the
+    # frontier join pays — linear in the edge list, e ≈ 1 bound;
+    # anything super-linear would mean the visited anti-join or the
+    # frontier join degenerated into something reach- or
+    # graph-quadratic.
+    bfs_name = "bfs_fixed_seeds_growing_graph"
+    if not op_filter or op_filter in bfs_name:
+        from kaj_query_engine_spark.operators.traversal import bfs_hops
+
+        B_BASE = 100_000
+        secs_b, ns_b, reach_b = [], [], []
+        for kk in (1, 4, 16):
+            n = B_BASE * kk
+            parts_n = n // 10
+            fwd = spark.range(n).select(
+                (F.col("id") * 2).alias("src"),
+                ((F.col("id") % parts_n) * 2 + 1).alias("dst"),
+            ).unionByName(
+                spark.range(n).select(
+                    (F.col("id") * 2).alias("src"),
+                    (((F.col("id") * 7 + 3) % parts_n) * 2 + 1).alias("dst"),
+                )
+            )
+            edges = fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            p = f"{scratch}/bfs_edges_{kk}"
+            edges.write.mode("overwrite").parquet(p)
+            e_df = spark.read.parquet(p)
+            seeds = spark.createDataFrame(
+                [(i * 2,) for i in range(20)], "id long"
+            )
+            spark.catalog.clearCache()
+            t0 = time.time()
+            reach = bfs_hops(e_df, seeds, 4).count()
+            secs_b.append(round(time.time() - t0, 2))
+            ns_b.append(2 * n)
+            reach_b.append(reach)
+        e_b = math.log(max(secs_b[-1], 0.01) / max(secs_b[-2], 0.01)) / math.log(4)
+        _emit({
+            "op": bfs_name,
+            "n": ns_b,
+            "sec": secs_b,
+            "reached": reach_b,
+            "exponent": round(e_b, 2),
+            "note": "fixed 20 seeds, 4 hops, growing bipartite graph "
+            "with constant degree (reached set flat, recorded); the "
+            "residual is the per-hop edge scan the frontier join "
+            "pays — honest linear bound",
+        }, sf_dir)
+        assert e_b <= 1.25, f"BFS degenerated super-linear: e={e_b:.2f}"
+
     # ---- MinHash recall under growth --------------------------------
     # The recall floor in tests/test_dedup_similarity.py is pinned at
     # fixture size; band/row parameters must HOLD it as the corpus
