@@ -17,6 +17,7 @@ SPJ engine, see /root/reference) on top of Apache Spark:
 
 from kaj_query_engine_spark.engine import KajEngine
 from kaj_query_engine_spark.session import get_spark
+from kaj_query_engine_spark.sources.versioned import VersionedTable
 
-__all__ = ["KajEngine", "get_spark"]
+__all__ = ["KajEngine", "VersionedTable", "get_spark"]
 __version__ = "0.1.0"
