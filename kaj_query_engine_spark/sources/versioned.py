@@ -62,6 +62,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -667,3 +668,36 @@ class VersionedTable:
         ):
             return self.compact(spark)
         return None
+
+
+def apply_change_feed(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a change data feed (rows tagged ``op`` ∈ I/U/D and
+    ``_commit_version``, the
+    :meth:`VersionedTable.read_changes`
+    output) onto a base snapshot: per key, the LATEST change wins
+    (deletes remove, inserts/updates replace), untouched keys carry.
+    The replay law — ``apply_change_feed(read(a), read_changes(a, b))
+    == read(b)`` for any key-unique fed table — is property-pinned in
+    the versioned-table suite; it is what lets an incremental consumer
+    catch up from a table's history instead of re-diffing snapshots.
+
+    Requires ``keys`` to be a row identity of the table (join views
+    keyed by a non-unique dimension key replay through the keyed
+    refresh in ``streaming/ops`` instead). Scale: one window over the
+    CHANGES (delta-sized), one broadcast anti-join of the base against
+    the touched keys — O(Δ ⋈ base scan), never O(base ⋈ base)."""
+    w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*keys)
+    ups = latest.filter(F.col("op") != "D").drop("op", "_commit_version")
+    return (
+        base.join(F.broadcast(touched), on=keys, how="left_anti")
+        .select(*base.columns)  # anti-join fronts the key columns
+        .unionByName(ups.select(*base.columns))
+    )

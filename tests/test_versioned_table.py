@@ -906,7 +906,7 @@ def test_change_feed_replay_law(spark, tmp_path):
     the recorded feed a substitute for snapshot diffing."""
     import random
 
-    from kaj_query_engine_spark.operators.maintenance import (
+    from kaj_query_engine_spark.sources.versioned import (
         apply_change_feed,
     )
 
