@@ -891,7 +891,7 @@ def q67(spark, sf_dir):
 # The round-9 manifest machinery under its own oracle: a bucketed
 # VersionedTable seeded from pre-cut orders takes three SMALL keyed
 # batches (update / delete / late insert — sparse modulo classes, so
-# most of the 64 buckets are untouched and their files carry forward
+# most of the 32 buckets are untouched and their files carry forward
 # byte-identical across all three commits), then three branches read
 # THROUGH the table: the frozen v0 snapshot (time travel), the final
 # state, and snapshot_diff(v0, final) — a change feed computed between
@@ -900,7 +900,7 @@ def q67(spark, sf_dir):
 # every branch from the same modulo classes exactly.
 _TT_CUT = _IVM_CUT_O
 # sparse classes on purpose: a handful of touched keys per batch hash
-# into a few of the 64 buckets, so MOST buckets carry forward through
+# into a few of the 32 buckets, so MOST buckets carry forward through
 # all three commits at every fixture scale (at sf0.1's ~112k pre-cut
 # orders these are ~16 / ~10 / ~4 keys; denser classes would touch
 # every bucket and reduce the carry-forward invariant to luck)
@@ -960,7 +960,7 @@ _TT_ORACLE = (
     _TT_ORACLE,
     "table time travel + version change feed over the manifest-based "
     "VersionedTable: pre-cut orders (integer cents) seeded at v0 in a "
-    "64-bucket keyed layout, then three sparse keyed batches — "
+    "32-bucket keyed layout, then three sparse keyed batches — "
     f"updates (+1000 cents, keys % {_TT_UPD}), deletes (% {_TT_DEL}), "
     f"late inserts (post-cut keys % {_TT_INS}) — applied via "
     "commit_keyed, so each commit rewrites only the few buckets its "
@@ -994,7 +994,7 @@ def q33(spark, sf_dir):
         k.alias("k"), "cents"
     )
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "time_travel_table")
-    tbl.init(base, bucket_keys=["k"], n_buckets=64, change_feed=True)
+    tbl.init(base, bucket_keys=["k"], n_buckets=32, change_feed=True)
 
     kk = F.col("k")
     upd = base.filter(kk % _TT_UPD == 0).select(
