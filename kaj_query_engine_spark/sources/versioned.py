@@ -287,10 +287,19 @@ class VersionedTable:
         man = self.manifest(cur)
         nxt = cur + 1
         new_files = self._write_data(delta, nxt, bucketed=False)
+        # manifest schema = stored ∪ delta (schema-only union, no job):
+        # recording the DELTA's schema verbatim would silently NARROW
+        # an evolved table when a later append omits the new column
+        stored = self._schema_of(man)
+        merged_schema = (
+            delta.sparkSession.createDataFrame([], stored)
+            .unionByName(delta.limit(0), allowMissingColumns=True)
+            .schema
+        )
         self._write_manifest(
             nxt,
             man["files"] + new_files,
-            delta.schema,
+            merged_schema,
             batch_id,
             # CDF for a pure append IS the delta: no second copy, the
             # version's own new files replay as op='I' (the same

@@ -940,3 +940,30 @@ def test_change_feed_replay_law(spark, tmp_path):
             want = sorted(map(tuple, tbl.read(spark, b).collect()))
             got = sorted(map(tuple, replayed.collect()))
             assert got == want, (a, b)
+
+
+def test_append_never_narrows_an_evolved_schema(spark, tmp_path):
+    """Regression (caught in review): commit_append recorded the
+    DELTA's schema verbatim, so an append omitting a previously-evolved
+    column silently narrowed the table — the manifest schema must be
+    stored ∪ delta."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a"), (2, "b")]), bucket_keys=["k"], n_buckets=2)
+    # evolve via keyed commit: new column c
+    tbl.commit_keyed(
+        spark.createDataFrame([(1, "A", "web")], "k long, v string, c string"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    assert tbl.read(spark).columns == ["k", "v", "c"]
+    # append with the OLD two-column shape
+    tbl.commit_append(df_(spark, [(9, "x")]))
+    cur = tbl.read(spark)
+    assert cur.columns == ["k", "v", "c"]  # schema kept, not narrowed
+    got = {r.k: (r.v, r.c) for r in cur.collect()}
+    assert got == {1: ("A", "web"), 2: ("b", None), 9: ("x", None)}
+    # and a widening append evolves forward
+    tbl.commit_append(
+        spark.createDataFrame([(10, "y", None, 7)],
+                              "k long, v string, c string, d long")
+    )
+    assert tbl.read(spark).columns == ["k", "v", "c", "d"]
