@@ -408,6 +408,17 @@ class VersionedTable:
             )
             post = replacement.unionByName(widen, allowMissingColumns=True)
             changes = snapshot_diff(pre, post, tcols)
+            # update PRE-images ride along as op='U-' (deletes already
+            # carry theirs — snapshot_diff's D is the old row): with
+            # both images recorded, a signed consumer can maintain
+            # algebraic aggregates straight from the feed
+            # (+I +U −U− −D), the Delta CDF
+            # update_preimage/update_postimage contract
+            u_keys = changes.filter(F.col("op") == "U").select(*tcols)
+            pre_u = pre.join(u_keys, on=tcols, how="left_semi").select(
+                F.lit("U-").alias("op"), *changes.columns[1:]
+            )
+            changes = changes.unionByName(pre_u)
             cpath = self.path / "data" / f"c{nxt}" / "_changes"
             changes.write.parquet(str(cpath))
             cdf = {
@@ -430,6 +441,8 @@ class VersionedTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        *,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """The change data feed: every commit's effective I/U/D rows
         for versions in ``(from_version, to_version]``, tagged with
@@ -438,7 +451,12 @@ class VersionedTable:
         Requires the table to have been initialized with
         ``change_feed=True``; a full-snapshot :meth:`commit` records
         no feed and makes ranges crossing it raise (compaction does
-        NOT break the feed — it is logically changeless)."""
+        NOT break the feed — it is logically changeless).
+
+        ``include_preimages=True`` additionally returns each update's
+        PRE-image as ``op='U-'`` (deletes carry theirs as the D row
+        itself), enabling signed aggregate maintenance from the feed
+        — see :func:`feed_agg_delta`."""
         to_v = self.current_version() if to_version is None else to_version
         frames = []
         for v in range(from_version + 1, to_v + 1):
@@ -467,6 +485,8 @@ class VersionedTable:
                     )
                 else:
                     df = spark.createDataFrame([], cschema)
+                if not include_preimages:
+                    df = df.filter(F.col("op") != "U-")
             frames.append(df.withColumn("_commit_version", F.lit(v)))
         if not frames:
             man = self.manifest(to_v)
@@ -709,4 +729,30 @@ def apply_change_feed(
         base.join(F.broadcast(touched), on=keys, how="left_anti")
         .select(*base.columns)  # anti-join fronts the key columns
         .unionByName(ups.select(*base.columns))
+    )
+
+
+def feed_agg_delta(
+    changes: DataFrame, sum_cols: list[str]
+) -> DataFrame:
+    """Signed aggregate maintenance from a change feed read with
+    ``include_preimages=True``: one pass computes the exact DELTA each
+    additive aggregate moved across the fed range — rows count +1 for
+    inserts and update post-images, −1 for deletes and update
+    pre-images, so
+
+        agg(version b) == agg(version a) + feed_agg_delta(changes a→b)
+
+    for every SUM/COUNT (the signed-compensation law pinned in the
+    versioned-table suite; the same algebra as the keyed IVM's
+    DBToaster rule). Returns ONE row: ``d_count`` plus ``d_<col>`` per
+    requested column. Min/max are not algebraic under deletion — that
+    boundary is why the sketch queries exist."""
+    sign = F.when(F.col("op").isin("I", "U"), F.lit(1)).otherwise(F.lit(-1))
+    return changes.select(sign.alias("_s"), *sum_cols).agg(
+        F.coalesce(F.sum("_s"), F.lit(0)).alias("d_count"),
+        *[
+            F.coalesce(F.sum(F.col(c) * F.col("_s")), F.lit(0)).alias(f"d_{c}")
+            for c in sum_cols
+        ],
     )

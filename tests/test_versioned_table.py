@@ -967,3 +967,53 @@ def test_append_never_narrows_an_evolved_schema(spark, tmp_path):
                               "k long, v string, c string, d long")
     )
     assert tbl.read(spark).columns == ["k", "v", "c", "d"]
+
+
+def test_feed_preimages_and_signed_agg_law(spark, tmp_path):
+    """Update pre-images ride the feed as op='U-'; with both images a
+    signed consumer maintains SUM/COUNT exactly:
+    agg(b) == agg(a) + feed_agg_delta(changes a→b) across keyed
+    commits with updates, deletes, re-inserts and appends."""
+    from pyspark.sql import functions as F
+
+    from kaj_query_engine_spark.sources.versioned import feed_agg_delta
+
+    tbl = VersionedTable(tmp_path / "t")
+    rows = [(k, k * 100) for k in range(30)]
+    tbl.init(
+        spark.createDataFrame(rows, "k long, x long"),
+        bucket_keys=["k"], n_buckets=4, change_feed=True,
+    )
+    tbl.commit_keyed(  # update 3 keys, delete 2
+        spark.createDataFrame([(1, 7), (2, 9), (3, 11)], "k long, x long"),
+        spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "k long"),
+    )
+    tbl.commit_append(
+        spark.createDataFrame([(100, 1000), (101, 1001)], "k long, x long")
+    )
+    tbl.commit_keyed(  # re-insert a deleted key
+        spark.createDataFrame([(4, 44)], "k long, x long"),
+        spark.createDataFrame([(4,)], "k long"),
+    )
+    # default read hides pre-images; opt-in shows exactly the U keys'
+    full = tbl.read_changes(spark, 0, include_preimages=True)
+    assert sorted(
+        r.k for r in full.filter(F.col("op") == "U-").collect()
+    ) == [1, 2, 3]
+    assert "U-" not in {r.op for r in tbl.read_changes(spark, 0).collect()}
+
+    def agg(df):
+        r = df.agg(F.count(F.lit(1)), F.coalesce(F.sum("x"), F.lit(0))).first()
+        return (r[0], r[1])
+
+    vs = tbl.versions()
+    for a in vs:
+        for b in vs:
+            if a >= b:
+                continue
+            n_a, s_a = agg(tbl.read(spark, a))
+            n_b, s_b = agg(tbl.read(spark, b))
+            d = feed_agg_delta(
+                tbl.read_changes(spark, a, b, include_preimages=True), ["x"]
+            ).first()
+            assert (n_a + d.d_count, s_a + d.d_x) == (n_b, s_b), (a, b)
