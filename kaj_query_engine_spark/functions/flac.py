@@ -631,7 +631,12 @@ def _read_subframe(br: "_BitReader", nb: int, base_bps: int) -> np.ndarray:
             for j in rng_o:
                 pred += qlp[j] * vals[i - 1 - j]
             vals[i] += pred >> shift
-        blk[:] = vals
+        try:  # same hostile-stream guard as the FIXED branch: runaway
+            blk[:] = vals  # accumulation must stay a ValueError
+        except OverflowError as e:
+            raise ValueError(
+                "FLAC LPC predictor output exceeds int64 (corrupt stream)"
+            ) from e
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:

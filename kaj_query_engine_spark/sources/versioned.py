@@ -109,6 +109,19 @@ class VersionedTable:
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets)
         )
 
+    def _cast_keys(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Align a key frame's column types with the stored schema
+        BEFORE hashing or joining: ``xxhash64`` is type-sensitive (an
+        int 5 and a long 5 hash differently), so an int-typed key frame
+        against a long-keyed table would silently select the wrong
+        buckets — rows carried forward un-deleted, updates treated as
+        inserts, no error anywhere."""
+        types = {f.name: f.dataType for f in schema.fields}
+        return df.select(*[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in df.columns
+        ])
+
     # ---- pointer ----------------------------------------------------
     def current_version(self) -> int | None:
         try:
@@ -189,9 +202,23 @@ class VersionedTable:
             if p.parent.name.startswith(f"{_KB}="):
                 kb = int(p.parent.name.split("=", 1)[1])
             files.append(
-                {"path": str(p.relative_to(self.path)), "kb": kb}
+                {
+                    "path": str(p.relative_to(self.path)),
+                    "kb": kb,
+                    # sizes recorded at write time: the footprint
+                    # helpers (history/stray_bytes/maybe_compact) read
+                    # the manifest instead of stat()ing every file per
+                    # call — carried entries keep theirs for free
+                    "bytes": p.stat().st_size,
+                }
             )
         return files
+
+    def _file_bytes(self, f: dict) -> int:
+        b = f.get("bytes")
+        if b is None:  # manifest predating size recording
+            b = (self.path / f["path"]).stat().st_size
+        return b
 
     def _read_files(
         self, spark: SparkSession, files: list[dict], schema: StructType
@@ -254,7 +281,13 @@ class VersionedTable:
         self._swap_pointer(0)
         return 0
 
-    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        *,
+        cdf: dict | None = None,
+    ) -> int:
         """Full-snapshot commit: write ``df`` completely as the next
         version's data files, then move the pointer. O(table) by
         design — init, compaction, and non-incremental rewrites use
@@ -271,7 +304,7 @@ class VersionedTable:
             return self.init(df, batch_id)
         nxt = cur + 1
         files = self._write_data(df, nxt)
-        self._write_manifest(nxt, files, df.schema, batch_id)
+        self._write_manifest(nxt, files, df.schema, batch_id, cdf=cdf)
         self._swap_pointer(nxt)
         return nxt
 
@@ -315,6 +348,8 @@ class VersionedTable:
         replacement: DataFrame,
         touched_keys: DataFrame,
         batch_id: int | None = None,
+        *,
+        bucket_rows: DataFrame | None = None,
     ) -> int:
         """O(touched buckets) keyed commit: drop every stored row whose
         key appears in ``touched_keys`` (all of its columns join) and
@@ -328,7 +363,14 @@ class VersionedTable:
         ``replacement`` may carry columns the stored schema lacks
         (schema evolution): survivors are padded NULL and the manifest
         schema widens, so untouched files read the new column as NULL
-        without being rewritten."""
+        without being rewritten.
+
+        ``bucket_rows`` — a caller that already holds this version's
+        :meth:`read_buckets` result for the same keys (the streaming
+        merge paths do, for their merge join) passes it here so the
+        touched files are scanned ONCE per batch instead of re-read;
+        used only when the table is bucketed and carries no append
+        strays (strays must be split out and re-written unbucketed)."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(
@@ -337,7 +379,7 @@ class VersionedTable:
         spark = replacement.sparkSession
         man = self.manifest(cur)
         schema = self._schema_of(man)
-        tk = touched_keys.distinct()
+        tk = self._cast_keys(touched_keys.distinct(), schema)
         tcols = tk.columns
         stray_files: list[dict] = []
         if self.is_bucketed:
@@ -366,23 +408,35 @@ class VersionedTable:
         else:
             touched_files, carried = man["files"], []
 
-        def _survivors(files: list[dict]) -> DataFrame:
+        use_cached = (
+            bucket_rows is not None and self.is_bucketed and not stray_files
+        )
+
+        def _survivors(files: list[dict], cached: DataFrame | None = None) -> DataFrame:
+            src = (
+                cached
+                if cached is not None
+                else self._read_files(spark, files, schema)
+            )
             return (
-                self._read_files(spark, files, schema)
-                .join(F.broadcast(tk), on=tcols, how="left_anti")
+                src.join(F.broadcast(tk), on=tcols, how="left_anti")
                 .select(*schema.fieldNames())  # anti fronts key columns
             )
 
-        new_data = _survivors(touched_files).unionByName(
-            replacement, allowMissingColumns=True
-        )
+        new_data = _survivors(
+            touched_files, bucket_rows if use_cached else None
+        ).unionByName(replacement, allowMissingColumns=True)
         nxt = cur + 1
         new_files = self._write_data(new_data, nxt)
         if stray_files:
             sdir = self.path / "data" / f"c{nxt}" / "stray"
             _survivors(stray_files).write.parquet(str(sdir))
             new_files += [
-                {"path": str(p.relative_to(self.path)), "kb": None}
+                {
+                    "path": str(p.relative_to(self.path)),
+                    "kb": None,
+                    "bytes": p.stat().st_size,
+                }
                 for p in sorted(sdir.glob("part-*"))
                 if p.is_file()
             ]
@@ -399,11 +453,15 @@ class VersionedTable:
             )
 
             widen = new_data.limit(0)
-            pre = (
-                self._read_files(
+            pre_src = (
+                bucket_rows
+                if use_cached
+                else self._read_files(
                     spark, touched_files + stray_files, schema
                 )
-                .join(F.broadcast(tk), on=tcols, how="left_semi")
+            )
+            pre = (
+                pre_src.join(F.broadcast(tk), on=tcols, how="left_semi")
                 .unionByName(widen, allowMissingColumns=True)
             )
             post = replacement.unionByName(widen, allowMissingColumns=True)
@@ -458,6 +516,8 @@ class VersionedTable:
         itself), enabling signed aggregate maintenance from the feed
         — see :func:`feed_agg_delta`."""
         to_v = self.current_version() if to_version is None else to_version
+        if to_v is None:
+            raise ValueError(f"uninitialized versioned table: {self.path}")
         frames = []
         for v in range(from_version + 1, to_v + 1):
             man = self.manifest(v)
@@ -525,6 +585,7 @@ class VersionedTable:
         if not self.is_bucketed:
             return self.read(spark)
         man = self.manifest()
+        keys_df = self._cast_keys(keys_df, self._schema_of(man))
         tb = {
             r[0]
             for r in keys_df.select(self._kb_expr().alias(_KB))
@@ -601,17 +662,15 @@ class VersionedTable:
         df = self.read(spark)
         if not self.is_bucketed:
             df = df.coalesce(target_files)
-        v = self.commit(df, batch_id=self.last_applied_batch())
-        if self.has_change_feed:
-            # compaction is logically changeless: mark the version so
-            # the change feed reads straight through it instead of
-            # treating it as a feed break
-            man = self.manifest(v)
-            man["cdf"] = {"mode": "empty"}
-            tmp = self.path / f"v{v}.json.tmp"
-            tmp.write_text(json.dumps(man))
-            os.replace(tmp, self._manifest_path(v))
-        return v
+        # compaction is logically changeless: the marker that lets the
+        # change feed read straight through rides IN the manifest, so
+        # (files, cdf, pointer) land atomically — a post-hoc patch
+        # would leave a feed-breaking window after the pointer swap
+        return self.commit(
+            df,
+            batch_id=self.last_applied_batch(),
+            cdf={"mode": "empty"} if self.has_change_feed else None,
+        )
 
     def file_count(self, version: int | None = None) -> int:
         return len(self.manifest(version)["files"])
@@ -624,7 +683,7 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         prefix = f"data/c{v}/"
         return sum(
-            (self.path / f["path"]).stat().st_size
+            self._file_bytes(f)
             for f in self.manifest(v)["files"]
             if f["path"].startswith(prefix)
         )
@@ -647,11 +706,9 @@ class VersionedTable:
                 "n_files": len(files),
                 "n_stray_files": sum(1 for f in files if f["kb"] is None)
                 if self.is_bucketed else 0,
-                "bytes_total": sum(
-                    (self.path / f["path"]).stat().st_size for f in files
-                ),
+                "bytes_total": sum(self._file_bytes(f) for f in files),
                 "bytes_added": sum(
-                    (self.path / f["path"]).stat().st_size
+                    self._file_bytes(f)
                     for f in files
                     if f["path"].startswith(prefix)
                 ),
@@ -665,7 +722,7 @@ class VersionedTable:
         if not self.is_bucketed:
             return 0
         return sum(
-            (self.path / f["path"]).stat().st_size
+            self._file_bytes(f)
             for f in self.manifest(version)["files"]
             if f["kb"] is None
         )
@@ -686,14 +743,15 @@ class VersionedTable:
         reduced to a threshold check the caller can afford every
         commit (metadata-only: sizes come from the manifest's files).
         """
-        files = self.file_count()
-        total = sum(
-            (self.path / f["path"]).stat().st_size
-            for f in self.manifest()["files"]
-        )
-        stray = self.stray_bytes()
+        man = self.manifest()  # ONE manifest load per check
+        total = stray = 0
+        for f in man["files"]:
+            b = self._file_bytes(f)
+            total += b
+            if self.is_bucketed and f["kb"] is None:
+                stray += b
         if (total and stray / total > max_stray_fraction) or (
-            max_files is not None and files > max_files
+            max_files is not None and len(man["files"]) > max_files
         ):
             return self.compact(spark)
         return None
@@ -717,6 +775,11 @@ def apply_change_feed(
     refresh in ``streaming/ops`` instead). Scale: one window over the
     CHANGES (delta-sized), one broadcast anti-join of the base against
     the touched keys — O(Δ ⋈ base scan), never O(base ⋈ base)."""
+    # pre-image rows (op 'U-', present when the feed was read with
+    # include_preimages=True for a signed consumer) are NOT post-state:
+    # they tie with their 'U' row on _commit_version and would win the
+    # window nondeterministically, replaying stale values — drop them
+    changes = changes.filter(F.col("op") != "U-")
     w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -672,7 +672,8 @@ def stream_merge_apply(
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         touched = batch_df.select(*keys).distinct()
-        touched_rows = table.read_buckets(spark, touched).join(
+        base = table.read_buckets(spark, touched)
+        touched_rows = base.join(
             F.broadcast(touched), on=keys, how="left_semi"
         )
         merged = merge_upsert(
@@ -687,7 +688,9 @@ def stream_merge_apply(
             # streaming MERGE sink)
             schema_evolution=schema_evolution,
         )
-        table.commit_keyed(merged, touched)
+        # base is this version's read_buckets result: hand it back so
+        # the commit scans each touched file once, not twice
+        table.commit_keyed(merged, touched, bucket_rows=base)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -736,7 +739,8 @@ def stream_scd2_apply(
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         touched = batch_df.select(key).distinct()
-        touched_rows = table.read_buckets(spark, touched).join(
+        base = table.read_buckets(spark, touched)
+        touched_rows = base.join(
             F.broadcast(touched), on=[key], how="left_semi"
         )
         # dim restricted to touched keys → scd2_merge_batch's "kept"
@@ -750,7 +754,7 @@ def stream_scd2_apply(
             state_col,
             tiebreak=tiebreak,
         )
-        table.commit_keyed(merged, touched)
+        table.commit_keyed(merged, touched, bucket_rows=base)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -802,11 +806,14 @@ def stream_agg_state_apply(
             return  # at-least-once re-delivery of an applied batch
         bs = batch_state_of(batch_df)
         touched = bs.select(*keys).distinct()
-        touched_state = table.read_buckets(spark, touched).join(
+        base = table.read_buckets(spark, touched)
+        touched_state = base.join(
             F.broadcast(touched), on=keys, how="left_semi"
         )
         merged = merge_agg_state(touched_state, bs, keys, merge_exprs)
-        table.commit_keyed(merged, touched, batch_id=batch_id)
+        table.commit_keyed(
+            merged, touched, batch_id=batch_id, bucket_rows=base
+        )
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)

@@ -630,3 +630,36 @@ def test_kmeans_int_rejects_zero_iterations(spark):
     )
     with pytest.raises(ValueError, match="iterations"):
         kmeans_int(vecs, "vec_id", "embedding", k=2, iterations=0)
+
+
+def test_flac_lpc_runaway_predictor_also_valueerror():
+    """Review follow-up to the FIXED-branch guard: the LPC branch's
+    int64 store has the identical OverflowError exposure. Craft an LPC
+    order-2 subframe (coefficients ~2 at shift 0 — an exponentially
+    diverging recurrence no real encoder emits) with huge warmup and
+    zero residuals."""
+    from kaj_query_engine_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_subframe,
+    )
+
+    bw = _BitWriter()
+    bw.put(0, 1)  # pad
+    bw.put(32 | (2 - 1), 6)  # LPC, order 2
+    bw.put(0, 1)  # no wasted bits
+    A = (1 << 31) - 1
+    for v in (A, A):  # warmup
+        bw.put(v & 0xFFFFFFFF, 32)
+    bw.put(3 - 1, 4)  # qlp precision code: 3 bits
+    bw.put(0, 5)  # shift 0
+    for c in (2, 2):  # coefficients +2, +2 -> v_n ~ 4^n * A
+        bw.put(c, 3)
+    bw.put(0, 2)  # Rice method 0
+    bw.put(0, 4)  # partition order 0
+    bw.put(0, 4)  # k = 0
+    for _ in range(64 - 2):
+        bw.put(1, 1)  # zero residuals
+    bw.align()
+    with pytest.raises(ValueError, match="int64"):
+        _read_subframe(_BitReader(bw.bytes()), 64, 32)

@@ -1017,3 +1017,50 @@ def test_feed_preimages_and_signed_agg_law(spark, tmp_path):
                 tbl.read_changes(spark, a, b, include_preimages=True), ["x"]
             ).first()
             assert (n_a + d.d_count, s_a + d.d_x) == (n_b, s_b), (a, b)
+
+
+def test_review_guards_type_cast_preimage_tie_uninit(spark, tmp_path):
+    """Round-9 review findings, pinned: (a) an int-typed key frame on a
+    long-keyed table must hit the SAME buckets (xxhash64 is
+    type-sensitive — uncast, the wrong bucket set silently duplicates
+    rows); (b) apply_change_feed over a preimage-bearing feed must not
+    replay stale 'U-' values; (c) read_changes on an uninitialized
+    table raises the module's ValueError, not a TypeError."""
+    from pyspark.sql import functions as F
+
+    from kaj_query_engine_spark.sources.versioned import apply_change_feed
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(k, f"v{k}") for k in range(40)]),
+             bucket_keys=["k"], n_buckets=8, change_feed=True)
+    # (a) touched/replacement keys as INT, table keyed LONG
+    repl = spark.createDataFrame([(5, "INT5")], "k int, v string")
+    tk = spark.createDataFrame([(5,)], "k int")
+    tbl.commit_keyed(repl, tk)
+    rows = tbl.read(spark).filter(F.col("k") == 5).collect()
+    assert [(r.k, r.v) for r in rows] == [(5, "INT5")]  # no duplicate
+    assert tbl.read(spark).count() == 40
+    # read_buckets with an int frame finds the long key's bucket
+    got = tbl.read_buckets(spark, tk).filter(F.col("k") == 5).count()
+    assert got == 1
+    # (b) feed with preimages replays POST values deterministically
+    feed = tbl.read_changes(spark, 0, include_preimages=True)
+    out = apply_change_feed(tbl.read(spark, 0), feed, ["k"])
+    assert {r.v for r in out.filter(F.col("k") == 5).collect()} == {"INT5"}
+    # (c) uninitialized table: clear ValueError
+    with pytest.raises(ValueError, match="uninitialized"):
+        VersionedTable(tmp_path / "nope").read_changes(spark, 0)
+
+
+def test_compact_feed_marker_is_atomic_with_manifest(spark, tmp_path):
+    """The changeless marker rides IN the compaction commit's manifest
+    (a post-hoc patch left a crash window after the pointer swap where
+    the feed looked broken): immediately after compact, the manifest
+    already carries cdf=empty and the feed reads through."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]), bucket_keys=["k"], n_buckets=2,
+             change_feed=True)
+    tbl.commit_append(df_(spark, [(2, "b")]))
+    v = tbl.compact(spark)
+    assert tbl.manifest(v)["cdf"] == {"mode": "empty"}
+    assert {r.k for r in tbl.read_changes(spark, 0).collect()} == {2}
