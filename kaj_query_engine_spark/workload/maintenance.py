@@ -951,7 +951,16 @@ _TT_ORACLE = (
     "UNION ALL SELECT 'cdf', 'D', CAST(count(*) AS BIGINT), "
     "CAST(sum(k) AS BIGINT), CAST(sum(cents + CASE WHEN k % "
     f"{_TT_UPD} = 0 THEN 1000 ELSE 0 END) AS BIGINT) "
-    f"FROM base WHERE k % {_TT_DEL} = 0 HAVING count(*) > 0"
+    f"FROM base WHERE k % {_TT_DEL} = 0 HAVING count(*) > 0 "
+    # signed aggregate maintenance from the feed: the delta every
+    # SUM/COUNT moved across the fed range is final-minus-initial
+    "UNION ALL SELECT 'agg_delta', '-', "
+    "CAST((SELECT count(*) FROM fin) - (SELECT count(*) FROM base) "
+    "AS BIGINT), "
+    "CAST((SELECT COALESCE(sum(k), 0) FROM fin) - "
+    "(SELECT COALESCE(sum(k), 0) FROM base) AS BIGINT), "
+    "CAST((SELECT COALESCE(sum(cents), 0) FROM fin) - "
+    "(SELECT COALESCE(sum(cents), 0) FROM base) AS BIGINT)"
 )
 
 
@@ -974,8 +983,10 @@ _TT_ORACLE = (
     "O(Δ) at commit time; key 0 sits in every modulo class, so the "
     "feed shows its U-then-D sequence with the updated pre-image, "
     "which the endpoint diff cannot — a genuine CDF discriminator). "
-    "Oracle recomputes all four branches from the same modulo "
-    "classes",
+    "'agg_delta' = feed_agg_delta over the pre-image-bearing feed "
+    "(signed one-pass SUM/COUNT maintenance) vs the oracle's "
+    "final-minus-initial difference. Oracle recomputes all five "
+    "branches from the same modulo classes",
 )
 def q33(spark, sf_dir):
     from kaj_query_engine_spark.sources.versioned import VersionedTable
@@ -1032,9 +1043,25 @@ def q33(spark, sf_dir):
         ).select(F.lit(path).alias("path"), "op", "n", "key_sum", "cents_sum")
 
     cdf = tbl.read_changes(spark, 0, 3).drop("_commit_version")
+    # the signed consumer: with update pre-images in the feed, one
+    # pass yields the exact delta each additive aggregate moved —
+    # checked against the oracle's final-minus-initial difference
+    from kaj_query_engine_spark.sources.versioned import feed_agg_delta
+
+    delta = feed_agg_delta(
+        tbl.read_changes(spark, 0, 3, include_preimages=True),
+        ["k", "cents"],
+    ).select(
+        F.lit("agg_delta").alias("path"),
+        F.lit("-").alias("op"),
+        F.col("d_count").alias("n"),
+        F.col("d_k").alias("key_sum"),
+        F.col("d_cents").alias("cents_sum"),
+    )
     return (
         arm(v0, "v0", F.lit("-"))
         .unionAll(arm(fin, "final", F.lit("-")))
         .unionAll(arm(feed, "feed", F.col("op")))
         .unionAll(arm(cdf, "cdf", F.col("op")))
+        .unionAll(delta)
     )
