@@ -75,3 +75,80 @@ def bfs_hops(
             frontier = visited.filter(F.col("hop") == hop).select("id")
     e.unpersist()
     return visited
+
+
+def sssp_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source shortest paths over integer-weighted directed
+    edges, ``rounds`` Bellman-Ford relaxations: returns (id, dist)
+    where dist is the minimum seed-to-node weight over paths of at
+    most ``rounds`` edges — exact int64 arithmetic, so an unrolled
+    round-by-round SQL oracle matches bit-for-bit (the graph family's
+    oracle-exactness rule; float weights would drift under MIN ties).
+
+    Delta relaxation (the standard frontier optimization, equivalent
+    to full relaxation round-for-round): only nodes whose distance
+    IMPROVED last round propagate — a settled node's out-relaxations
+    were already applied at its current distance, so re-relaxing it
+    cannot improve anything. Per round: ONE frontier⋈edges equi-join
+    + a per-node MIN partial-agg merge + the improvement anti-filter;
+    the frontier usually shrinks toward convergence, so late rounds
+    are cheap. ``localCheckpoint`` cadence bounds lineage; no driver
+    collects (fixed round count — run graph-diameter rounds for full
+    convergence).
+
+    ``edges`` columns are positional (src, dst, weight); weights must
+    be non-negative for the at-most-k-edges semantics to be the
+    useful one (negative weights still compute correctly as k-edge
+    Bellman-Ford, but "shortest within k hops" stops being monotone).
+    ``seeds`` is a one-column frame of node ids (distance 0)."""
+    if rounds < 0:
+        raise ValueError("sssp_int needs rounds >= 0")
+    a, b, c = edges.columns[:3]
+    e = edges.select(
+        F.col(a).alias("src"),
+        F.col(b).alias("dst"),
+        F.col(c).cast("long").alias("w"),
+    ).persist()
+    sid = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(sid).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for r in range(1, rounds + 1):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        old = dist.select("id", F.col("dist").alias("_old"))
+        frontier = (
+            merged.join(old, "id", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("id", "dist")
+        )
+        dist = merged
+        if r % checkpoint_every == 0 or r == rounds:
+            dist = dist.localCheckpoint(eager=True)
+            # re-anchor the frontier on the checkpointed plan
+            frontier = dist.join(
+                frontier.select("id"), "id", "left_semi"
+            )
+    e.unpersist()
+    return dist

@@ -82,6 +82,7 @@ def register(
 _CHANGED_THIS_ROUND = [
     "q33_table_time_travel",  # NEW in round 9
     "q71_bfs_reach",  # NEW in round 9
+    "q18_shortest_paths",  # NEW in round 9
     "q85_stream_merge",  # O(Δ) keyed commits land here
     "q86_stream_scd2",
     "q87_stream_agg_state",
@@ -121,12 +122,11 @@ _CHANGED_THIS_ROUND = [
 # green DRIVER row is round 7 for all of these (the round-8 review
 # re-verified every one at sf0.01 today-green, but driver rows should
 # not go >2 rounds stale). Eight of the verdict's 33 (q55–q59, q44,
-# q88, q98) are already pinned by RULE 1 above; with the two NEW
-# round-9 queries also pinned, the 50-query window holds the first 15
-# of the remaining 25 — the tail (q41, q42, q43, q45, q46, q47, q48,
-# q49, q50, q40's neighbours in the pipeline/text family, all
-# pytest-covered) carries to round 10's fill, an explicit consequence
-# of RULE 1 taking precedence over rotation.
+# q88, q98) are already pinned by RULE 1 above; with the three NEW
+# round-9 queries also pinned, the 50-query window holds the first 14
+# of the remaining 25 — the tail (q41–q43, q45–q50: the pipeline/text
+# family, all pytest-covered) carries to round 10's fill, an explicit
+# consequence of RULE 1 taking precedence over rotation.
 _STALEST = [
     "q00_flagship_revenue",
     "q20_set_ops",

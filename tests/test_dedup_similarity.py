@@ -1221,3 +1221,47 @@ def test_bfs_hops_partitioning_invariance(spark):
     seeds = spark.createDataFrame([(0,), (25,)], "id long")
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert canon(bfs_hops(e1, seeds, 5)) == canon(bfs_hops(e2, seeds, 5))
+
+
+def test_sssp_min_semantics_and_delta_equals_full(spark):
+    """Weighted shortest paths: the cheaper multi-edge path beats the
+    direct edge, multi-seed takes the min over sources, unreachable
+    nodes stay absent, rounds bound path LENGTH — and a brute-force
+    full relaxation on the driver agrees (delta==full)."""
+    from kaj_query_engine_spark.operators.traversal import sssp_int
+    import pytest
+
+    rows = [(1, 2, 10), (2, 3, 1), (1, 3, 100),  # 1->3 via 2 = 11 < 100
+            (9, 3, 1),                            # second seed, closer
+            (3, 1, 1),                            # cycle back
+            (7, 8, 5)]                            # disconnected
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,), (9,)], "id long")
+    got = {r.id: r.dist for r in sssp_int(edges, seeds, 4).collect()}
+    assert got == {1: 0, 9: 0, 2: 10, 3: 1}  # 3 via seed 9 beats 11
+    # rounds bound path length: with 1 round, 3 costs min(100, 1)
+    got1 = {r.id: r.dist for r in sssp_int(edges, seeds, 1).collect()}
+    assert got1 == {1: 0, 9: 0, 2: 10, 3: 1}
+    # without seed 9: one round can't see the 2-edge path yet
+    got1b = {r.id: r.dist
+             for r in sssp_int(edges, seeds.filter("id = 1"), 1).collect()}
+    assert got1b == {1: 0, 2: 10, 3: 100}
+    got2b = {r.id: r.dist
+             for r in sssp_int(edges, seeds.filter("id = 1"), 2).collect()}
+    assert got2b == {1: 0, 2: 10, 3: 11}
+    with pytest.raises(ValueError, match="rounds"):
+        sssp_int(edges, seeds, -1)
+    # driver brute force over the same rows == the operator, and a
+    # repartitioned edge frame changes nothing (exact integers)
+    import itertools
+    dist = {1: 0, 9: 0}
+    for _ in range(4):
+        new = dict(dist)
+        for s, d, w in rows:
+            if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                new[d] = dist[s] + w
+        dist = new
+    assert got == dist
+    got_rp = {r.id: r.dist
+              for r in sssp_int(edges.repartition(7, "dst"), seeds, 4).collect()}
+    assert got_rp == got
