@@ -76,6 +76,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Union", "HashAggregate", "SortMergeJoin FullOuter"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q18_shortest_paths": (
+        # like q71: the iterative relaxation ran eagerly through
+        # localCheckpoint; the returned plan is the bucket histogram
+        # over the checkpointed distance table
+        ["Scan ExistingRDD", "HashAggregate"],
+        ["CartesianProduct", "SortAggregate", "BroadcastNestedLoopJoin"],
+    ),
     "q71_bfs_reach": (
         # the iterative BFS ran eagerly through localCheckpoint; the
         # returned plan is the per-hop aggregate over the checkpointed
