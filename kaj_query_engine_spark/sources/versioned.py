@@ -348,8 +348,6 @@ class VersionedTable:
         replacement: DataFrame,
         touched_keys: DataFrame,
         batch_id: int | None = None,
-        *,
-        bucket_rows: DataFrame | None = None,
     ) -> int:
         """O(touched buckets) keyed commit: drop every stored row whose
         key appears in ``touched_keys`` (all of its columns join) and
@@ -365,12 +363,12 @@ class VersionedTable:
         schema widens, so untouched files read the new column as NULL
         without being rewritten.
 
-        ``bucket_rows`` — a caller that already holds this version's
-        :meth:`read_buckets` result for the same keys (the streaming
-        merge paths do, for their merge join) passes it here so the
-        touched files are scanned ONCE per batch instead of re-read;
-        used only when the table is bucketed and carries no append
-        strays (strays must be split out and re-written unbucketed)."""
+        The touched files are read lazily by up to three plans per
+        commit (survivor write, CDF pre-images, and whatever the
+        caller's replacement lineage holds) — all DELTA-bounded scans;
+        an earlier `bucket_rows` pass-through parameter claimed to
+        deduplicate them but could not (an un-persisted DataFrame
+        re-executes its scan per action) and was removed."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(
@@ -408,24 +406,16 @@ class VersionedTable:
         else:
             touched_files, carried = man["files"], []
 
-        use_cached = (
-            bucket_rows is not None and self.is_bucketed and not stray_files
-        )
-
-        def _survivors(files: list[dict], cached: DataFrame | None = None) -> DataFrame:
-            src = (
-                cached
-                if cached is not None
-                else self._read_files(spark, files, schema)
-            )
+        def _survivors(files: list[dict]) -> DataFrame:
             return (
-                src.join(F.broadcast(tk), on=tcols, how="left_anti")
+                self._read_files(spark, files, schema)
+                .join(F.broadcast(tk), on=tcols, how="left_anti")
                 .select(*schema.fieldNames())  # anti fronts key columns
             )
 
-        new_data = _survivors(
-            touched_files, bucket_rows if use_cached else None
-        ).unionByName(replacement, allowMissingColumns=True)
+        new_data = _survivors(touched_files).unionByName(
+            replacement, allowMissingColumns=True
+        )
         nxt = cur + 1
         new_files = self._write_data(new_data, nxt)
         if stray_files:
@@ -453,15 +443,11 @@ class VersionedTable:
             )
 
             widen = new_data.limit(0)
-            pre_src = (
-                bucket_rows
-                if use_cached
-                else self._read_files(
+            pre = (
+                self._read_files(
                     spark, touched_files + stray_files, schema
                 )
-            )
-            pre = (
-                pre_src.join(F.broadcast(tk), on=tcols, how="left_semi")
+                .join(F.broadcast(tk), on=tcols, how="left_semi")
                 .unionByName(widen, allowMissingColumns=True)
             )
             post = replacement.unionByName(widen, allowMissingColumns=True)

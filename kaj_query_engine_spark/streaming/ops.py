@@ -688,9 +688,7 @@ def stream_merge_apply(
             # streaming MERGE sink)
             schema_evolution=schema_evolution,
         )
-        # base is this version's read_buckets result: hand it back so
-        # the commit scans each touched file once, not twice
-        table.commit_keyed(merged, touched, bucket_rows=base)
+        table.commit_keyed(merged, touched)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -754,7 +752,7 @@ def stream_scd2_apply(
             state_col,
             tiebreak=tiebreak,
         )
-        table.commit_keyed(merged, touched, bucket_rows=base)
+        table.commit_keyed(merged, touched)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -811,9 +809,7 @@ def stream_agg_state_apply(
             F.broadcast(touched), on=keys, how="left_semi"
         )
         merged = merge_agg_state(touched_state, bs, keys, merge_exprs)
-        table.commit_keyed(
-            merged, touched, batch_id=batch_id, bucket_rows=base
-        )
+        table.commit_keyed(merged, touched, batch_id=batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)

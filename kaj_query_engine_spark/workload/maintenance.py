@@ -1042,16 +1042,18 @@ def q33(spark, sf_dir):
             F.sum("cents").alias("cents_sum"),
         ).select(F.lit(path).alias("path"), "op", "n", "key_sum", "cents_sum")
 
-    cdf = tbl.read_changes(spark, 0, 3).drop("_commit_version")
+    # ONE feed read serves both arms: the pre-image-bearing frame is
+    # the superset, and the plain cdf view is exactly op != 'U-'
+    full_feed = tbl.read_changes(
+        spark, 0, 3, include_preimages=True
+    ).drop("_commit_version")
+    cdf = full_feed.filter(F.col("op") != "U-")
     # the signed consumer: with update pre-images in the feed, one
     # pass yields the exact delta each additive aggregate moved —
     # checked against the oracle's final-minus-initial difference
     from kaj_query_engine_spark.sources.versioned import feed_agg_delta
 
-    delta = feed_agg_delta(
-        tbl.read_changes(spark, 0, 3, include_preimages=True),
-        ["k", "cents"],
-    ).select(
+    delta = feed_agg_delta(full_feed, ["k", "cents"]).select(
         F.lit("agg_delta").alias("path"),
         F.lit("-").alias("op"),
         F.col("d_count").alias("n"),

@@ -123,10 +123,12 @@ _CHANGED_THIS_ROUND = [
 # re-verified every one at sf0.01 today-green, but driver rows should
 # not go >2 rounds stale). Eight of the verdict's 33 (q55–q59, q44,
 # q88, q98) are already pinned by RULE 1 above; with the three NEW
-# round-9 queries also pinned, the 50-query window holds the first 14
-# of the remaining 25 — the tail (q41–q43, q45–q50: the pipeline/text
-# family, all pytest-covered) carries to round 10's fill, an explicit
-# consequence of RULE 1 taking precedence over rotation.
+# round-9 queries also pinned (36 total), the 50-query window holds
+# the first 14 of the remaining 25 — the tail of ELEVEN (q39, q40,
+# q41, q42, q43, q45, q46, q47, q48, q49, q50; partitioned merge plus
+# the text/pipeline family, all pytest-covered and green in this
+# round's local sf0.01+sf0.1 sweeps) carries to round 10's fill, an
+# explicit consequence of RULE 1 taking precedence over rotation.
 _STALEST = [
     "q00_flagship_revenue",
     "q20_set_ops",
