@@ -23,11 +23,43 @@ single-writer maintenance job needs:
     counted-bytes test and a 64×-view probe).
   * :meth:`commit_keyed` — for a table bucketed on its key
     (``init(..., bucket_keys=...)``, data files hash-partitioned into
-    ``_kb=K/`` directories): rewrites only the key-buckets the batch
-    touches; every untouched bucket's files are carried forward
-    byte-identical (mtime-pinned). The streaming twin of the
-    touched-partition MERGE
+    ``_kb=K/`` directories): rewrites only the FILES that can contain
+    a touched key; every other file — in untouched buckets AND in
+    touched buckets — is carried forward byte-identical (mtime-
+    pinned). The streaming twin of the touched-partition MERGE
     (:func:`~kaj_query_engine_spark.operators.maintenance.merge_into_partitioned`).
+
+- **The rewrite unit is a FILE of bounded size, not a bucket** (the
+  round-9 review's one remaining 100× edge). Two mechanisms compose,
+  both standard table-format practice (Iceberg per-file column bounds
+  in manifests; Delta file statistics + OPTIMIZE target size):
+
+  * every bucketed data file stores the key hash as a physical
+    ``_kh = xxhash64(keys...)`` column (never in the read schema —
+    reads select the manifest's recorded columns, so the parquet
+    scan prunes it for free), and the manifest records each file's
+    ``khr = [min, max]`` of that column straight from the parquet
+    footer — metadata-only, no data read. ``commit_keyed`` and
+    :meth:`read_buckets` select files by touched-key hash against
+    these ranges; a file whose range provably misses every touched
+    key is carried forward even when its bucket is touched. Append
+    "stray" files record ``khr`` too, so a keyed commit skips strays
+    that cannot hold its keys instead of re-writing them.
+  * large writes hash-range SUB-SPLIT each bucket (a ``_ks`` partition
+    directory from the hash's top bits) so no file much exceeds
+    ``target_file_rows``; with files bounded and range-pruned, a
+    keyed commit's rewrite cost is O(touched files · target size)
+    regardless of table growth under a FIXED bucket count — the
+    probe pins bytes-written flat across 64× view growth at
+    ``n_buckets=8``.
+
+  ``n_buckets`` itself is versioned PER MANIFEST (Iceberg's
+  partition-spec-evolution rule): :meth:`rebucket` rewrites the
+  current snapshot under a new bucket count as a compaction variant,
+  old versions stay time-travelable under the spec they were written
+  with, and a crashed rebucket leaves the table on the old spec
+  because the spec rides in the manifest that the atomic pointer
+  swap publishes.
 
 - **Readers never see a torn table.** Data files are written
   completely, then the manifest, then the pointer moves
@@ -51,7 +83,18 @@ evolved table reads old files with the new schema (missing columns
 NULL) — the same read-path contract as mergeSchema'd parquet tables.
 
 The bucket column ``_kb = pmod(xxhash64(keys...), n_buckets)`` exists
-only in directory names, never in the data or the read schema.
+only in directory names, never in the data or the read schema; the
+sub-split column ``_ks`` likewise. The key-hash column ``_kh`` exists
+in bucketed data files but never in a manifest schema, so no read
+path ever surfaces it.
+
+Stated stand-in boundary (real formats solve this with sharded avro
+manifests): version metadata is ONE JSON document per version, read
+and parsed on the driver — O(live files) per metadata load. Fine to
+~10⁵ files; beyond that a real deployment puts a Delta/Iceberg table
+here (as the module has said from the start) or shards the manifest
+per bucket. The DATA plane is unaffected — scans, commits, and
+pruning touch only the files the manifest names.
 """
 
 from __future__ import annotations
@@ -69,6 +112,145 @@ from pyspark.sql.types import StructType
 _POINTER = "_CURRENT"
 _META = "_TABLE.json"
 _KB = "_kb"
+_KS = "_ks"  # hash-range sub-split partition dir (top bits of _kh)
+_KH = "_kh"  # physical key-hash column inside bucketed data files
+
+# Bound on any single file's rows at write time (the rewrite unit a
+# keyed commit pays per touched file). Rows, not bytes, so the split
+# factor is computable from recorded metadata without sampling; a
+# byte-targeting deployment derives it as target_bytes/avg_row_bytes.
+DEFAULT_TARGET_FILE_ROWS = 65_536
+
+# Driver-side cap on the touched-key hash collect that powers file
+# pruning. Above it, commits fall back to bucket-level pruning and a
+# shuffled (non-broadcast) anti-join — the bulk-backfill regime.
+_PRUNE_KEY_CAP = 1_000_000
+
+
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def _broadcast_key_cap(spark: SparkSession) -> int:
+    """How many distinct touched keys may ride a broadcast join,
+    derived from the session's own autoBroadcastJoinThreshold at a
+    conservative ~64 bytes/key row. ≤0 (broadcast disabled) → 0."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            mult, raw = m, raw[: -len(suf)]
+            break
+    try:
+        nbytes = int(float(raw)) * mult
+    except ValueError:
+        nbytes = 10 * 1024 * 1024
+    if nbytes <= 0:
+        return 0
+    return max(1_000, nbytes // 64)
+
+
+# Files at or under this many rows record their EXACT distinct key
+# hashes in the manifest instead of only a range: a hash range over
+# more than a handful of random 64-bit hashes spans nearly the whole
+# space (hashing destroys key locality), so ranges only prune the
+# sub-split files they were written for — exact lists make SMALL files
+# (append strays, tiny rewrites) prunable too, at a bounded manifest
+# cost. The same idea as a per-file bloom/dictionary filter in real
+# formats, in its minimal exact form.
+_KHS_EXACT_CAP = 256
+
+
+def _parquet_kh_stats(
+    p: Path,
+) -> tuple[int | None, list[int] | None, list[int] | None]:
+    """(num_rows, [kh_min, kh_max], exact-hash list) from a parquet
+    FOOTER — metadata-only except for files at/under _KHS_EXACT_CAP
+    rows, whose single ``_kh`` column is read to record the exact
+    list. None range when the file carries no ``_kh`` column
+    (pre-upgrade files, unbucketed tables) or a row group lacks
+    min/max stats; such files are simply never pruned."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(str(p))
+        md = pf.metadata
+    except Exception:
+        return None, None, None
+    rows = md.num_rows
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    if _KH not in names:
+        return rows, None, None
+    khs = None
+    if rows <= _KHS_EXACT_CAP:
+        try:
+            col = pf.read(columns=[_KH]).column(_KH).to_pylist()
+            khs = sorted({int(h) for h in col if h is not None})
+        except Exception:
+            khs = None
+    j = names.index(_KH)
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(j).statistics
+        if st is None or not st.has_min_max:
+            return rows, None, khs
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:  # zero row groups: empty file
+        return rows, None, khs
+    return rows, [int(lo), int(hi)], khs
+
+
+def _khr_hits(
+    files: list[dict], hashes: list[int] | None, n_buckets: int | None
+) -> list[bool]:
+    """Per-file: could this file contain any touched key hash? A hash
+    is only tested against files of ITS OWN bucket (every bucket spans
+    the full hash space, so cross-bucket range tests are always-true
+    noise); kb=None strays test against all hashes. Exact-list files
+    test membership, range files test overlap — binary search either
+    way, O(F log H). ``hashes=None`` (over-cap collect) disables
+    pruning: every file might match."""
+    if hashes is None:
+        return [True] * len(files)
+    import bisect
+
+    all_sorted = sorted(hashes)
+    by_kb: dict[int, list[int]] = {}
+    if n_buckets:
+        for h in all_sorted:
+            by_kb.setdefault(h % n_buckets, []).append(h)
+    out = []
+    for f in files:
+        kb = f.get("kb")
+        hs = all_sorted if kb is None else by_kb.get(kb, [])
+        khs = f.get("khs")
+        if khs is not None:
+            # iterate the BOUNDED side (khs ≤ _KHS_EXACT_CAP), bisect
+            # into the touched list: O(cap · log H) per file
+            out.append(
+                any(
+                    (i := bisect.bisect_left(hs, k)) < len(hs)
+                    and hs[i] == k
+                    for k in khs
+                )
+            )
+            continue
+        khr = f.get("khr")
+        if khr is None:
+            out.append(True)
+            continue
+        i = bisect.bisect_left(hs, khr[0])
+        out.append(i < len(hs) and hs[i] <= khr[1])
+    return out
 
 
 class VersionedTable:
@@ -93,7 +275,25 @@ class VersionedTable:
 
     @property
     def n_buckets(self) -> int | None:
-        return self._meta().get("n_buckets")
+        """The CURRENT version's bucket count: the spec is versioned
+        per manifest (``rebucket`` evolves it; old manifests keep the
+        spec their files were written under), falling back to the
+        init-time table meta for manifests predating spec recording."""
+        return self._n_buckets_at(None)
+
+    def _n_buckets_at(self, man: dict | None) -> int | None:
+        if not self.is_bucketed:
+            return None
+        if man is None:
+            try:
+                man = self.manifest()
+            except ValueError:
+                man = {}
+        return man.get("n_buckets") or self._meta().get("n_buckets")
+
+    @property
+    def target_file_rows(self) -> int:
+        return self._meta().get("target_file_rows") or DEFAULT_TARGET_FILE_ROWS
 
     @property
     def is_bucketed(self) -> bool:
@@ -103,11 +303,19 @@ class VersionedTable:
     def has_change_feed(self) -> bool:
         return bool(self._meta().get("change_feed"))
 
-    def _kb_expr(self) -> Column:
-        keys = self.bucket_keys
-        return F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets)
-        )
+    def _kh_expr(self) -> Column:
+        return F.xxhash64(*[F.col(k) for k in self.bucket_keys])
+
+    def _kb_expr(self, n_buckets: int | None = None) -> Column:
+        n = n_buckets if n_buckets is not None else self.n_buckets
+        return F.pmod(self._kh_expr(), F.lit(n))
+
+    def _sub_bits_for(self, bucket_rows: float) -> int:
+        """log2 of the hash-range split factor that keeps files near
+        ``target_file_rows``: files land in (target/2, target] rows,
+        so the keyed-rewrite unit stays ~constant as the table grows."""
+        s = _next_pow2(max(1, -(-int(bucket_rows) // self.target_file_rows)))
+        return s.bit_length() - 1
 
     def _cast_keys(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Align a key frame's column types with the stored schema
@@ -154,6 +362,7 @@ class VersionedTable:
         schema: StructType,
         batch_id: int | None,
         cdf: dict | None = None,
+        n_buckets: int | None = None,
     ) -> None:
         man = {
             "version": version,
@@ -161,6 +370,11 @@ class VersionedTable:
             "schema": json.loads(schema.json()),
             "files": files,
         }
+        if n_buckets is not None:
+            # the bucket spec this version's files were written under —
+            # versioned per manifest so rebucket() can evolve it while
+            # older versions stay readable/prunable under their own
+            man["n_buckets"] = n_buckets
         if cdf is not None:
             man["cdf"] = cdf
         tmp = self.path / f"v{version}.json.tmp"
@@ -169,49 +383,87 @@ class VersionedTable:
 
     # ---- data writes ------------------------------------------------
     def _write_data(
-        self, df: DataFrame, version: int, bucketed: bool | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        bucketed: bool | None = None,
+        n_buckets: int | None = None,
+        sub_bits: int = 0,
     ) -> list[dict]:
         """Write ``df``'s rows as this commit's data files under
         ``data/c{version}`` and return their manifest entries. Bucketed
         tables hash-partition into ``_kb=K/`` directories (the bucket
-        id recorded per file); empty partitions write no file, so a
-        delta touching one bucket produces files for that bucket only.
-        ``bucketed=False`` skips the bucket split even on a bucketed
-        table — append deltas use it (kb=None "stray" files), because
-        splitting a small delta across every bucket would pay one
-        parquet file's fixed overhead PER BUCKET; strays are read by
-        every keyed commit until compaction re-buckets them (exactly
-        how unclustered data files behave in real table formats).
-        A leftover directory from a crashed attempt is cleared first —
-        it is unreferenced by construction (manifests are written only
-        after the data write succeeds)."""
+        id recorded per file) and, when ``sub_bits`` > 0, further into
+        ``_ks=S/`` hash-range sub-directories (the hash's top
+        ``sub_bits`` bits) so no file much exceeds ``target_file_rows``
+        — the bounded rewrite unit file-level pruning depends on.
+        Bucketed files also store the physical ``_kh`` key-hash column,
+        whose parquet-footer min/max becomes the manifest's per-file
+        ``khr`` pruning range (metadata-only — the footers of the
+        just-written local files). Empty partitions write no file, so
+        a delta touching one bucket produces files for that bucket
+        only. ``bucketed=False`` skips the bucket split even on a
+        bucketed table — append deltas use it (kb=None "stray" files),
+        because splitting a small delta across every bucket would pay
+        one parquet file's fixed overhead PER BUCKET; strays still
+        carry ``_kh`` (when the delta has the key columns), so keyed
+        commits can range-prune them too until compaction re-buckets
+        them (exactly how unclustered data files behave in real table
+        formats). A leftover directory from a crashed attempt is
+        cleared first — it is unreferenced by construction (manifests
+        are written only after the data write succeeds)."""
         cdir = self.path / "data" / f"c{version}"
         if cdir.exists():
             shutil.rmtree(cdir)
         if self.is_bucketed and bucketed is not False:
-            df.withColumn(_KB, self._kb_expr()).repartition(
-                self.n_buckets, F.col(_KB)
-            ).write.partitionBy(_KB).parquet(str(cdir))
+            nb = n_buckets if n_buckets is not None else self.n_buckets
+            out = df.withColumn(_KH, self._kh_expr()).withColumn(
+                _KB, F.pmod(F.col(_KH), F.lit(nb))
+            )
+            pcols = [_KB]
+            if sub_bits > 0:
+                out = out.withColumn(
+                    _KS, F.shiftright(F.col(_KH), 64 - sub_bits)
+                )
+                pcols.append(_KS)
+            nparts = min(nb << sub_bits, 2048)
+            out.repartition(
+                nparts, *[F.col(c) for c in pcols]
+            ).write.partitionBy(*pcols).parquet(str(cdir))
         else:
-            df.write.parquet(str(cdir))
+            out = df
+            if self.is_bucketed and all(
+                k in df.columns for k in self.bucket_keys
+            ):
+                out = out.withColumn(_KH, self._kh_expr())
+            out.write.parquet(str(cdir))
         files: list[dict] = []
         for p in sorted(cdir.rglob("part-*")):
             if not p.is_file():
                 continue
             kb = None
-            if p.parent.name.startswith(f"{_KB}="):
-                kb = int(p.parent.name.split("=", 1)[1])
-            files.append(
-                {
-                    "path": str(p.relative_to(self.path)),
-                    "kb": kb,
-                    # sizes recorded at write time: the footprint
-                    # helpers (history/stray_bytes/maybe_compact) read
-                    # the manifest instead of stat()ing every file per
-                    # call — carried entries keep theirs for free
-                    "bytes": p.stat().st_size,
-                }
-            )
+            for anc in p.parents:
+                if anc == cdir:
+                    break
+                if anc.name.startswith(f"{_KB}="):
+                    kb = int(anc.name.split("=", 1)[1])
+                    break
+            rows, khr, khs = _parquet_kh_stats(p)
+            entry = {
+                "path": str(p.relative_to(self.path)),
+                "kb": kb,
+                # sizes/rows/ranges recorded at write time: the
+                # footprint helpers read the manifest instead of
+                # stat()ing files per call, keyed commits derive
+                # their split factor and pruning set from it —
+                # carried entries keep theirs for free
+                "bytes": p.stat().st_size,
+                "rows": rows,
+                "khr": khr,
+            }
+            if khs is not None:
+                entry["khs"] = khs
+            files.append(entry)
         return files
 
     def _file_bytes(self, f: dict) -> int:
@@ -245,6 +497,7 @@ class VersionedTable:
         bucket_keys: list[str] | None = None,
         n_buckets: int = 8,
         change_feed: bool = False,
+        target_file_rows: int = DEFAULT_TARGET_FILE_ROWS,
     ) -> int:
         """(Re)create the table at version 0 from ``df``. Destroys any
         existing history — callers use it for a fresh maintenance run,
@@ -274,10 +527,23 @@ class VersionedTable:
                 meta |= {
                     "bucket_keys": list(bucket_keys),
                     "n_buckets": n_buckets,
+                    "target_file_rows": target_file_rows,
                 }
             (self.path / _META).write_text(json.dumps(meta))
-        files = self._write_data(df, 0)
-        self._write_manifest(0, files, df.schema, batch_id)
+        sub_bits = 0
+        if bucket_keys is not None:
+            # one count (init is O(table) anyway) sizes the hash-range
+            # sub-split so no initial file much exceeds target_file_rows
+            # — without it the first keyed commit's rewrite unit would
+            # be a whole init bucket
+            sub_bits = self._sub_bits_for(df.count() / max(n_buckets, 1))
+        files = self._write_data(
+            df, 0, n_buckets=n_buckets or None, sub_bits=sub_bits
+        )
+        self._write_manifest(
+            0, files, df.schema, batch_id,
+            n_buckets=n_buckets if bucket_keys is not None else None,
+        )
         self._swap_pointer(0)
         return 0
 
@@ -287,6 +553,8 @@ class VersionedTable:
         batch_id: int | None = None,
         *,
         cdf: dict | None = None,
+        rows_hint: int | None = None,
+        new_n_buckets: int | None = None,
     ) -> int:
         """Full-snapshot commit: write ``df`` completely as the next
         version's data files, then move the pointer. O(table) by
@@ -298,13 +566,33 @@ class VersionedTable:
         before the pointer swap, so (version, applied-batch) flip
         together atomically. Callers whose merge is NOT naturally
         idempotent check :meth:`last_applied_batch` to skip
-        at-least-once re-deliveries."""
+        at-least-once re-deliveries.
+
+        On a bucketed table the write sizes its hash-range sub-split
+        from a row count of ``df`` (one extra pass over the caller's
+        lineage); pass ``rows_hint`` when the count is already known
+        (compaction passes the manifest's recorded row sum).
+        ``new_n_buckets`` is :meth:`rebucket`'s hook — the spec change
+        rides in this commit's manifest so the atomic pointer swap
+        publishes files and spec together."""
         cur = self.current_version()
         if cur is None:
             return self.init(df, batch_id)
         nxt = cur + 1
-        files = self._write_data(df, nxt)
-        self._write_manifest(nxt, files, df.schema, batch_id, cdf=cdf)
+        sub_bits = 0
+        nb = None
+        if self.is_bucketed:
+            nb = (
+                new_n_buckets
+                if new_n_buckets is not None
+                else self._n_buckets_at(self.manifest(cur))
+            )
+            rows = df.count() if rows_hint is None else rows_hint
+            sub_bits = self._sub_bits_for(rows / max(nb, 1))
+        files = self._write_data(df, nxt, n_buckets=nb, sub_bits=sub_bits)
+        self._write_manifest(
+            nxt, files, df.schema, batch_id, cdf=cdf, n_buckets=nb
+        )
         self._swap_pointer(nxt)
         return nxt
 
@@ -318,12 +606,20 @@ class VersionedTable:
         if cur is None:
             return self.init(delta, batch_id)
         man = self.manifest(cur)
+        stored = self._schema_of(man)
+        # key columns cast to the STORED types before the stray write:
+        # the file's _kh column (and its recorded khr pruning range)
+        # must hash the types future touched-key frames are cast to —
+        # an int-typed delta on a long-keyed table would otherwise
+        # record ranges that wrongly prune the stray, carrying rows
+        # past their delete (the same type-sensitivity the r9 bucket
+        # fix closed on the read side)
+        delta = self._cast_keys(delta, stored)
         nxt = cur + 1
         new_files = self._write_data(delta, nxt, bucketed=False)
         # manifest schema = stored ∪ delta (schema-only union, no job):
         # recording the DELTA's schema verbatim would silently NARROW
         # an evolved table when a later append omits the new column
-        stored = self._schema_of(man)
         merged_schema = (
             delta.sparkSession.createDataFrame([], stored)
             .unionByName(delta.limit(0), allowMissingColumns=True)
@@ -339,6 +635,7 @@ class VersionedTable:
             # file-reuse trick Delta's CDF does for insert-only
             # commits)
             cdf={"mode": "insert_files"} if self.has_change_feed else None,
+            n_buckets=self._n_buckets_at(man),
         )
         self._swap_pointer(nxt)
         return nxt
@@ -349,19 +646,42 @@ class VersionedTable:
         touched_keys: DataFrame,
         batch_id: int | None = None,
     ) -> int:
-        """O(touched buckets) keyed commit: drop every stored row whose
+        """O(touched FILES) keyed commit: drop every stored row whose
         key appears in ``touched_keys`` (all of its columns join) and
         add ``replacement`` — the write half of a keyed merge/refresh.
-        On a bucketed table only the buckets containing touched keys
-        are read and rewritten; every other bucket's files are carried
-        forward into the new manifest byte-identical. On an unbucketed
-        table this degenerates to a full-snapshot rewrite (correct,
-        not incremental) — bucket the table to get the O(Δ) path.
+        On a bucketed table only the files that can contain a touched
+        key — bucket match AND manifest ``khr`` hash-range overlap —
+        are read and rewritten; every other file, including same-bucket
+        neighbours outside the touched ranges, is carried forward into
+        the new manifest byte-identical. With writes sub-split to
+        ``target_file_rows``, the rewrite unit stays ~constant as the
+        table grows under a fixed bucket count. On an unbucketed table
+        this degenerates to a full-snapshot rewrite (correct, not
+        incremental) — bucket the table to get the O(Δ) path.
 
-        ``replacement`` may carry columns the stored schema lacks
+        PRECONDITION (caller contract): every ``replacement`` row's key
+        must appear in ``touched_keys``. A replacement key absent from
+        the touched set is NOT deleted first and would silently
+        duplicate — the maintenance callers all derive replacement FROM
+        the touched rows, satisfying this by construction. An empty
+        touched set short-circuits to a no-op version-less return; if
+        ``replacement`` is non-empty in that case the precondition is
+        provably violated and this raises instead of corrupting.
+
+        ``replacement`` may carry NEW columns the stored schema lacks
         (schema evolution): survivors are padded NULL and the manifest
         schema widens, so untouched files read the new column as NULL
-        without being rewritten.
+        without being rewritten. Bucket-key columns are always CAST to
+        their stored types first (replacement and touched keys alike)
+        — files hash keys at their stored type, and a drifted key type
+        would otherwise split one logical key across buckets.
+
+        Scale guards: the touched-key hashes are collected driver-side
+        (capped) to drive file pruning; past the broadcast-size cap —
+        derived from the session's autoBroadcastJoinThreshold — the
+        anti/semi joins fall back to shuffled joins, and past the
+        prune cap the commit degrades to bucket-level granularity (the
+        bulk-backfill regime, where a broadcast would blow the driver).
 
         The touched files are read lazily by up to three plans per
         commit (survivor write, CDF pre-images, and whatever the
@@ -379,7 +699,11 @@ class VersionedTable:
         schema = self._schema_of(man)
         tk = self._cast_keys(touched_keys.distinct(), schema)
         tcols = tk.columns
+        bcap = _broadcast_key_cap(spark)
+        small = True  # may broadcast the touched frame into joins?
         stray_files: list[dict] = []
+        sub_bits = 0
+        nb = self._n_buckets_at(man)
         if self.is_bucketed:
             bkeys = self.bucket_keys
             missing = [k for k in bkeys if k not in tcols]
@@ -387,29 +711,103 @@ class VersionedTable:
                 raise ValueError(
                     f"touched_keys must carry the bucket keys; missing: {missing}"
                 )
-            # touched bucket ids: bounded by n_buckets, driver-safe
-            tb = {
-                r[0]
-                for r in tk.select(self._kb_expr().alias(_KB))
-                .distinct()
-                .collect()
+            # replacement bucket-key columns cast to the STORED types
+            # (the same rule touched keys get): files hash keys at
+            # their stored type, and unionByName coercion could
+            # otherwise WIDEN the merged key type, splitting one
+            # logical key across buckets vs the carried files
+            ktypes = {
+                f.name: f.dataType for f in schema.fields if f.name in bkeys
             }
-            touched_files = [f for f in man["files"] if f["kb"] in tb]
-            carried = [f for f in man["files"] if f["kb"] not in tb and f["kb"] is not None]
+            replacement = replacement.select(*[
+                F.col(c).cast(ktypes[c]).alias(c)
+                if c in ktypes
+                else F.col(c)
+                for c in replacement.columns
+            ])
+            # ONE capped driver collect powers everything downstream:
+            # (hash, row-count) per distinct key hash → touched buckets
+            # (pmod driver-side), file-range pruning, emptiness, and
+            # the broadcast decision from the TRUE touched-frame size
+            grouped = (
+                tk.groupBy(self._kh_expr().alias("h"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .limit(_PRUNE_KEY_CAP + 1)
+                .collect()
+            )
+            if len(grouped) > _PRUNE_KEY_CAP:
+                hashes = None  # over prune cap: bucket-level fallback
+                small = False
+                tb = {
+                    r[0]
+                    for r in tk.select(self._kb_expr(nb).alias(_KB))
+                    .distinct()
+                    .collect()
+                }
+            else:
+                hashes = sorted(r.h for r in grouped)
+                small = sum(r.c for r in grouped) <= bcap
+                tb = {h % nb for h in hashes}
+                if not hashes:
+                    # empty touched set: a logical no-op (empty micro-
+                    # batch). Minting a version would re-write strays
+                    # and grow history for nothing — short-circuit.
+                    # By the precondition an empty touched set means an
+                    # empty replacement; verify cheaply and fail loudly
+                    # on the caller bug instead of duplicating rows.
+                    if not replacement.isEmpty():
+                        raise ValueError(
+                            "commit_keyed precondition violated: "
+                            "non-empty replacement with empty "
+                            "touched_keys (replacement keys must be "
+                            "covered by touched_keys)"
+                        )
+                    return cur
+            bucket_files = [f for f in man["files"] if f["kb"] is not None]
+            hits = _khr_hits(bucket_files, hashes, nb)
+            touched_files = [
+                f
+                for f, hit in zip(bucket_files, hits)
+                if f["kb"] in tb and hit
+            ]
+            touched_set = {f["path"] for f in touched_files}
+            carried = [
+                f for f in bucket_files if f["path"] not in touched_set
+            ]
             # kb=None strays (commit_append deltas not yet compacted
-            # into buckets) may hold ANY key, so they are always read
-            # and filtered; their survivors are re-written as strays —
-            # re-bucketing a small scattered delta would pay one
-            # parquet file's overhead per bucket it grazes. Compaction
-            # folds strays into buckets for real.
-            stray_files = [f for f in man["files"] if f["kb"] is None]
+            # into buckets) may hold ANY key, so they are read unless
+            # their recorded khr range proves otherwise; surviving
+            # touched strays are re-written as strays — re-bucketing a
+            # small scattered delta would pay one parquet file's
+            # overhead per bucket it grazes. Compaction folds strays
+            # into buckets for real.
+            all_strays = [f for f in man["files"] if f["kb"] is None]
+            s_hits = _khr_hits(all_strays, hashes, nb)
+            stray_files = [f for f, hit in zip(all_strays, s_hits) if hit]
+            carried += [
+                f for f, hit in zip(all_strays, s_hits) if not hit
+            ]
+            # size the rewrite's hash-range sub-split from the touched
+            # files' recorded rows (replacement rows self-correct next
+            # commit: an oversized file's own recorded rows drive a
+            # bigger split when IT is next touched)
+            bucket_rows: dict[int, int] = {}
+            for f in touched_files:
+                bucket_rows[f["kb"]] = bucket_rows.get(f["kb"], 0) + (
+                    f.get("rows") or 0
+                )
+            if bucket_rows:
+                sub_bits = self._sub_bits_for(max(bucket_rows.values()))
         else:
             touched_files, carried = man["files"], []
+            n_tk = tk.limit(bcap + 1).count()
+            small = n_tk <= bcap
 
         def _survivors(files: list[dict]) -> DataFrame:
+            tkj = F.broadcast(tk) if small else tk
             return (
                 self._read_files(spark, files, schema)
-                .join(F.broadcast(tk), on=tcols, how="left_anti")
+                .join(tkj, on=tcols, how="left_anti")
                 .select(*schema.fieldNames())  # anti fronts key columns
             )
 
@@ -417,7 +815,9 @@ class VersionedTable:
             replacement, allowMissingColumns=True
         )
         nxt = cur + 1
-        new_files = self._write_data(new_data, nxt)
+        new_files = self._write_data(
+            new_data, nxt, n_buckets=nb, sub_bits=sub_bits
+        )
         if stray_files:
             sdir = self.path / "data" / f"c{nxt}" / "stray"
             _survivors(stray_files).write.parquet(str(sdir))
@@ -443,11 +843,12 @@ class VersionedTable:
             )
 
             widen = new_data.limit(0)
+            tkj = F.broadcast(tk) if small else tk
             pre = (
                 self._read_files(
                     spark, touched_files + stray_files, schema
                 )
-                .join(F.broadcast(tk), on=tcols, how="left_semi")
+                .join(tkj, on=tcols, how="left_semi")
                 .unionByName(widen, allowMissingColumns=True)
             )
             post = replacement.unionByName(widen, allowMissingColumns=True)
@@ -475,7 +876,8 @@ class VersionedTable:
                 "schema": json.loads(changes.schema.json()),
             }
         self._write_manifest(
-            nxt, carried + new_files, new_data.schema, batch_id, cdf=cdf
+            nxt, carried + new_files, new_data.schema, batch_id, cdf=cdf,
+            n_buckets=nb,
         )
         self._swap_pointer(nxt)
         return nxt
@@ -562,24 +964,49 @@ class VersionedTable:
         return self._read_files(spark, man["files"], self._schema_of(man))
 
     def read_buckets(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
-        """The rows of every bucket containing a key from ``keys_df``
-        (a SUPERSET of the keys' rows — same-bucket neighbours and
-        not-yet-compacted append strays come along; callers semi-join
-        to narrow). This is the delta-bounded read half of a keyed
-        merge: untouched buckets are never scanned. Unbucketed tables
-        return the full snapshot."""
+        """The rows of every FILE that could contain a key from
+        ``keys_df`` — bucket match plus manifest ``khr`` hash-range
+        overlap, the same pruning :meth:`commit_keyed` applies (a
+        SUPERSET of the keys' rows — same-range neighbours and
+        unpruned append strays come along; callers semi-join to
+        narrow). This is the delta-bounded read half of a keyed merge:
+        untouched files are never scanned. Unbucketed tables return
+        the full snapshot."""
         if not self.is_bucketed:
             return self.read(spark)
         man = self.manifest()
+        missing = [k for k in self.bucket_keys if k not in keys_df.columns]
+        if missing:
+            raise ValueError(
+                f"keys_df must carry the bucket keys; missing: {missing}"
+            )
+        nb = self._n_buckets_at(man)
         keys_df = self._cast_keys(keys_df, self._schema_of(man))
-        tb = {
-            r[0]
-            for r in keys_df.select(self._kb_expr().alias(_KB))
+        hrows = (
+            keys_df.select(self._kh_expr().alias("h"))
             .distinct()
+            .limit(_PRUNE_KEY_CAP + 1)
             .collect()
-        } | {None}
-        files = [f for f in man["files"] if f["kb"] in tb]
-        return self._read_files(spark, files, self._schema_of(man))
+        )
+        if len(hrows) > _PRUNE_KEY_CAP:
+            hashes = None
+            tb = {
+                r[0]
+                for r in keys_df.select(self._kb_expr(nb).alias(_KB))
+                .distinct()
+                .collect()
+            }
+        else:
+            hashes = sorted(r.h for r in hrows)
+            tb = {h % nb for h in hashes}
+        files = man["files"]
+        hits = _khr_hits(files, hashes, nb)
+        picked = [
+            f
+            for f, hit in zip(files, hits)
+            if hit and (f["kb"] is None or f["kb"] in tb)
+        ]
+        return self._read_files(spark, picked, self._schema_of(man))
 
     def versions(self) -> list[int]:
         return sorted(
@@ -632,8 +1059,10 @@ class VersionedTable:
         every incrementally-committed table needs (each commit_append /
         commit_keyed adds files; compaction restores scan-friendly
         sizes). Unbucketed tables coalesce to ``target_files``;
-        bucketed tables rewrite to one file per bucket (the bucketed
-        layout's floor — ``target_files`` is ignored). Data is
+        bucketed tables rewrite to hash-range-split files of
+        ~``target_file_rows`` per bucket (one file per bucket when the
+        bucket fits in one target — ``target_files`` is ignored).
+        Data is
         bit-identical by construction, committed through the same
         atomic pointer swap, and the pre-compaction version stays
         time-travelable until vacuumed. At real scale target_files
@@ -656,6 +1085,46 @@ class VersionedTable:
             df,
             batch_id=self.last_applied_batch(),
             cdf={"mode": "empty"} if self.has_change_feed else None,
+            rows_hint=self._manifest_rows(),
+        )
+
+    def _manifest_rows(self) -> int | None:
+        """Total recorded rows of the current version, or None when any
+        file predates row recording — the free rows_hint for rewrites
+        of the current snapshot (compact/rebucket)."""
+        rows = 0
+        for f in self.manifest()["files"]:
+            r = f.get("rows")
+            if r is None:
+                return None
+            rows += r
+        return rows
+
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> int:
+        """Evolve the bucket count WITHOUT destroying history — the
+        compaction variant the round-9 review asked for, so a table
+        that outgrows its init-time ``n_buckets`` regains bounded
+        buckets online (Iceberg's partition-spec evolution, reduced to
+        the hash-bucket case). Rewrites the CURRENT snapshot under the
+        new spec as a full-snapshot commit (O(table), amortized like
+        any compaction); the new manifest records the new spec, older
+        manifests keep theirs, and the atomic pointer swap publishes
+        files+spec together — a crash mid-rebucket leaves the table
+        fully on the old spec. Logically changeless (feed reads
+        through); the applied-batch marker carries forward for the
+        same reason :meth:`compact`'s does."""
+        if not self.is_bucketed:
+            raise ValueError(
+                f"rebucket needs a bucketed table: {self.path}"
+            )
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        return self.commit(
+            self.read(spark),
+            batch_id=self.last_applied_batch(),
+            cdf={"mode": "empty"} if self.has_change_feed else None,
+            rows_hint=self._manifest_rows(),
+            new_n_buckets=n_buckets,
         )
 
     def file_count(self, version: int | None = None) -> int:

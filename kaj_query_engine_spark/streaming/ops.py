@@ -153,6 +153,25 @@ def _source_fingerprint(batch_df: DataFrame) -> tuple | None:
     return tuple(out)
 
 
+def _source_root(token: tuple) -> str:
+    """Stable memo key for a file-backed source: the common ancestor
+    directory of the whole listing, with trailing ``key=value`` hive
+    partition segments stripped. Keying on the FIRST listed file's
+    immediate parent (the original form) broke single-entry-per-source
+    for partition-subdirectory sources — whenever the
+    lexicographically-first partition changed across generations, a new
+    memo entry accumulated under a new key (round-9 advice)."""
+    import os
+    import posixpath
+    from urllib.parse import urlparse
+
+    paths = [urlparse(f).path or f for f, _s, _m in token]
+    root = os.path.commonpath(paths) if len(paths) > 1 else posixpath.dirname(paths[0])
+    while "=" in posixpath.basename(root):
+        root = posixpath.dirname(root)
+    return root
+
+
 def _scan_key_cardinality(batch_df: DataFrame, keys: tuple) -> int:
     """The one full-source pass: column-pruned approx_count_distinct
     over the batch view. Separated out so tests can count invocations."""
@@ -209,7 +228,7 @@ def auto_state_partitions(
     import os as _os
 
     tok_digest = hashlib.sha256(repr(token).encode()).hexdigest()
-    memo_key = (_os.path.dirname(token[0][0]), key_sig)
+    memo_key = (_source_root(token), key_sig)
     rec = _ASP_MEMO.get(memo_key)
     n = rec[1] if rec is not None and rec[0] == tok_digest else None
     if n is None and cache_path is not None:
@@ -642,6 +661,29 @@ def stream_stateful_user_totals_tws(
     )
 
 
+def _pin_touched(touched: DataFrame) -> tuple[DataFrame, int]:
+    """Persist a batch's touched-key frame and count it ONCE: every
+    maintenance apply uses the frame three ways (bucket/file selection,
+    the semi-join, the commit), each of which would otherwise re-execute
+    the batch's distinct from scratch — and the exact count is what the
+    broadcast-size guard needs anyway. Callers unpersist after commit."""
+    t = touched.persist()
+    return t, t.count()
+
+
+def _delta_join_frame(touched: DataFrame, n: int) -> DataFrame:
+    """The touched frame as a join side: broadcast-hinted only while it
+    actually fits a broadcast (keys ≤ the session-threshold-derived
+    cap) — a bulk backfill batch with millions of touched keys falls
+    back to a shuffled join instead of blowing the driver (round-9
+    review item 3)."""
+    from kaj_query_engine_spark.sources.versioned import _broadcast_key_cap
+
+    if n <= _broadcast_key_cap(touched.sparkSession):
+        return F.broadcast(touched)
+    return touched
+
+
 def stream_merge_apply(
     sdf: DataFrame,
     table,
@@ -671,10 +713,13 @@ def stream_merge_apply(
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        touched = batch_df.select(*keys).distinct()
+        touched, n = _pin_touched(batch_df.select(*keys).distinct())
+        if n == 0:
+            touched.unpersist()
+            return  # empty micro-batch: logical no-op, mint no version
         base = table.read_buckets(spark, touched)
         touched_rows = base.join(
-            F.broadcast(touched), on=keys, how="left_semi"
+            _delta_join_frame(touched, n), on=keys, how="left_semi"
         )
         merged = merge_upsert(
             touched_rows,
@@ -689,6 +734,7 @@ def stream_merge_apply(
             schema_evolution=schema_evolution,
         )
         table.commit_keyed(merged, touched)
+        touched.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -736,10 +782,13 @@ def stream_scd2_apply(
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        touched = batch_df.select(key).distinct()
+        touched, n = _pin_touched(batch_df.select(key).distinct())
+        if n == 0:
+            touched.unpersist()
+            return  # empty micro-batch: logical no-op, mint no version
         base = table.read_buckets(spark, touched)
         touched_rows = base.join(
-            F.broadcast(touched), on=[key], how="left_semi"
+            _delta_join_frame(touched, n), on=[key], how="left_semi"
         )
         # dim restricted to touched keys → scd2_merge_batch's "kept"
         # arm is empty by construction; the whole result is the
@@ -753,6 +802,7 @@ def stream_scd2_apply(
             tiebreak=tiebreak,
         )
         table.commit_keyed(merged, touched)
+        touched.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -802,14 +852,20 @@ def stream_agg_state_apply(
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
-        bs = batch_state_of(batch_df)
-        touched = bs.select(*keys).distinct()
+        bs = batch_state_of(batch_df).persist()
+        touched, n = _pin_touched(bs.select(*keys).distinct())
+        if n == 0:
+            touched.unpersist()
+            bs.unpersist()
+            return  # empty micro-batch: logical no-op, mint no version
         base = table.read_buckets(spark, touched)
         touched_state = base.join(
-            F.broadcast(touched), on=keys, how="left_semi"
+            _delta_join_frame(touched, n), on=keys, how="left_semi"
         )
         merged = merge_agg_state(touched_state, bs, keys, merge_exprs)
         table.commit_keyed(merged, touched, batch_id=batch_id)
+        touched.unpersist()
+        bs.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -901,10 +957,14 @@ def stream_join_view_cdc_apply(
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
-        touched = batch_df.select(*on).distinct()
+        touched, n = _pin_touched(batch_df.select(*on).distinct())
+        if n == 0:
+            touched.unpersist()
+            return  # empty micro-batch: logical no-op, mint no version
         ups = batch_df.filter(F.col(op_col) != "D").drop(op_col)
-        replacement = static_left.join(F.broadcast(ups), on=on)
+        replacement = static_left.join(_delta_join_frame(ups, n), on=on)
         table.commit_keyed(replacement, touched, batch_id=batch_id)
+        touched.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)

@@ -1011,24 +1011,33 @@ def q33(spark, sf_dir):
     upd = base.filter(kk % _TT_UPD == 0).select(
         "k", (F.col("cents") + 1000).alias("cents")
     )
-    tbl.commit_keyed(upd, upd.select("k"))
+    v1 = tbl.commit_keyed(upd, upd.select("k"))
     dels = base.filter(kk % _TT_DEL == 0).select("k")
-    tbl.commit_keyed(base.limit(0), dels)
+    v2 = tbl.commit_keyed(base.limit(0), dels)
     ins = o.filter((F.col("o_orderdate") >= cut) & (k % _TT_INS == 0)).select(
         k.alias("k"), "cents"
     )
-    tbl.commit_keyed(ins, ins.select("k"))
+    v3 = tbl.commit_keyed(ins, ins.select("k"))
 
     # manifest invariants, asserted loudly (q85's discipline): history
     # intact, untouched v0 files carried into the FINAL manifest, and
-    # every keyed commit wrote less than the init did
-    if tbl.versions() != [0, 1, 2, 3]:
+    # every keyed commit wrote less than the init did. Version ids are
+    # CAPTURED, not assumed consecutive: a modulo class that is empty
+    # at this fixture scale short-circuits to a no-op (round 10's
+    # empty-touched rule — no version minted, no stray churn), which
+    # is itself part of the contract under test
+    committed = sorted({0, v1, v2, v3})
+    if tbl.versions() != committed:
         raise RuntimeError("time-travel history lost a version")
     v0_files = {f["path"] for f in tbl.manifest(0)["files"]}
-    fin_files = {f["path"] for f in tbl.manifest(3)["files"]}
+    fin_files = {f["path"] for f in tbl.manifest(v3)["files"]}
     if not (v0_files & fin_files):
         raise RuntimeError("keyed commits rewrote every v0 file")
-    if any(tbl.bytes_added(v) >= tbl.bytes_added(0) for v in (1, 2, 3)):
+    if any(
+        tbl.bytes_added(v) >= tbl.bytes_added(0)
+        for v in committed
+        if v != 0
+    ):
         raise RuntimeError("a keyed delta commit wrote init-scale bytes")
 
     v0 = tbl.read(spark, 0)
@@ -1045,7 +1054,7 @@ def q33(spark, sf_dir):
     # ONE feed read serves both arms: the pre-image-bearing frame is
     # the superset, and the plain cdf view is exactly op != 'U-'
     full_feed = tbl.read_changes(
-        spark, 0, 3, include_preimages=True
+        spark, 0, v3, include_preimages=True
     ).drop("_commit_version")
     cdf = full_feed.filter(F.col("op") != "U-")
     # the signed consumer: with update pre-images in the feed, one

@@ -1064,3 +1064,201 @@ def test_compact_feed_marker_is_atomic_with_manifest(spark, tmp_path):
     v = tbl.compact(spark)
     assert tbl.manifest(v)["cdf"] == {"mode": "empty"}
     assert {r.k for r in tbl.read_changes(spark, 0).collect()} == {2}
+
+
+# ---- round 10: file-bounded keyed rewrites + spec evolution ---------
+# The round-9 review's one remaining 100× edge: the keyed rewrite unit
+# was a whole hash bucket, so a table growing under a FIXED bucket
+# count paid O(|table|/n_buckets) per touched bucket. These pins hold
+# the cure: writes hash-range sub-split to ~target_file_rows, the
+# manifest records each file's key-hash range from its parquet footer,
+# and commit_keyed/read_buckets rewrite/scan only files that can
+# contain a touched key — same-bucket files outside the touched ranges
+# carry forward byte-identical.
+
+
+def test_keyed_rewrite_unit_is_file_not_bucket(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    big = spark.range(120_000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    # tiny target forces a multi-file sub-split inside every bucket
+    tbl.init(big, bucket_keys=["k"], n_buckets=4, target_file_rows=4_096)
+    man0 = tbl.manifest(0)
+    per_bucket: dict[int, int] = {}
+    for f in man0["files"]:
+        per_bucket[f["kb"]] = per_bucket.get(f["kb"], 0) + 1
+        assert f["rows"] is not None and f["rows"] <= 4_096 * 2
+        assert f["khr"] is not None and f["khr"][0] <= f["khr"][1]
+    assert min(per_bucket.values()) >= 4  # genuinely sub-split
+    before = {
+        f["path"]: (tbl.path / f["path"]).stat().st_mtime_ns
+        for f in man0["files"]
+    }
+    touched = spark.createDataFrame([(5,), (77_001,)], "k long")
+    repl = df_(spark, [(5, "FIVE"), (77_001, "NEW77K")])
+    tbl.commit_keyed(repl, touched)
+    man1 = tbl.manifest(1)
+    rewritten = [p for p in before if p not in {f["path"] for f in man1["files"]}]
+    # ≤ one file per touched key was rewritten — NOT the whole bucket —
+    # and every carried file (same-bucket neighbours included) is
+    # byte-identical in place
+    assert len(rewritten) <= 2
+    total0 = sum(f["bytes"] for f in man0["files"])
+    assert tbl.bytes_added(1) < total0 / 8
+    for f in man1["files"]:
+        if f["path"] in before:
+            assert (tbl.path / f["path"]).stat().st_mtime_ns == before[f["path"]]
+    got = {r.k: r.v for r in tbl.read(spark).filter(F.col("k").isin(5, 6, 77_001)).collect()}
+    assert got == {5: "FIVE", 6: "6", 77_001: "NEW77K"}
+    assert tbl.read(spark).count() == 120_000
+
+
+def test_read_buckets_prunes_by_file_range_and_validates(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(
+        spark.range(40_000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+        ),
+        bucket_keys=["k"], n_buckets=2, target_file_rows=2_048,
+    )
+    picked = tbl.read_buckets(spark, spark.createDataFrame([(7,)], "k long"))
+    # one key → one file's rows (± a range neighbour), a small slice of
+    # the 40k-row table even though its BUCKET holds ~20k rows
+    n = picked.count()
+    assert 0 < n <= 3 * 2_048
+    assert picked.filter(F.col("k") == 7).count() == 1
+    # missing bucket-key column: the descriptive error, not an opaque
+    # AnalysisException from deep inside the bucket expression
+    with pytest.raises(ValueError, match="missing"):
+        tbl.read_buckets(spark, spark.createDataFrame([("x",)], "v string"))
+
+
+def test_commit_keyed_empty_touched_short_circuits(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a"), (2, "b")]), bucket_keys=["k"], n_buckets=2)
+    empty_keys = spark.createDataFrame([], "k long")
+    empty_repl = spark.createDataFrame([], SCHEMA)
+    v = tbl.commit_keyed(empty_repl, empty_keys)
+    # logical no-op: no new version minted, no stray churn, no history
+    assert v == 0 and tbl.current_version() == 0 and tbl.versions() == [0]
+    # precondition violation (replacement key not covered by touched)
+    # fails loudly instead of silently duplicating the key
+    with pytest.raises(ValueError, match="precondition"):
+        tbl.commit_keyed(df_(spark, [(1, "DUP")]), empty_keys)
+
+
+def test_stray_files_prune_by_range_on_keyed_commits(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(100)]),
+             bucket_keys=["k"], n_buckets=2)
+    # append a stray whose key range (5000+) is disjoint from the keys
+    # the next keyed commit touches
+    tbl.commit_append(df_(spark, [(5_000 + i, "stray") for i in range(50)]))
+    stray_paths = {
+        f["path"] for f in tbl.manifest(1)["files"] if f["kb"] is None
+    }
+    assert stray_paths
+    assert all(
+        f["khr"] is not None
+        for f in tbl.manifest(1)["files"]
+        if f["kb"] is None
+    )
+    tbl.commit_keyed(
+        df_(spark, [(3, "THREE")]), spark.createDataFrame([(3,)], "k long")
+    )
+    # the stray was NOT rewritten: carried into v2 verbatim
+    man2_paths = {f["path"] for f in tbl.manifest(2)["files"]}
+    assert stray_paths <= man2_paths
+    got = {r.k: r.v for r in tbl.read(spark).filter(F.col("k").isin(3, 5_000)).collect()}
+    assert got == {3: "THREE", 5_000: "stray"}
+    assert tbl.read(spark).count() == 150
+
+
+def test_rebucket_evolves_spec_preserving_history(spark, tmp_path):
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(200)]),
+             bucket_keys=["k"], n_buckets=2, change_feed=True)
+    tbl.commit_keyed(df_(spark, [(7, "SEVEN")]),
+                     spark.createDataFrame([(7,)], "k long"))
+    v = tbl.rebucket(spark, 8)
+    assert tbl.n_buckets == 8
+    assert tbl.manifest(v)["n_buckets"] == 8
+    # old versions stay time-travelable under their own spec
+    assert tbl.manifest(0)["n_buckets"] == 2
+    assert tbl.read(spark, 0).count() == 200
+    assert {f["kb"] for f in tbl.manifest(v)["files"]} <= set(range(8))
+    # keyed commits after the rebucket prune under the NEW spec
+    before = {f["path"] for f in tbl.manifest(v)["files"]}
+    tbl.commit_keyed(df_(spark, [(7, "SEVEN2")]),
+                     spark.createDataFrame([(7,)], "k long"))
+    manN = tbl.manifest()
+    carried = [f for f in manN["files"] if f["path"] in before]
+    assert len(carried) >= 7  # at least the other buckets carried
+    got = {r.k: r.v for r in tbl.read(spark).filter(F.col("k").isin(7, 8)).collect()}
+    assert got == {7: "SEVEN2", 8: "v8"}
+    # rebucket is logically changeless: the feed reads straight through
+    assert tbl.read_changes(spark, v - 1).filter(
+        F.col("_commit_version") == v
+    ).count() == 0
+    # and replay across the rebucket still lands on the final state
+    from kaj_query_engine_spark.sources.versioned import apply_change_feed
+
+    replayed = apply_change_feed(
+        tbl.read(spark, 0), tbl.read_changes(spark, 0), ["k"]
+    )
+    cur = tbl.read(spark)
+    assert replayed.exceptAll(cur).count() == 0
+    assert cur.exceptAll(replayed).count() == 0
+
+
+def test_bulk_keyed_commit_falls_back_to_shuffle_join(spark, tmp_path):
+    """Round-9 review item 3: past the broadcast cap (derived from
+    autoBroadcastJoinThreshold), the keyed path must NOT broadcast the
+    touched frame — a bulk backfill with millions of keys would blow
+    the driver. Threshold is dropped so the cap lands in test range."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+    try:
+        from kaj_query_engine_spark.sources.versioned import (
+            _broadcast_key_cap,
+        )
+
+        cap = _broadcast_key_cap(spark)
+        assert cap == 1_024  # 64KiB / 64B
+        tbl = VersionedTable(tmp_path / "t")
+        tbl.init(
+            spark.range(30_000).select(
+                F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+            ),
+            bucket_keys=["k"], n_buckets=4,
+        )
+        bulk_keys = spark.range(10_000).select(F.col("id").alias("k"))
+        bulk_repl = bulk_keys.select("k", F.lit("bulk").alias("v"))
+        # capture the executed survivor-join plan via the write job's
+        # final data: assert on the DataFrame the commit builds by
+        # reproducing its join under the same guard decision
+        tbl.commit_keyed(bulk_repl, bulk_keys)
+        got = tbl.read(spark)
+        assert got.filter(F.col("v") == "bulk").count() == 10_000
+        assert got.count() == 30_000
+        # the guard itself: over-cap frames must not be hinted
+        from kaj_query_engine_spark.streaming.ops import _delta_join_frame
+
+        survivors_plan = (
+            tbl.read(spark)
+            .join(_delta_join_frame(bulk_keys, 10_000), on=["k"], how="left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in survivors_plan
+        small_plan = (
+            tbl.read(spark)
+            .join(
+                _delta_join_frame(spark.range(5).select(F.col("id").alias("k")), 5),
+                on=["k"], how="left_anti",
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in small_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
