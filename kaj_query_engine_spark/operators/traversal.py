@@ -146,9 +146,15 @@ def sssp_int(
         dist = merged
         if r % checkpoint_every == 0 or r == rounds:
             dist = dist.localCheckpoint(eager=True)
-            # re-anchor the frontier on the checkpointed plan
-            frontier = dist.join(
-                frontier.select("id"), "id", "left_semi"
-            )
+            # checkpoint the frontier TOO (round-9 review, plan-audit
+            # note): the former semi-join of dist against the
+            # pre-checkpoint frontier plan re-executed one round's
+            # frontier lineage on the next iteration; materializing
+            # the (usually small) frontier itself truncates its
+            # lineage for the same price paid once, not per reuse.
+            # Skipped on the FINAL round — that frontier is never
+            # used again, so its eager job would be pure waste
+            if r < rounds:
+                frontier = frontier.localCheckpoint(eager=True)
     e.unpersist()
     return dist

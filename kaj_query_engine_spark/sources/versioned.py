@@ -104,10 +104,29 @@ import os
 import shutil
 from pathlib import Path
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+class TouchedInfo(NamedTuple):
+    """Everything a keyed read/commit needs to know about a touched-key
+    frame, from ONE capped driver collect (hash, count per distinct
+    key): the sorted hash list drives file pruning, the bucket set
+    drives bucket pruning, n_rows drives the broadcast-size decision,
+    and n_rows == 0 is the no-op short-circuit. The foreachBatch apply
+    fns compute it once per batch and pass it to both
+    :meth:`VersionedTable.read_buckets` and
+    :meth:`VersionedTable.commit_keyed` so the batch pays one driver
+    job, not one per call."""
+
+    hashes: list[int] | None  # sorted distinct key hashes; None past cap
+    n_rows: int | None  # distinct touched rows; None past cap
+    buckets: set  # touched bucket ids under `n_buckets`
+    n_buckets: int  # the bucket spec this info was computed under
 
 _POINTER = "_CURRENT"
 _META = "_TABLE.json"
@@ -121,10 +140,12 @@ _KH = "_kh"  # physical key-hash column inside bucketed data files
 # byte-targeting deployment derives it as target_bytes/avg_row_bytes.
 DEFAULT_TARGET_FILE_ROWS = 65_536
 
-# Driver-side cap on the touched-key hash collect that powers file
-# pruning. Above it, commits fall back to bucket-level pruning and a
-# shuffled (non-broadcast) anti-join — the bulk-backfill regime.
-_PRUNE_KEY_CAP = 1_000_000
+# Touched-key count above which FILE-level pruning is skipped (bucket
+# pruning always runs — its collect is bounded by n_buckets): a delta
+# touching this many keys touches essentially every target-sized file
+# of its buckets anyway, so collecting the hash list would cost driver
+# time to prune nothing.
+_FILE_PRUNE_KEYS = 16_384
 
 
 def _next_pow2(x: int) -> int:
@@ -530,22 +551,59 @@ class VersionedTable:
                     "target_file_rows": target_file_rows,
                 }
             (self.path / _META).write_text(json.dumps(meta))
-        sub_bits = 0
+        files = self._write_data(df, 0, n_buckets=n_buckets)
         if bucket_keys is not None:
-            # one count (init is O(table) anyway) sizes the hash-range
-            # sub-split so no initial file much exceeds target_file_rows
-            # — without it the first keyed commit's rewrite unit would
-            # be a whole init bucket
-            sub_bits = self._sub_bits_for(df.count() / max(n_buckets, 1))
-        files = self._write_data(
-            df, 0, n_buckets=n_buckets or None, sub_bits=sub_bits
-        )
+            # oversized initial files are RE-SPLIT from the just-
+            # written data (cheap local parquet), not avoided by a
+            # pre-count: small tables — the common maintenance case —
+            # pay zero extra jobs, big ones pay one extra bounded
+            # rewrite so the first keyed commit's rewrite unit is a
+            # ~target_file_rows file instead of a whole init bucket
+            files = self._resplit_oversized(
+                df.sparkSession, 0, files, df.schema, n_buckets
+            )
         self._write_manifest(
             0, files, df.schema, batch_id,
             n_buckets=n_buckets if bucket_keys is not None else None,
         )
         self._swap_pointer(0)
         return 0
+
+    def _resplit_oversized(
+        self,
+        spark: SparkSession,
+        version: int,
+        files: list[dict],
+        schema: StructType,
+        n_buckets: int,
+    ) -> list[dict]:
+        """If any just-written file exceeds the target split (its
+        recorded rows demand sub_bits > 0), rewrite the version's data
+        hash-range sub-split and return the new entries; otherwise
+        return ``files`` unchanged. Reads back the written files — no
+        second execution of the caller's (possibly expensive) lineage."""
+        if not files:
+            return files
+        max_rows = max(f.get("rows") or 0 for f in files)
+        sub_bits = self._sub_bits_for(max_rows)
+        if sub_bits == 0:
+            return files
+        cdir = self.path / "data" / f"c{version}"
+        stage = self.path / "data" / f"_resplit{version}"
+        if stage.exists():
+            shutil.rmtree(stage)
+        os.replace(cdir, stage)
+        src = spark.read.schema(schema).parquet(
+            *[
+                str(stage / Path(f["path"]).relative_to(f"data/c{version}"))
+                for f in files
+            ]
+        )
+        out = self._write_data(
+            src, version, n_buckets=n_buckets, sub_bits=sub_bits
+        )
+        shutil.rmtree(stage)
+        return out
 
     def commit(
         self,
@@ -568,13 +626,15 @@ class VersionedTable:
         idempotent check :meth:`last_applied_batch` to skip
         at-least-once re-deliveries.
 
-        On a bucketed table the write sizes its hash-range sub-split
-        from a row count of ``df`` (one extra pass over the caller's
-        lineage); pass ``rows_hint`` when the count is already known
-        (compaction passes the manifest's recorded row sum).
-        ``new_n_buckets`` is :meth:`rebucket`'s hook — the spec change
-        rides in this commit's manifest so the atomic pointer swap
-        publishes files and spec together."""
+        On a bucketed table the write is hash-range sub-split so no
+        file much exceeds ``target_file_rows``: with ``rows_hint`` (a
+        known row count — compaction passes the manifest's recorded
+        sum) the split is sized up front; without it, oversized files
+        are re-split from the written data after the fact (zero extra
+        jobs when the table is small). ``new_n_buckets`` is
+        :meth:`rebucket`'s hook — the spec change rides in this
+        commit's manifest so the atomic pointer swap publishes files
+        and spec together."""
         cur = self.current_version()
         if cur is None:
             return self.init(df, batch_id)
@@ -587,9 +647,15 @@ class VersionedTable:
                 if new_n_buckets is not None
                 else self._n_buckets_at(self.manifest(cur))
             )
-            rows = df.count() if rows_hint is None else rows_hint
-            sub_bits = self._sub_bits_for(rows / max(nb, 1))
+            if rows_hint is not None:
+                sub_bits = self._sub_bits_for(rows_hint / max(nb, 1))
         files = self._write_data(df, nxt, n_buckets=nb, sub_bits=sub_bits)
+        if self.is_bucketed and rows_hint is None:
+            # no hint: oversized files re-split from the written data,
+            # same zero-extra-jobs-when-small rule as init
+            files = self._resplit_oversized(
+                df.sparkSession, nxt, files, df.schema, nb
+            )
         self._write_manifest(
             nxt, files, df.schema, batch_id, cdf=cdf, n_buckets=nb
         )
@@ -640,11 +706,57 @@ class VersionedTable:
         self._swap_pointer(nxt)
         return nxt
 
+    def touched_info(
+        self, touched_keys: DataFrame, _man: dict | None = None
+    ) -> TouchedInfo:
+        """Compute the :class:`TouchedInfo` for a touched-key frame.
+        The primary collect is BUCKET-granular — at most ``n_buckets``
+        result rows regardless of delta size — yielding the touched
+        bucket set, the exact distinct-key count (broadcast guard,
+        emptiness) in one job; the hash list for FILE-level pruning is
+        fetched by a second small job only when the key count is under
+        ``_FILE_PRUNE_KEYS`` (past it, a delta touches essentially
+        every file of its buckets, so the list would prune nothing).
+        Callers issuing a read_buckets AND a commit_keyed for the same
+        batch compute this once and pass it to both via ``info=``."""
+        if not self.is_bucketed:
+            raise ValueError(
+                f"touched_info needs a bucketed table: {self.path}"
+            )
+        man = _man if _man is not None else self.manifest()
+        schema = self._schema_of(man)
+        missing = [
+            k for k in self.bucket_keys if k not in touched_keys.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"touched keys must carry the bucket keys; missing: {missing}"
+            )
+        nb = self._n_buckets_at(man)
+        tk = self._cast_keys(touched_keys.distinct(), schema)
+        per_bucket = (
+            tk.groupBy(self._kb_expr(nb).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        tb = {r.b for r in per_bucket}
+        n_rows = sum(r.c for r in per_bucket)
+        hashes = None
+        if 0 < n_rows <= _FILE_PRUNE_KEYS:
+            hashes = sorted(
+                r.h for r in tk.select(self._kh_expr().alias("h")).collect()
+            )
+        elif n_rows == 0:
+            hashes = []
+        return TouchedInfo(hashes, n_rows, tb, nb)
+
     def commit_keyed(
         self,
         replacement: DataFrame,
         touched_keys: DataFrame,
         batch_id: int | None = None,
+        *,
+        info: TouchedInfo | None = None,
     ) -> int:
         """O(touched FILES) keyed commit: drop every stored row whose
         key appears in ``touched_keys`` (all of its columns join) and
@@ -728,41 +840,28 @@ class VersionedTable:
             # ONE capped driver collect powers everything downstream:
             # (hash, row-count) per distinct key hash → touched buckets
             # (pmod driver-side), file-range pruning, emptiness, and
-            # the broadcast decision from the TRUE touched-frame size
-            grouped = (
-                tk.groupBy(self._kh_expr().alias("h"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .limit(_PRUNE_KEY_CAP + 1)
-                .collect()
-            )
-            if len(grouped) > _PRUNE_KEY_CAP:
-                hashes = None  # over prune cap: bucket-level fallback
-                small = False
-                tb = {
-                    r[0]
-                    for r in tk.select(self._kb_expr(nb).alias(_KB))
-                    .distinct()
-                    .collect()
-                }
-            else:
-                hashes = sorted(r.h for r in grouped)
-                small = sum(r.c for r in grouped) <= bcap
-                tb = {h % nb for h in hashes}
-                if not hashes:
-                    # empty touched set: a logical no-op (empty micro-
-                    # batch). Minting a version would re-write strays
-                    # and grow history for nothing — short-circuit.
-                    # By the precondition an empty touched set means an
-                    # empty replacement; verify cheaply and fail loudly
-                    # on the caller bug instead of duplicating rows.
-                    if not replacement.isEmpty():
-                        raise ValueError(
-                            "commit_keyed precondition violated: "
-                            "non-empty replacement with empty "
-                            "touched_keys (replacement keys must be "
-                            "covered by touched_keys)"
-                        )
-                    return cur
+            # the broadcast decision from the TRUE touched-frame size.
+            # Callers that already computed it for their read_buckets
+            # pass it in — one driver job per batch, not one per call.
+            if info is None or info.n_buckets != nb:
+                info = self.touched_info(touched_keys, _man=man)
+            hashes, tb = info.hashes, info.buckets
+            small = info.n_rows is not None and info.n_rows <= bcap
+            if hashes is not None and not hashes:
+                # empty touched set: a logical no-op (empty micro-
+                # batch). Minting a version would re-write strays
+                # and grow history for nothing — short-circuit.
+                # By the precondition an empty touched set means an
+                # empty replacement; verify cheaply and fail loudly
+                # on the caller bug instead of duplicating rows.
+                if not replacement.isEmpty():
+                    raise ValueError(
+                        "commit_keyed precondition violated: "
+                        "non-empty replacement with empty "
+                        "touched_keys (replacement keys must be "
+                        "covered by touched_keys)"
+                    )
+                return cur
             bucket_files = [f for f in man["files"] if f["kb"] is not None]
             hits = _khr_hits(bucket_files, hashes, nb)
             touched_files = [
@@ -963,7 +1062,13 @@ class VersionedTable:
         man = self.manifest(version)
         return self._read_files(spark, man["files"], self._schema_of(man))
 
-    def read_buckets(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        *,
+        info: TouchedInfo | None = None,
+    ) -> DataFrame:
         """The rows of every FILE that could contain a key from
         ``keys_df`` — bucket match plus manifest ``khr`` hash-range
         overlap, the same pruning :meth:`commit_keyed` applies (a
@@ -975,30 +1080,10 @@ class VersionedTable:
         if not self.is_bucketed:
             return self.read(spark)
         man = self.manifest()
-        missing = [k for k in self.bucket_keys if k not in keys_df.columns]
-        if missing:
-            raise ValueError(
-                f"keys_df must carry the bucket keys; missing: {missing}"
-            )
         nb = self._n_buckets_at(man)
-        keys_df = self._cast_keys(keys_df, self._schema_of(man))
-        hrows = (
-            keys_df.select(self._kh_expr().alias("h"))
-            .distinct()
-            .limit(_PRUNE_KEY_CAP + 1)
-            .collect()
-        )
-        if len(hrows) > _PRUNE_KEY_CAP:
-            hashes = None
-            tb = {
-                r[0]
-                for r in keys_df.select(self._kb_expr(nb).alias(_KB))
-                .distinct()
-                .collect()
-            }
-        else:
-            hashes = sorted(r.h for r in hrows)
-            tb = {h % nb for h in hashes}
+        if info is None or info.n_buckets != nb:
+            info = self.touched_info(keys_df, _man=man)
+        hashes, tb = info.hashes, info.buckets
         files = man["files"]
         hits = _khr_hits(files, hashes, nb)
         picked = [

@@ -661,27 +661,32 @@ def stream_stateful_user_totals_tws(
     )
 
 
-def _pin_touched(touched: DataFrame) -> tuple[DataFrame, int]:
-    """Persist a batch's touched-key frame and count it ONCE: every
-    maintenance apply uses the frame three ways (bucket/file selection,
-    the semi-join, the commit), each of which would otherwise re-execute
-    the batch's distinct from scratch — and the exact count is what the
-    broadcast-size guard needs anyway. Callers unpersist after commit."""
-    t = touched.persist()
-    return t, t.count()
-
-
-def _delta_join_frame(touched: DataFrame, n: int) -> DataFrame:
+def _delta_join_frame(touched: DataFrame, n: int | None) -> DataFrame:
     """The touched frame as a join side: broadcast-hinted only while it
     actually fits a broadcast (keys ≤ the session-threshold-derived
     cap) — a bulk backfill batch with millions of touched keys falls
     back to a shuffled join instead of blowing the driver (round-9
-    review item 3)."""
+    review item 3). ``n`` is the frame's known row count — the apply
+    fns read it off the batch's ``TouchedInfo`` (one driver job per
+    batch, shared with read_buckets/commit_keyed); ``None`` means
+    over-cap, never hint."""
     from kaj_query_engine_spark.sources.versioned import _broadcast_key_cap
 
-    if n <= _broadcast_key_cap(touched.sparkSession):
+    if n is not None and n <= _broadcast_key_cap(touched.sparkSession):
         return F.broadcast(touched)
     return touched
+
+
+def _touched_setup(table, touched: DataFrame):
+    """(TouchedInfo | None, join-ready touched frame) for a batch:
+    bucketed tables pay ONE TouchedInfo collect — shared with the
+    batch's read_buckets and commit_keyed — and get the count-guarded
+    broadcast; unbucketed tables (full-rewrite degenerate path) keep
+    the by-contract delta broadcast."""
+    if table.is_bucketed:
+        ti = table.touched_info(touched)
+        return ti, _delta_join_frame(touched, ti.n_rows)
+    return None, F.broadcast(touched)
 
 
 def stream_merge_apply(
@@ -713,14 +718,12 @@ def stream_merge_apply(
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        touched, n = _pin_touched(batch_df.select(*keys).distinct())
-        if n == 0:
-            touched.unpersist()
+        touched = batch_df.select(*keys).distinct()
+        ti, tfr = _touched_setup(table, touched)
+        if ti is not None and ti.n_rows == 0:
             return  # empty micro-batch: logical no-op, mint no version
-        base = table.read_buckets(spark, touched)
-        touched_rows = base.join(
-            _delta_join_frame(touched, n), on=keys, how="left_semi"
-        )
+        base = table.read_buckets(spark, touched, info=ti)
+        touched_rows = base.join(tfr, on=keys, how="left_semi")
         merged = merge_upsert(
             touched_rows,
             batch_df,
@@ -733,8 +736,7 @@ def stream_merge_apply(
             # streaming MERGE sink)
             schema_evolution=schema_evolution,
         )
-        table.commit_keyed(merged, touched)
-        touched.unpersist()
+        table.commit_keyed(merged, touched, info=ti)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -782,14 +784,12 @@ def stream_scd2_apply(
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        touched, n = _pin_touched(batch_df.select(key).distinct())
-        if n == 0:
-            touched.unpersist()
+        touched = batch_df.select(key).distinct()
+        ti, tfr = _touched_setup(table, touched)
+        if ti is not None and ti.n_rows == 0:
             return  # empty micro-batch: logical no-op, mint no version
-        base = table.read_buckets(spark, touched)
-        touched_rows = base.join(
-            _delta_join_frame(touched, n), on=[key], how="left_semi"
-        )
+        base = table.read_buckets(spark, touched, info=ti)
+        touched_rows = base.join(tfr, on=[key], how="left_semi")
         # dim restricted to touched keys → scd2_merge_batch's "kept"
         # arm is empty by construction; the whole result is the
         # replacement for exactly the touched keys
@@ -801,8 +801,7 @@ def stream_scd2_apply(
             state_col,
             tiebreak=tiebreak,
         )
-        table.commit_keyed(merged, touched)
-        touched.unpersist()
+        table.commit_keyed(merged, touched, info=ti)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -852,20 +851,15 @@ def stream_agg_state_apply(
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
-        bs = batch_state_of(batch_df).persist()
-        touched, n = _pin_touched(bs.select(*keys).distinct())
-        if n == 0:
-            touched.unpersist()
-            bs.unpersist()
+        bs = batch_state_of(batch_df)
+        touched = bs.select(*keys).distinct()
+        ti, tfr = _touched_setup(table, touched)
+        if ti is not None and ti.n_rows == 0:
             return  # empty micro-batch: logical no-op, mint no version
-        base = table.read_buckets(spark, touched)
-        touched_state = base.join(
-            _delta_join_frame(touched, n), on=keys, how="left_semi"
-        )
+        base = table.read_buckets(spark, touched, info=ti)
+        touched_state = base.join(tfr, on=keys, how="left_semi")
         merged = merge_agg_state(touched_state, bs, keys, merge_exprs)
-        table.commit_keyed(merged, touched, batch_id=batch_id)
-        touched.unpersist()
-        bs.unpersist()
+        table.commit_keyed(merged, touched, batch_id=batch_id, info=ti)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -957,14 +951,14 @@ def stream_join_view_cdc_apply(
         last = table.last_applied_batch()
         if last is not None and batch_id <= last:
             return  # at-least-once re-delivery of an applied batch
-        touched, n = _pin_touched(batch_df.select(*on).distinct())
-        if n == 0:
-            touched.unpersist()
+        touched = batch_df.select(*on).distinct()
+        ti, _ = _touched_setup(table, touched)
+        if ti is not None and ti.n_rows == 0:
             return  # empty micro-batch: logical no-op, mint no version
         ups = batch_df.filter(F.col(op_col) != "D").drop(op_col)
-        replacement = static_left.join(_delta_join_frame(ups, n), on=on)
-        table.commit_keyed(replacement, touched, batch_id=batch_id)
-        touched.unpersist()
+        n_ups = ti.n_rows if ti is not None else None
+        replacement = static_left.join(_delta_join_frame(ups, n_ups), on=on)
+        table.commit_keyed(replacement, touched, batch_id=batch_id, info=ti)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
