@@ -223,7 +223,7 @@ def lower(
     if query.is_distinct:
         df = df.distinct()
     if query.orderby_list:
-        keys = []
+        resolved = []
         for a in query.orderby_list:
             col = _resolve_orderby_key(query, a, tables, df)
             if col is None:
@@ -239,22 +239,47 @@ def lower(
                     # is a bug, not a feature.
                     continue
                 raise LoweringError(f"ORDERBY key not in output schema: {a.qualified()}")
-            keys.append(col.desc() if query.is_desc else col.asc())
-        if keys:
+            resolved.append(col)
+        if resolved and query.project_list:
+            # POSITIONAL sort via a rename round-trip: the resolver
+            # returns output POSITIONS for projected queries, but
+            # pyspark's df[i] looks the name back up, which breaks on
+            # aggregate output names ('MAX(tab.col)' parses as an
+            # expression) and on duplicate bare names (CUSTOMER.cid,
+            # CART.cid both project 'cid'). toDF renames by position,
+            # the sort runs on unambiguous temp names, and a second
+            # toDF restores the byte-pinned sink headers — found by
+            # the grouped ORDERBY-on-aggregate fuzz (round 10)
+            orig = df.columns
+            tmp = df.toDF(*[f"__ob{i}" for i in range(len(orig))])
+            keys = [
+                tmp[f"__ob{i}"].desc() if query.is_desc else tmp[f"__ob{i}"].asc()
+                for i in resolved
+            ]
+            df = tmp.orderBy(*keys).toDF(*orig)
+        elif resolved:
+            keys = [
+                col.desc() if query.is_desc else col.asc()
+                for col in resolved
+            ]
             df = df.orderBy(*keys)
     return df
 
 
-def _resolve_orderby_key(query: SQLQuery, a: Attribute, tables, df) -> Column | None:
-    """ORDERBY key → sort Column, or None when the key does not appear
-    in the output schema. Resolution is by QUALIFIED attribute like the
+def _resolve_orderby_key(
+    query: SQLQuery, a: Attribute, tables, df
+) -> int | Column | None:
+    """ORDERBY key → output POSITION (projected queries) or sort
+    Column (``SELECT *``), or None when the key does not appear in the
+    output schema. Resolution is by QUALIFIED attribute like the
     reference's ``attr.toString().equals(...)`` match — a bare-name
     match would sort ``CART.remarks`` when ``CARTDETAILS.remarks`` was
     asked for (tables are matched case-insensitively, the dialect's
     norm). Matches resolve POSITIONALLY against the project list, so
-    duplicate output names (``CUSTOMER.cid, CART.cid``) stay
-    unambiguous; ``SELECT *`` keys resolve through the per-table
-    aliases, which survive the join."""
+    duplicate output names (``CUSTOMER.cid, CART.cid``) and aggregate
+    output names stay unambiguous (the caller sorts through a
+    positional rename); ``SELECT *`` keys resolve through the
+    per-table aliases, which survive the join."""
     from kaj_query_engine_spark.dialect.ast import AggType
 
     if query.project_list:
@@ -264,7 +289,7 @@ def _resolve_orderby_key(query: SQLQuery, a: Attribute, tables, df) -> Column | 
                 and p.table.lower() == a.table.lower()
                 and p.column == a.column
             ):
-                return df[i]
+                return i
         return None
     # SELECT *: every table's every column is in the output schema
     key = a.table.lower()

@@ -250,6 +250,11 @@ def test_random_grouped_aggregates(engine, duck, data):
         | st.tuples(st.sampled_from(OPS), st.integers(0, 2500)),
         label="where",
     )
+    # ORDERBY target: a group key, or one of the DRAWN AGGREGATES —
+    # the dialect's attlist accepts AGG(tab.col) and the lowering
+    # resolves it positionally against the project list (round-9
+    # review item 6: this path previously rode on zero fuzz cases)
+    order_on_agg = data.draw(st.booleans(), label="order_on_agg")
     order = data.draw(
         st.none() | st.sampled_from(["", " DESC"]), label="order"
     )
@@ -264,8 +269,16 @@ def test_random_grouped_aggregates(engine, duck, data):
         q += f' WHERE {tbl}.{fcol}{op}"{lit}"'
         sql_where = f"WHERE {fcol} {DUCK_OP.get(op, op)} {lit}"
     q += f" GROUPBY {', '.join(f'{tbl}.{k}' for k in keys)}"
-    if order is not None:
-        q += f" ORDERBY {tbl}.{keys[0]}{order}"
+    ordered = order is not None
+    if ordered:
+        # lead with the drawn target, tiebreak on every group key so
+        # the order is TOTAL (keys are unique per group) and the
+        # row sequence itself becomes comparable; the dialect's DESC
+        # is whole-list (SURVEY §2.3 quirk), mirrored in the oracle
+        oa, oc = aggs[0]
+        lead = f"{oa}({tbl}.{oc})" if order_on_agg else f"{tbl}.{keys[0]}"
+        tail = ", ".join(f"{tbl}.{k}" for k in keys)
+        q += f" ORDERBY {lead}, {tail}{order}"
 
     def duck_agg(a, c):
         # COUNT counts rows (the reference's ungrouped semantics carry
@@ -280,4 +293,116 @@ def test_random_grouped_aggregates(engine, duck, data):
         f"{', '.join(duck_agg(a, c) for a, c in aggs)} "
         f"FROM {tbl} {sql_where} GROUP BY {', '.join(keys)}"
     )
-    assert_same_result(engine.sql(q), duck, sql)
+    if ordered:
+        # Spark defaults: ASC = NULLS FIRST, DESC = NULLS LAST —
+        # pinned explicitly so DuckDB's defaults can't mask a drift
+        null_rule = "NULLS LAST" if order == " DESC" else "NULLS FIRST"
+        lead_sql = (
+            f'"{aggs[0][0]}({tbl}.{aggs[0][1]})"'
+            if order_on_agg
+            else keys[0]
+        )
+        okeys = [lead_sql] + keys
+        sql += " ORDER BY " + ", ".join(
+            f"{k}{order} {null_rule}" for k in okeys
+        )
+        assert_same_result_ordered(engine.sql(q), duck, sql)
+    else:
+        assert_same_result(engine.sql(q), duck, sql)
+
+
+def assert_same_result_ordered(spark_df, duck_con, sql):
+    """Order-SENSITIVE differential check: the row SEQUENCES must
+    match, not just the row sets — this is what actually pins ORDERBY
+    (the shared order-insensitive helper would pass a broken sort).
+    Callers guarantee both sides emit a total order."""
+    from tests.conftest import _canon_value
+
+    expected = duck_con.execute(sql)
+    exp_cols = [d[0] for d in expected.description]
+    want = [
+        tuple(_canon_value(v) for v in row) for row in expected.fetchall()
+    ]
+    assert list(spark_df.columns) == exp_cols
+    got = [
+        tuple(_canon_value(v) for v in row) for row in spark_df.collect()
+    ]
+    assert got == want, f"sequence mismatch\n spark={got[:5]}\n duck={want[:5]}"
+
+
+# ---- grouped HAVING (the q11 workload shape) vs DuckDB --------------
+#
+# The dialect grammar has no HAVING (the reference's doesn't either),
+# so the HAVING path lives in the WORKLOAD layer: groupBy().agg()
+# followed by a filter on an aggregate output — q11's shape. Round-9
+# review item 6: that path rode on the one pinned query; this class
+# sweeps it differentially — random keys/aggregates, a HAVING
+# predicate over a drawn aggregate, optional WHERE — against DuckDB's
+# native GROUP BY ... HAVING.
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_grouped_having_on_aggregates(spark, ref_tables, duck, data):
+    from pyspark.sql import functions as F
+
+    tbl = data.draw(st.sampled_from(sorted(GROUP_TABLES)), label="table")
+    keys_pool, agg_cols, fcol = GROUP_TABLES[tbl]
+    df = ref_tables[tbl][0]
+    keys = data.draw(
+        st.lists(st.sampled_from(keys_pool), min_size=1, max_size=2,
+                 unique=True),
+        label="keys",
+    )
+    aggs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["MIN", "MAX", "SUM", "COUNT", "AVG"]),
+                st.sampled_from(agg_cols),
+            ),
+            min_size=1, max_size=2, unique=True,
+        ),
+        label="aggs",
+    )
+    hop = data.draw(st.sampled_from(OPS), label="having_op")
+    hlit = data.draw(st.integers(0, 2500), label="having_lit")
+    where = data.draw(
+        st.none() | st.tuples(st.sampled_from(OPS), st.integers(0, 2500)),
+        label="where",
+    )
+
+    SPARK_AGG = {
+        "MIN": F.min, "MAX": F.max, "SUM": F.sum, "AVG": F.avg,
+        "COUNT": lambda c: F.count(F.lit(1)),
+    }
+    aliases = [f"{a}_{c}" for a, c in aggs]
+    out = df
+    sql_where = ""
+    if where is not None:
+        op, lit = where
+        out = out.filter(F.expr(f"{fcol} {op} {lit}"))
+        sql_where = f"WHERE {fcol} {DUCK_OP.get(op, op)} {lit}"
+    out = out.groupBy(*keys).agg(*[
+        SPARK_AGG[a](F.col(c)).alias(al) for (a, c), al in zip(aggs, aliases)
+    ])
+    # HAVING over the FIRST drawn aggregate (q11's filter-on-agg shape)
+    out = out.filter(F.expr(f"{aliases[0]} {hop} {hlit}"))
+
+    def duck_agg(a, c, al):
+        expr = "count(*)" if a == "COUNT" else f"{a.lower()}({c})"
+        if a in ("SUM", "COUNT"):
+            expr = f"CAST({expr} AS BIGINT)"
+        return f"{expr} AS {al}", expr
+
+    exprs = [duck_agg(a, c, al) for (a, c), al in zip(aggs, aliases)]
+    sql = (
+        f"SELECT {', '.join(keys)}, "
+        f"{', '.join(e[0] for e in exprs)} "
+        f"FROM {tbl} {sql_where} GROUP BY {', '.join(keys)} "
+        f"HAVING {exprs[0][1]} {DUCK_OP.get(hop, hop)} {hlit}"
+    )
+    assert_same_result(out, duck, sql)
