@@ -64,86 +64,51 @@ def register(
 # Every query keeps identical semantics — this is ordering of
 # verification attention only, never a behavior change.
 
-# RULE 1 is now MECHANICALLY DERIVED (round-8 review "What's wrong"
-# #2): ``tools/changed_queries.py`` maps the round's git diff (since
-# the driver's last ``round N:`` commit, working tree included)
-# through each registering module's static import closure, and
+# RULE 1 is MECHANICALLY DERIVED: ``tools/changed_queries.py`` maps
+# the round's git diff (since the driver's last ``round N:`` commit,
+# working tree included) to changed queries, and
 # ``tests/test_registry_rotation.py`` pins this list ⊇ the derived
-# set — an under-maintained hand list now FAILS pytest instead of
+# set — an under-maintained hand list FAILS pytest instead of
 # silently starving a changed query of its external check.
 #
-# Round 9's derived set (module-closure granularity, deliberately a
-# superset): the VersionedTable manifest/O(Δ) rewrite + rerouted
-# foreachBatch maintenance pins the streaming and maintenance
-# modules (q44, q55–q59, q66, q67, q80–q89, q96); the codec guard
-# fixes (jpeg DC category, avi chunk tag, flac overflow) pin the
-# multimodal module (q90–q99); the kmeans iterations guard pins the
-# similarity module (q60–q63, q65, q91).
+# Round 10 derives at SYMBOL granularity (``derive_fine`` — the
+# round-9 verdict's instruction when module closures over-pin): the
+# one-function ORDERBY fix in ``dialect.lowering`` pins exactly the
+# five dialect-front-end queries (module closure would have pinned
+# all 86, because every workload module imports ``workload.core``
+# whose dialect factory reaches the lowering); the VersionedTable
+# file-pruning rework + streaming apply rewiring pins q33 and the
+# foreachBatch/stateful streaming family; the sssp_int frontier
+# checkpoint pins q18. Module closure remains the checked upper
+# bound (derive_fine ⊆ derive, pinned in the rotation test).
 _CHANGED_THIS_ROUND = [
-    "q33_table_time_travel",  # NEW in round 9
-    "q71_bfs_reach",  # NEW in round 9
-    "q18_shortest_paths",  # NEW in round 9
-    "q85_stream_merge",  # O(Δ) keyed commits land here
+    "q33_table_time_travel",  # commit_keyed file pruning + version ids
+    "q18_shortest_paths",  # sssp_int frontier checkpoint
+    "q85_stream_merge",  # TouchedInfo one-collect apply path
     "q86_stream_scd2",
     "q87_stream_agg_state",
     "q89_stream_join_view",
-    "q80_stream_windows",
+    "q80_stream_windows",  # auto_state_partitions memo-key fix
     "q81_stream_late_data",
     "q82_stream_dedup",
     "q83_stream_stateful_totals",
     "q84_stream_stream_join",
-    "q96_stream_media_decode",
-    "q44_incremental_agg",
-    "q55_merge_upsert",
-    "q56_scd2_dimension",
-    "q57_scd2_incremental",
-    "q58_constraint_audit",
-    "q59_pit_join",
-    "q66_merge_evolve",
-    "q67_incremental_join",
-    "q88_incremental_distinct",
-    "q90_media_frames",
-    "q91_kmeans_int",
-    "q92_media_features",
-    "q93_png_decode",
-    "q94_wav_decode",
-    "q95_avi_decode",
-    "q97_jpeg_decode",
-    "q98_gif_decode",
-    "q99_flac_decode",
-    "q60_ann_brute_force",
-    "q61_ann_lsh",
-    "q62_embedding_neardup",
-    "q63_ann_ivf",
-    "q65_hybrid_retrieval",
+    "q01_scan",  # dialect ORDERBY positional-sort fix (lowering)
+    "q02_select_distinct_orderby",
+    "q03_agg_witness",
+    "q07_join4",
+    "q10_theta_join",
 ]
 
-# Stalest-first (RULE 2): the round-8 verdict's rotation list — last
-# green DRIVER row is round 7 for all of these (the round-8 review
-# re-verified every one at sf0.01 today-green, but driver rows should
-# not go >2 rounds stale). Eight of the verdict's 33 (q55–q59, q44,
-# q88, q98) are already pinned by RULE 1 above; with the three NEW
-# round-9 queries also pinned (36 total), the 50-query window holds
-# the first 14 of the remaining 25 — the tail of ELEVEN (q39, q40,
-# q41, q42, q43, q45, q46, q47, q48, q49, q50; partitioned merge plus
-# the text/pipeline family, all pytest-covered and green in this
-# round's local sf0.01+sf0.1 sweeps) carries to round 10's fill, an
-# explicit consequence of RULE 1 taking precedence over rotation.
+# Stalest-first (RULE 2): the ELEVEN-query tail the round-9 verdict
+# ordered rotated in FIRST (last driver row round 7 — q39–q43,
+# q45–q50: partitioned merge plus the text/pipeline family), then
+# every query whose last driver row is round 8 (outside round 9's
+# 50-window), then three round-9-fresh picks (the flagship plus two
+# maintenance neighbors of this round's versioned-table changes).
+# 16 pinned + 34 here = the full 50-slot window; nothing this round
+# is more than one round driver-stale after it runs.
 _STALEST = [
-    "q00_flagship_revenue",
-    "q20_set_ops",
-    "q23_limit_topk",
-    "q24_scalar_string_math",
-    "q25_date_case",
-    "q27_grouped_analytics",
-    "q29_pivot",
-    "q30_count_distinct",
-    "q32_format_roundtrips",
-    "q34_text_etl_sink",
-    "q35_partition_pruning",
-    "q36_bucketed_join",
-    "q37_salted_agg",
-    "q38_percentiles",
     "q39_partitioned_merge",
     "q40_text_stats",
     "q41_bpe_tokenizer",
@@ -155,6 +120,31 @@ _STALEST = [
     "q48_decontaminate",
     "q49_doc_chunks",
     "q50_dedup_exact",
+    # last driver row round 8:
+    "q11_groupby_having",
+    "q13_join_variants",
+    "q16_cross_join",
+    "q17_window_funcs",
+    "q51_minhash_lsh",
+    "q52_ngram_jaccard",
+    "q53_simhash",
+    "q54_dedup_clusters",
+    "q64_pagerank",
+    "q68_span_dedup",
+    "q69_span_decontaminate",
+    "q70_windows",
+    "q72_sessionize",
+    "q73_asof_join",
+    "q74_range_join",
+    "q75_time_rollup",
+    "q76_json_props",
+    "q77_rolling_window",
+    "q78_funnel",
+    "q79_retention_cohorts",
+    # round-9-fresh fill for the remaining three slots:
+    "q00_flagship_revenue",
+    "q44_incremental_agg",
+    "q55_merge_upsert",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [

@@ -46,13 +46,18 @@ def _in_git_checkout() -> bool:
 def test_changed_this_round_superset_of_derived():
     if not _in_git_checkout():  # exported tree without history
         pytest.skip("not a git checkout — derivation needs the diff")
-    derived = set(CQ.derive())
-    missing = derived - set(_CHANGED_THIS_ROUND)
+    fine = set(CQ.derive_fine())
+    missing = fine - set(_CHANGED_THIS_ROUND)
     assert not missing, (
         "RULE 1 violation: queries whose code changed this round are "
         f"missing from _CHANGED_THIS_ROUND: {sorted(missing)} — "
         "run `python tools/changed_queries.py` and add them"
     )
+    # the symbol-granular set must stay INSIDE the module-closure set:
+    # module closure is the conservative upper bound; fine exceeding it
+    # would mean the symbol walker invented an edge
+    coarse = set(CQ.derive())
+    assert fine <= coarse, sorted(fine - coarse)
 
 
 def test_derivation_mechanics():
@@ -76,6 +81,37 @@ def test_derivation_mechanics():
     # every registered query maps to a module the walker can read
     for name, mod in CQ.query_modules().items():
         assert CQ._module_file(mod) is not None, (name, mod)
+
+
+def test_symbol_walker_mechanics():
+    """The fine-granularity walker (round 10): seeds resolve through
+    factory qualnames, edges follow from-imports / module-alias
+    attribute use / sibling symbols / module-level assignments, and
+    the hub edge that collapsed module closures (every workload module
+    → core.t → dialect) does NOT appear at symbol granularity."""
+    pkg = "kaj_query_engine_spark"
+    # a dialect-factory query reaches the lowering...
+    r = CQ._reachable(f"{pkg}.workload.core", "_dialect")
+    assert (f"{pkg}.dialect.lowering", "lower") in r
+    # ...a plain-DataFrame query in the SAME module does not
+    r11 = CQ._reachable(f"{pkg}.workload.core", "q11")
+    assert (f"{pkg}.dialect.lowering", "lower") not in r11
+    # function-local imports count: q85's body imports streaming.ops,
+    # whose apply fn constructs against sources.versioned (class edge)
+    r85 = CQ._reachable(f"{pkg}.workload.streaming", "q85")
+    assert (f"{pkg}.streaming.ops", "stream_merge_apply") in r85
+    assert (f"{pkg}.sources.versioned", "VersionedTable") in r85
+    # a codec query never reaches the versioned table or the dialect
+    r93 = CQ._reachable(f"{pkg}.workload.multimodal", "q93")
+    mods93 = {m for m, _s in r93}
+    assert f"{pkg}.sources.versioned" not in mods93
+    assert f"{pkg}.dialect.lowering" not in mods93
+    # module-level assignment symbols resolve narrowly: importing one
+    # oracle constant from maintenance must not pull its whole module
+    rs = CQ._reachable(f"{pkg}.workload.streaming", "q86")
+    maint_syms = {s for m, s in rs if m == f"{pkg}.workload.maintenance"}
+    assert maint_syms  # the imported oracle constant edge exists...
+    assert "q33" not in maint_syms  # ...without the whole module
 
 
 def test_pin_lists_name_real_queries_and_fill_window():

@@ -176,3 +176,272 @@ if __name__ == "__main__":
     for name, hits in sorted(d.items()):
         print(f"{name}: {', '.join(hits)}")
     print(f"# {len(d)} derived-changed queries")
+
+
+# ---------------------------------------------------------------------
+# Symbol-granular derivation (round 10)
+# ---------------------------------------------------------------------
+#
+# Module-closure granularity collapses when a HUB module changes: every
+# workload module imports ``workload.core`` (for the fixture loader
+# ``t``), core's dialect factory reaches ``dialect.lowering``, so a
+# one-function lowering fix derives ALL queries changed and RULE 1
+# claims every verification slot — starving rotation, the exact
+# failure the round-9 verdict told this tool to prevent by shrinking
+# granularity to per-function.
+#
+# The fine derivation is a static SYMBOL-reachability closure:
+#
+# 1. the round's git diff maps, per changed package file, to the
+#    top-level symbols — def/class (decorators included) AND
+#    module-level assignments (oracle strings, constants) — whose
+#    spans the hunks' non-blank, non-comment lines touch; lines
+#    outside every span mean "module-level changed";
+# 2. each query seeds at the top-level symbol that registers it
+#    (``q.spark.__qualname__``'s first segment — factory-made runners
+#    like ``_dialect.<locals>.run`` seed at the factory);
+# 3. edges follow resolved imports, module-alias attribute use, and
+#    references to sibling top-level symbols; a CLASS is one symbol
+#    (any method change pins every user of the class — method-level
+#    dispatch is not resolved); a constant assigned from another
+#    module's function is a symbol whose edge reaches that function;
+# 4. a query is derived-changed when its reachable set meets a changed
+#    symbol, or when the MODULE-LEVEL residue (code outside every
+#    top-level symbol, e.g. bare register(...) calls) of any module
+#    its closure touches changed.
+#
+# Deliberate conservatisms (all round DOWN to "pinned"): unresolvable
+# ``from X import *`` and names missing from their target module
+# (true re-exports) widen to the whole target module; ``<lambda>``-
+# registered queries widen to their whole module. Known
+# under-approximation: dispatch through strings/getattr is invisible —
+# none of the registration paths use it, and the module-closure
+# derivation remains available as the checked upper bound
+# (``derive_fine() ⊆ derive()`` is pinned in the rotation test).
+
+_MODLEVEL = ""  # sentinel: module-level code outside every symbol
+
+
+def _parse_module(mod: str):
+    """(spans, graph_nodes) for a package module: spans is a list of
+    (start_line, end_line, symbol) covering every top-level def/class
+    (decorators included) and module-level assignment target;
+    graph_nodes maps symbol → list of AST nodes defining it."""
+    f = _module_file(mod)
+    tree = ast.parse(f.read_text())
+    spans: list[tuple[int, int, str]] = []
+    nodes: dict[str, list] = {}
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            spans.append((start, node.end_lineno, node.name))
+            nodes.setdefault(node.name, []).append(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            names = [t.id for t in targets if isinstance(t, ast.Name)]
+            for nm in names:
+                spans.append((node.lineno, node.end_lineno, nm))
+                nodes.setdefault(nm, []).append(node)
+    return spans, nodes, tree
+
+
+def _import_bindings(nodes) -> dict[str, tuple[str, str | None]]:
+    """local name → (module, symbol|None) for every import in the
+    given AST nodes; ``from X import *`` binds a star sentinel."""
+    out: dict[str, tuple[str, str | None]] = {}
+    for node in nodes:
+        for n in ast.walk(node):
+            if isinstance(n, ast.Import):
+                for a in n.names:
+                    if not a.name.startswith(PKG):
+                        continue
+                    local = a.asname or a.name.split(".")[0]
+                    out[local] = (a.name, None)
+            elif isinstance(n, ast.ImportFrom):
+                if n.level:
+                    continue  # package uses absolute imports
+                stem = n.module or ""
+                if not stem.startswith(PKG):
+                    continue
+                for a in n.names:
+                    if a.name == "*":
+                        out["*" + stem] = (stem, "*")
+                        continue
+                    local = a.asname or a.name
+                    if _module_file(f"{stem}.{a.name}") is not None:
+                        out[local] = (f"{stem}.{a.name}", None)
+                    else:
+                        out[local] = (stem, a.name)
+    return out
+
+
+def _refs_of(nodes, bindings, local_syms, mod) -> set[tuple[str, str | None]]:
+    """(module, symbol|None) references made by these AST nodes."""
+    refs: set[tuple[str, str | None]] = set()
+    for _k, (tmod, tsym) in bindings.items():
+        if tsym == "*":
+            refs.add((tmod, None))
+    for node in nodes:
+        for n in ast.walk(node):
+            if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+                b = bindings.get(n.value.id)
+                if b is not None and b[1] is None and _module_file(b[0]):
+                    base = b[0]
+                    if _module_file(f"{base}.{n.attr}") is not None:
+                        refs.add((f"{base}.{n.attr}", None))
+                    else:
+                        refs.add((base, n.attr))
+                    continue
+            if isinstance(n, ast.Name):
+                b = bindings.get(n.id)
+                if b is not None and b[1] != "*":
+                    refs.add(b)
+                elif n.id in local_syms:
+                    refs.add((mod, n.id))
+    return refs
+
+
+def _symbol_graph(mod: str, _memo={}):
+    """{symbol: refs} for a module (no _MODLEVEL entry — module-level
+    residue like bare register() calls is other queries' registration,
+    not this query's dataflow; its CHANGES still pin via
+    derive_fine's module-level rule)."""
+    if mod in _memo:
+        return _memo[mod]
+    spans, nodes, tree = _parse_module(mod)
+    mod_bindings = _import_bindings(tree.body)
+    local_syms = set(nodes)
+    graph: dict[str, set] = {}
+    for name, defn_nodes in nodes.items():
+        bindings = dict(mod_bindings)
+        bindings.update(_import_bindings(defn_nodes))
+        graph[name] = _refs_of(defn_nodes, bindings, local_syms, mod)
+    _memo[mod] = graph
+    return graph
+
+
+def _reachable(seed_mod: str, seed_sym: str | None) -> set[tuple[str, str]]:
+    """Closure of (module, symbol) pairs reachable from the seed;
+    symbol None / unknown widens to the whole module."""
+    seen: set[tuple[str, str]] = set()
+    stack = [(seed_mod, seed_sym)]
+    while stack:
+        mod, sym = stack.pop()
+        if _module_file(mod) is None or mod in _LEAVES:
+            continue
+        graph = _symbol_graph(mod)
+        targets = (
+            list(graph) if sym is None or sym not in graph else [sym]
+        )
+        for t in targets:
+            if (mod, t) in seen:
+                continue
+            seen.add((mod, t))
+            for rmod, rsym in graph.get(t, ()):
+                key = (rmod, rsym)
+                if rsym is None or key not in seen:
+                    stack.append(key)
+    return seen
+
+
+def changed_symbols(rng: str) -> dict[str, set[str]]:
+    """{module: changed top-level symbols}, with _MODLEVEL recorded
+    when a hunk's non-blank, non-comment NEW lines (or a pure
+    deletion's position) fall outside every symbol span, and a
+    whole-module entry (_MODLEVEL alone suffices — derive_fine treats
+    it maximally) when the new file is unparseable."""
+    import re as _re
+
+    out: dict[str, set[str]] = {}
+    diff = _git("diff", "-U0", rng, "--", f"{PKG}/")
+    cur: str | None = None
+    spans: list[tuple[int, int, str]] = []
+    new_line = 0  # running new-side line number inside a hunk
+    collecting = False
+
+    def _map_line(ln: int) -> str:
+        for s, e, name in spans:
+            if s <= ln <= e:
+                return name
+        return _MODLEVEL
+
+    for line in diff.splitlines():
+        if line.startswith("+++ "):
+            path = line[4:].strip()
+            cur, spans, collecting = None, [], False
+            if path.startswith("b/") and path.endswith(".py"):
+                m = _path_to_module(path[2:])
+                if m not in _LEAVES:
+                    cur = m
+                    try:
+                        spans, _nodes, _tree = _parse_module(cur)
+                    except (SyntaxError, OSError, TypeError):
+                        out.setdefault(cur, set()).add(_MODLEVEL)
+                        cur = None
+        elif line.startswith("@@") and cur is not None:
+            m = _re.search(r"\+(\d+)(?:,(\d+))?", line)
+            if not m:
+                collecting = False
+                continue
+            new_line = int(m.group(1))
+            d = int(m.group(2)) if m.group(2) is not None else 1
+            collecting = True
+            if d == 0:
+                # pure deletion: attribute to the symbol at the splice
+                # point (or the one right after), else module level
+                syms = out.setdefault(cur, set())
+                hit = _map_line(new_line)
+                if hit is _MODLEVEL:
+                    hit = _map_line(new_line + 1)
+                syms.add(hit)
+                collecting = False
+        elif collecting and cur is not None and line.startswith("+"):
+            text = line[1:].strip()
+            if text and not text.startswith("#"):
+                out.setdefault(cur, set()).add(_map_line(new_line))
+            new_line += 1
+        elif collecting and not line.startswith(("+", "-", "\\")):
+            collecting = False
+    return out
+
+
+def derive_fine(rng: str | None = None) -> dict[str, list[str]]:
+    """{derived-changed query: sorted 'module:symbol' evidence} at
+    SYMBOL granularity — the RULE 1 set the registry pins."""
+    rng = rng or default_range()
+    if rng is None:
+        return {}
+    changed = changed_symbols(rng)
+    if not changed:
+        return {}
+    out: dict[str, list[str]] = {}
+    sys.path.insert(0, str(REPO))
+    from kaj_query_engine_spark.workload.registry import all_queries
+
+    reach_memo: dict[tuple[str, str | None], set] = {}
+    for name, q in all_queries().items():
+        mod = q.spark.__module__
+        top = q.spark.__qualname__.split(".")[0]
+        seed_sym = None if top == "<lambda>" else top
+        key = (mod, seed_sym)
+        if key not in reach_memo:
+            reach_memo[key] = _reachable(mod, seed_sym) | {(mod, seed_sym)}
+        reached = reach_memo[key]
+        reached_mods = {m for m, _s in reached} | {mod}
+        hits = set()
+        for cmod, csyms in changed.items():
+            for cs in csyms:
+                if cs == _MODLEVEL:
+                    if cmod in reached_mods:
+                        hits.add(f"{cmod}:<module>")
+                elif (cmod, cs) in reached:
+                    hits.add(f"{cmod}:{cs}")
+        if hits:
+            out[name] = sorted(hits)
+    return out
