@@ -185,9 +185,10 @@ def _broadcast_key_cap(spark: SparkSession) -> int:
 # space (hashing destroys key locality), so ranges only prune the
 # sub-split files they were written for — exact lists make SMALL files
 # (append strays, tiny rewrites) prunable too, at a bounded manifest
-# cost. The same idea as a per-file bloom/dictionary filter in real
-# formats, in its minimal exact form.
-_KHS_EXACT_CAP = 256
+# cost (≤ ~20 KB of JSON per qualifying file). The same idea as a
+# per-file bloom/dictionary filter in real formats, in its minimal
+# exact form.
+_KHS_EXACT_CAP = 1024
 
 
 def _parquet_kh_stats(

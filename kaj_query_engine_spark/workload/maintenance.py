@@ -1076,3 +1076,167 @@ def q33(spark, sf_dir):
         .unionAll(arm(cdf, "cdf", F.col("op")))
         .unionAll(delta)
     )
+
+
+# ---- q19: bucket-spec evolution lifecycle ----------------------------
+#
+# The round-10 storage design under its own oracle: file-bounded keyed
+# rewrites (manifest khr/khs stats prune at FILE granularity), append
+# strays range/exact-list-pruned past keyed commits that cannot touch
+# them, and rebucket() evolving n_buckets online with history, the
+# change feed, and the replay law all crossing the spec change intact.
+# Sparse update/delete classes keep the carried-files invariants
+# deterministic (q33's rule); the dense insert class makes the strays
+# real. All-integer cents.
+_BE_CUT = _IVM_CUT_O
+_BE_UPD, _BE_DEL, _BE_INS = 5_003, 11_003, 149
+_BE_BASE = (
+    "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) "
+    f"AS cents FROM orders WHERE o_orderdate < TIMESTAMP '{_BE_CUT}'"
+)
+_BE_INS_SQL = (
+    "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) "
+    f"AS cents FROM orders WHERE o_orderdate >= TIMESTAMP '{_BE_CUT}' "
+    f"AND o_orderkey % {_BE_INS} = 0"
+)
+_BE_ORACLE = (
+    f"WITH base AS ({_BE_BASE}), ins AS ({_BE_INS_SQL}), "
+    "fin AS (SELECT k, CASE WHEN k % "
+    f"{_BE_UPD} = 0 THEN cents + 500 ELSE cents END AS cents "
+    f"FROM base WHERE k % {_BE_DEL} != 0 "
+    f"UNION ALL SELECT k, cents FROM ins WHERE k % {_BE_DEL} != 0) "
+    "SELECT 'v0' AS path, '-' AS op, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) "
+    "AS cents_sum FROM base "
+    "UNION ALL SELECT 'final', '-', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM fin "
+    # the replay arm re-states fin: apply_change_feed(v0, feed) must
+    # land on the final state even though the feed CROSSES a rebucket
+    "UNION ALL SELECT 'replay', '-', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM fin "
+    "UNION ALL SELECT 'feed', 'I', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ins "
+    "HAVING count(*) > 0 "
+    "UNION ALL SELECT 'feed', 'U', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents + 500) AS BIGINT) "
+    f"FROM base WHERE k % {_BE_UPD} = 0 HAVING count(*) > 0 "
+    # D pre-images carry the state AT DELETE TIME: an updated-then-
+    # deleted BASE key shows its +500 pre-image; an inserted key in
+    # the update class does NOT (the update batch touches base keys
+    # only — key 0 sits in every modulo class and is a post-cut
+    # insert, the case that caught a first draft of this oracle)
+    "UNION ALL SELECT 'feed', 'D', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM "
+    f"(SELECT k, cents + CASE WHEN k % {_BE_UPD} = 0 THEN 500 ELSE 0 "
+    "END AS cents FROM base UNION ALL SELECT k, cents FROM ins) "
+    f"WHERE k % {_BE_DEL} = 0 HAVING count(*) > 0"
+)
+
+
+@register(
+    "q19_bucket_evolution",
+    _BE_ORACLE,
+    "bucket-spec evolution lifecycle over the VersionedTable: init at "
+    "n_buckets=2 with a small file target (forcing real hash-range "
+    "sub-splits), append post-cut inserts as strays (exact-hash-list "
+    f"pruning metadata recorded), sparse keyed update (% {_BE_UPD}) — "
+    "invariant-asserted to rewrite at most one FILE per touched key "
+    "and to carry every stray forward unread — then rebucket() to 8 "
+    "(spec versioned per manifest: old versions stay readable under "
+    f"n_buckets=2), then a sparse keyed delete (% {_BE_DEL}) under "
+    "the NEW spec with the same file-bounded invariant. Branches: "
+    "'v0' time travel, 'final' current state, 'replay' = "
+    "apply_change_feed(v0, read_changes) ACROSS the rebucket (the "
+    "replay law crossing a spec change), 'feed' = recorded per-commit "
+    "I/U/D including the updated-then-deleted pre-image case. Oracle "
+    "recomputes every branch from the modulo classes",
+)
+def q19(spark, sf_dir):
+    from kaj_query_engine_spark.sources.versioned import (
+        VersionedTable,
+        apply_change_feed,
+    )
+    from kaj_query_engine_spark.workload.scale import _SCRATCH, _tag
+
+    cut = F.lit(_BE_CUT).cast("timestamp")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(F.col("o_orderdate") < cut).select(k.alias("k"), "cents")
+    ins = o.filter((F.col("o_orderdate") >= cut) & (k % _BE_INS == 0)).select(
+        k.alias("k"), "cents"
+    )
+    tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "bucket_evolution_table")
+    tbl.init(
+        base, bucket_keys=["k"], n_buckets=2, change_feed=True,
+        target_file_rows=1024,
+    )
+    v1 = tbl.commit_append(ins)
+
+    kk = F.col("k")
+    upd = base.filter(kk % _BE_UPD == 0).select(
+        "k", (F.col("cents") + 500).alias("cents")
+    )
+    n_upd = upd.count()
+    v2 = tbl.commit_keyed(upd, upd.select("k"))
+    man1 = tbl.manifest(v1)
+    man2 = tbl.manifest(v2)
+    p1 = {f["path"] for f in man1["files"]}
+    p2 = {f["path"] for f in man2["files"]}
+    strays1 = {f["path"] for f in man1["files"] if f["kb"] is None}
+    if not strays1 <= p2:
+        raise RuntimeError(
+            "keyed update rewrote append strays its keys cannot touch "
+            "(exact-hash-list pruning failed)"
+        )
+    if len(p1 - p2) > n_upd:
+        raise RuntimeError(
+            f"keyed update rewrote {len(p1 - p2)} files for {n_upd} "
+            "touched keys — the rewrite unit is not file-bounded"
+        )
+
+    v3 = tbl.rebucket(spark, 8)
+    if tbl.manifest(v3).get("n_buckets") != 8 or tbl.manifest(0).get(
+        "n_buckets"
+    ) != 2:
+        raise RuntimeError("rebucket did not version the bucket spec")
+
+    full = base.unionByName(ins)
+    dels = full.filter(kk % _BE_DEL == 0).select("k")
+    n_del = dels.count()
+    v4 = tbl.commit_keyed(base.limit(0), dels)
+    man3 = tbl.manifest(v3)
+    man4 = tbl.manifest(v4)
+    p3 = {f["path"] for f in man3["files"]}
+    p4 = {f["path"] for f in man4["files"]}
+    if len(p3 - p4) > n_del:
+        raise RuntimeError(
+            f"keyed delete under the evolved spec rewrote {len(p3 - p4)} "
+            f"files for {n_del} touched keys"
+        )
+    committed = sorted({0, v1, v2, v3, v4})
+    if tbl.versions() != committed:
+        raise RuntimeError("evolution lifecycle lost a version")
+
+    vend = v4
+    v0 = tbl.read(spark, 0)
+    fin = tbl.read(spark)
+    feed = tbl.read_changes(spark, 0, vend)
+    replayed = apply_change_feed(v0, feed, ["k"])
+
+    def arm(df, path, op_col):
+        return df.groupBy(op_col.alias("op")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        ).select(F.lit(path).alias("path"), "op", "n", "key_sum", "cents_sum")
+
+    return (
+        arm(v0, "v0", F.lit("-"))
+        .unionAll(arm(fin, "final", F.lit("-")))
+        .unionAll(arm(replayed, "replay", F.lit("-")))
+        .unionAll(arm(feed.drop("_commit_version"), "feed", F.col("op")))
+    )

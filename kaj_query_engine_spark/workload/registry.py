@@ -82,6 +82,7 @@ def register(
 # checkpoint pins q18. Module closure remains the checked upper
 # bound (derive_fine ⊆ derive, pinned in the rotation test).
 _CHANGED_THIS_ROUND = [
+    "q19_bucket_evolution",  # NEW in round 10: rebucket + file pruning
     "q33_table_time_travel",  # commit_keyed file pruning + version ids
     "q18_shortest_paths",  # sssp_int frontier checkpoint
     "q85_stream_merge",  # TouchedInfo one-collect apply path
@@ -141,10 +142,10 @@ _STALEST = [
     "q77_rolling_window",
     "q78_funnel",
     "q79_retention_cohorts",
-    # round-9-fresh fill for the remaining three slots:
+    # round-9-fresh fill for the remaining slots (q19 joining RULE 1
+    # reclaimed the third):
     "q00_flagship_revenue",
     "q44_incremental_agg",
-    "q55_merge_upsert",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [

@@ -244,7 +244,15 @@ def _parse_module(mod: str):
             targets = (
                 node.targets if isinstance(node, ast.Assign) else [node.target]
             )
-            names = [t.id for t in targets if isinstance(t, ast.Name)]
+            names = []
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+                elif isinstance(t, (ast.Tuple, ast.List)):
+                    # tuple unpacking: `_UPD, _DEL, _INS = ...`
+                    names.extend(
+                        e.id for e in t.elts if isinstance(e, ast.Name)
+                    )
             for nm in names:
                 spans.append((node.lineno, node.end_lineno, nm))
                 nodes.setdefault(nm, []).append(node)
