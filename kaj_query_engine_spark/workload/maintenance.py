@@ -1172,7 +1172,9 @@ def q19(spark, sf_dir):
     tbl = VersionedTable(_SCRATCH / _tag(sf_dir) / "bucket_evolution_table")
     tbl.init(
         base, bucket_keys=["k"], n_buckets=2, change_feed=True,
-        target_file_rows=1024,
+        # small enough to force real sub-splits at sf0.1 (16 files per
+        # bucket) without drowning the query in per-file stat reads
+        target_file_rows=4096,
     )
     v1 = tbl.commit_append(ins)
 
