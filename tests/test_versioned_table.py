@@ -688,11 +688,13 @@ def test_compact_bucketed_one_file_per_bucket(spark, tmp_path):
 
 def test_random_commit_sequences_match_dict_model(spark, tmp_path):
     """Model-based pin of the manifest machinery: random sequences of
-    full-snapshot / append / keyed / compact / vacuum operations must
-    keep (a) the current read equal to a plain dict model, and (b)
+    full-snapshot / append / keyed / compact / vacuum — plus, on
+    bucketed tables, REBUCKET (round 10: online bucket-spec evolution)
+    — must keep (a) the current read equal to a plain dict model, (b)
     every un-vacuumed version equal to the model snapshot recorded
-    when it was committed — across bucketed and unbucketed tables,
-    with history surviving carried-file GC."""
+    when it was committed, and (c) read_buckets for any probed key a
+    key-complete SUBSET of the table — across bucketed and unbucketed
+    tables, with history surviving carried-file GC and spec changes."""
     import random
 
     rng = random.Random(90210)
@@ -707,9 +709,14 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path):
             tbl.init(df_(spark, sorted(model.items())))
         history = {0: dict(model)}
         fresh = 1000  # append-only key counter
+        ops = ["full", "append", "keyed", "compact", "vacuum"]
+        if bucketed:
+            ops.append("rebucket")
         for _ in range(5):
-            op = rng.choice(["full", "append", "keyed", "compact", "vacuum"])
-            if op == "full":
+            op = rng.choice(ops)
+            if op == "rebucket":
+                v = tbl.rebucket(spark, rng.choice([2, 4, 8, 16]))
+            elif op == "full":
                 model = {k: f"f{k}" for k in rng.sample(range(100), rng.randint(0, 15))}
                 v = tbl.commit(df_(spark, sorted(model.items())))
             elif op == "append":
@@ -740,6 +747,20 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path):
             history[v] = dict(model)
             got = {r.k: r.v for r in tbl.read(spark).collect()}
             assert got == model, (case, op, v)
+            if bucketed:
+                # pruned-read law: for any probed key (present or
+                # absent), read_buckets returns a subset of the table
+                # that is COMPLETE for that key — under every bucket
+                # spec and file layout the sequence wanders through
+                probe = rng.choice(sorted(model) + [fresh + 999])
+                rb = {
+                    r.k: r.v
+                    for r in tbl.read_buckets(
+                        spark, spark.createDataFrame([(probe,)], "k long")
+                    ).collect()
+                }
+                assert set(rb.items()) <= set(model.items()), (case, op, probe)
+                assert (probe in rb) == (probe in model), (case, op, probe)
         # time travel: every surviving version reads its snapshot
         for v, snap in history.items():
             got = {r.k: r.v for r in tbl.read(spark, v).collect()}

@@ -1045,6 +1045,7 @@ def main() -> None:
         VB_BASE = 100_000
         vb_scales = (1, 4, 16, 64)
         app_bytes, keyed_bytes, keyed_secs, ns_v = [], [], [], []
+        pruned_rows: list[int] = []
         for kk in vb_scales:
             n = VB_BASE * kk
             tbl = VersionedTable(f"{scratch}/vt_{kk}")
@@ -1085,17 +1086,31 @@ def main() -> None:
             tbl.commit_keyed(repl, touched)
             keyed_secs.append(round(time.time() - t0, 2))
             keyed_bytes.append(tbl.bytes_added())
+            # pruned-read law at scale: rows scanned for a ONE-key
+            # read_buckets are bounded by the file target (+ strays),
+            # not by the bucket — flat as the table grows 64× under
+            # the fixed 8-bucket spec
+            pruned_rows.append(
+                tbl.read_buckets(
+                    spark, spark.createDataFrame([(3,)], "vk long")
+                ).count()
+            )
             ns_v.append(n)
         e_app = math.log(max(app_bytes[-1], 1) / max(app_bytes[-2], 1)) / math.log(4)
         e_key = math.log(max(keyed_bytes[-1], 1) / max(keyed_bytes[-2], 1)) / math.log(4)
+        e_read = math.log(
+            max(pruned_rows[-1], 1) / max(pruned_rows[-2], 1)
+        ) / math.log(4)
         _emit({
             "op": vb_name,
             "n": ns_v,
             "append_bytes": app_bytes,
             "keyed_bytes": keyed_bytes,
             "keyed_sec": keyed_secs,
+            "pruned_read_rows": pruned_rows,
             "exponent_append_bytes": round(e_app, 2),
             "exponent_keyed_bytes": round(e_key, 2),
+            "exponent_pruned_read_rows": round(e_read, 2),
             "note": "bytes written per commit vs 64x view growth, "
             "fixed deltas, n_buckets FIXED at 8 (round-10 bar: the "
             "rewrite unit is a stats-pruned file, not a bucket); "
@@ -1104,6 +1119,7 @@ def main() -> None:
         }, sf_dir)
         assert e_app <= 0.05, f"append commit bytes grew with the view: e={e_app:.2f}"
         assert e_key <= 0.05, f"keyed commit bytes grew with the view: e={e_key:.2f}"
+        assert e_read <= 0.05, f"one-key pruned read grew with the view: e={e_read:.2f}"
 
     # ---- keyed maintenance under power-law key skew -----------------
     # Round-8 verdict item 4: the q67-keyed / q89-cdc paths probed with
