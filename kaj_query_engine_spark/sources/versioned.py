@@ -674,14 +674,26 @@ class VersionedTable:
             return self.init(delta, batch_id)
         man = self.manifest(cur)
         stored = self._schema_of(man)
-        # key columns cast to the STORED types before the stray write:
-        # the file's _kh column (and its recorded khr pruning range)
-        # must hash the types future touched-key frames are cast to —
-        # an int-typed delta on a long-keyed table would otherwise
-        # record ranges that wrongly prune the stray, carrying rows
-        # past their delete (the same type-sensitivity the r9 bucket
-        # fix closed on the read side)
-        delta = self._cast_keys(delta, stored)
+        # BUCKET-KEY columns (only) cast to the STORED types before
+        # the stray write: the file's _kh column (and its recorded
+        # khr/khs pruning metadata) must hash the types future
+        # touched-key frames are cast to — an int-typed delta on a
+        # long-keyed table would otherwise record ranges that wrongly
+        # prune the stray, carrying rows past their delete (the same
+        # type-sensitivity the r9 bucket fix closed on the read side).
+        # Non-key columns are deliberately NOT cast: a type-widening
+        # append must widen through the schema union below, not be
+        # silently narrowed into the stored type (round-10 review)
+        if self.is_bucketed:
+            ktypes = {
+                f.name: f.dataType
+                for f in stored.fields
+                if f.name in self.bucket_keys
+            }
+            delta = delta.select(*[
+                F.col(c).cast(ktypes[c]).alias(c) if c in ktypes else F.col(c)
+                for c in delta.columns
+            ])
         nxt = cur + 1
         new_files = self._write_data(delta, nxt, bucketed=False)
         # manifest schema = stored ∪ delta (schema-only union, no job):
@@ -902,6 +914,18 @@ class VersionedTable:
             touched_files, carried = man["files"], []
             n_tk = tk.limit(bcap + 1).count()
             small = n_tk <= bcap
+            if n_tk == 0:
+                # same no-op / precondition contract as the bucketed
+                # branch (round-10 review: it previously lived only
+                # there, so an unbucketed caller bug duplicated rows)
+                if not replacement.isEmpty():
+                    raise ValueError(
+                        "commit_keyed precondition violated: "
+                        "non-empty replacement with empty touched_keys "
+                        "(replacement keys must be covered by "
+                        "touched_keys)"
+                    )
+                return cur
 
         def _survivors(files: list[dict]) -> DataFrame:
             tkj = F.broadcast(tk) if small else tk
@@ -920,16 +944,29 @@ class VersionedTable:
         )
         if stray_files:
             sdir = self.path / "data" / f"c{nxt}" / "stray"
-            _survivors(stray_files).write.parquet(str(sdir))
-            new_files += [
-                {
+            # stray survivors keep their _kh column and record full
+            # pruning stats like every other write — without them
+            # (round-10 review) one touched stray's survivors were
+            # re-read and re-written by EVERY later keyed commit, and
+            # the missing rows entry cost compact/rebucket their
+            # rows_hint (forcing the two-phase re-split)
+            _survivors(stray_files).withColumn(
+                _KH, self._kh_expr()
+            ).write.parquet(str(sdir))
+            for p in sorted(sdir.glob("part-*")):
+                if not p.is_file():
+                    continue
+                rows, khr, khs = _parquet_kh_stats(p)
+                entry = {
                     "path": str(p.relative_to(self.path)),
                     "kb": None,
                     "bytes": p.stat().st_size,
+                    "rows": rows,
+                    "khr": khr,
                 }
-                for p in sorted(sdir.glob("part-*"))
-                if p.is_file()
-            ]
+                if khs is not None:
+                    entry["khs"] = khs
+                new_files.append(entry)
         cdf = None
         if self.has_change_feed:
             # record this commit's effective I/U/D rows, O(Δ): the

@@ -956,8 +956,17 @@ def stream_join_view_cdc_apply(
         if ti is not None and ti.n_rows == 0:
             return  # empty micro-batch: logical no-op, mint no version
         ups = batch_df.filter(F.col(op_col) != "D").drop(op_col)
-        n_ups = ti.n_rows if ti is not None else None
-        replacement = static_left.join(_delta_join_frame(ups, n_ups), on=on)
+        # ups row count ≤ the distinct-key count BY the compacted-CDC
+        # contract (at most one change per key per batch — stated in
+        # the docstring; pre-compact otherwise), so ti.n_rows is a
+        # valid size bound for the broadcast guard; unbucketed tables
+        # keep the by-contract delta broadcast
+        replacement = static_left.join(
+            _delta_join_frame(ups, ti.n_rows)
+            if ti is not None
+            else F.broadcast(ups),
+            on=on,
+        )
         table.commit_keyed(replacement, touched, batch_id=batch_id, info=ti)
 
     q = (

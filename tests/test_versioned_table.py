@@ -1283,3 +1283,76 @@ def test_bulk_keyed_commit_falls_back_to_shuffle_join(spark, tmp_path):
         assert "BroadcastHashJoin" in small_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_commit_keyed_unbucketed_empty_touched_contract(spark, tmp_path):
+    """Round-10 review: the empty-touched no-op and the precondition
+    raise must hold on UNBUCKETED tables too (they previously lived
+    only in the bucketed branch, so the exact caller bug the docstring
+    promises to catch silently duplicated rows instead)."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a"), (2, "b")]))
+    empty_keys = spark.createDataFrame([], "k long")
+    v = tbl.commit_keyed(spark.createDataFrame([], SCHEMA), empty_keys)
+    assert v == 0 and tbl.versions() == [0]
+    with pytest.raises(ValueError, match="precondition"):
+        tbl.commit_keyed(df_(spark, [(1, "DUP")]), empty_keys)
+    assert tbl.read(spark).count() == 2
+
+
+def test_stray_survivors_keep_pruning_stats(spark, tmp_path):
+    """Round-10 review: stray survivors rewritten by a keyed commit
+    must carry full pruning metadata (rows/khr/khs) — without it, one
+    touched stray was re-read and re-written by EVERY later keyed
+    commit, and compact/rebucket lost their rows_hint."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(40)]),
+             bucket_keys=["k"], n_buckets=2)
+    tbl.commit_append(df_(spark, [(1_000 + i, "s") for i in range(10)]))
+    # touch ONE stray key: its file's survivors are rewritten as strays
+    tbl.commit_keyed(df_(spark, [(1_003, "S3")]),
+                     spark.createDataFrame([(1_003,)], "k long"))
+    man = tbl.manifest()
+    strays = [f for f in man["files"] if f["kb"] is None]
+    assert strays
+    for f in strays:
+        assert f.get("rows"), f
+        assert f.get("khs") or f.get("khr"), f
+    # a later keyed commit on an unrelated key must carry the
+    # rewritten stray forward untouched
+    before = {f["path"] for f in strays}
+    tbl.commit_keyed(df_(spark, [(7, "SEVEN")]),
+                     spark.createDataFrame([(7,)], "k long"))
+    after = {f["path"] for f in tbl.manifest()["files"]}
+    assert before <= after
+    # and the manifest row sum stays available for compaction hints
+    assert tbl._manifest_rows() == 50
+    got = {r.k: r.v for r in tbl.read(spark).filter(
+        F.col("k").isin(7, 1_003, 1_004)).collect()}
+    assert got == {7: "SEVEN", 1_003: "S3", 1_004: "s"}
+
+
+def test_commit_append_preserves_value_type_widening(spark, tmp_path):
+    """Round-10 review: only BUCKET-KEY columns are cast to stored
+    types on append — a delta widening a VALUE column must widen the
+    manifest schema and keep its values, not be silently narrowed."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, c int"),
+        bucket_keys=["k"], n_buckets=2,
+    )
+    big = 3_000_000_000  # does not fit int32
+    tbl.commit_append(
+        spark.createDataFrame([(3, big)], "k long, c long")
+    )
+    cur = tbl.read(spark)
+    assert dict(cur.dtypes)["c"] == "bigint"
+    assert {r.k: r.c for r in cur.collect()} == {1: 10, 2: 20, 3: big}
+    # the widened stray still prunes: a keyed commit on an old key
+    # carries it forward byte-identical
+    strays = {f["path"] for f in tbl.manifest()["files"] if f["kb"] is None}
+    tbl.commit_keyed(
+        spark.createDataFrame([(1, 11)], "k long, c int"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    assert strays <= {f["path"] for f in tbl.manifest()["files"]}

@@ -363,7 +363,16 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
     when a hunk's non-blank, non-comment NEW lines (or a pure
     deletion's position) fall outside every symbol span, and a
     whole-module entry (_MODLEVEL alone suffices — derive_fine treats
-    it maximally) when the new file is unparseable."""
+    it maximally) when the new file is unparseable.
+
+    A replacement hunk whose ADDED lines are all blank/comments (e.g.
+    a deleted guard replaced by a comment) still attributes its splice
+    position — deletions must never escape the pin (round-10 review).
+    Spans are parsed from the WORKING TREE, which is the diff's right
+    side for the default boundary..worktree range; an explicit
+    historical range whose files have since moved maps approximately
+    (changed-side conservatism still applies: unmapped lines pin the
+    module level)."""
     import re as _re
 
     out: dict[str, set[str]] = {}
@@ -372,6 +381,8 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
     spans: list[tuple[int, int, str]] = []
     new_line = 0  # running new-side line number inside a hunk
     collecting = False
+    hunk_start = 0
+    hunk_attributed = True  # no open hunk yet
 
     def _map_line(ln: int) -> str:
         for s, e, name in spans:
@@ -379,8 +390,23 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
                 return name
         return _MODLEVEL
 
+    def _attribute_splice(mod: str, ln: int) -> None:
+        # attribute to the symbol at the splice point (or the one
+        # right after), else module level
+        hit = _map_line(ln)
+        if hit == _MODLEVEL:
+            hit = _map_line(ln + 1)
+        out.setdefault(mod, set()).add(hit)
+
+    def _close_hunk() -> None:
+        nonlocal hunk_attributed
+        if collecting and cur is not None and not hunk_attributed:
+            _attribute_splice(cur, hunk_start)
+        hunk_attributed = True
+
     for line in diff.splitlines():
         if line.startswith("+++ "):
+            _close_hunk()
             path = line[4:].strip()
             cur, spans, collecting = None, [], False
             if path.startswith("b/") and path.endswith(".py"):
@@ -389,10 +415,13 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
                     cur = m
                     try:
                         spans, _nodes, _tree = _parse_module(cur)
-                    except (SyntaxError, OSError, TypeError):
+                    except (SyntaxError, OSError, TypeError, AttributeError):
+                        # unparseable or deleted since the range's
+                        # right side: whole module
                         out.setdefault(cur, set()).add(_MODLEVEL)
                         cur = None
         elif line.startswith("@@") and cur is not None:
+            _close_hunk()
             m = _re.search(r"\+(\d+)(?:,(\d+))?", line)
             if not m:
                 collecting = False
@@ -400,22 +429,23 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
             new_line = int(m.group(1))
             d = int(m.group(2)) if m.group(2) is not None else 1
             collecting = True
+            hunk_start = new_line
+            hunk_attributed = False
             if d == 0:
-                # pure deletion: attribute to the symbol at the splice
-                # point (or the one right after), else module level
-                syms = out.setdefault(cur, set())
-                hit = _map_line(new_line)
-                if hit is _MODLEVEL:
-                    hit = _map_line(new_line + 1)
-                syms.add(hit)
+                # pure deletion: no added lines will follow
+                _attribute_splice(cur, new_line)
+                hunk_attributed = True
                 collecting = False
         elif collecting and cur is not None and line.startswith("+"):
             text = line[1:].strip()
             if text and not text.startswith("#"):
                 out.setdefault(cur, set()).add(_map_line(new_line))
+                hunk_attributed = True
             new_line += 1
         elif collecting and not line.startswith(("+", "-", "\\")):
+            _close_hunk()
             collecting = False
+    _close_hunk()
     return out
 
 
