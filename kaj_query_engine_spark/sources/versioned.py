@@ -470,21 +470,25 @@ class VersionedTable:
                 if anc.name.startswith(f"{_KB}="):
                     kb = int(anc.name.split("=", 1)[1])
                     break
-            rows, khr, khs = _parquet_kh_stats(p)
+            # sizes/rows/ranges recorded at write time: the footprint
+            # helpers read the manifest instead of stat()ing files per
+            # call, keyed commits derive their split factor and
+            # pruning set from it — carried entries keep theirs for
+            # free. UNBUCKETED tables skip the footer reads entirely:
+            # nothing ever prunes or sub-splits them, and the per-file
+            # opens measurably taxed append-heavy maintenance
+            # (round-10 profiling: q89's append branch)
             entry = {
                 "path": str(p.relative_to(self.path)),
                 "kb": kb,
-                # sizes/rows/ranges recorded at write time: the
-                # footprint helpers read the manifest instead of
-                # stat()ing files per call, keyed commits derive
-                # their split factor and pruning set from it —
-                # carried entries keep theirs for free
                 "bytes": p.stat().st_size,
-                "rows": rows,
-                "khr": khr,
             }
-            if khs is not None:
-                entry["khs"] = khs
+            if self.is_bucketed:
+                rows, khr, khs = _parquet_kh_stats(p)
+                entry["rows"] = rows
+                entry["khr"] = khr
+                if khs is not None:
+                    entry["khs"] = khs
             files.append(entry)
         return files
 
