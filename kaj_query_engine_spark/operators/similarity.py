@@ -295,27 +295,54 @@ def ivf_build(
     cent = ivf_centroids(corpus, n_centroids, id_col, vec_col).withColumn(
         "cnrm", norm(F.col("cvec"))
     )
+    return cent, ivf_assign(cent, corpus, id_col, vec_col)
 
-    # norms hoisted: cosine(a,b) = dot(a,b)/(|a|·|b|), and the
-    # higher-order aggregate lambdas run INTERPRETED (outside
-    # codegen), so computing |a| once per vector instead of once per
-    # (vector, centroid) pair cuts the N·K assignment's lambda work
-    # 3× — with bit-identical doubles (same ops on the same operands,
-    # just not recomputed)
-    c = corpus.select(
+
+def ivf_assign(
+    centroids: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to an EXISTING coarse quantizer — both the build
+    pass (``ivf_build`` delegates here) and the INCREMENTAL half of
+    index maintenance: new corpus vectors join a live IVF index by
+    computing K broadcast cosines each and landing in their best list,
+    with the centroids FROZEN (re-clustering would invalidate every
+    stored list — real IVF deployments re-train offline and swap).
+    Returns (vec_id, cid, c_vec, c_nrm) rows appendable to the
+    materialized cid-partitioned index; the stored index is never
+    read, so per-batch ingest cost is O(|batch|·K) regardless of
+    index size.
+
+    ``centroids`` needs (cid, cvec); a missing cnrm is derived.
+
+    - norms hoisted: cosine(a,b) = dot(a,b)/(|a|·|b|), and the
+      higher-order aggregate lambdas run INTERPRETED (outside
+      codegen), so computing |a| once per vector instead of once per
+      (vector, centroid) pair cuts the N·K assignment's lambda work
+      3× — with bit-identical doubles (same ops on the same operands,
+      just not recomputed);
+    - nearest centroid per vector, ties → smallest cid. The
+      min(struct(-cos, cid)) form aggregates map-side (partial agg),
+      so only ~N rows shuffle; -cos ordering == cos DESC for IEEE
+      doubles (cosines are finite; Spark orders -0.0 == 0.0 like
+      DuckDB). first(c_vec) is deterministic here: the input has one
+      row per id, so every row in the group carries the identical
+      vector."""
+    cent = centroids
+    if "cnrm" not in cent.columns:
+        cent = cent.select("cid", "cvec").withColumn(
+            "cnrm", norm(F.col("cvec"))
+        )
+    c = vectors.select(
         F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", norm(F.col("c_vec")))
-    # nearest centroid per corpus vector, ties → smallest cid. The
-    # min(struct(-cos, cid)) form aggregates map-side (partial agg), so
-    # only ~N rows shuffle; -cos ordering == cos DESC for IEEE doubles
-    # (cosines are finite; Spark orders -0.0 == 0.0 like DuckDB).
-    # first(c_vec) is deterministic here: the corpus has one row per
-    # id, so every row in the group carries the identical vector.
     pair_cos = dot(F.col("c_vec"), F.col("cvec")) / (
         F.col("c_nrm") * F.col("cnrm")
     )
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
+    return (
+        c.crossJoin(F.broadcast(cent.select("cid", "cvec", "cnrm")))
         .select(
             "vec_id",
             "c_vec",
@@ -333,7 +360,6 @@ def ivf_build(
         )
         .select("vec_id", F.col("best.cid").alias("cid"), "c_vec", "c_nrm")
     )
-    return cent, assigned
 
 
 def ivf_build_fast(

@@ -111,7 +111,15 @@ IVF_NPROBE = 4
 _IVF_PARAMS = f"ivf:{IVF_CENTROIDS}:v1"
 
 
-def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> str:
+def _ivf_oracle(
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    cent_where: str = "",
+) -> str:
+    """``cent_where`` restricts the centroid SEED POOL (the 'incr'
+    branch trains the quantizer on the base corpus only; held-out
+    vectors are assigned to those frozen centroids afterwards —
+    assignment and querying always cover ALL of e)."""
     seed_h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     cos_vc = (
         f"{_DOT_AB.format(a='e.v', b='cent.cvec')} / "
@@ -126,7 +134,7 @@ def _ivf_oracle(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> s
     )
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-        "cent AS (SELECT vec_id AS cid, v AS cvec FROM e "
+        f"cent AS (SELECT vec_id AS cid, v AS cvec FROM e {cent_where} "
         f"ORDER BY {seed_h}, vec_id LIMIT {n_centroids}), "
         "asg AS (SELECT e.vec_id, e.v, cent.cid, row_number() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, cent.cid) AS rn "
@@ -303,17 +311,61 @@ def materialized_ivf_index(spark, sf_dir):
     return spark.read.parquet(cpath), spark.read.parquet(apath)
 
 
+# the 'incr' branch's held-out class: these vectors are NOT in the
+# base index build; they join it through frozen-centroid assignment
+_INCR_HOLDOUT_MOD, _INCR_HOLDOUT_REM = 10, 7
+_INCR_BASE_WHERE = (
+    f"WHERE vec_id % {_INCR_HOLDOUT_MOD} != {_INCR_HOLDOUT_REM}"
+)
+
+
+def materialized_incr_ivf_base(spark, sf_dir):
+    """Build-once BASE-corpus IVF index (held-out class excluded) for
+    q63's 'incr' branch — same staleness-token amortization as the
+    full-corpus index; the per-query work is the INGEST (frozen-
+    centroid assignment of the held-out batch) plus the probe."""
+    from kaj_query_engine_spark.workload.scale import (
+        _SCRATCH,
+        _layout_current,
+        _layout_token,
+        _stamp_layout,
+        _tag,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    base = _SCRATCH / _tag(sf_dir)
+    cpath = str(base / "ivf_incr_centroids")
+    apath = str(base / "ivf_incr_assigned")
+    token = _layout_token(
+        src,
+        f"ivf-incr:{IVF_CENTROIDS}:"
+        f"holdout{_INCR_HOLDOUT_MOD}r{_INCR_HOLDOUT_REM}:v1",
+    )
+    if not (_layout_current(token, cpath) and _layout_current(token, apath)):
+        corpus = t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % _INCR_HOLDOUT_MOD != _INCR_HOLDOUT_REM
+        )
+        cent, assigned = S.ivf_build(corpus, n_centroids=IVF_CENTROIDS)
+        cent.write.mode("overwrite").parquet(cpath)
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(apath)
+        _stamp_layout(token, cpath)
+        _stamp_layout(token, apath)
+    return spark.read.parquet(cpath), spark.read.parquet(apath)
+
+
 def _ivf_oracle_tagged() -> str:
     ivf4, ivf_full = _ivf_oracle(nprobe=IVF_NPROBE), _ivf_oracle(
         nprobe=IVF_CENTROIDS
     )
     quant = _quant_ivf_oracle(IVF_CENTROIDS, IVF_NPROBE)
     resc = _rescored_ivf_oracle(IVF_CENTROIDS, IVF_NPROBE)
+    incr = _ivf_oracle(nprobe=IVF_NPROBE, cent_where=_INCR_BASE_WHERE)
     return (
         f"SELECT 'probe4' AS path, * FROM ({ivf4}) "
         f"UNION ALL SELECT 'probe_all' AS path, * FROM ({ivf_full}) "
         f"UNION ALL SELECT 'quant' AS path, * FROM ({quant}) "
-        f"UNION ALL SELECT 'rescored' AS path, * FROM ({resc})"
+        f"UNION ALL SELECT 'rescored' AS path, * FROM ({resc}) "
+        f"UNION ALL SELECT 'incr' AS path, * FROM ({incr})"
     )
 
 
@@ -335,7 +387,12 @@ def _ivf_oracle_tagged() -> str:
     "'rescored' is the two-tier serving pattern: the quantized tier "
     "proposes 4x overfetched candidates, exact float cosine re-ranks "
     "ONLY those (candidate ids broadcast into one map-only float-"
-    "index scan)",
+    "index scan); branch 'incr' is INCREMENTAL INDEX MAINTENANCE — a "
+    "held-out tenth of the corpus joins the base-built index through "
+    "frozen-centroid assignment (K broadcast cosines per new vector, "
+    "the stored index never read or re-clustered — O(batch*K) ingest "
+    "regardless of index size) and queries see base+delta unioned; "
+    "the oracle trains its centroid CTE on the base subset only",
 )
 def q63(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -348,11 +405,24 @@ def q63(spark, sf_dir):
     resc = S.ivf_query_rescored(
         cent, qidx, assigned, q, k=TOP_K, nprobe=IVF_NPROBE
     )
+    cent_i, assigned_i = materialized_incr_ivf_base(spark, sf_dir)
+    batch = e.filter(
+        F.col("vec_id") % _INCR_HOLDOUT_MOD == _INCR_HOLDOUT_REM
+    )
+    delta = S.ivf_assign(cent_i, batch)
+    incr = S.ivf_query(
+        cent_i,
+        assigned_i.unionByName(delta.select(*assigned_i.columns)),
+        q,
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+    )
     return (
         probe4.select(F.lit("probe4").alias("path"), "*")
         .unionAll(probe_all.select(F.lit("probe_all").alias("path"), "*"))
         .unionAll(quant.select(F.lit("quant").alias("path"), "*"))
         .unionAll(resc.select(F.lit("rescored").alias("path"), "*"))
+        .unionAll(incr.select(F.lit("incr").alias("path"), "*"))
     )
 
 

@@ -295,11 +295,19 @@ def _refs_of(nodes, bindings, local_syms, mod) -> set[tuple[str, str | None]]:
     for _k, (tmod, tsym) in bindings.items():
         if tsym == "*":
             refs.add((tmod, None))
+    # ast.walk yields parents before children, so an Attribute whose
+    # base Name resolves to a module alias is recorded here FIRST and
+    # its child Name skipped below — otherwise `S.func` would ALSO
+    # register a bare reference to S, widening every module-alias use
+    # to the whole module (measured: one helper added to a module
+    # pinned every query using ANY of its functions)
+    handled: set[int] = set()
     for node in nodes:
         for n in ast.walk(node):
             if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
                 b = bindings.get(n.value.id)
                 if b is not None and b[1] is None and _module_file(b[0]):
+                    handled.add(id(n.value))
                     base = b[0]
                     if _module_file(f"{base}.{n.attr}") is not None:
                         refs.add((f"{base}.{n.attr}", None))
@@ -307,6 +315,8 @@ def _refs_of(nodes, bindings, local_syms, mod) -> set[tuple[str, str | None]]:
                         refs.add((base, n.attr))
                     continue
             if isinstance(n, ast.Name):
+                if id(n) in handled:
+                    continue
                 b = bindings.get(n.id)
                 if b is not None and b[1] != "*":
                     refs.add(b)
