@@ -371,6 +371,28 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def run_ivf_incr(k: int) -> None:
+        # incremental index maintenance (q63 'incr'): a FIXED 500-
+        # vector batch joins each scale's materialized index through
+        # frozen-centroid assignment, then 50 queries probe base+delta.
+        # Per-batch cost is O(|batch|·K): K grows as max(sqrt N,
+        # N/1024) here, so the honest bound is ~sqrt-N-ish, NOT flat —
+        # what must NOT appear is the O(N·K) rebuild (e≈1.7 at these
+        # brackets) or any stored-index read on the ingest side.
+        cent, assigned = ivf_index(k)
+        batch = base_vecs_df.limit(500).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        delta = S.ivf_assign(cent, batch)
+        q = base_vecs_df.limit(50)
+        S.ivf_query(
+            cent,
+            assigned.unionByName(delta.select(*assigned.columns)),
+            q,
+            k=10,
+            nprobe=8,
+        ).write.format("noop").mode("overwrite").save()
+
     def quantized_index_bytes() -> None:
         """Storage-ratio evidence for the int8 inverted file: derive
         the quantized+packed index from each scale's float index and
@@ -860,6 +882,7 @@ def main() -> None:
         "decontaminate": run_decontaminate,
         "seq_packing": run_pack,
         "ivf_query_materialized": run_ivf,
+        "ivf_incr_ingest_fixed_batch": run_ivf_incr,
         "salted_agg_skewed": run_salted_skew,
         "cc_skewed": run_cc_skew,
         "pagerank_skewed": run_pagerank,
@@ -899,6 +922,7 @@ def main() -> None:
         "decontaminate": docs,
         "seq_packing": docs,
         "ivf_query_materialized": vecs,
+        "ivf_incr_ingest_fixed_batch": vecs,
         "salted_agg_skewed": skewed_rows,
         "cc_skewed": hub_edges,
         "pagerank_skewed": hub_edges,
