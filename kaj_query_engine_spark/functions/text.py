@@ -318,3 +318,78 @@ def shingle_arrays(
     return df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     ).select("id", shingles_of_tokens(F.col("toks"), n).alias("shingles"))
+
+
+# ---- HTML → text extraction (round 10) ------------------------------
+#
+# The CommonCrawl-style step every LLM corpus pipeline runs before
+# quality filtering: strip markup, recover visible text + structural
+# signals. Regex-based fast path (what production trafilatura-lite
+# passes do for the bulk tier), expressed entirely in JVM
+# `regexp_replace`/`regexp_extract` so the whole extraction runs
+# inside whole-stage codegen — and in the regex subset Java and RE2
+# share EXACTLY (no backreferences — RE2 has none, so the script and
+# style blocks strip in separate passes; lazy dot-all `.*?` and
+# inline `(?is)` flags behave identically in both), which is what
+# lets a DuckDB oracle mirror the extraction byte-for-byte.
+#
+# Documented limits of the fast path (the ones every regex extractor
+# has): an attribute value containing a literal '>' truncates its
+# tag; `\s` classes differ between engines on vertical-tab (U+000B),
+# which the corpus model never emits. Entity decoding handles the
+# named five (&lt; &gt; &quot; &nbsp; &amp;) with &amp; decoded LAST
+# (the standard order: '&amp;lt;' → '&lt;', not '<'); numeric
+# references pass through (a callback-free regex cannot decode them —
+# real extractors use a table pass).
+
+_HTML_BLOCK_STRIPS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+_HTML_ENTITIES = [  # decode order matters: &amp; LAST
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text of an HTML document: script/style/comment blocks
+    dropped, every remaining tag replaced by a space, the five named
+    entities decoded, whitespace collapsed and trimmed."""
+    out = col
+    for pat in _HTML_BLOCK_STRIPS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_title(col: Column) -> Column:
+    """Contents of the first <title> element ('' when absent),
+    whitespace-normalized like :func:`strip_html`."""
+    raw = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    return F.trim(F.regexp_replace(raw, r"\s+", " "))
+
+
+def html_link_count(col: Column) -> Column:
+    """Number of VISIBLE anchor openings (`<a ` / `<a>`) — counted
+    after the block strips, so commented-out or script-embedded
+    markup does not inflate the signal."""
+    out = col
+    for pat in _HTML_BLOCK_STRIPS:
+        out = F.regexp_replace(out, pat, " ")
+    return F.size(F.regexp_extract_all(out, F.lit(r"(?i)<a[\s>]"), F.lit(0)))
+
+
+def html_tag_count(col: Column) -> Column:
+    """Total tags outside stripped blocks — a boilerplate-density
+    signal (markup-heavy pages score high tag/text ratios)."""
+    out = col
+    for pat in _HTML_BLOCK_STRIPS:
+        out = F.regexp_replace(out, pat, " ")
+    return F.size(F.regexp_extract_all(out, F.lit(r"(?s)<[^>]+>"), F.lit(0)))

@@ -100,15 +100,15 @@ _CHANGED_THIS_ROUND = [
     "q07_join4",
     "q10_theta_join",
     "q63_ann_ivf",  # NEW 'incr' branch: frozen-centroid index ingest
+    "q21_html_extract",  # NEW in round 10: HTML-to-text extraction
 ]
 
 # Stalest-first (RULE 2): the ELEVEN-query tail the round-9 verdict
 # ordered rotated in FIRST (last driver row round 7 — q39–q43,
 # q45–q50: partitioned merge plus the text/pipeline family), then
 # every query whose last driver row is round 8 (outside round 9's
-# 50-window), then one round-9-fresh pick (the flagship).
-# 18 pinned + 32 here = the full 50-slot window; nothing this round
-# is more than one round driver-stale after it runs.
+# 50-window). 19 pinned + 31 here = the full 50-slot window; nothing
+# this round is more than one round driver-stale after it runs.
 _STALEST = [
     "q39_partitioned_merge",
     "q40_text_stats",
@@ -142,9 +142,6 @@ _STALEST = [
     "q77_rolling_window",
     "q78_funnel",
     "q79_retention_cohorts",
-    # round-9-fresh fill for the remaining slot (q19 and q63's new
-    # 'incr' branch joining RULE 1 reclaimed the other two):
-    "q00_flagship_revenue",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [

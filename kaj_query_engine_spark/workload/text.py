@@ -437,3 +437,114 @@ def q41(spark, sf_dir):
         "n",
     )
     return merges.unionAll(coverage).unionAll(per_doc)
+
+
+# ---- q21: HTML → text extraction ------------------------------------
+#
+# The CommonCrawl-style markup-stripping step that precedes every
+# quality filter in an LLM corpus pipeline. The fixture corpus is
+# plain text, so the query WRAPS each document into a deterministic
+# HTML page first (title carrying an entity, a script block whose
+# body contains bare '<'/'>' — the case that distinguishes
+# script-strip-before-tag-strip from the broken order — a comment
+# hiding markup, per-doc link repetition, entity-quoted body) and
+# then extracts: both the wrap and the extraction are mirrored in the
+# oracle, so the digest match pins every regex rule and the
+# strip/decode ORDERING byte-for-byte. All pure JVM expressions —
+# map-only, no UDF, no join, no exchange.
+_H_ANCHOR = '<a href="https://ex.com/x?a=1&amp;b=2">nav</a>'
+_H_SCRIPT = '<script type="text/javascript">var x = "1 < 2 && 3 > 2";</script>'
+_H_COMMENT = "<!-- <p>not text</p> -->"
+
+
+def _html_wrap_spark(doc_id, text):
+    did = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit(" &amp; friends</title><style>p{color:red}</style>"),
+        F.lit(_H_SCRIPT),
+        F.lit("</head><body>"), F.lit(_H_COMMENT),
+        F.lit('<h1 class="main">Doc '), did, F.lit("</h1>"),
+        F.expr(
+            "repeat('"
+            + _H_ANCHOR.replace("'", "''")
+            + "', CAST(doc_id % 3 + 1 AS INT))"
+        ),
+        F.lit("<p>&quot;"), text, F.lit("&quot; &lt;eof&gt;&nbsp;</p>"),
+        F.lit("</body></html>"),
+    )
+
+
+_H_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || ' &amp; friends</title>"
+    "<style>p{color:red}</style>"
+    + _H_SCRIPT.replace("'", "''")
+    + "</head><body>" + _H_COMMENT
+    + "<h1 class=\"main\">Doc ' || doc_id || '</h1>' || "
+    + "repeat('" + _H_ANCHOR.replace("'", "''") + "', doc_id % 3 + 1)"
+    + " || '<p>&quot;' || text || '&quot; &lt;eof&gt;&nbsp;</p>"
+    "</body></html>'"
+)
+
+# extraction mirror (DuckDB): same passes, same order as
+# functions.text.strip_html — block strips, tag strip, entity decode
+# (&amp; last), whitespace collapse
+_H_STRIPS_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({h}, "
+    "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+    "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+    "'(?s)<!--.*?-->', ' ', 'g')"
+)
+_H_TEXT_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace("
+    "regexp_replace(" + _H_STRIPS_SQL + ", '(?s)<[^>]+>', ' ', 'g'), "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&nbsp;', ' '), "
+    "'&amp;', '&'), "
+    "'\\s+', ' ', 'g'))"
+)
+_H_ORACLE = (
+    f"WITH h AS (SELECT doc_id, {_H_WRAP_SQL} AS html FROM documents), "
+    "x AS (SELECT doc_id, "
+    "trim(regexp_replace(regexp_extract(html, "
+    "'(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) AS title, "
+    "CAST(len(regexp_extract_all(" + _H_STRIPS_SQL.format(h="html")
+    + ", '(?i)<a[\\s>]')) AS INT) AS n_links, "
+    "CAST(len(regexp_extract_all(" + _H_STRIPS_SQL.format(h="html")
+    + ", '(?s)<[^>]+>')) AS INT) AS n_tags, "
+    + _H_TEXT_SQL.format(h="html") + " AS clean FROM h) "
+    "SELECT doc_id, title, n_links, n_tags, md5(clean) AS text_hash, "
+    "CAST(length(clean) AS INT) AS n_chars FROM x"
+)
+
+
+@register(
+    "q21_html_extract",
+    _H_ORACLE,
+    "HTML-to-text extraction (the markup-strip tier before quality "
+    "filtering): each document wrapped into a deterministic page — "
+    "entity-bearing title, a script whose body contains bare '<'/'>' "
+    "(distinguishes script-strip-before-tag-strip from the broken "
+    "order), comment-hidden markup, per-doc link repetition, "
+    "entity-quoted body — then stripped with the shared-regex-subset "
+    "rules (no backreferences, so Java and RE2 agree exactly): block "
+    "strips, tag strip, five named entities decoded with &amp; LAST, "
+    "whitespace collapse. Emits per-doc title / link count / tag "
+    "count / md5(visible text); the oracle mirrors wrap AND extract, "
+    "so the hash pins every rule and ordering. Pure JVM regex — "
+    "map-only, zero joins, zero exchanges",
+)
+def q21(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", _html_wrap_spark(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    clean = TXT.strip_html(F.col("html"))
+    return h.select(
+        "doc_id",
+        TXT.html_title(F.col("html")).alias("title"),
+        TXT.html_link_count(F.col("html")).alias("n_links"),
+        TXT.html_tag_count(F.col("html")).alias("n_tags"),
+        F.md5(clean).alias("text_hash"),
+        F.length(clean).alias("n_chars"),
+    )

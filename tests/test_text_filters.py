@@ -280,3 +280,67 @@ def test_oracle_fragments_match_spark_on_varying_text(docs_df):
         assert s["n_pii"] == n_pii, doc_id
         assert s["gopher_ok"] == gop, doc_id
         assert s["c4_ok"] == c4, doc_id
+
+
+def test_strip_html_adversarial_cases(spark):
+    """Hand-written HTML the fixture model can't produce: script
+    bodies with bare comparison operators (pins script-strip BEFORE
+    tag-strip), markup hidden in comments, entity decode ordering
+    (&amp;lt; must become the literal '&lt;', not '<'), nested and
+    attribute-heavy tags, and the documented fast-path limit (a '>'
+    inside an attribute value truncates its tag)."""
+    from kaj_query_engine_spark.functions.text import (
+        html_link_count,
+        html_tag_count,
+        html_title,
+        strip_html,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (html, clean, title, n_links, n_tags)
+        (
+            "<html><head><title> A  B </title></head>"
+            "<body><p>hi</p></body></html>",
+            "A B hi", "A B", 0, 10,
+        ),
+        (
+            '<script>if (a < b && c > d) { x("</p>"); }</script><p>kept</p>',
+            "kept", "", 0, 2,
+        ),
+        (
+            "<!-- <a href='x'>ghost</a> --><a href='r'>real</a>",
+            "real", "", 1, 2,
+        ),
+        # entity order: &amp;lt; → '&lt;' literal, NOT '<'
+        ("<p>&amp;lt; &amp; &lt;tag&gt; &quot;q&quot;&nbsp;!</p>",
+         '&lt; & <tag> "q" !', "", 0, 2),
+        (
+            '<div class="a"><span data-x="1">n<b>est</b>ed</span></div>',
+            "n est ed", "", 0, 6,
+        ),
+        # documented limit: '>' inside an attribute truncates the tag,
+        # leaking the remainder as text — the standard regex-fast-path
+        # trade, pinned so a silent behavior change shows up
+        ('<a href="u" title="a>b">t</a>', 'b">t', 1, 2),
+        # style stripped as a block, unclosed tag eaten to its '>'
+        ("<style>p>q{}</style>text <br>tail", "text tail", "", 0, 1),
+    ]
+    rows = [(i, c[0]) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, h string").select(
+        "i",
+        strip_html(F.col("h")).alias("clean"),
+        html_title(F.col("h")).alias("title"),
+        html_link_count(F.col("h")).alias("links"),
+        html_tag_count(F.col("h")).alias("tags"),
+    )
+    got = {r.i: r for r in df.collect()}
+    for i, case in enumerate(cases):
+        if len(case) == 5:
+            _h, clean, title, links, tags = case
+            assert got[i].title == title, (i, got[i])
+        else:
+            _h, clean, links, tags = case
+        assert got[i].clean == clean, (i, got[i].clean)
+        assert got[i].links == links, (i, got[i])
+        assert got[i].tags == tags, (i, got[i])

@@ -211,6 +211,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "codegen id :"],
         ["Exchange", "Join", "MapInPandas", "BatchEvalPython"],
     ),
+    "q21_html_extract": (
+        # HTML wrap + regex extraction is pure JVM string work in one
+        # whole-stage-codegen projection: zero exchanges, zero joins,
+        # no Python stage — the scan's parallelism is the query's
+        ["codegen id :"],
+        ["Exchange", "Join", "MapInPandas", "BatchEvalPython", "Generate"],
+    ),
     "q99_flac_decode": (
         # FLAC twin of q94: spread exchange → map-only compressed
         # decode → digest projection — no joins, no sorts
