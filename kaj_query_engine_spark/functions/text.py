@@ -356,14 +356,21 @@ _HTML_ENTITIES = [  # decode order matters: &amp; LAST
 ]
 
 
+def _strip_blocks(col: Column) -> Column:
+    """Drop script/style/comment blocks — the shared first pass of
+    every HTML signal (one definition, so the strip order can never
+    desynchronize the text hash from the link/tag counts)."""
+    out = col
+    for pat in _HTML_BLOCK_STRIPS:
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
 def strip_html(col: Column) -> Column:
     """Visible text of an HTML document: script/style/comment blocks
     dropped, every remaining tag replaced by a space, the five named
     entities decoded, whitespace collapsed and trimmed."""
-    out = col
-    for pat in _HTML_BLOCK_STRIPS:
-        out = F.regexp_replace(out, pat, " ")
-    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    out = F.regexp_replace(_strip_blocks(col), r"(?s)<[^>]+>", " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
@@ -380,16 +387,18 @@ def html_link_count(col: Column) -> Column:
     """Number of VISIBLE anchor openings (`<a ` / `<a>`) — counted
     after the block strips, so commented-out or script-embedded
     markup does not inflate the signal."""
-    out = col
-    for pat in _HTML_BLOCK_STRIPS:
-        out = F.regexp_replace(out, pat, " ")
-    return F.size(F.regexp_extract_all(out, F.lit(r"(?i)<a[\s>]"), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(
+            _strip_blocks(col), F.lit(r"(?i)<a[\s>]"), F.lit(0)
+        )
+    )
 
 
 def html_tag_count(col: Column) -> Column:
     """Total tags outside stripped blocks — a boilerplate-density
     signal (markup-heavy pages score high tag/text ratios)."""
-    out = col
-    for pat in _HTML_BLOCK_STRIPS:
-        out = F.regexp_replace(out, pat, " ")
-    return F.size(F.regexp_extract_all(out, F.lit(r"(?s)<[^>]+>"), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(
+            _strip_blocks(col), F.lit(r"(?s)<[^>]+>"), F.lit(0)
+        )
+    )
