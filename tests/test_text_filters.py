@@ -344,3 +344,109 @@ def test_strip_html_adversarial_cases(spark):
         assert got[i].clean == clean, (i, got[i].clean)
         assert got[i].links == links, (i, got[i])
         assert got[i].tags == tags, (i, got[i])
+
+
+# ---- differential fuzz: HTML extraction vs the DuckDB mirror --------
+#
+# q21 pins the extraction over the FIXTURE page model; this sweep pins
+# the Java↔RE2 regex-parity claim itself: random documents assembled
+# from adversarial fragments (tags with attribute junk, script/style
+# bodies full of bare '<'/'>'/quotes, comments hiding markup, named
+# entities and double-encoded compounds, raw '&'/'<' in text) run
+# through Spark's strip_html/html_title/link/tag-count AND the same
+# SQL mirror q21's oracle uses — cell-for-cell equal. U+000B is the
+# one documented divergence (Java \s has it, RE2 \s does not) and is
+# excluded from generation.
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _TEXT_ALPHA = "abz19 &<>\"'/=.\t\n\f\r"  # no U+000B (documented)
+    _frag_text = st.text(alphabet=_TEXT_ALPHA, min_size=0, max_size=12)
+    _tagname = st.sampled_from(["p", "div", "a", "b", "A", "sCript"])
+    _entity = st.sampled_from(
+        ["&lt;", "&gt;", "&quot;", "&nbsp;", "&amp;", "&amp;lt;",
+         "&amp;amp;", "&#60;", "&unknown;"]
+    )
+
+    @st.composite
+    def _fragment(draw):
+        kind = draw(st.integers(0, 6))
+        if kind == 0:
+            return draw(_frag_text)
+        if kind == 1:
+            t = draw(_tagname)
+            attr = draw(st.sampled_from(
+                ["", ' href="x?a=1&amp;b=2"', " disabled", ' x="q>r"']
+            ))
+            return f"<{t}{attr}>"
+        if kind == 2:
+            return f"</{draw(_tagname)}>"
+        if kind == 3:
+            body = draw(_frag_text)
+            return f"<script>{body} if (a<b && c>d) x();</script>"
+        if kind == 4:
+            return f"<style>p>q{{}} {draw(_frag_text)}</style>"
+        if kind == 5:
+            return f"<!-- {draw(_frag_text)} <p>ghost</p> -->"
+        return draw(_entity)
+
+    _page = st.lists(_fragment(), min_size=0, max_size=8).map("".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pages=st.lists(_page, min_size=1, max_size=24))
+    def test_html_extraction_differential_fuzz(spark, pages):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from kaj_query_engine_spark.functions.text import (
+            html_link_count,
+            html_tag_count,
+            html_title,
+            strip_html,
+        )
+        from kaj_query_engine_spark.workload.text import (
+            _H_STRIPS_SQL,
+            _H_TEXT_SQL,
+        )
+
+        rows = [(i, ("<title>T" + str(i) + "</title>" if i % 3 == 0 else "") + p)
+                for i, p in enumerate(pages)]
+        got = {
+            r.i: (r.clean, r.title, r.links, r.tags)
+            for r in spark.createDataFrame(rows, "i int, h string").select(
+                "i",
+                strip_html(F.col("h")).alias("clean"),
+                html_title(F.col("h")).alias("title"),
+                html_link_count(F.col("h")).alias("links"),
+                html_tag_count(F.col("h")).alias("tags"),
+            ).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["i", "h"])  # noqa: F841
+        strips = _H_STRIPS_SQL.format(h="h")
+        sql = (
+            "SELECT i, " + _H_TEXT_SQL.format(h="h") + " AS clean, "
+            "trim(regexp_replace(regexp_extract(h, "
+            "'(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) "
+            "AS title, "
+            f"CAST(len(regexp_extract_all({strips}, '(?i)<a[\\s>]')) AS INT)"
+            " AS links, "
+            f"CAST(len(regexp_extract_all({strips}, '(?s)<[^>]+>')) AS INT)"
+            " AS tags FROM pdf"
+        )
+        want = {
+            int(r[0]): (r[1], r[2], int(r[3]), int(r[4]))
+            for r in duckdb.connect().execute(sql).fetchall()
+        }
+        assert got == want
