@@ -351,6 +351,13 @@ _HTML_ENTITIES = [  # decode order matters: &amp; LAST
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
+    # documented limit: &nbsp; decodes to ASCII space (U+0020), not
+    # NBSP (U+00A0) — real extractors (trafilatura et al.) emit NBSP.
+    # Deliberate: Java's \s does not match U+00A0 while RE2's (?s)
+    # handling differs too, so an NBSP surviving into the whitespace
+    # collapse would diverge between the Spark side and the DuckDB
+    # oracle mirror; the ASCII substitution keeps both engines (and
+    # the collapse) byte-identical (round-10 advice: state it openly).
     ("&nbsp;", " "),
     ("&amp;", "&"),
 ]

@@ -59,7 +59,15 @@ single-writer maintenance job needs:
   old versions stay time-travelable under the spec they were written
   with, and a crashed rebucket leaves the table on the old spec
   because the spec rides in the manifest that the atomic pointer
-  swap publishes.
+  swap publishes. At a scale where one full rewrite per spec change
+  is too large a unit, the spec also evolves LAZILY (the real
+  formats' rule): :meth:`start_rebucket` is a metadata-only commit
+  that retargets future writes and tags every existing file with the
+  spec its bucket id was written under (``nb`` per manifest entry);
+  reads and keyed commits prune each file under ITS OWN spec
+  throughout, keyed traffic migrates its touched files organically,
+  and :meth:`rebucket_step` moves a bounded chunk of old-spec buckets
+  per resumable commit until :meth:`migration` reports none pending.
 
 - **Readers never see a torn table.** Data files are written
   completely, then the manifest, then the pointer moves
@@ -67,10 +75,13 @@ single-writer maintenance job needs:
   pointer once and reads immutable files. A crash mid-commit leaves
   the table at the previous version; the orphan data directory is
   cleared on retry and unreferenced by any manifest.
-- **Single writer.** Streaming ``foreachBatch`` delivers batches
-  serially, which is exactly this model; multi-writer coordination
-  (optimistic retry on pointer CAS) is a table-format concern, out of
-  scope here.
+- **Single writer, guarded.** Streaming ``foreachBatch`` delivers
+  batches serially, which is exactly this model; multi-writer
+  coordination (optimistic retry) is a table-format concern, out of
+  scope here. A MISCONFIGURED second writer still fails loudly: every
+  commit re-reads the pointer immediately before its atomic swap and
+  raises :class:`ConcurrentWriterError` if it moved since the commit
+  started, instead of silently dropping the rival's version.
 
 Time travel falls out for free: every committed version stays readable
 until vacuumed. :meth:`vacuum` garbage-collects by reference count
@@ -127,6 +138,25 @@ class TouchedInfo(NamedTuple):
     n_rows: int | None  # distinct touched rows; None past cap
     buckets: set  # touched bucket ids under `n_buckets`
     n_buckets: int  # the bucket spec this info was computed under
+    # touched bucket ids under every OTHER spec still present in the
+    # manifest (lazy rebucket in progress: files written pre-migration
+    # keep their old spec until migrated). None from legacy 4-field
+    # constructions — consumers fall back to deriving from `hashes`,
+    # or to no bucket pruning for that spec (correct, conservative).
+    buckets_by_nb: dict | None = None
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer advanced the table pointer while a commit was
+    in flight. The table model is single-writer (streaming
+    foreachBatch delivers batches serially); this guard makes a
+    misconfigured second writer fail LOUDLY at publish time instead of
+    silently dropping its rival's version. The check is
+    compare-and-swap-shaped (re-read the pointer immediately before
+    the atomic replace) — a true same-instant race on a POSIX rename
+    can still last-write-win inside the tiny window, which is the
+    boundary where a real multi-writer deployment uses a table
+    format's commit protocol."""
+
 
 _POINTER = "_CURRENT"
 _META = "_TABLE.json"
@@ -191,6 +221,9 @@ def _broadcast_key_cap(spark: SparkSession) -> int:
 _KHS_EXACT_CAP = 1024
 
 
+_PA_WARNED = False
+
+
 def _parquet_kh_stats(
     p: Path,
 ) -> tuple[int | None, list[int] | None, list[int] | None]:
@@ -199,10 +232,32 @@ def _parquet_kh_stats(
     rows, whose single ``_kh`` column is read to record the exact
     list. None range when the file carries no ``_kh`` column
     (pre-upgrade files, unbucketed tables) or a row group lacks
-    min/max stats; such files are simply never pruned."""
+    min/max stats; such files are simply never pruned.
+
+    A missing pyarrow is warned ONCE (not per file): without footer
+    stats nothing breaks, but sub-splitting, file-level pruning, and
+    manifest row counts all silently degrade to bucket-granular
+    behavior — a deployment missing the optional dependency should
+    notice the degraded mode instead of diagnosing slow keyed commits
+    (round-10 advice)."""
+    global _PA_WARNED
     try:
         import pyarrow.parquet as pq
+    except Exception:
+        if not _PA_WARNED:
+            _PA_WARNED = True
+            import warnings
 
+            warnings.warn(
+                "pyarrow unavailable: versioned-table parquet footer "
+                "statistics (rows/khr/khs) will not be recorded, so "
+                "keyed commits degrade to bucket-granular rewrites "
+                "and files are never sub-split to target_file_rows",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return None, None, None
+    try:
         pf = pq.ParquetFile(str(p))
         md = pf.metadata
     except Exception:
@@ -232,28 +287,43 @@ def _parquet_kh_stats(
 
 
 def _khr_hits(
-    files: list[dict], hashes: list[int] | None, n_buckets: int | None
+    files: list[dict],
+    hashes: list[int] | None,
+    file_nbs: list[int | None],
 ) -> list[bool]:
     """Per-file: could this file contain any touched key hash? A hash
-    is only tested against files of ITS OWN bucket (every bucket spans
-    the full hash space, so cross-bucket range tests are always-true
-    noise); kb=None strays test against all hashes. Exact-list files
-    test membership, range files test overlap — binary search either
-    way, O(F log H). ``hashes=None`` (over-cap collect) disables
+    is only tested against files of ITS OWN bucket UNDER ITS OWN SPEC
+    (``file_nbs`` — per-file, because a lazy rebucket leaves files on
+    the old spec until migrated; every bucket spans the full hash
+    space, so cross-bucket range tests are always-true noise);
+    kb=None strays test against all hashes. Exact-list files test
+    membership, range files test overlap — binary search either way,
+    O(F log H) with one O(H) hash grouping per distinct spec (at most
+    two mid-migration). ``hashes=None`` (over-cap collect) disables
     pruning: every file might match."""
     if hashes is None:
         return [True] * len(files)
     import bisect
 
     all_sorted = sorted(hashes)
-    by_kb: dict[int, list[int]] = {}
-    if n_buckets:
-        for h in all_sorted:
-            by_kb.setdefault(h % n_buckets, []).append(h)
+    grouped: dict[int, dict[int, list[int]]] = {}
+
+    def by_kb(spec: int) -> dict[int, list[int]]:
+        if spec not in grouped:
+            d: dict[int, list[int]] = {}
+            for h in all_sorted:
+                d.setdefault(h % spec, []).append(h)
+            grouped[spec] = d
+        return grouped[spec]
+
     out = []
-    for f in files:
+    for f, fnb in zip(files, file_nbs):
         kb = f.get("kb")
-        hs = all_sorted if kb is None else by_kb.get(kb, [])
+        hs = (
+            all_sorted
+            if kb is None or not fnb
+            else by_kb(fnb).get(kb, [])
+        )
         khs = f.get("khs")
         if khs is not None:
             # iterate the BOUNDED side (khs ≤ _KHS_EXACT_CAP), bisect
@@ -313,6 +383,17 @@ class VersionedTable:
                 man = {}
         return man.get("n_buckets") or self._meta().get("n_buckets")
 
+    @staticmethod
+    def _file_nb(f: dict, man_nb: int | None) -> int | None:
+        """The bucket spec a file's ``kb`` was written under: the
+        per-file ``nb`` tag when present (``start_rebucket`` pins it
+        on every pre-migration file so a lazy spec evolution leaves
+        them readable AND prunable under their own spec), else the
+        manifest's spec. Strays (kb=None) have no spec."""
+        if f.get("kb") is None:
+            return None
+        return f.get("nb") or man_nb
+
     @property
     def target_file_rows(self) -> int:
         return self._meta().get("target_file_rows") or DEFAULT_TARGET_FILE_ROWS
@@ -359,7 +440,23 @@ class VersionedTable:
         except (OSError, ValueError):
             return None
 
-    def _swap_pointer(self, version: int) -> None:
+    _NO_CAS = object()  # sentinel: init has no expected base version
+
+    def _swap_pointer(self, version: int, expect=_NO_CAS) -> None:
+        """Publish ``version`` atomically. Every commit path passes the
+        version it READ at commit start as ``expect``; a pointer that
+        moved since means a second writer published concurrently —
+        raise :class:`ConcurrentWriterError` instead of silently
+        overwriting its commit (init passes no expectation: it just
+        recreated the directory)."""
+        if expect is not VersionedTable._NO_CAS:
+            got = self.current_version()
+            if got != expect:
+                raise ConcurrentWriterError(
+                    f"{self.path}: pointer moved from {expect} to {got} "
+                    f"while committing version {version} — a second "
+                    "writer is active on this single-writer table"
+                )
         tmp = self.path / f"{_POINTER}.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self.path / _POINTER)  # atomic
@@ -385,7 +482,23 @@ class VersionedTable:
         batch_id: int | None,
         cdf: dict | None = None,
         n_buckets: int | None = None,
+        keyed: dict | None = None,
+        expect=None,
     ) -> None:
+        """``expect`` (the version the commit read at start; None from
+        init, whose table has no pointer yet) is CAS-checked HERE,
+        before the manifest file lands: a rival writer that already
+        published ``version`` must not have its manifest silently
+        overwritten by the loser — the loser raises with nothing
+        overwritten instead. :meth:`_swap_pointer` re-checks
+        immediately before the pointer swap for rivals landing in
+        between."""
+        if expect != (got := self.current_version()):
+            raise ConcurrentWriterError(
+                f"{self.path}: pointer moved from {expect} to {got} "
+                f"while committing version {version} — a second "
+                "writer is active on this single-writer table"
+            )
         man = {
             "version": version,
             "applied_batch": batch_id,
@@ -397,6 +510,13 @@ class VersionedTable:
             # versioned per manifest so rebucket() can evolve it while
             # older versions stay readable/prunable under their own
             man["n_buckets"] = n_buckets
+        if keyed is not None:
+            # keyed-commit audit record: which pruning granularity ran
+            # (file vs bucket — past _FILE_PRUNE_KEYS the hash list is
+            # not collected and pruning silently degrades; this makes
+            # the degradation VISIBLE to history()/invariants, round-10
+            # advice) and the rewrite/carry split it produced
+            man["keyed"] = keyed
         if cdf is not None:
             man["cdf"] = cdf
         tmp = self.path / f"v{version}.json.tmp"
@@ -662,9 +782,10 @@ class VersionedTable:
                 df.sparkSession, nxt, files, df.schema, nb
             )
         self._write_manifest(
-            nxt, files, df.schema, batch_id, cdf=cdf, n_buckets=nb
+            nxt, files, df.schema, batch_id, cdf=cdf, n_buckets=nb,
+            expect=cur,
         )
-        self._swap_pointer(nxt)
+        self._swap_pointer(nxt, expect=cur)
         return nxt
 
     def commit_append(self, delta: DataFrame, batch_id: int | None = None) -> int:
@@ -719,8 +840,9 @@ class VersionedTable:
             # commits)
             cdf={"mode": "insert_files"} if self.has_change_feed else None,
             n_buckets=self._n_buckets_at(man),
+            expect=cur,
         )
-        self._swap_pointer(nxt)
+        self._swap_pointer(nxt, expect=cur)
         return nxt
 
     def touched_info(
@@ -765,7 +887,28 @@ class VersionedTable:
             )
         elif n_rows == 0:
             hashes = []
-        return TouchedInfo(hashes, n_rows, tb, nb)
+        # lazy rebucket in progress: files still on an old spec need
+        # their touched-bucket set under THAT spec. Derived driver-side
+        # from the collected hashes when available (free — Python's %
+        # is pmod for a positive modulus, matching Spark's pmod on the
+        # same xxhash64 values); only the bulk over-cap regime pays one
+        # extra bounded groupBy per old spec (at most one in practice).
+        by_nb: dict[int, set] = {nb: tb}
+        for spec in sorted({
+            self._file_nb(f, nb)
+            for f in man["files"]
+            if f.get("kb") is not None
+        } - {None, nb}):
+            if hashes is not None:
+                by_nb[spec] = {h % spec for h in hashes}
+            else:
+                by_nb[spec] = {
+                    r.b
+                    for r in tk.groupBy(self._kb_expr(spec).alias("b"))
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                }
+        return TouchedInfo(hashes, n_rows, tb, nb, by_nb)
 
     def commit_keyed(
         self,
@@ -864,6 +1007,19 @@ class VersionedTable:
                 info = self.touched_info(touched_keys, _man=man)
             hashes, tb = info.hashes, info.buckets
             small = info.n_rows is not None and info.n_rows <= bcap
+
+            def _tb_for(spec: int | None) -> set | None:
+                """Touched buckets under ``spec`` (files on an old
+                spec mid-migration): from the info's per-spec sets,
+                else derived from the hashes, else None = unknown →
+                the caller must not bucket-prune that file."""
+                if spec == nb:
+                    return tb
+                if info.buckets_by_nb and spec in info.buckets_by_nb:
+                    return info.buckets_by_nb[spec]
+                if hashes is not None and spec:
+                    return {h % spec for h in hashes}
+                return None
             if hashes is not None and not hashes:
                 # empty touched set: a logical no-op (empty micro-
                 # batch). Minting a version would re-write strays
@@ -880,16 +1036,16 @@ class VersionedTable:
                     )
                 return cur
             bucket_files = [f for f in man["files"] if f["kb"] is not None]
-            hits = _khr_hits(bucket_files, hashes, nb)
-            touched_files = [
-                f
-                for f, hit in zip(bucket_files, hits)
-                if f["kb"] in tb and hit
-            ]
-            touched_set = {f["path"] for f in touched_files}
-            carried = [
-                f for f in bucket_files if f["path"] not in touched_set
-            ]
+            file_nbs = [self._file_nb(f, nb) for f in bucket_files]
+            hits = _khr_hits(bucket_files, hashes, file_nbs)
+            touched_files = []
+            carried = []
+            for f, fnb, hit in zip(bucket_files, file_nbs, hits):
+                ftb = _tb_for(fnb)
+                if hit and (ftb is None or f["kb"] in ftb):
+                    touched_files.append(f)
+                else:
+                    carried.append(f)
             # kb=None strays (commit_append deltas not yet compacted
             # into buckets) may hold ANY key, so they are read unless
             # their recorded khr range proves otherwise; surviving
@@ -898,7 +1054,7 @@ class VersionedTable:
             # overhead per bucket it grazes. Compaction folds strays
             # into buckets for real.
             all_strays = [f for f in man["files"] if f["kb"] is None]
-            s_hits = _khr_hits(all_strays, hashes, nb)
+            s_hits = _khr_hits(all_strays, hashes, [None] * len(all_strays))
             stray_files = [f for f, hit in zip(all_strays, s_hits) if hit]
             carried += [
                 f for f, hit in zip(all_strays, s_hits) if not hit
@@ -906,10 +1062,13 @@ class VersionedTable:
             # size the rewrite's hash-range sub-split from the touched
             # files' recorded rows (replacement rows self-correct next
             # commit: an oversized file's own recorded rows drive a
-            # bigger split when IT is next touched)
-            bucket_rows: dict[int, int] = {}
+            # bigger split when IT is next touched); grouped per
+            # (spec, bucket) so mid-migration old-spec buckets don't
+            # pool with same-numbered new-spec ones
+            bucket_rows: dict[tuple, int] = {}
             for f in touched_files:
-                bucket_rows[f["kb"]] = bucket_rows.get(f["kb"], 0) + (
+                key = (self._file_nb(f, nb), f["kb"])
+                bucket_rows[key] = bucket_rows.get(key, 0) + (
                     f.get("rows") or 0
                 )
             if bucket_rows:
@@ -1016,11 +1175,20 @@ class VersionedTable:
                 ],
                 "schema": json.loads(changes.schema.json()),
             }
+        keyed = {
+            "pruning": (
+                "none"
+                if not self.is_bucketed
+                else ("file" if hashes is not None else "bucket")
+            ),
+            "files_rewritten": len(touched_files) + len(stray_files),
+            "files_carried": len(carried),
+        }
         self._write_manifest(
             nxt, carried + new_files, new_data.schema, batch_id, cdf=cdf,
-            n_buckets=nb,
+            n_buckets=nb, keyed=keyed, expect=cur,
         )
-        self._swap_pointer(nxt)
+        self._swap_pointer(nxt, expect=cur)
         return nxt
 
     def read_changes(
@@ -1127,12 +1295,28 @@ class VersionedTable:
             info = self.touched_info(keys_df, _man=man)
         hashes, tb = info.hashes, info.buckets
         files = man["files"]
-        hits = _khr_hits(files, hashes, nb)
-        picked = [
-            f
-            for f, hit in zip(files, hits)
-            if hit and (f["kb"] is None or f["kb"] in tb)
-        ]
+        file_nbs = [self._file_nb(f, nb) for f in files]
+        hits = _khr_hits(files, hashes, file_nbs)
+
+        def _tb_for(spec: int | None) -> set | None:
+            # same per-spec bucket sets commit_keyed prunes with: a
+            # lazy rebucket leaves files on their old spec until
+            # migrated; unknown spec → no bucket pruning for that file
+            if spec == nb:
+                return tb
+            if info.buckets_by_nb and spec in info.buckets_by_nb:
+                return info.buckets_by_nb[spec]
+            if hashes is not None and spec:
+                return {h % spec for h in hashes}
+            return None
+
+        picked = []
+        for f, fnb, hit in zip(files, file_nbs, hits):
+            if not hit:
+                continue
+            ftb = _tb_for(fnb)
+            if f["kb"] is None or ftb is None or f["kb"] in ftb:
+                picked.append(f)
         return self._read_files(spark, picked, self._schema_of(man))
 
     def versions(self) -> list[int]:
@@ -1232,14 +1416,18 @@ class VersionedTable:
         compaction variant the round-9 review asked for, so a table
         that outgrows its init-time ``n_buckets`` regains bounded
         buckets online (Iceberg's partition-spec evolution, reduced to
-        the hash-bucket case). Rewrites the CURRENT snapshot under the
-        new spec as a full-snapshot commit (O(table), amortized like
-        any compaction); the new manifest records the new spec, older
-        manifests keep theirs, and the atomic pointer swap publishes
-        files+spec together — a crash mid-rebucket leaves the table
-        fully on the old spec. Logically changeless (feed reads
-        through); the applied-batch marker carries forward for the
-        same reason :meth:`compact`'s does."""
+        the hash-bucket case). This is the EAGER variant: it rewrites
+        the CURRENT snapshot under the new spec as ONE full-snapshot
+        commit (O(table), amortized like any compaction); at a scale
+        where one full rewrite per spec change is too large a unit,
+        use :meth:`start_rebucket` + :meth:`rebucket_step` — the lazy
+        path whose commits are bounded by a bucket chunk. The new
+        manifest records the new spec, older manifests keep theirs,
+        and the atomic pointer swap publishes files+spec together — a
+        crash mid-rebucket leaves the table fully on the old spec.
+        Logically changeless (feed reads through); the applied-batch
+        marker carries forward for the same reason :meth:`compact`'s
+        does."""
         if not self.is_bucketed:
             raise ValueError(
                 f"rebucket needs a bucketed table: {self.path}"
@@ -1253,6 +1441,170 @@ class VersionedTable:
             rows_hint=self._manifest_rows(),
             new_n_buckets=n_buckets,
         )
+
+    def start_rebucket(self, n_buckets: int) -> int:
+        """Begin LAZY bucket-spec evolution to ``n_buckets`` — a
+        METADATA-ONLY commit: no data file is read or written (the
+        round-10 review's last 100× edge; Iceberg's lazy
+        partition-spec-evolution rule reduced to the hash-bucket
+        case). The new manifest records the target spec for all
+        FUTURE writes; every existing bucketed file is tagged with the
+        spec its ``kb`` was written under (``nb`` per file entry), so
+        reads and keyed commits keep pruning it correctly mid-
+        migration. From here the table migrates incrementally:
+
+        * every :meth:`commit_keyed` rewrites its touched files under
+          the NEW spec (organic migration rides normal traffic);
+        * :meth:`rebucket_step` migrates a bounded chunk of old-spec
+          buckets per call — resumable, crash-safe (each step is one
+          atomic commit), and interleavable with keyed/append traffic;
+        * :meth:`compact` (a full rewrite anyway) completes the
+          migration in one shot.
+
+        The migration is done when :meth:`migration` returns None. A
+        second ``start_rebucket`` while one is pending simply retargets
+        future writes — already-tagged files keep the spec they are
+        actually on, so multi-hop evolutions stay correct. Logically
+        changeless (feed reads through); no-op when the table is
+        already entirely on ``n_buckets``."""
+        if not self.is_bucketed:
+            raise ValueError(
+                f"start_rebucket needs a bucketed table: {self.path}"
+            )
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"start_rebucket needs an initialized table: {self.path}"
+            )
+        man = self.manifest(cur)
+        old_nb = self._n_buckets_at(man)
+        if old_nb == n_buckets and self.migration(cur) is None:
+            return cur
+        files = []
+        for f in man["files"]:
+            fnb = self._file_nb(f, old_nb)
+            f = dict(f)
+            if fnb is not None and fnb != n_buckets:
+                f["nb"] = fnb  # pin the spec this file's kb is under
+            elif fnb == n_buckets:
+                f.pop("nb", None)  # already on target: tag redundant
+            files.append(f)
+        nxt = cur + 1
+        self._write_manifest(
+            nxt,
+            files,
+            self._schema_of(man),
+            self.last_applied_batch(),
+            cdf={"mode": "empty"} if self.has_change_feed else None,
+            n_buckets=n_buckets,
+            expect=cur,
+        )
+        self._swap_pointer(nxt, expect=cur)
+        return nxt
+
+    def migration(self, version: int | None = None) -> dict | None:
+        """Pending lazy-migration state at ``version``: None when every
+        bucketed file is on the manifest's spec, else ``{"to": target,
+        "pending_files": n, "pending_buckets": {old_spec: [bucket
+        ids]}}`` — what remains for :meth:`rebucket_step` to move.
+        Derived from the per-file spec tags (never stored separately,
+        so it cannot drift from the files it describes)."""
+        man = self.manifest(version)
+        nb = self._n_buckets_at(man)
+        pend: dict[int, set] = {}
+        n = 0
+        for f in man["files"]:
+            fnb = self._file_nb(f, nb)
+            if fnb is not None and fnb != nb:
+                pend.setdefault(fnb, set()).add(f["kb"])
+                n += 1
+        if not pend:
+            return None
+        return {
+            "to": nb,
+            "pending_files": n,
+            "pending_buckets": {s: sorted(b) for s, b in pend.items()},
+        }
+
+    def rebucket_step(
+        self, spark: SparkSession, max_buckets: int = 1
+    ) -> int | None:
+        """Migrate up to ``max_buckets`` old-spec BUCKETS to the
+        current manifest spec in ONE bounded commit, or return None
+        when no old-spec file remains (migration complete). The
+        rewrite unit is the chunk — bytes written per step are bounded
+        by the chosen buckets' recorded bytes, never by the table — so
+        a 100 TB spec change amortizes across as many commits as the
+        operator wants, resumable after any crash (each step publishes
+        through the same atomic pointer swap) and interleavable with
+        keyed/append traffic, which keeps pruning correctly against
+        the mixed-spec manifest throughout. Chunks are taken smallest
+        (old_spec, bucket) first — deterministic, so a driver retry
+        re-picks the same chunk. Logically changeless (feed reads
+        through); applied-batch marker carries forward."""
+        if not self.is_bucketed:
+            raise ValueError(
+                f"rebucket_step needs a bucketed table: {self.path}"
+            )
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"rebucket_step needs an initialized table: {self.path}"
+            )
+        man = self.manifest(cur)
+        nb = self._n_buckets_at(man)
+        pend = self.migration(cur)
+        if pend is None:
+            return None
+        chosen = set(
+            sorted(
+                (s, b)
+                for s, bs in pend["pending_buckets"].items()
+                for b in bs
+            )[:max_buckets]
+        )
+        move, carried = [], []
+        rows: int | None = 0
+        for f in man["files"]:
+            fnb = self._file_nb(f, nb)
+            if fnb is not None and fnb != nb and (fnb, f["kb"]) in chosen:
+                move.append(f)
+                if rows is not None:
+                    r = f.get("rows")
+                    rows = None if r is None else rows + r
+            else:
+                carried.append(f)
+        nxt = cur + 1
+        schema = self._schema_of(man)
+        # one old bucket scatters over the new spec's buckets; size the
+        # sub-split for the worst case (all rows into one new bucket is
+        # impossible, but rows/nb underestimates when old and new specs
+        # share factors — /max(nb,1) with the post-write re-split
+        # safety net below covers the unknown-rows case too)
+        sub_bits = (
+            self._sub_bits_for(rows / max(nb, 1)) if rows else 0
+        )
+        src = self._read_files(spark, move, schema)
+        new_files = self._write_data(
+            src, nxt, n_buckets=nb, sub_bits=sub_bits
+        )
+        if rows is None:
+            new_files = self._resplit_oversized(
+                spark, nxt, new_files, schema, nb
+            )
+        self._write_manifest(
+            nxt,
+            carried + new_files,
+            schema,
+            self.last_applied_batch(),
+            cdf={"mode": "empty"} if self.has_change_feed else None,
+            n_buckets=nb,
+            expect=cur,
+        )
+        self._swap_pointer(nxt, expect=cur)
+        return nxt
 
     def file_count(self, version: int | None = None) -> int:
         return len(self.manifest(version)["files"])
@@ -1273,16 +1625,21 @@ class VersionedTable:
     def history(self) -> list[dict]:
         """Commit history as plain rows (newest last): one dict per
         surviving version with its applied batch id, file/byte
-        footprint, and how much of it was newly written vs carried
-        forward — the DESCRIBE HISTORY every table format exposes,
-        reduced to what the maintenance jobs need to audit their own
-        write amplification (the q33/q89 invariants read it)."""
+        footprint, how much of it was newly written vs carried
+        forward, and — for keyed commits — which pruning granularity
+        ran (``keyed.pruning``: 'file' when the touched-hash list was
+        collected, 'bucket' past the prune cap where file pruning
+        silently degrades, 'none' unbucketed) with the
+        rewritten/carried file split — the DESCRIBE HISTORY every
+        table format exposes, reduced to what the maintenance jobs
+        need to audit their own write amplification (the q19/q33/q89
+        invariants read it)."""
         out = []
         for v in self.versions():
             man = self.manifest(v)
             files = man["files"]
             prefix = f"data/c{v}/"
-            out.append({
+            row = {
                 "version": v,
                 "applied_batch": man.get("applied_batch"),
                 "n_files": len(files),
@@ -1294,7 +1651,14 @@ class VersionedTable:
                     for f in files
                     if f["path"].startswith(prefix)
                 ),
-            })
+                "keyed": man.get("keyed"),
+            }
+            if self.is_bucketed:
+                mig = self.migration(v)
+                row["pending_migration_files"] = (
+                    mig["pending_files"] if mig else 0
+                )
+            out.append(row)
         return out
 
     def stray_bytes(self, version: int | None = None) -> int:

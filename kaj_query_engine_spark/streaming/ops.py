@@ -166,7 +166,23 @@ def _source_root(token: tuple) -> str:
     from urllib.parse import urlparse
 
     paths = [urlparse(f).path or f for f, _s, _m in token]
-    root = os.path.commonpath(paths) if len(paths) > 1 else posixpath.dirname(paths[0])
+    try:
+        # commonpath raises ValueError on a mix of absolute and
+        # relative paths (possible when urlparse strips schemes
+        # inconsistently across the listing) — fall back to the first
+        # file's parent rather than failing an otherwise valid source
+        # (round-10 advice)
+        root = (
+            os.path.commonpath(paths)
+            if len(paths) > 1
+            else posixpath.dirname(paths[0])
+        )
+    except ValueError:
+        root = posixpath.dirname(paths[0])
+    if root in set(paths):
+        # a single path listed more than once: commonpath returns the
+        # FILE itself, not its directory
+        root = posixpath.dirname(root)
     while "=" in posixpath.basename(root):
         root = posixpath.dirname(root)
     return root

@@ -124,3 +124,22 @@ def test_pin_lists_name_real_queries_and_fill_window():
     window = list(all_queries())[:50]
     for n in _CHANGED_THIS_ROUND:
         assert n in window, f"RULE 1 pin {n} fell outside the window"
+
+
+def test_changed_symbols_deleted_module_pins_whole_module(monkeypatch):
+    """Round-10 advice: a deleted package file diffs as '+++ /dev/null'
+    and must fall back to the '--- a/...' path, pinning the module
+    whole — a deletion-only change must not escape RULE 1."""
+    pkg = "kaj_query_engine_spark"
+    diff = (
+        f"diff --git a/{pkg}/workload/text.py b/{pkg}/workload/text.py\n"
+        "deleted file mode 100644\n"
+        f"--- a/{pkg}/workload/text.py\n"
+        "+++ /dev/null\n"
+        "@@ -1,10 +0,0 @@\n"
+        "-gone\n"
+    )
+    monkeypatch.setattr(CQ, "_git", lambda *a: diff)
+    assert CQ.changed_symbols("x..y") == {
+        f"{pkg}.workload.text": {CQ._MODLEVEL}
+    }

@@ -1186,3 +1186,19 @@ def test_auto_state_partitions_memo_bounded_per_source(spark, tmp_path):
     assert len(S._ASP_MEMO) == 1  # superseded generations evicted
     ((key, (digest, _n)),) = S._ASP_MEMO.items()
     assert key[0].endswith("src") and len(digest) == 64  # digest, not listing
+
+
+def test_source_root_guards_mixed_and_repeated_paths():
+    """Round-10 advice: _source_root must not throw on a mixed
+    absolute/relative listing (commonpath raises ValueError) and must
+    return a DIRECTORY when a single path repeats (commonpath returns
+    the file itself)."""
+    from kaj_query_engine_spark.streaming.ops import _source_root
+
+    rep = (("/data/src/part-0.parquet", 1, 2),
+           ("/data/src/part-0.parquet", 1, 2))
+    assert _source_root(rep) == "/data/src"
+    mixed = (("/data/src/a.parquet", 1, 2), ("rel/b.parquet", 1, 2))
+    assert _source_root(mixed) == "/data/src"
+    hive = (("/lake/ds/k=1/p.parquet", 1, 2),)
+    assert _source_root(hive) == "/lake/ds"

@@ -1356,3 +1356,200 @@ def test_commit_append_preserves_value_type_widening(spark, tmp_path):
         spark.createDataFrame([(1,)], "k long"),
     )
     assert strays <= {f["path"] for f in tbl.manifest()["files"]}
+
+
+# ---------------------------------------------------------------------
+# Round 11: lazy/chunked bucket-spec migration + single-writer guard +
+# keyed pruning-mode audit
+# ---------------------------------------------------------------------
+
+
+def test_start_rebucket_is_metadata_only_and_tags_specs(spark, tmp_path):
+    """start_rebucket writes NO data: bytes_added == 0, every
+    pre-migration bucketed file is tagged with its own spec, strays
+    stay untagged, and the manifest's n_buckets becomes the target."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(300)]),
+             bucket_keys=["k"], n_buckets=2)
+    tbl.commit_append(df_(spark, [(1000, "stray")]))
+    before = {f["path"] for f in tbl.manifest()["files"]}
+    v = tbl.start_rebucket(8)
+    assert tbl.bytes_added(v) == 0
+    man = tbl.manifest(v)
+    assert man["n_buckets"] == 8
+    assert {f["path"] for f in man["files"]} == before  # same files
+    for f in man["files"]:
+        if f["kb"] is None:
+            assert "nb" not in f
+        else:
+            assert f["nb"] == 2
+    mig = tbl.migration()
+    assert mig["to"] == 8
+    assert sorted(mig["pending_buckets"]) == [2]
+    assert mig["pending_buckets"][2] == [0, 1]
+    # no-op when already entirely on the target spec
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(df_(spark, [(1, "a")]), bucket_keys=["k"], n_buckets=2)
+    assert tbl2.start_rebucket(2) == 0
+    assert tbl2.migration() is None
+
+
+def test_rebucket_step_migrates_bounded_chunks(spark, tmp_path):
+    """Each step rewrites ONE old-spec bucket's files (bytes bounded
+    by the chunk, not the table), reads stay correct at every
+    intermediate version, and the final state is fully on the new
+    spec with history intact."""
+    rows = [(i, f"v{i}") for i in range(400)]
+    model = dict(rows)
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, rows), bucket_keys=["k"], n_buckets=4)
+    v_start = tbl.start_rebucket(2)
+    steps = 0
+    while True:
+        man_before = tbl.manifest()
+        pend = tbl.migration()
+        v = tbl.rebucket_step(spark, max_buckets=1)
+        if v is None:
+            break
+        steps += 1
+        # bounded: bytes written this step <= bytes of the chunk's
+        # pending files (one old bucket) plus parquet overhead slack
+        chunk_bytes = sum(
+            f["bytes"]
+            for f in man_before["files"]
+            if f.get("nb") and (f["nb"], f["kb"])
+            in {(s, b) for s, bs in pend["pending_buckets"].items() for b in bs[:1]}
+        )
+        assert tbl.bytes_added(v) <= 3 * chunk_bytes + 8192
+        # mid-migration read is complete and correct
+        got = {r.k: r.v for r in tbl.read(spark).collect()}
+        assert got == model
+    assert steps == 4  # one per old-spec bucket
+    assert tbl.migration() is None
+    assert tbl.rebucket_step(spark) is None  # stable no-op
+    man = tbl.manifest()
+    assert man["n_buckets"] == 2
+    assert all("nb" not in f for f in man["files"] if f["kb"] is not None)
+    assert {f["kb"] for f in man["files"]} <= {0, 1}
+    # old versions still time-travel under their own spec
+    assert tbl.manifest(0)["n_buckets"] == 4
+    assert tbl.read(spark, v_start).count() == 400
+
+
+def test_keyed_commit_mid_migration_prunes_both_specs(spark, tmp_path):
+    """While half the table is on each spec, commit_keyed must (a)
+    produce the right data, (b) rewrite only files that can hold the
+    touched keys UNDER THE FILE'S OWN SPEC, and (c) migrate its
+    touched files to the new spec organically."""
+    rows = [(i, f"v{i}") for i in range(600)]
+    model = dict(rows)
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, rows), bucket_keys=["k"], n_buckets=2,
+             change_feed=True)
+    tbl.start_rebucket(8)
+    tbl.rebucket_step(spark, max_buckets=1)  # bucket 0 of spec 2 moved
+    mig = tbl.migration()
+    assert mig and mig["pending_buckets"][2] == [1]
+    man_mid = tbl.manifest()
+    specs = {f.get("nb", man_mid["n_buckets"])
+             for f in man_mid["files"] if f["kb"] is not None}
+    assert specs == {2, 8}  # genuinely mixed-spec
+    # keyed update touching a handful of keys across both specs
+    upd_keys = [3, 4, 10, 501]
+    upd = df_(spark, [(k, "UPD") for k in upd_keys])
+    n_before = {f["path"] for f in man_mid["files"]}
+    v = tbl.commit_keyed(upd, upd.select("k"))
+    for k in upd_keys:
+        model[k] = "UPD"
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got == model
+    man2 = tbl.manifest(v)
+    rewritten = n_before - {f["path"] for f in man2["files"]}
+    assert len(rewritten) <= len(upd_keys)  # file-bounded across specs
+    assert man2["keyed"]["pruning"] == "file"
+    # mid-migration keyed DELETE
+    dels = df_(spark, [(5, None), (502, None)]).select("k")
+    tbl.commit_keyed(df_(spark, []).limit(0), dels)
+    model.pop(5), model.pop(502)
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got == model
+    # read_buckets mid-migration: superset of the key's rows, pruned
+    picked = tbl.read_buckets(spark, df_(spark, [(7, "x")]).select("k"))
+    ks = {r.k for r in picked.collect()}
+    assert 7 in ks and len(ks) < len(model)
+    # finish the migration; replay law holds ACROSS the whole thing
+    while tbl.rebucket_step(spark, max_buckets=2) is not None:
+        pass
+    assert tbl.migration() is None
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got == model
+    from kaj_query_engine_spark.sources.versioned import apply_change_feed
+
+    replayed = apply_change_feed(
+        tbl.read(spark, 0), tbl.read_changes(spark, 0), ["k"]
+    )
+    cur = tbl.read(spark)
+    assert replayed.exceptAll(cur).count() == 0
+    assert cur.exceptAll(replayed).count() == 0
+
+
+def test_concurrent_writer_guard_raises_loudly(spark, tmp_path):
+    """A second writer publishing mid-commit must raise
+    ConcurrentWriterError at the loser's pointer swap — never a silent
+    last-write-wins that drops the rival's version."""
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+
+    class RacingTable(VersionedTable):
+        """Simulates the interleaving: a rival commit lands after this
+        writer read the current version but before its swap."""
+
+        def _write_data(self, df, version, **kw):
+            files = super()._write_data(df, version, **kw)
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                VersionedTable(self.path).commit_append(
+                    df.sparkSession.createDataFrame([(99, "rival")], SCHEMA)
+                )
+            return files
+
+    racer = RacingTable(tmp_path / "t")
+    with pytest.raises(ConcurrentWriterError, match="second writer"):
+        racer.commit_append(df_(spark, [(2, "b")]))
+    # the table stays consistent at the rival's version
+    assert tbl.current_version() == 1
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 99]
+
+
+def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
+    """history() records per keyed commit whether file pruning ran at
+    file or bucket granularity and the rewritten/carried split — the
+    round-10 'silent degradation past the prune cap' advice."""
+    from kaj_query_engine_spark.sources.versioned import TouchedInfo
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(100)]),
+             bucket_keys=["k"], n_buckets=4)
+    upd = df_(spark, [(7, "X")])
+    tbl.commit_keyed(upd, upd.select("k"))  # small: file pruning
+    # force the bulk regime: an info with no hash list (past the cap)
+    upd2 = df_(spark, [(8, "Y")])
+    info = TouchedInfo(None, 1, {tbl.touched_info(upd2.select('k')).buckets.pop()}, 4)
+    tbl.commit_keyed(upd2, upd2.select("k"), info=info)
+    hist = {h["version"]: h for h in tbl.history()}
+    assert hist[0]["keyed"] is None
+    assert hist[1]["keyed"]["pruning"] == "file"
+    assert hist[1]["keyed"]["files_rewritten"] + hist[1]["keyed"][
+        "files_carried"
+    ] >= hist[0]["n_files"]
+    assert hist[2]["keyed"]["pruning"] == "bucket"
+    # unbucketed tables record pruning='none'
+    t2 = VersionedTable(tmp_path / "u")
+    t2.init(df_(spark, [(1, "a"), (2, "b")]))
+    t2.commit_keyed(df_(spark, [(1, "z")]),
+                    spark.createDataFrame([(1,)], "k long"))
+    assert t2.history()[-1]["keyed"]["pruning"] == "none"

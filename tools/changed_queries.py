@@ -414,12 +414,29 @@ def changed_symbols(rng: str) -> dict[str, set[str]]:
             _attribute_splice(cur, hunk_start)
         hunk_attributed = True
 
+    minus_path: str | None = None
     for line in diff.splitlines():
-        if line.startswith("+++ "):
+        if line.startswith("--- "):
+            minus_path = line[4:].strip()
+        elif line.startswith("+++ "):
             _close_hunk()
             path = line[4:].strip()
             cur, spans, collecting = None, [], False
-            if path.startswith("b/") and path.endswith(".py"):
+            if path == "/dev/null" and minus_path not in (None, "/dev/null"):
+                # a DELETED package file: '+++ /dev/null' never sets a
+                # module, so its hunks would attribute nothing and a
+                # deletion-only change could escape RULE 1 entirely
+                # (round-10 advice). Resolve the module from the
+                # '--- a/...' side and pin it whole-module, mirroring
+                # the unparseable-file conservatism.
+                mp = minus_path
+                if mp.startswith("a/"):
+                    mp = mp[2:]
+                if mp.endswith(".py") and mp.startswith(f"{PKG}/"):
+                    m = _path_to_module(mp)
+                    if m not in _LEAVES:
+                        out.setdefault(m, set()).add(_MODLEVEL)
+            elif path.startswith("b/") and path.endswith(".py"):
                 m = _path_to_module(path[2:])
                 if m not in _LEAVES:
                     cur = m
