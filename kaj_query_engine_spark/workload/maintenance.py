@@ -1080,11 +1080,15 @@ def q33(spark, sf_dir):
 
 # ---- q19: bucket-spec evolution lifecycle ----------------------------
 #
-# The round-10 storage design under its own oracle: file-bounded keyed
-# rewrites (manifest khr/khs stats prune at FILE granularity), append
-# strays range/exact-list-pruned past keyed commits that cannot touch
-# them, and rebucket() evolving n_buckets online with history, the
-# change feed, and the replay law all crossing the spec change intact.
+# The round-10/11 storage design under its own oracle: file-bounded
+# keyed rewrites (manifest khr/khs stats prune at FILE granularity),
+# append strays range/exact-list-pruned past keyed commits that cannot
+# touch them, and the bucket spec evolving LAZILY (round 11):
+# start_rebucket() retargets the spec metadata-only, rebucket_step()
+# migrates one bounded bucket chunk per resumable commit, and a keyed
+# delete lands MID-MIGRATION while half the table sits on each spec —
+# with history, the change feed, the replay law, and a mixed-spec
+# snapshot read ('mid' arm) all crossing the evolution intact.
 # Sparse update/delete classes keep the carried-files invariants
 # deterministic (q33's rule); the dense insert class makes the strays
 # real. All-integer cents.
@@ -1101,17 +1105,22 @@ _BE_INS_SQL = (
 )
 _BE_ORACLE = (
     f"WITH base AS ({_BE_BASE}), ins AS ({_BE_INS_SQL}), "
-    "fin AS (SELECT k, CASE WHEN k % "
+    # mid = the update applied, deletes not yet (the snapshot read
+    # while the table is HALF-MIGRATED between two bucket specs)
+    "mid AS (SELECT k, CASE WHEN k % "
     f"{_BE_UPD} = 0 THEN cents + 500 ELSE cents END AS cents "
-    f"FROM base WHERE k % {_BE_DEL} != 0 "
-    f"UNION ALL SELECT k, cents FROM ins WHERE k % {_BE_DEL} != 0) "
+    "FROM base UNION ALL SELECT k, cents FROM ins), "
+    f"fin AS (SELECT k, cents FROM mid WHERE k % {_BE_DEL} != 0) "
     "SELECT 'v0' AS path, '-' AS op, CAST(count(*) AS BIGINT) AS n, "
     "CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) "
     "AS cents_sum FROM base "
+    "UNION ALL SELECT 'mid', '-', CAST(count(*) AS BIGINT), "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM mid "
     "UNION ALL SELECT 'final', '-', CAST(count(*) AS BIGINT), "
     "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM fin "
     # the replay arm re-states fin: apply_change_feed(v0, feed) must
-    # land on the final state even though the feed CROSSES a rebucket
+    # land on the final state even though the feed CROSSES the whole
+    # lazy migration (metadata commit + chunk steps are changeless)
     "UNION ALL SELECT 'replay', '-', CAST(count(*) AS BIGINT), "
     "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM fin "
     "UNION ALL SELECT 'feed', 'I', CAST(count(*) AS BIGINT), "
@@ -1126,9 +1135,7 @@ _BE_ORACLE = (
     # only — key 0 sits in every modulo class and is a post-cut
     # insert, the case that caught a first draft of this oracle)
     "UNION ALL SELECT 'feed', 'D', CAST(count(*) AS BIGINT), "
-    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM "
-    f"(SELECT k, cents + CASE WHEN k % {_BE_UPD} = 0 THEN 500 ELSE 0 "
-    "END AS cents FROM base UNION ALL SELECT k, cents FROM ins) "
+    "CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM mid "
     f"WHERE k % {_BE_DEL} = 0 HAVING count(*) > 0"
 )
 
@@ -1140,16 +1147,22 @@ _BE_ORACLE = (
     "n_buckets=2 with a small file target (forcing real hash-range "
     "sub-splits), append post-cut inserts as strays (exact-hash-list "
     f"pruning metadata recorded), sparse keyed update (% {_BE_UPD}) — "
-    "invariant-asserted to rewrite at most one FILE per touched key "
-    "and to carry every stray forward unread — then rebucket() to 8 "
-    "(spec versioned per manifest: old versions stay readable under "
-    f"n_buckets=2), then a sparse keyed delete (% {_BE_DEL}) under "
-    "the NEW spec with the same file-bounded invariant. Branches: "
-    "'v0' time travel, 'final' current state, 'replay' = "
-    "apply_change_feed(v0, read_changes) ACROSS the rebucket (the "
-    "replay law crossing a spec change), 'feed' = recorded per-commit "
-    "I/U/D including the updated-then-deleted pre-image case. Oracle "
-    "recomputes every branch from the modulo classes",
+    "invariant-asserted to rewrite at most one FILE per touched key, "
+    "to carry every stray forward unread, and (round 11) to record "
+    "pruning='file' in history — then the spec evolves LAZILY to 8: "
+    "start_rebucket is asserted metadata-only (zero bytes added), "
+    "rebucket_step migrates ONE old-spec bucket (step bytes bounded "
+    "by the chunk, pending shrinks by exactly the chunk), and the "
+    f"sparse keyed delete (% {_BE_DEL}) lands MID-MIGRATION while "
+    "files sit on both specs, still file-bounded. Remaining steps "
+    "finish the migration (asserted drained). Branches: 'v0' time "
+    "travel, 'mid' = the mixed-spec snapshot read (update applied, "
+    "deletes not yet), 'final' current state, 'replay' = "
+    "apply_change_feed(v0, read_changes) ACROSS the whole migration "
+    "(metadata commit + chunk steps are changeless), 'feed' = "
+    "recorded per-commit I/U/D including the updated-then-deleted "
+    "pre-image case. Oracle recomputes every branch from the modulo "
+    "classes",
 )
 def q19(spark, sf_dir):
     from kaj_query_engine_spark.sources.versioned import (
@@ -1200,30 +1213,78 @@ def q19(spark, sf_dir):
             "touched keys — the rewrite unit is not file-bounded"
         )
 
-    v3 = tbl.rebucket(spark, 8)
+    hist2 = tbl.history()[-1]
+    if (hist2.get("keyed") or {}).get("pruning") != "file":
+        raise RuntimeError(
+            "sparse keyed update did not record file-granular pruning "
+            f"in history: {hist2.get('keyed')}"
+        )
+
+    # ---- lazy spec evolution 2 -> 8 (round 11) -----------------------
+    v3 = tbl.start_rebucket(8)
+    if tbl.bytes_added(v3) != 0:
+        raise RuntimeError("start_rebucket wrote data: not metadata-only")
     if tbl.manifest(v3).get("n_buckets") != 8 or tbl.manifest(0).get(
         "n_buckets"
     ) != 2:
-        raise RuntimeError("rebucket did not version the bucket spec")
+        raise RuntimeError("start_rebucket did not version the bucket spec")
+    mig = tbl.migration(v3)
+    if mig is None or mig["pending_buckets"].get(2) != [0, 1]:
+        raise RuntimeError(f"migration state wrong after start: {mig}")
+    chunk_bytes = sum(
+        f["bytes"]
+        for f in tbl.manifest(v3)["files"]
+        if f.get("nb") == 2 and f["kb"] == 0
+    )
+    v4 = tbl.rebucket_step(spark, max_buckets=1)
+    mig4 = tbl.migration(v4)
+    if mig4 is None or mig4["pending_buckets"].get(2) != [1]:
+        raise RuntimeError(f"step did not migrate exactly one bucket: {mig4}")
+    if tbl.bytes_added(v4) > 3 * chunk_bytes + 65536:
+        raise RuntimeError(
+            f"step wrote {tbl.bytes_added(v4)} bytes for a "
+            f"{chunk_bytes}-byte chunk — not chunk-bounded"
+        )
+    mid = tbl.read(spark, v4)  # the mixed-spec snapshot, read later
 
+    # keyed delete MID-MIGRATION: files sit on both specs, pruning
+    # runs per file under the file's own spec, still file-bounded
     full = base.unionByName(ins)
     dels = full.filter(kk % _BE_DEL == 0).select("k")
     n_del = dels.count()
-    v4 = tbl.commit_keyed(base.limit(0), dels)
-    man3 = tbl.manifest(v3)
+    v5 = tbl.commit_keyed(base.limit(0), dels)
     man4 = tbl.manifest(v4)
-    p3 = {f["path"] for f in man3["files"]}
+    man5 = tbl.manifest(v5)
     p4 = {f["path"] for f in man4["files"]}
-    if len(p3 - p4) > n_del:
+    p5 = {f["path"] for f in man5["files"]}
+    if len(p4 - p5) > n_del:
         raise RuntimeError(
-            f"keyed delete under the evolved spec rewrote {len(p3 - p4)} "
+            f"mid-migration keyed delete rewrote {len(p4 - p5)} "
             f"files for {n_del} touched keys"
         )
-    committed = sorted({0, v1, v2, v3, v4})
+    hist5 = tbl.history()[-1]
+    if (hist5.get("keyed") or {}).get("pruning") != "file":
+        raise RuntimeError(
+            "mid-migration delete did not record file-granular pruning"
+        )
+
+    # drain the migration: bounded resumable steps until none pending
+    # (the delete may already have migrated touched files organically)
+    step_versions = []
+    while (vs := tbl.rebucket_step(spark, max_buckets=1)) is not None:
+        step_versions.append(vs)
+    if tbl.migration() is not None:
+        raise RuntimeError("migration did not drain")
+    vend = step_versions[-1] if step_versions else v5
+    man_end = tbl.manifest(vend)
+    if any(
+        "nb" in f for f in man_end["files"] if f["kb"] is not None
+    ) or man_end.get("n_buckets") != 8:
+        raise RuntimeError("post-migration manifest still mixed-spec")
+    committed = sorted({0, v1, v2, v3, v4, v5, *step_versions})
     if tbl.versions() != committed:
         raise RuntimeError("evolution lifecycle lost a version")
 
-    vend = v4
     v0 = tbl.read(spark, 0)
     fin = tbl.read(spark)
     feed = tbl.read_changes(spark, 0, vend)
@@ -1238,6 +1299,7 @@ def q19(spark, sf_dir):
 
     return (
         arm(v0, "v0", F.lit("-"))
+        .unionAll(arm(mid, "mid", F.lit("-")))
         .unionAll(arm(fin, "final", F.lit("-")))
         .unionAll(arm(replayed, "replay", F.lit("-")))
         .unionAll(arm(feed.drop("_commit_version"), "feed", F.col("op")))
