@@ -51,21 +51,23 @@ def quantize_fixed(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> Da
     )
 
 
-def kmeans_int(
+def kmeans_assign_int(
     vecs: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iterations: int = 3,
     scale: int = 10_000,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
     """Run ``iterations`` Lloyd steps; init = the quantized vectors of
-    the ``k`` smallest ids. Returns one row per non-empty cluster of
-    the FINAL assignment: (cluster, n, id_sum, c_sum) where ``id_sum``
-    checksums the membership and ``c_sum`` the final centroid — all
-    BIGINT, so the unrolled-CTE oracle matches bit-for-bit."""
+    the ``k`` smallest ids. Returns ``(assigned, quantized, cents)``:
+    the FINAL (id, j) assignment frame, the persisted quantized
+    corpus, and the final integer centroids — the building block both
+    :func:`kmeans_int` (per-cluster checksums) and the semantic-dedup
+    operator (within-cluster pair generation) compose, sharing the
+    oracle-exact iteration bit-for-bit."""
     if iterations < 1:
-        raise ValueError("kmeans_int needs iterations >= 1")
+        raise ValueError("kmeans_assign_int needs iterations >= 1")
     spark = vecs.sparkSession
     # persisted across the iterations (and still referenced by the
     # returned plan); Spark reclaims the cache with the session — the
@@ -107,7 +109,26 @@ def kmeans_int(
         )
         got = {r.j: [int(v) for v in r.c] for r in upd.collect()}
         cents = [(j, got.get(j, c)) for j, c in cents]  # empty: keep
-    csum_df = spark.createDataFrame(
+    return best, q, cents
+
+
+def kmeans_int(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd steps; init = the quantized vectors of
+    the ``k`` smallest ids. Returns one row per non-empty cluster of
+    the FINAL assignment: (cluster, n, id_sum, c_sum) where ``id_sum``
+    checksums the membership and ``c_sum`` the final centroid — all
+    BIGINT, so the unrolled-CTE oracle matches bit-for-bit."""
+    best, q, cents = kmeans_assign_int(
+        vecs, id_col, vec_col, k, iterations, scale
+    )
+    csum_df = vecs.sparkSession.createDataFrame(
         [(j, sum(c)) for j, c in cents], "j long, c_sum long"
     )
     return (

@@ -1143,3 +1143,124 @@ def contaminated_spans(
         .select("id", "pos")
     )
     return _merge_flagged_islands(flagged, k)
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iterations: int = 3,
+    cluster_scale: int = 10_000,
+    dedup_scale: int = 512,
+    thr_num: int = 49,
+    thr_den: int = 400,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    near-duplicate pruning — the fifth dedup family, complementing
+    exact / MinHash / SimHash / span: embed, k-means cluster the
+    embedding space, compare pairwise cosine WITHIN clusters only,
+    and drop all but one representative of each duplicate pair.
+    Sub-quadratic BY CONSTRUCTION: no cross-cluster pair ever forms,
+    so pair count is Σ|C_i|² ≈ N²/k — the paper's k grows with the
+    corpus (they cluster LAION into 50k clusters), keeping per-cluster
+    work bounded; the probe scales k with N to pin that contract.
+
+    ORACLE-EXACT like the rest of the iterative family: clustering is
+    the integer fixed-point Lloyd recipe
+    (:func:`~kaj_query_engine_spark.operators.clustering.kmeans_assign_int`,
+    shared with q91 bit-for-bit), and the duplicate test avoids float
+    cosine entirely — vectors re-quantize to a coarser
+    ``1/dedup_scale`` grid (coarse enough that every product below
+    stays in BIGINT: |q|·dim·scale² bounded), and a pair duplicates
+    when ``dot > 0 AND dot²·thr_den ≥ thr_num·|a|²·|b|²`` — the
+    squared-cosine threshold ``thr_num/thr_den = cos²θ`` as one
+    integer comparison both engines evaluate identically.
+
+    Keep rule: within each duplicate pair the SMALLER id survives; a
+    document is dropped if ANY smaller-id duplicate shares its cluster
+    (the same deterministic min-id convention as the exact/MinHash
+    families; the paper keeps low-centroid-similarity examples — a
+    policy knob, not a mechanism change).
+
+    Returns one row per non-empty cluster: (cluster, n, dup_pairs,
+    dropped, survivor_id_sum) — membership, duplicate-pair count,
+    dropped-document count, and a checksum of the surviving ids; all
+    BIGINT for the unrolled-CTE DuckDB oracle.
+
+    Scale shape: one broadcast k×dim centroid join per Lloyd step
+    (inherited), then ONE shuffle on cluster id for the pair join;
+    the quantized dot/norm folds are JVM-side higher-order functions
+    (zip_with/aggregate), never Python. No counterpart in the
+    reference engine (no arrays, no iteration —
+    ref:src/qp/utils/Attribute.java:11-13)."""
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+        quantize_fixed,
+    )
+
+    assigned, _q, _cents = kmeans_assign_int(
+        vecs, id_col, vec_col, k, iterations, cluster_scale
+    )
+    qd = quantize_fixed(vecs, id_col, vec_col, dedup_scale)
+    n2 = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = qd.join(assigned, "id").select(
+        "j", "id", "q", n2.alias("n2")
+    )
+    a = m.select(
+        "j",
+        F.col("id").alias("ida"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = m.select(
+        "j",
+        F.col("id").alias("idb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "j")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("j", "ida", "idb", dot.alias("dot"), "na2", "nb2")
+    )
+    dups = pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot") * F.col("dot") * F.lit(thr_den)
+            >= F.lit(thr_num) * F.col("na2") * F.col("nb2")
+        )
+    )
+    dropped = dups.select("j", F.col("idb").alias("id")).distinct()
+    members = m.select("j", "id")
+    survivors = members.join(dropped, ["j", "id"], "left_anti")
+    per_m = members.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+    per_p = dups.groupBy("j").agg(F.count(F.lit(1)).alias("dup_pairs"))
+    per_d = dropped.groupBy("j").agg(F.count(F.lit(1)).alias("dropped"))
+    per_s = survivors.groupBy("j").agg(
+        F.sum("id").alias("survivor_id_sum")
+    )
+    return (
+        per_m.join(per_p, "j", "left")
+        .join(per_d, "j", "left")
+        .join(per_s, "j", "left")
+        .select(
+            F.col("j").alias("cluster"),
+            "n",
+            F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
+            F.coalesce("dropped", F.lit(0)).alias("dropped"),
+            F.coalesce("survivor_id_sum", F.lit(0)).alias(
+                "survivor_id_sum"
+            ),
+        )
+    )

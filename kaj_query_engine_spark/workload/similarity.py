@@ -571,7 +571,12 @@ _KM_SCALE = 10_000
 _KM_DIM = 64
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte() -> str:
+    """The shared unrolled-Lloyd WITH-chain (qv quantization, c0 init,
+    a{t}/u{t}/c{t} per iteration) up to the final assignment
+    ``a{_KM_T}`` — q91's oracle selects cluster checksums from it,
+    q12's semantic dedup builds within-cluster pairs on top of it, so
+    both mirror the SAME bit-exact clustering."""
     dist = (
         "list_sum(list_transform(range(1, {d}), "
         "i -> (q[i] - c[i]) * (q[i] - c[i])))"
@@ -601,10 +606,14 @@ def _kmeans_oracle() -> str:
             f"UNION ALL SELECT j, c FROM {prev} "
             f"WHERE j NOT IN (SELECT DISTINCT j FROM a{it}))"
         )
+    return ", ".join(parts)
+
+
+def _kmeans_oracle() -> str:
     final_a = f"a{_KM_T}"
     final_c = f"c{_KM_T}"
     return (
-        ", ".join(parts)
+        _kmeans_cte()
         + f" SELECT {final_a}.j AS cluster, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(id) AS BIGINT) AS id_sum, cs.c_sum "
         f"FROM {final_a} JOIN (SELECT j, CAST(list_sum(c) AS BIGINT) "
@@ -637,4 +646,77 @@ def q91(spark, sf_dir):
     return kmeans_int(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=_KM_K, iterations=_KM_T, scale=_KM_SCALE,
+    )
+
+
+# q12: SemDeDup — semantic near-duplicate pruning (Abbas et al. 2023,
+# arXiv:2303.09540), the fifth dedup family (exact / MinHash / SimHash
+# / span / SEMANTIC). Clusters are q91's integer fixed-point k-means
+# verbatim (shared CTE chain, bit-exact); the duplicate test is the
+# integer squared-cosine comparison dot² · DEN >= NUM · |a|²|b|² on a
+# coarser overflow-safe grid, so the whole pipeline — iterative
+# clustering included — hash-matches DuckDB.
+_SD_SCALE = 512  # 1/512 grid: |q| <= ~300/dim keeps every product in BIGINT
+_SD_NUM, _SD_DEN = 49, 400  # cos²θ >= 49/400 i.e. cosine >= 0.35
+
+
+def _semdedup_oracle() -> str:
+    qd = (
+        "SELECT vec_id AS id, list_transform(embedding, "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * {_SD_SCALE}.0 + 0.5) "
+        "AS BIGINT)) AS q FROM embeddings"
+    )
+    return (
+        _kmeans_cte()
+        + f", qd AS ({qd})"
+        ", m AS (SELECT a.id, a.j, qd.q, "
+        "list_sum(list_transform(qd.q, x -> x*x)) AS n2 "
+        f"FROM a{_KM_T} a JOIN qd ON a.id = qd.id)"
+        ", p AS (SELECT x.j, x.id AS ida, y.id AS idb, "
+        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
+        "i -> x.q[i]*y.q[i])) AS dot, x.n2 AS na2, y.n2 AS nb2 "
+        "FROM m x JOIN m y ON x.j = y.j AND x.id < y.id)"
+        ", d AS (SELECT j, ida, idb FROM p WHERE dot > 0 AND "
+        f"dot*dot*{_SD_DEN} >= {_SD_NUM}*na2*nb2)"
+        ", drp AS (SELECT DISTINCT j, idb AS id FROM d) "
+        "SELECT mm.j AS cluster, mm.n, "
+        "CAST(COALESCE(pp.dup_pairs, 0) AS BIGINT) AS dup_pairs, "
+        "CAST(COALESCE(dd.dropped, 0) AS BIGINT) AS dropped, "
+        "CAST(COALESCE(ss.survivor_id_sum, 0) AS BIGINT) "
+        "AS survivor_id_sum "
+        "FROM (SELECT j, CAST(count(*) AS BIGINT) AS n FROM m "
+        "GROUP BY j) mm "
+        "LEFT JOIN (SELECT j, count(*) AS dup_pairs FROM d GROUP BY j) "
+        "pp ON mm.j = pp.j "
+        "LEFT JOIN (SELECT j, count(*) AS dropped FROM drp GROUP BY j) "
+        "dd ON mm.j = dd.j "
+        "LEFT JOIN (SELECT m.j, sum(m.id) AS survivor_id_sum FROM m "
+        "LEFT JOIN drp ON m.j = drp.j AND m.id = drp.id "
+        "WHERE drp.id IS NULL GROUP BY m.j) ss ON mm.j = ss.j"
+    )
+
+
+@register(
+    "q12_semantic_dedup",
+    _semdedup_oracle(),
+    "SemDeDup (Abbas et al. 2023) over the embeddings: k-means cluster "
+    f"the embedding space (q91's integer fixed-point Lloyd, k={_KM_K}, "
+    f"{_KM_T} iterations, shared CTE chain — bit-exact), then pairwise "
+    "cosine WITHIN clusters only — sub-quadratic by construction, no "
+    "cross-cluster pair ever forms — dropping the larger id of every "
+    f"pair with cos² >= {_SD_NUM}/{_SD_DEN} (cosine >= 0.35), tested "
+    "as ONE integer comparison dot²·DEN >= NUM·|a|²|b|² on a coarser "
+    f"1/{_SD_SCALE} overflow-safe grid. Per cluster: members, "
+    "duplicate pairs, dropped docs, survivor id checksum. One shuffle "
+    "on cluster id for the pair join; dot/norm folds are JVM-side "
+    "zip_with/aggregate. The scale path grows k with the corpus "
+    "(the paper's 50k clusters on LAION), pinned by the probe",
+)
+def q12(spark, sf_dir):
+    from kaj_query_engine_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KM_K, iterations=_KM_T, cluster_scale=_KM_SCALE,
+        dedup_scale=_SD_SCALE, thr_num=_SD_NUM, thr_den=_SD_DEN,
     )

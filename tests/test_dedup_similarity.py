@@ -1173,6 +1173,56 @@ def test_kmeans_int_blobs_and_invariance(spark):
     assert [(r.cluster, r.n, r.id_sum) for r in sout] == [(0, 5, 10)]
 
 
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup: planted near-identical pairs within a blob are
+    dropped (min-id survives), cross-cluster look-alikes are NEVER
+    compared (sub-quadratic contract), and clusters without
+    duplicates keep every member."""
+    # two tight blobs around opposite corners; ids interleave so the
+    # k-smallest-ids init spans both
+    rows = []
+    centers = [(0.4, 0.4, 0.0, 0.0), (-0.4, 0.0, 0.0, -0.4)]
+    for m in range(4):
+        for b, c in enumerate(centers):
+            vid = 2 * m + b
+            rows.append(
+                (vid, [c[d] + 0.02 * ((vid * 7 + d) % 5) for d in range(4)])
+            )
+    # plant an exact duplicate of id 0 (blob 0) as id 100: cosine 1.0
+    rows.append((100, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.cluster: r
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", k=2, iterations=3,
+            # cos² >= 0.999 (cos >= ~0.9995): above the tightest
+            # non-twin in-blob pair (0.9981), below the exact twin (1.0)
+            dedup_scale=512, thr_num=999, thr_den=1000,
+        ).collect()
+    }
+    assert len(out) == 2
+    total_n = sum(r.n for r in out.values())
+    total_dropped = sum(r.dropped for r in out.values())
+    assert total_n == 9
+    assert total_dropped == 1  # exactly the planted twin
+    # the twin's cluster dropped the LARGER id (100): its survivor
+    # checksum excludes 100, and every other member survives
+    twin = next(r for r in out.values() if r.dropped == 1)
+    clean = next(r for r in out.values() if r.dropped == 0)
+    assert twin.dup_pairs >= 1
+    assert clean.dup_pairs == 0
+    members = {0, 2, 4, 6, 100} if twin.n == 5 else {1, 3, 5, 7}
+    assert twin.survivor_id_sum == sum(members) - 100
+    # threshold is a real knob: at cos >= 0.1 more pairs qualify but
+    # survivors still keep the min id of every pair
+    loose = D.semantic_dedup(
+        df, "vec_id", "embedding", k=2, iterations=3,
+        thr_num=1, thr_den=100,
+    ).collect()
+    assert sum(r.dropped for r in loose) >= 1
+    assert all(r.n >= r.dropped for r in loose)
+
+
 # ---- multi-source BFS (operators/graph.py) --------------------------
 
 

@@ -252,6 +252,19 @@ def main() -> None:
             vecs(k), "vec_id", "embedding", k=8, iterations=3
         ).write.format("noop").mode("overwrite").save()
 
+    def run_semdedup(k: int) -> None:
+        # SemDeDup's scale contract: k GROWS with the corpus (the
+        # paper clusters LAION into 50k clusters), keeping per-cluster
+        # pair counts bounded — clustering is O(N·k·iters), pairs
+        # Σ|C|² ≈ N²/k; with k ∝ √N both terms read ~N^1.5, far below
+        # all-pairs N². One Lloyd iteration: the probe measures the
+        # SHAPE; the q12 oracle pins the full recipe bit-for-bit.
+        n = base_vecs * k
+        kk = max(8, math.isqrt(n) // 4)
+        D.semantic_dedup(
+            vecs(k), "vec_id", "embedding", k=kk, iterations=1,
+        ).write.format("noop").mode("overwrite").save()
+
     def run_neardup(k: int) -> None:
         v = vecs(k)
         # NO caller-supplied sizing: rows_per_band=None auto-sizes from
@@ -871,6 +884,7 @@ def main() -> None:
         "incremental_dedup_fixed_batch": run_incremental,
         "band_index_merge_fixed_batch": run_index_merge,
         "embedding_neardup": run_neardup,
+        "semantic_dedup_scaled_k": run_semdedup,
         "kmeans_int_fixed_k": run_kmeans,
         "simhash": run_simhash,
         "exact_dedup": run_exact,
@@ -911,6 +925,7 @@ def main() -> None:
         "incremental_dedup_fixed_batch": docs,
         "band_index_merge_fixed_batch": docs,
         "embedding_neardup": vecs,
+        "semantic_dedup_scaled_k": vecs,
         "kmeans_int_fixed_k": vecs,
         "simhash": docs,
         "exact_dedup": docs,
@@ -1020,7 +1035,7 @@ def main() -> None:
         elif name in ("scd2_incremental_fixed_batch", "merge_upsert_fixed_batch",
                       "merge_partitioned_fixed_batch", "ivm_join_fixed_delta"):
             base_n = MAINT_BASE
-        elif name in ("embedding_neardup", "ann_lsh_topk",
+        elif name in ("embedding_neardup", "ann_lsh_topk", "semantic_dedup_scaled_k",
                       "ivf_query_materialized", "ivf_incr_ingest_fixed_batch"):
             base_n = base_vecs
         else:
