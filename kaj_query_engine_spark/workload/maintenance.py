@@ -228,39 +228,40 @@ _SCD2_ORACLE = (
 )
 
 
-@register(
-    "q56_scd2_dimension",
-    _SCD2_ORACLE,
-    "SCD2 dimension build from the event history: per user, collapse "
-    "consecutive same-state events into versioned rows with "
-    "valid_from_us/valid_to_us (epoch-micro BIGINTs; open version -> "
-    "NULL + is_current). Two window functions over ONE shuffle+sort "
-    "on (user_id, ts, event_id) — no self-join on the history; "
-    "deterministic via the event_id tiebreak",
+# round 11 registry discipline: the former q56_scd2_dimension (the
+# full-history SCD2 build checked against the same _SCD2_ORACLE) is
+# MERGED into q57 as its 'full' arm — the two queries shared one
+# oracle and one output schema, so the tagged union verifies both
+# paths in one registry slot (the q63 'incr'-branch pattern).
+_SCD2_TAGGED_ORACLE = (
+    f"WITH dim AS ({_SCD2_ORACLE}) "
+    "SELECT 'full' AS tag, * FROM dim "
+    "UNION ALL SELECT 'incr' AS tag, * FROM dim"
 )
-def q56(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    return M.scd2_from_events(
-        e, "user_id", "ts", "event_type", tiebreak="event_id"
-    )
 
 
 @register(
     "q57_scd2_incremental",
-    _SCD2_ORACLE,
-    "Incremental SCD2 maintenance: the dimension built from history "
-    "before 2024-01-22 is merged with the later events as an "
-    "append-only batch — untouched keys pass through ONE broadcast "
-    "anti-join (map-only dimension scan), touched keys re-collapse "
-    "from (their versions as pseudo-events) + batch, O(touched + "
-    "batch) regardless of dimension size. The oracle is DELIBERATELY "
-    "the full-rebuild SQL over the entire history (same as q56): "
-    "incremental merge == full rebuild is the differential contract "
-    "being checked",
+    _SCD2_TAGGED_ORACLE,
+    "SCD2 dimension, both maintenance paths tagged in one result: "
+    "'full' = the dimension built from the whole event history (per "
+    "user, consecutive same-state events collapse into versioned rows "
+    "with epoch-micro validity bounds; two window functions over ONE "
+    "shuffle+sort, no history self-join), 'incr' = the dimension "
+    "built from history before 2024-01-22 merged with the later "
+    "events as an append-only batch — untouched keys pass through ONE "
+    "broadcast anti-join (map-only dimension scan), touched keys "
+    "re-collapse from (their versions as pseudo-events) + batch, "
+    "O(touched + batch) regardless of dimension size. The oracle is "
+    "DELIBERATELY the full-rebuild SQL for BOTH tags: incremental "
+    "merge == full rebuild is the differential contract",
 )
 def q57(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    full = M.scd2_from_events(
+        e, "user_id", "ts", "event_type", tiebreak="event_id"
+    )
     dim = M.scd2_from_events(
         e.filter(F.col("ts") < cut),
         "user_id",
@@ -268,13 +269,16 @@ def q57(spark, sf_dir):
         "event_type",
         tiebreak="event_id",
     )
-    return M.scd2_merge_batch(
+    incr = M.scd2_merge_batch(
         dim,
         e.filter(F.col("ts") >= cut),
         "user_id",
         "ts",
         "event_type",
         tiebreak="event_id",
+    )
+    return full.select(F.lit("full").alias("tag"), "*").unionByName(
+        incr.select(F.lit("incr").alias("tag"), "*")
     )
 
 

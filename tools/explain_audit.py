@@ -364,21 +364,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange", "Join", "CartesianProduct", "BatchEvalPython"],
     ),
     "q57_scd2_incremental": (
-        # incremental dimension merge: the batch's key set is bounded,
-        # so BOTH the untouched-keys anti-join and the touched-keys
-        # semi-join must broadcast it (planner's own size estimate, no
-        # hint) — the dimension side stays map-only; the only
-        # exchanges are the per-key window sorts of the rebuild
+        # both SCD2 arms in one plan (q56 merged in, round 11): the
+        # 'full' rebuild arm contributes its window-over-one-hash-
+        # exchange shape; the incremental arm's batch key set is
+        # bounded, so BOTH the untouched-keys anti-join and the
+        # touched-keys semi-join must broadcast it (planner's own
+        # size estimate, no hint) — the dimension side stays map-only
         ["BroadcastHashJoin LeftAnti", "BroadcastHashJoin LeftSemi",
-         "Window", "Union"],
+         "Window", "hashpartitioning(user_id", "Union"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
-    ),
-    "q56_scd2_dimension": (
-        # SCD2 build: both window functions ride ONE hash exchange on
-        # user_id (the sort is computed once and reused); no self-join
-        # on the history, no global range sort
-        ["Window", "hashpartitioning(user_id"],
-        ["Join", "CartesianProduct", "rangepartitioning("],
     ),
     "q95_avi_decode": (
         # the video twin: spread exchange → map-only container decode
