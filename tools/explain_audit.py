@@ -363,6 +363,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "Union", "Generate"],
         ["Exchange", "Join", "CartesianProduct", "BatchEvalPython"],
     ),
+    "q12_semantic_dedup": (
+        # SemDeDup: within-cluster pairs ONLY — the pair join is an
+        # equi-join on the cluster id (broadcast at fixture scale,
+        # shuffle-on-j at 100 TB), never a cartesian pair enumeration;
+        # the only nested-loop joins in the plan are the bounded
+        # k x dim centroid broadcasts the Lloyd iterations share with
+        # q91. Per-cluster stats partial-aggregate map-side.
+        ["HashAggregate", "partial_", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
     "q57_scd2_incremental": (
         # both SCD2 arms in one plan (q56 merged in, round 11): the
         # 'full' rebuild arm contributes its window-over-one-hash-
