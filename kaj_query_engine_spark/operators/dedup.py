@@ -1209,8 +1209,16 @@ def semantic_dedup(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    m = qd.join(assigned, "id").select(
-        "j", "id", "q", n2.alias("n2")
+    # persisted: every downstream branch (both pair-join sides, the
+    # membership counts, the survivor anti-join) references this frame,
+    # and its lineage contains the FULL iterative Lloyd run — without
+    # the cache each branch would re-execute all k-means iterations
+    # (measured: ~2x the whole query). Same session-reclaimed contract
+    # as the quantized corpus inside kmeans_assign_int.
+    m = (
+        qd.join(assigned, "id")
+        .select("j", "id", "q", n2.alias("n2"))
+        .persist()
     )
     a = m.select(
         "j",

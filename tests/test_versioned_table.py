@@ -690,9 +690,12 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path):
     """Model-based pin of the manifest machinery: random sequences of
     full-snapshot / append / keyed / compact / vacuum — plus, on
     bucketed tables, REBUCKET (round 10: online bucket-spec evolution)
-    — must keep (a) the current read equal to a plain dict model, (b)
-    every un-vacuumed version equal to the model snapshot recorded
-    when it was committed, and (c) read_buckets for any probed key a
+    and the LAZY migration pair start_rebucket / rebucket_step (round
+    11: arbitrary interleavings of other commits while the table is
+    mixed-spec, including a second retarget mid-migration) — must keep
+    (a) the current read equal to a plain dict model, (b) every
+    un-vacuumed version equal to the model snapshot recorded when it
+    was committed, and (c) read_buckets for any probed key a
     key-complete SUBSET of the table — across bucketed and unbucketed
     tables, with history surviving carried-file GC and spec changes."""
     import random
@@ -711,11 +714,19 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path):
         fresh = 1000  # append-only key counter
         ops = ["full", "append", "keyed", "compact", "vacuum"]
         if bucketed:
-            ops.append("rebucket")
-        for _ in range(5):
+            ops += ["rebucket", "start_rebucket", "rebucket_step"]
+        for _ in range(7):
             op = rng.choice(ops)
             if op == "rebucket":
                 v = tbl.rebucket(spark, rng.choice([2, 4, 8, 16]))
+            elif op == "start_rebucket":
+                # metadata-only retarget — legal mid-migration too
+                # (multi-hop: files keep the spec they are actually on)
+                v = tbl.start_rebucket(rng.choice([2, 4, 8, 16]))
+            elif op == "rebucket_step":
+                v = tbl.rebucket_step(spark, max_buckets=rng.choice([1, 2]))
+                if v is None:  # nothing pending: stable no-op
+                    v = tbl.current_version()
             elif op == "full":
                 model = {k: f"f{k}" for k in rng.sample(range(100), rng.randint(0, 15))}
                 v = tbl.commit(df_(spark, sorted(model.items())))
