@@ -1223,6 +1223,80 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert all(r.n >= r.dropped for r in loose)
 
 
+def test_semantic_dedup_matches_numpy_model(spark):
+    """Differential pin beyond the SQL oracle: semantic_dedup's whole
+    pipeline (integer Lloyd clustering + quantized integer cosine
+    threshold + min-id survivorship) reproduced independently in
+    numpy int64 arithmetic on random vectors — per-cluster stats must
+    match exactly, and every intermediate product must fit int64 (the
+    overflow-safety claim of the 1/512 grid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(424242)
+    n, dim, k, iters = 80, 16, 4, 3
+    c_scale, d_scale, num, den = 10_000, 512, 49, 400
+    vecs = (rng.random((n, dim), dtype=np.float64) - 0.5).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+
+    # ---- numpy model (mirrors the documented recipe exactly) -------
+    q = np.floor(vecs.astype(np.float64) * c_scale + 0.5).astype(np.int64)
+    cents = q[:k].copy()  # init = k smallest ids (ids are 0..n-1)
+    assign = None
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> smaller index (argmin rule)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                s = q[mask].sum(axis=0)
+                cnt = int(mask.sum())
+                cents[j] = (s - np.mod(s, cnt)) // cnt  # pmod floor-div
+    qd = np.floor(vecs.astype(np.float64) * d_scale + 0.5).astype(np.int64)
+    n2 = (qd * qd).sum(axis=1)
+    expected = {}
+    dropped_ids = set()
+    pair_counts = {j: 0 for j in range(k)}
+    for j in range(k):
+        members = ids[assign == j]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                dot = int((qd[a] * qd[b]).sum())
+                lhs, rhs = dot * dot * den, num * int(n2[a]) * int(n2[b])
+                assert abs(lhs) < 2**63 and abs(rhs) < 2**63  # int64-safe
+                if dot > 0 and lhs >= rhs:
+                    pair_counts[j] += 1
+                    dropped_ids.add(int(b))
+    for j in range(k):
+        members = [int(i) for i in ids[assign == j]]
+        if not members:
+            continue
+        surv = [i for i in members if i not in dropped_ids]
+        expected[j] = (
+            len(members),
+            pair_counts[j],
+            sum(1 for i in members if i in dropped_ids),
+            sum(surv),
+        )
+
+    # ---- the operator ----------------------------------------------
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.cluster: (r.n, r.dup_pairs, r.dropped, r.survivor_id_sum)
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", k=k, iterations=iters,
+            cluster_scale=c_scale, dedup_scale=d_scale,
+            thr_num=num, thr_den=den,
+        ).collect()
+    }
+    assert got == expected
+    # the random draw must actually exercise the dup branch somewhere
+    assert any(p for _n, p, _d, _s in got.values())
+
+
 # ---- multi-source BFS (operators/graph.py) --------------------------
 
 

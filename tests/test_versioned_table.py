@@ -1564,3 +1564,50 @@ def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
     t2.commit_keyed(df_(spark, [(1, "z")]),
                     spark.createDataFrame([(1,)], "k long"))
     assert t2.history()[-1]["keyed"]["pruning"] == "none"
+
+
+def test_bulk_regime_keyed_commit_mid_migration(spark, tmp_path):
+    """The over-cap regime (no collected hash list) while the table is
+    MIXED-SPEC: touched-bucket sets must be computed per spec by the
+    extra bounded groupBy (buckets_by_nb), file pruning degrades to
+    bucket granularity (recorded in history), and the data stays
+    correct. Forced via a TouchedInfo with hashes=None rather than
+    16k+ real keys."""
+    from kaj_query_engine_spark.sources.versioned import TouchedInfo
+
+    rows = [(i, f"v{i}") for i in range(300)]
+    model = dict(rows)
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, rows), bucket_keys=["k"], n_buckets=2)
+    tbl.start_rebucket(8)
+    tbl.rebucket_step(spark)  # now mixed: spec 2 and spec 8 files
+    upd = df_(spark, [(10, "U10"), (11, "U11"), (250, "U250")])
+    tk = upd.select("k")
+    # touched_info computes per-spec sets; blank the hash list to
+    # force the bulk path while keeping the per-spec bucket sets
+    info = tbl.touched_info(tk)
+    assert set(info.buckets_by_nb) == {2, 8}
+    # the real over-cap path (hashes=None) while STILL mixed-spec:
+    # the per-spec bucket sets come from the extra bounded groupBy
+    import kaj_query_engine_spark.sources.versioned as V
+    old_cap = V._FILE_PRUNE_KEYS
+    try:
+        V._FILE_PRUNE_KEYS = 1  # force over-cap with a 3-key frame
+        info2 = tbl.touched_info(tk)
+        assert info2.hashes is None
+        assert set(info2.buckets_by_nb) == {2, 8}
+        assert info2.buckets_by_nb[2] and info2.buckets_by_nb[8]
+    finally:
+        V._FILE_PRUNE_KEYS = old_cap
+    bulk = TouchedInfo(None, info.n_rows, info.buckets, info.n_buckets,
+                       info.buckets_by_nb)
+    v = tbl.commit_keyed(upd, tk, info=bulk)
+    for k, val in [(10, "U10"), (11, "U11"), (250, "U250")]:
+        model[k] = val
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got == model
+    assert tbl.manifest(v)["keyed"]["pruning"] == "bucket"
+    # read_buckets in the same regime: complete for the probed key
+    rb = {r.k for r in tbl.read_buckets(spark, df_(spark, [(10, "x")]).select("k"),
+                                        info=bulk).collect()}
+    assert 10 in rb
