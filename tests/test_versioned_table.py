@@ -1611,3 +1611,120 @@ def test_bulk_regime_keyed_commit_mid_migration(spark, tmp_path):
     rb = {r.k for r in tbl.read_buckets(spark, df_(spark, [(10, "x")]).select("k"),
                                         info=bulk).collect()}
     assert 10 in rb
+
+
+# ---------------------------------------------------------------------
+# Round 11b: two-level (sharded, content-addressed) manifests — the
+# "version metadata is one driver-parsed JSON" boundary, closed
+# ---------------------------------------------------------------------
+
+
+def _shard_loads(monkeypatch, counter):
+    """Count _load_shard invocations table-wide."""
+    orig = VersionedTable._load_shard
+
+    def spy(self, entry):
+        counter.append(entry["path"])
+        return orig(self, entry)
+
+    monkeypatch.setattr(VersionedTable, "_load_shard", spy)
+
+
+def test_sharded_manifest_reuses_untouched_shards(spark, tmp_path, monkeypatch):
+    """A keyed commit touching one bucket must (a) reference every
+    other bucket's shard BY PATH, byte-identical (content-addressed
+    reuse — zero metadata written for them), and (b) parse only the
+    touched bucket's shard plus strays (selective load)."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(400)]),
+             bucket_keys=["k"], n_buckets=8)
+    tbl.commit_append(df_(spark, [(1000, "stray")]))
+    man1 = tbl._manifest_lite()
+    assert "files" not in man1 and man1["shards"]
+    shards1 = {s["path"] for s in man1["shards"]}
+    upd = df_(spark, [(7, "UPD")])
+    loads: list[str] = []
+    _shard_loads(monkeypatch, loads)
+    tbl.commit_keyed(upd, upd.select("k"))
+    man2 = tbl._manifest_lite()
+    shards2 = {s["path"] for s in man2["shards"]}
+    # 8 bucket shards + 1 stray shard; exactly ONE bucket shard and
+    # the stray shard may differ (the touched ones)
+    assert len(shards1 & shards2) >= len(shards1) - 2
+    # selective load: at most the touched bucket's shard + strays
+    # parsed (touched_info may consult none — it reads entries only)
+    assert len(set(loads)) <= 2, loads
+    # the merged view stays complete and correct
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got[7] == "UPD" and len(got) == 401
+
+
+def test_commit_append_is_metadata_o1_on_sharded_tables(
+    spark, tmp_path, monkeypatch
+):
+    """An append must parse ZERO shards: every previous shard entry is
+    carried by reference and the delta forms its own stray shard."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(100)]),
+             bucket_keys=["k"], n_buckets=4)
+    loads: list[str] = []
+    _shard_loads(monkeypatch, loads)
+    tbl.commit_append(df_(spark, [(500, "a")]))
+    tbl.commit_append(df_(spark, [(501, "b")]))
+    assert loads == []
+    man = tbl._manifest_lite()
+    strays = [s for s in man["shards"] if s.get("kb") is None]
+    assert len(strays) == 2  # one entry per append, folded by compaction
+    assert {r.k for r in tbl.read(spark).collect()} >= {500, 501}
+    # compaction folds everything back to one shard per bucket
+    tbl.compact(spark)
+    man2 = tbl._manifest_lite()
+    assert all(s.get("kb") is not None for s in man2["shards"])
+
+
+def test_start_rebucket_touches_no_shard_files(spark, tmp_path, monkeypatch):
+    """start_rebucket on a sharded manifest is metadata-only at the
+    MANIFEST level: zero shards parsed, zero shards written — the spec
+    tag moves on the shard entries."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(200)]),
+             bucket_keys=["k"], n_buckets=2)
+    sdir = tbl.path / "shards"
+    before = {p.name: p.stat().st_mtime_ns for p in sdir.glob("*.json")}
+    loads: list[str] = []
+    _shard_loads(monkeypatch, loads)
+    v = tbl.start_rebucket(8)
+    assert loads == []
+    after = {p.name: p.stat().st_mtime_ns for p in sdir.glob("*.json")}
+    assert after == before  # no shard written or rewritten
+    man = tbl._manifest_lite(v)
+    assert all(s["nb"] == 2 for s in man["shards"] if s.get("kb") is not None)
+    # migration state derives from entries alone — still zero loads
+    assert tbl.migration() == {
+        "to": 8, "pending_files": man["shards"][0]["n_files"]
+        + man["shards"][1]["n_files"],
+        "pending_buckets": {2: [0, 1]},
+    }
+    assert loads == []
+
+
+def test_vacuum_gcs_unreferenced_shards(spark, tmp_path):
+    """Shard JSONs are reference-counted like data files: shared
+    content survives while any manifest names it; dropped versions'
+    exclusive shards are deleted."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(100)]),
+             bucket_keys=["k"], n_buckets=4)
+    upd = df_(spark, [(3, "X")])
+    tbl.commit_keyed(upd, upd.select("k"))
+    upd2 = df_(spark, [(3, "Y")])
+    tbl.commit_keyed(upd2, upd2.select("k"))
+    sdir = tbl.path / "shards"
+    n_before = len(list(sdir.glob("*.json")))
+    tbl.vacuum(keep_last=1)
+    live = {s["path"] for s in tbl._manifest_lite()["shards"]}
+    on_disk = {str(p.relative_to(tbl.path)) for p in sdir.glob("*.json")}
+    assert on_disk == live  # exactly the referenced set survives
+    assert len(on_disk) < n_before
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got[3] == "Y" and len(got) == 100

@@ -1089,7 +1089,32 @@ def main() -> None:
         VB_BASE = 100_000
         vb_scales = (1, 4, 16, 64)
         app_bytes, keyed_bytes, keyed_secs, ns_v = [], [], [], []
+        app_meta_bytes: list[int] = []
         pruned_rows: list[int] = []
+
+        def meta_written(tbl, before_shards: set) -> int:
+            # metadata bytes THIS commit wrote: its manifest JSON plus
+            # any shard files that did not exist before (content-
+            # addressed reuse means carried groups write nothing)
+            import os as _os
+
+            v = tbl.current_version()
+            total = (tbl.path / f"v{v}.json").stat().st_size
+            sdir = tbl.path / "shards"
+            if sdir.exists():
+                for p in sdir.glob("*.json"):
+                    if p.name not in before_shards:
+                        total += p.stat().st_size
+            return total
+
+        def shard_names(tbl) -> set:
+            sdir = tbl.path / "shards"
+            return (
+                {p.name for p in sdir.glob("*.json")}
+                if sdir.exists()
+                else set()
+            )
+
         for kk in vb_scales:
             n = VB_BASE * kk
             tbl = VersionedTable(f"{scratch}/vt_{kk}")
@@ -1103,8 +1128,15 @@ def main() -> None:
                 (F.col("id") + n).alias("vk"),
                 F.lit("appended").alias("vv"),
             )
+            pre = shard_names(tbl)
             tbl.commit_append(delta)
             app_bytes.append(tbl.bytes_added())
+            # round 11: append METADATA is O(1) — the manifest carries
+            # every previous shard entry by reference and the delta
+            # forms one new stray shard; before the two-level split the
+            # append manifest re-serialized the FULL file list (O(live
+            # files) JSON per append, the documented ~10^5-file ceiling)
+            app_meta_bytes.append(meta_written(tbl, pre))
             # fixed keyed delta: 4 touched keys in 4 DISTINCT buckets
             # at every scale (the skew probe's rule, inverted: a naive
             # fixed key list touches FEWER distinct files at small
@@ -1141,6 +1173,9 @@ def main() -> None:
             )
             ns_v.append(n)
         e_app = math.log(max(app_bytes[-1], 1) / max(app_bytes[-2], 1)) / math.log(4)
+        e_app_meta = math.log(
+            max(app_meta_bytes[-1], 1) / max(app_meta_bytes[-2], 1)
+        ) / math.log(4)
         e_key = math.log(max(keyed_bytes[-1], 1) / max(keyed_bytes[-2], 1)) / math.log(4)
         e_read = math.log(
             max(pruned_rows[-1], 1) / max(pruned_rows[-2], 1)
@@ -1149,10 +1184,12 @@ def main() -> None:
             "op": vb_name,
             "n": ns_v,
             "append_bytes": app_bytes,
+            "append_meta_bytes": app_meta_bytes,
             "keyed_bytes": keyed_bytes,
             "keyed_sec": keyed_secs,
             "pruned_read_rows": pruned_rows,
             "exponent_append_bytes": round(e_app, 2),
+            "exponent_append_meta_bytes": round(e_app_meta, 2),
             "exponent_keyed_bytes": round(e_key, 2),
             "exponent_pruned_read_rows": round(e_read, 2),
             "note": "bytes written per commit vs 64x view growth, "
@@ -1162,6 +1199,9 @@ def main() -> None:
             "must hold e ~ 0 (the q85-q89 write path)",
         }, sf_dir)
         assert e_app <= 0.05, f"append commit bytes grew with the view: e={e_app:.2f}"
+        assert e_app_meta <= 0.05, (
+            f"append METADATA bytes grew with the view: e={e_app_meta:.2f}"
+        )
         assert e_key <= 0.05, f"keyed commit bytes grew with the view: e={e_key:.2f}"
         assert e_read <= 0.05, f"one-key pruned read grew with the view: e={e_read:.2f}"
 
