@@ -385,7 +385,7 @@ class VersionedTable:
             return None
         if man is None:
             try:
-                man = self.manifest()
+                man = self._manifest_lite()
             except ValueError:
                 man = {}
         return man.get("n_buckets") or self._meta().get("n_buckets")
@@ -901,7 +901,7 @@ class VersionedTable:
             nb = (
                 new_n_buckets
                 if new_n_buckets is not None
-                else self._n_buckets_at(self.manifest(cur))
+                else self._n_buckets_at(self._manifest_lite(cur))
             )
             if rows_hint is not None:
                 sub_bits = self._sub_bits_for(rows_hint / max(nb, 1))
@@ -999,7 +999,7 @@ class VersionedTable:
             raise ValueError(
                 f"touched_info needs a bucketed table: {self.path}"
             )
-        man = _man if _man is not None else self.manifest()
+        man = _man if _man is not None else self._manifest_lite()
         schema = self._schema_of(man)
         missing = [
             k for k in self.bucket_keys if k not in touched_keys.columns
