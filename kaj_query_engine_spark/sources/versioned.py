@@ -1515,12 +1515,26 @@ class VersionedTable:
                 self._manifest_path(v).unlink()
                 dropped.append(v)
         referenced = set()
-        ref_shards = set()
+        ref_shards: set[str] = set()
+        flat_versions = []
         for v in self.versions():
-            man = self.manifest(v)
-            referenced |= {f["path"] for f in man["files"]}
+            man = self._manifest_lite(v)
             referenced |= set(man.get("cdf", {}).get("files", []))
-            ref_shards |= {s["path"] for s in man.get("shards", [])}
+            if "shards" in man:
+                ref_shards |= {s["path"] for s in man["shards"]}
+            else:
+                flat_versions.append(v)
+        # shards are immutable and SHARED across manifests (content-
+        # addressing), so each unique shard is parsed ONCE for its
+        # data-file paths — near-O(live files) total instead of
+        # O(versions x files) re-merging every surviving manifest
+        for rel in ref_shards:
+            referenced |= {
+                f["path"]
+                for f in json.loads((self.path / rel).read_text())["files"]
+            }
+        for v in flat_versions:
+            referenced |= {f["path"] for f in self.manifest(v)["files"]}
         data = self.path / "data"
         if data.exists():
             for p in sorted(data.rglob("*")):
