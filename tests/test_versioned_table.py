@@ -1728,3 +1728,69 @@ def test_vacuum_gcs_unreferenced_shards(spark, tmp_path):
     assert len(on_disk) < n_before
     got = {r.k: r.v for r in tbl.read(spark).collect()}
     assert got[3] == "Y" and len(got) == 100
+
+
+def test_khr_pruning_soundness_property():
+    """Pure-python hypothesis pin of the file-pruning SOUNDNESS law:
+    for random touched-hash sets and random file layouts (mixed
+    specs, khr ranges, khs exact lists, strays, range-less files),
+    _khr_hits must NEVER report False for a file that contains a
+    touched hash of its own bucket — a pruning false-negative would
+    silently carry rows past their delete. (Precision is measured by
+    the probes; soundness is the correctness half.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kaj_query_engine_spark.sources.versioned import _khr_hits
+
+    hashes_st = st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0, max_size=20,
+    )
+
+    @st.composite
+    def layout(draw):
+        files, file_nbs, contents = [], [], []
+        for _ in range(draw(st.integers(0, 8))):
+            spec = draw(st.sampled_from([None, 2, 4, 8]))
+            kb = (
+                None
+                if spec is None
+                else draw(st.integers(0, spec - 1))
+            )
+            # the file's ACTUAL hashes: only ones consistent with its
+            # bucket under its spec (how real writes lay files out)
+            raw = draw(st.lists(
+                st.integers(min_value=-(2**62), max_value=2**62 - 1),
+                min_size=0, max_size=6,
+            ))
+            content = [
+                h for h in raw if kb is None or h % spec == kb
+            ]
+            f = {"path": f"f{len(files)}", "kb": kb}
+            form = draw(st.sampled_from(["khs", "khr", "none"]))
+            if form == "khs" and content:
+                f["khs"] = sorted(set(content))
+            elif form == "khr" and content:
+                f["khr"] = [min(content), max(content)]
+            files.append(f)
+            file_nbs.append(spec)
+            contents.append(set(content))
+        return files, file_nbs, contents
+
+    @given(hashes_st, layout())
+    @settings(max_examples=300, deadline=None)
+    def check(hashes, lay):
+        files, file_nbs, contents = lay
+        hits = _khr_hits(files, sorted(set(hashes)), file_nbs)
+        touched = set(hashes)
+        for f, fnb, hit, content in zip(files, file_nbs, hits, contents):
+            if content & touched:
+                assert hit, (
+                    f"pruned a file containing touched hashes: {f} "
+                    f"spec={fnb} overlap={content & touched}"
+                )
+        # over-cap regime: no pruning at all
+        assert _khr_hits(files, None, file_nbs) == [True] * len(files)
+
+    check()
