@@ -1043,6 +1043,25 @@ def q33(spark, sf_dir):
         if v != 0
     ):
         raise RuntimeError("a keyed delta commit wrote init-scale bytes")
+    # two-level metadata (round 11): each sparse keyed commit must
+    # CARRY most of the previous version's shard files by reference
+    # (content-addressed reuse — untouched buckets cost zero metadata
+    # IO) and record file-granular pruning in its manifest
+    for prev, v in zip(committed, committed[1:]):
+        s_prev = {s["path"] for s in tbl._manifest_lite(prev)["shards"]}
+        man_v = tbl._manifest_lite(v)
+        s_v = {s["path"] for s in man_v["shards"]}
+        if len(s_prev & s_v) < len(s_prev) // 2:
+            raise RuntimeError(
+                f"keyed commit v{v} reused only {len(s_prev & s_v)} of "
+                f"{len(s_prev)} prior metadata shards — carry-by-"
+                "reference is not happening"
+            )
+        if man_v["keyed"]["pruning"] != "file":
+            raise RuntimeError(
+                f"sparse keyed commit v{v} recorded "
+                f"{man_v['keyed']['pruning']!r} pruning, not 'file'"
+            )
 
     v0 = tbl.read(spark, 0)
     fin = tbl.read(spark)
