@@ -10,8 +10,9 @@ single-writer maintenance job needs:
 
 - **A version is a MANIFEST, not a directory of rewritten data.**
   Every version ``N`` is a JSON file listing the immutable data files
-  that make up that snapshot. New data files land under
-  ``data/c{N}/``; the manifest may also carry forward files written by
+  that make up that snapshot. New data files land under a
+  token-unique attempt directory ``data/c{N}-{token}/``; the manifest
+  may also carry forward files written by
   earlier commits, byte-identical — never copied, never rewritten.
   That is what makes incremental commits O(Δ):
 
@@ -73,14 +74,19 @@ single-writer maintenance job needs:
   completely, then the manifest, then the pointer moves
   (``os.replace``, atomic on POSIX). A concurrent reader resolves the
   pointer once and reads immutable files. A crash mid-commit leaves
-  the table at the previous version; the orphan data directory is
-  cleared on retry and unreferenced by any manifest.
+  the table at the previous version; the attempt's orphan data
+  directory is unreferenced by any manifest and reclaimed by
+  :meth:`vacuum`'s reference-count GC.
 - **Single writer, guarded.** Streaming ``foreachBatch`` delivers
   batches serially, which is exactly this model; multi-writer
   coordination (optimistic retry) is a table-format concern, out of
-  scope here. A MISCONFIGURED second writer still fails loudly: every
-  commit re-reads the pointer immediately before its atomic swap and
-  raises :class:`ConcurrentWriterError` if it moved since the commit
+  scope here. A MISCONFIGURED second writer still fails loudly, with
+  the winner's commit intact: each attempt writes its data into its
+  own token-unique directory (so a losing writer can never touch —
+  let alone delete — files a rival published for the same version
+  number), and the pointer is CAS-checked both before the manifest
+  write and immediately before the atomic swap, raising
+  :class:`ConcurrentWriterError` if it moved since the commit
   started, instead of silently dropping the rival's version.
 
 Time travel falls out for free: every committed version stays readable
@@ -118,6 +124,7 @@ through :meth:`manifest`, unchanged.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from pathlib import Path
@@ -162,7 +169,13 @@ class ConcurrentWriterError(RuntimeError):
     the atomic replace) — a true same-instant race on a POSIX rename
     can still last-write-win inside the tiny window, which is the
     boundary where a real multi-writer deployment uses a table
-    format's commit protocol."""
+    format's commit protocol. The loser's DATA can never hurt the
+    winner either way: every attempt writes into its own token-unique
+    ``data/c{N}-{token}`` directory, so no code path deletes or
+    overwrites files another attempt produced (round-11 advice: the
+    old shared ``data/c{N}`` directory was rmtree'd per attempt, so a
+    loser could delete a just-published winner's live data before its
+    own CAS failed)."""
 
 
 _POINTER = "_CURRENT"
@@ -655,6 +668,33 @@ class VersionedTable:
         return entries
 
     # ---- data writes ------------------------------------------------
+    def _attempt_dirname(self, version: int) -> str:
+        """A fresh data directory name for ONE commit attempt of
+        ``version``: ``c{version}-{token}``. Token-unique per attempt,
+        so a losing concurrent writer (or a crashed retry) can never
+        touch files another attempt wrote — the CAS guards in
+        :meth:`_write_manifest` / :meth:`_swap_pointer` then fail the
+        loser with the winner's committed data fully intact (round-11
+        advice: the old shared ``c{version}`` directory was rmtree'd
+        per attempt, which let a loser delete a published rival's
+        data). Orphan directories from failed attempts are
+        unreferenced by construction and reclaimed by :meth:`vacuum`'s
+        reference-count GC."""
+        import uuid
+
+        while True:
+            name = f"c{version}-{uuid.uuid4().hex[:8]}"
+            if not (self.path / "data" / name).exists():
+                return name
+
+    @staticmethod
+    def _written_by(path: str, version: int) -> bool:
+        """True when a manifest-relative file path was written by a
+        commit attempt of ``version`` (``data/c{v}-{token}/...``; the
+        pre-token layout ``data/c{v}/...`` still matches for tables
+        written before round 12)."""
+        return path.startswith((f"data/c{version}/", f"data/c{version}-"))
+
     def _write_data(
         self,
         df: DataFrame,
@@ -662,9 +702,13 @@ class VersionedTable:
         bucketed: bool | None = None,
         n_buckets: int | None = None,
         sub_bits: int = 0,
+        attempt_dir: str | None = None,
     ) -> list[dict]:
         """Write ``df``'s rows as this commit's data files under
-        ``data/c{version}`` and return their manifest entries. Bucketed
+        a token-unique ``data/c{version}-{token}`` attempt directory
+        (``attempt_dir`` lets a caller that writes side files — keyed
+        commits' stray/_changes — share one attempt directory) and
+        return their manifest entries. Bucketed
         tables hash-partition into ``_kb=K/`` directories (the bucket
         id recorded per file) and, when ``sub_bits`` > 0, further into
         ``_ks=S/`` hash-range sub-directories (the hash's top
@@ -682,12 +726,14 @@ class VersionedTable:
         carry ``_kh`` (when the delta has the key columns), so keyed
         commits can range-prune them too until compaction re-buckets
         them (exactly how unclustered data files behave in real table
-        formats). A leftover directory from a crashed attempt is
-        cleared first — it is unreferenced by construction (manifests
-        are written only after the data write succeeds)."""
-        cdir = self.path / "data" / f"c{version}"
-        if cdir.exists():
-            shutil.rmtree(cdir)
+        formats). A crashed attempt's directory is left as an orphan —
+        unreferenced by construction (manifests are written only after
+        the data write succeeds) and GC'd by :meth:`vacuum`; it is
+        never deleted here, because an existing same-version directory
+        may be a RIVAL's published data (round-11 advice)."""
+        cdir = self.path / "data" / (
+            attempt_dir or self._attempt_dirname(version)
+        )
         if self.is_bucketed and bucketed is not False:
             nb = n_buckets if n_buckets is not None else self.n_buckets
             out = df.withColumn(_KH, self._kh_expr()).withColumn(
@@ -844,14 +890,17 @@ class VersionedTable:
         sub_bits = self._sub_bits_for(max_rows)
         if sub_bits == 0:
             return files
-        cdir = self.path / "data" / f"c{version}"
-        stage = self.path / "data" / f"_resplit{version}"
+        # all entries of one _write_data call share one attempt dir —
+        # recover it from the recorded paths (data/<dirname>/...)
+        dirname = Path(files[0]["path"]).parts[1]
+        cdir = self.path / "data" / dirname
+        stage = self.path / "data" / f"_resplit-{dirname}"
         if stage.exists():
             shutil.rmtree(stage)
         os.replace(cdir, stage)
         src = spark.read.schema(schema).parquet(
             *[
-                str(stage / Path(f["path"]).relative_to(f"data/c{version}"))
+                str(stage / Path(f["path"]).relative_to(f"data/{dirname}"))
                 for f in files
             ]
         )
@@ -1258,11 +1307,13 @@ class VersionedTable:
             replacement, allowMissingColumns=True
         )
         nxt = cur + 1
+        adir = self._attempt_dirname(nxt)
         new_files = self._write_data(
-            new_data, nxt, n_buckets=nb, sub_bits=sub_bits
+            new_data, nxt, n_buckets=nb, sub_bits=sub_bits,
+            attempt_dir=adir,
         )
         if stray_files:
-            sdir = self.path / "data" / f"c{nxt}" / "stray"
+            sdir = self.path / "data" / adir / "stray"
             # stray survivors keep their _kh column and record full
             # pruning stats like every other write — without them
             # (round-10 review) one touched stray's survivors were
@@ -1320,7 +1371,7 @@ class VersionedTable:
                 F.lit("U-").alias("op"), *changes.columns[1:]
             )
             changes = changes.unionByName(pre_u)
-            cpath = self.path / "data" / f"c{nxt}" / "_changes"
+            cpath = self.path / "data" / adir / "_changes"
             changes.write.parquet(str(cpath))
             cdf = {
                 "mode": "files",
@@ -1386,9 +1437,8 @@ class VersionedTable:
             if cdf["mode"] == "empty":
                 continue
             if cdf["mode"] == "insert_files":
-                prefix = f"data/c{v}/"
                 files = [
-                    f for f in man["files"] if f["path"].startswith(prefix)
+                    f for f in man["files"] if self._written_by(f["path"], v)
                 ]
                 df = self._read_files(
                     spark, files, self._schema_of(man)
@@ -1788,7 +1838,14 @@ class VersionedTable:
             )[:max_buckets]
         )
         move, carried, carry_shards = [], [], None
-        rows: int | None = 0
+        rows_by_spec: dict[int, int | None] = {}
+
+        def _tally(spec: int, r: int | None) -> None:
+            have = rows_by_spec.get(spec, 0)
+            rows_by_spec[spec] = (
+                None if (have is None or r is None) else have + r
+            )
+
         if "shards" in man:
             # selective: load ONLY the chosen chunks' shards; every
             # other shard is carried by reference — step metadata IO
@@ -1798,9 +1855,7 @@ class VersionedTable:
                 snb = self._file_nb(s, nb)
                 if snb is not None and snb != nb and (snb, s["kb"]) in chosen:
                     move.extend(self._load_shard(s))
-                    r = s.get("rows")
-                    if rows is not None:
-                        rows = None if r is None else rows + r
+                    _tally(snb, s.get("rows"))
                 else:
                     carry_shards.append(s)
         else:
@@ -1808,29 +1863,36 @@ class VersionedTable:
                 fnb = self._file_nb(f, nb)
                 if fnb is not None and fnb != nb and (fnb, f["kb"]) in chosen:
                     move.append(f)
-                    if rows is not None:
-                        r = f.get("rows")
-                        rows = None if r is None else rows + r
+                    _tally(fnb, f.get("rows"))
                 else:
                     carried.append(f)
         nxt = cur + 1
         schema = self._schema_of(man)
-        # one old bucket scatters over the new spec's buckets; size the
-        # sub-split for the worst case (all rows into one new bucket is
-        # impossible, but rows/nb underestimates when old and new specs
-        # share factors — /max(nb,1) with the post-write re-split
-        # safety net below covers the unknown-rows case too)
-        sub_bits = (
-            self._sub_bits_for(rows / max(nb, 1)) if rows else 0
-        )
+        # an old-spec bucket scatters only into the new buckets sharing
+        # its residue mod gcd(nb, old_spec) — nb//gcd distinct targets,
+        # so the per-target estimate is rows/(nb//gcd), NOT rows/nb
+        # (round-11 advice: plain /nb underestimated by old_spec×
+        # exactly when the old spec divides the new one, the normal
+        # power-of-two evolution, letting migrated files reach
+        # old_spec × target_file_rows)
+        est = 0.0
+        for spec, r in rows_by_spec.items():
+            if r is not None:
+                est = max(est, r / max(nb // math.gcd(nb, spec), 1))
+        sub_bits = self._sub_bits_for(est) if est else 0
         src = self._read_files(spark, move, schema)
         new_files = self._write_data(
             src, nxt, n_buckets=nb, sub_bits=sub_bits
         )
-        if rows is None:
-            new_files = self._resplit_oversized(
-                spark, nxt, new_files, schema, nb
-            )
+        # safety net now UNCONDITIONAL (was: unknown-rows only): checks
+        # the just-recorded footer row counts, so it costs zero extra
+        # jobs whenever the gcd sizing above sufficed, and re-splits
+        # from the written files (never the source lineage) when it
+        # did not — the bounded keyed-rewrite-unit contract holds for
+        # migrated files unconditionally
+        new_files = self._resplit_oversized(
+            spark, nxt, new_files, schema, nb
+        )
         self._write_manifest(
             nxt,
             carried + new_files,
@@ -1849,15 +1911,15 @@ class VersionedTable:
 
     def bytes_added(self, version: int | None = None) -> int:
         """Bytes of data WRITTEN by this commit (its new files under
-        ``data/c{version}`` only, carried-forward files excluded) —
+        its own ``data/c{version}-{token}`` attempt directory only,
+        carried-forward files excluded) —
         the quantity the O(Δ) contract bounds and the counted-bytes
         tests/probes measure."""
         v = self.current_version() if version is None else version
-        prefix = f"data/c{v}/"
         return sum(
             self._file_bytes(f)
             for f in self.manifest(v)["files"]
-            if f["path"].startswith(prefix)
+            if self._written_by(f["path"], v)
         )
 
     def history(self) -> list[dict]:
@@ -1876,7 +1938,6 @@ class VersionedTable:
         for v in self.versions():
             man = self.manifest(v)
             files = man["files"]
-            prefix = f"data/c{v}/"
             row = {
                 "version": v,
                 "applied_batch": man.get("applied_batch"),
@@ -1887,7 +1948,7 @@ class VersionedTable:
                 "bytes_added": sum(
                     self._file_bytes(f)
                     for f in files
-                    if f["path"].startswith(prefix)
+                    if self._written_by(f["path"], v)
                 ),
                 "keyed": man.get("keyed"),
             }

@@ -169,16 +169,26 @@ def _source_root(token: tuple) -> str:
     try:
         # commonpath raises ValueError on a mix of absolute and
         # relative paths (possible when urlparse strips schemes
-        # inconsistently across the listing) — fall back to the first
-        # file's parent rather than failing an otherwise valid source
-        # (round-10 advice)
+        # inconsistently across the listing) — fall back to the
+        # MAJORITY class's common root rather than failing an
+        # otherwise valid source (round-10 advice). The fallback key
+        # was paths[0]'s parent, which keyed the memo on whichever
+        # entry happened to list first — wrong for the rest of the
+        # listing when the first path was the relative outlier
+        # (round-11 advice): absolute paths, the real-listing class,
+        # now win regardless of ordering.
         root = (
             os.path.commonpath(paths)
             if len(paths) > 1
             else posixpath.dirname(paths[0])
         )
     except ValueError:
-        root = posixpath.dirname(paths[0])
+        cls = [p for p in paths if p.startswith("/")] or paths
+        root = (
+            os.path.commonpath(cls)
+            if len(cls) > 1
+            else posixpath.dirname(cls[0])
+        )
     if root in set(paths):
         # a single path listed more than once: commonpath returns the
         # FILE itself, not its directory

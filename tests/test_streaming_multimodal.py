@@ -1200,5 +1200,13 @@ def test_source_root_guards_mixed_and_repeated_paths():
     assert _source_root(rep) == "/data/src"
     mixed = (("/data/src/a.parquet", 1, 2), ("rel/b.parquet", 1, 2))
     assert _source_root(mixed) == "/data/src"
+    # round-11 advice: ordering must not matter — when the RELATIVE
+    # outlier lists first, the absolute majority still keys the root
+    mixed_rel_first = (
+        ("rel/b.parquet", 1, 2),
+        ("/data/src/a.parquet", 1, 2),
+        ("/data/src/k=1/c.parquet", 1, 2),
+    )
+    assert _source_root(mixed_rel_first) == "/data/src"
     hive = (("/lake/ds/k=1/p.parquet", 1, 2),)
     assert _source_root(hive) == "/lake/ds"

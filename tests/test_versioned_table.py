@@ -1447,6 +1447,33 @@ def test_rebucket_step_migrates_bounded_chunks(spark, tmp_path):
     assert tbl.read(spark, v_start).count() == 400
 
 
+def test_rebucket_step_bounds_migrated_file_rows(spark, tmp_path):
+    """Round-11 advice (low): when the old spec divides the new one
+    (the normal power-of-two evolution, here 2 → 16), a migrated old
+    bucket scatters into only nb/old_spec new buckets, so sizing the
+    sub-split as rows/nb underestimated per-file rows by old_spec×
+    and a migrated file could reach old_spec × target_file_rows. The
+    gcd-aware sizing plus the now-unconditional post-write re-split
+    net keep every migrated file within the bounded
+    keyed-rewrite-unit contract."""
+    n = 12_000
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(n)]),
+             bucket_keys=["k"], n_buckets=2, target_file_rows=256)
+    tbl.start_rebucket(16)
+    while tbl.rebucket_step(spark, max_buckets=1) is not None:
+        pass
+    assert tbl.migration() is None
+    man = tbl.manifest()
+    assert man["n_buckets"] == 16
+    for f in man["files"]:
+        if f["kb"] is not None:
+            # (target/2, target] by construction; 1.5× slack for hash
+            # placement variance only — never the old old_spec× blowup
+            assert f["rows"] <= 256 * 1.5, (f["path"], f["rows"])
+    assert tbl.read(spark).count() == n
+
+
 def test_keyed_commit_mid_migration_prunes_both_specs(spark, tmp_path):
     """While half the table is on each spec, commit_keyed must (a)
     produce the right data, (b) rewrite only files that can hold the
@@ -1534,6 +1561,60 @@ def test_concurrent_writer_guard_raises_loudly(spark, tmp_path):
     # the table stays consistent at the rival's version
     assert tbl.current_version() == 1
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 99]
+
+
+def test_loser_never_clobbers_published_rival_data(spark, tmp_path):
+    """Round-11 advice (medium), the MALIGNANT ordering the old layout
+    lost: a rival PUBLISHES version N before the loser writes any data
+    for its own attempt at N. The loser must raise with the winner's
+    committed files untouched — under the old shared ``data/c{N}``
+    directory the loser's write started with an rmtree of exactly the
+    winner's live data, leaving the pointer at N with its files gone.
+    Token-unique attempt directories make the orderings equivalent:
+    no attempt can name, let alone delete, another attempt's files."""
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+
+    class StaleTable(VersionedTable):
+        """First pointer read returns the pre-race version; the rival
+        then publishes BEFORE this writer has written a byte."""
+
+        def current_version(self):
+            v = super().current_version()
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                VersionedTable(self.path).commit_append(
+                    df_(spark, [(99, "rival")])
+                )
+            return v
+
+    loser = StaleTable(tmp_path / "t")
+    with pytest.raises(ConcurrentWriterError, match="second writer"):
+        loser.commit_append(df_(spark, [(2, "b")]))
+    # the winner's version 1 is live AND every file it references
+    # still exists — reads do not fail after the loser's attempt
+    assert tbl.current_version() == 1
+    for f in tbl.manifest(1)["files"]:
+        assert (tbl.path / f["path"]).exists(), f["path"]
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 99]
+    # same guarantee on the keyed-commit path (strays/_changes side
+    # writes share the loser's attempt dir, never the winner's)
+    tbl2 = VersionedTable(tmp_path / "t2")
+    tbl2.init(df_(spark, [(i, f"v{i}") for i in range(20)]),
+              bucket_keys=["k"], n_buckets=4)
+    loser2 = StaleTable(tmp_path / "t2")
+    upd = df_(spark, [(7, "X")])
+    with pytest.raises(ConcurrentWriterError, match="second writer"):
+        loser2.commit_keyed(upd, upd.select("k"))
+    assert tbl2.current_version() == 1
+    for f in tbl2.manifest(1)["files"]:
+        assert (tbl2.path / f["path"]).exists(), f["path"]
+    ks = sorted(r.k for r in tbl2.read(spark).collect())
+    assert ks == sorted(list(range(20)) + [99])
 
 
 def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
