@@ -1156,6 +1156,8 @@ def semantic_dedup(
     dedup_scale: int = 512,
     thr_num: int = 49,
     thr_den: int = 400,
+    assigned: DataFrame | None = None,
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     near-duplicate pruning — the fifth dedup family, complementing
@@ -1163,9 +1165,34 @@ def semantic_dedup(
     embedding space, compare pairwise cosine WITHIN clusters only,
     and drop all but one representative of each duplicate pair.
     Sub-quadratic BY CONSTRUCTION: no cross-cluster pair ever forms,
-    so pair count is Σ|C_i|² ≈ N²/k — the paper's k grows with the
-    corpus (they cluster LAION into 50k clusters), keeping per-cluster
-    work bounded; the probe scales k with N to pin that contract.
+    so pair count is Σ|C_i|² ≈ N²/k.
+
+    **Choosing k (the scale contract).** The paper's deployment
+    regime is constant target cluster SIZE c, i.e. ``k ≈ N/c`` (they
+    cluster LAION into 50k clusters): per-cluster pair work is then
+    bounded by c²/2 and TOTAL pair work is ~N·c/2 — linear in the
+    corpus (probe ``semantic_dedup_fixed_cluster_size``). With
+    ``k ∝ √N`` instead, pair work reads ~N^1.5 (probe
+    ``semantic_dedup_scaled_k`` measures e≈1.5 — the composition's
+    honest shape when clustering is billed per run). At k ∝ N the
+    Lloyd ASSIGNMENT itself is O(N·k) = quadratic, so at deployment
+    scale the cluster assignment is BUILD-ONCE pipeline
+    infrastructure — computed beside the embeddings, shared by every
+    cluster consumer (mix balancing, stratified sampling, SemDeDup),
+    amortized exactly like the IVF index build — and injected here
+    via ``assigned`` (an (id, j) frame); truly huge k wants a
+    hierarchical/ANN assigner upstream, which is FAISS territory,
+    not a per-dedup-run cost.
+
+    **``max_cluster_rows``** (off by default) bounds the damage of a
+    skewed clustering: clusters larger than the cap are deterministically
+    sub-split into ``ceil(n/cap)`` hash cells (``pmod(xxhash64(id),
+    cells)``) and pairs are compared WITHIN a cell only — per-cell
+    pair work is ≤ cap²/2, so one giant cluster can no longer go
+    quadratic. Pairs straddling cells are not compared: a recall
+    knob, same contract as LSH banding, and the reported
+    ``dup_pairs``/``dropped`` reflect it (leave it off for
+    oracle-exact runs — q12 pins the uncapped recipe).
 
     ORACLE-EXACT like the rest of the iterative family: clustering is
     the integer fixed-point Lloyd recipe
@@ -1200,9 +1227,15 @@ def semantic_dedup(
         quantize_fixed,
     )
 
-    assigned, _q, _cents = kmeans_assign_int(
-        vecs, id_col, vec_col, k, iterations, cluster_scale
-    )
+    if assigned is None:
+        assigned, _q, _cents = kmeans_assign_int(
+            vecs, id_col, vec_col, k, iterations, cluster_scale
+        )
+    else:
+        assigned = assigned.select(
+            F.col(assigned.columns[0]).alias("id"),
+            F.col(assigned.columns[1]).alias("j"),
+        )
     qd = quantize_fixed(vecs, id_col, vec_col, dedup_scale)
     n2 = F.aggregate(
         F.transform("q", lambda x: x * x),
@@ -1215,19 +1248,41 @@ def semantic_dedup(
     # the cache each branch would re-execute all k-means iterations
     # (measured: ~2x the whole query). Same session-reclaimed contract
     # as the quantized corpus inside kmeans_assign_int.
-    m = (
-        qd.join(assigned, "id")
-        .select("j", "id", "q", n2.alias("n2"))
-        .persist()
-    )
+    m = qd.join(assigned, "id").select("j", "id", "q", n2.alias("n2"))
+    if max_cluster_rows is None:
+        m = m.withColumn("cell", F.lit(0).cast("long"))
+    else:
+        # deterministic sub-split of oversized clusters: one count per
+        # cluster (bounded by k rows), then a hash cell per member —
+        # per-cell pairs are ≤ cap²/2 regardless of cluster skew
+        cn = m.groupBy("j").agg(F.count(F.lit(1)).alias("_cn"))
+        m = (
+            m.join(cn, "j")
+            .withColumn(
+                "cell",
+                F.pmod(
+                    F.xxhash64("id"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(
+                            F.col("_cn") / F.lit(max_cluster_rows)
+                        ).cast("long"),
+                    ),
+                ),
+            )
+            .drop("_cn")
+        )
+    m = m.persist()
     a = m.select(
         "j",
+        "cell",
         F.col("id").alias("ida"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
     b = m.select(
         "j",
+        "cell",
         F.col("id").alias("idb"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
@@ -1238,7 +1293,7 @@ def semantic_dedup(
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "j")
+        a.join(b, ["j", "cell"])
         .filter(F.col("ida") < F.col("idb"))
         .select("j", "ida", "idb", dot.alias("dot"), "na2", "nb2")
     )

@@ -113,7 +113,18 @@ naming a content-addressed shard JSON that holds the group's file
 entries — Iceberg's manifest-list/manifest-file split, reduced.
 Untouched groups carry across commits as references (the shard file
 is shared, never re-read or re-written), so keyed commits, appends,
-and migration steps pay O(touched shards) metadata; selective readers
+and migration steps pay O(touched shards) metadata. The honest bound
+of a TOUCHED shard: a keyed commit rewrites the whole shard JSON of
+each touched bucket, so its metadata cost is O(that bucket's file
+list) — which grows ~linearly with the table under a FIXED
+n_buckets (probe ``versioned_commit_bytes_fixed_delta``,
+``keyed_meta_bytes`` 2.1 → 13.8 KB across 64× table growth at
+n_buckets=8, e=0.83 at the 16→64× bracket — sub-linear approaching
+the linear shape as entry overhead washes out; appends stay FLAT at
+28.5 KB, e=−0.0). The deployment mitigation is evolving n_buckets
+with the table — exactly what the lazy :meth:`start_rebucket` path
+makes cheap — which re-bounds every bucket's file list and with it
+the keyed-commit metadata unit. Selective readers
 (:meth:`read_buckets`, :meth:`commit_keyed`, :meth:`migration`,
 :meth:`maybe_compact`) parse only the shards whose bucket can hold a
 touched key, and :meth:`vacuum` reference-counts shard files exactly

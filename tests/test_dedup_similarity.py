@@ -1223,6 +1223,55 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert all(r.n >= r.dropped for r in loose)
 
 
+def test_semantic_dedup_injected_assignment_and_pair_cap(spark):
+    """Round-12 deployment knobs: (a) a precomputed (id, j) assignment
+    injected via ``assigned=`` reproduces the in-line clustering path
+    exactly (the build-once-clusters pattern the k≈N/c regime needs);
+    (b) ``max_cluster_rows`` only ever FILTERS pairs — per-cluster
+    membership is unchanged, dup_pairs/dropped never grow, survivors
+    never shrink — and a cap covering the whole cluster is a no-op."""
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+    )
+
+    rows = [
+        (i, [0.3 * ((i * 13 + d * 7) % 11 - 5) / 5 for d in range(8)])
+        for i in range(60)
+    ]
+    # plant exact twins so dups exist
+    rows += [(100 + i, list(rows[i][1])) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kwargs = dict(k=4, iterations=2, thr_num=999, thr_den=1000)
+
+    base = {r.cluster: r for r in D.semantic_dedup(
+        df, "vec_id", "embedding", **kwargs).collect()}
+
+    assigned, _q, _ = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=2
+    )
+    inj = {r.cluster: r for r in D.semantic_dedup(
+        df, "vec_id", "embedding", assigned=assigned, **kwargs).collect()}
+    assert inj == base
+
+    # cap >= any cluster: bitwise no-op
+    nocap = {r.cluster: r for r in D.semantic_dedup(
+        df, "vec_id", "embedding", max_cluster_rows=10_000, **kwargs
+    ).collect()}
+    assert nocap == base
+
+    # tight cap: pairs only filtered, membership intact
+    capped = {r.cluster: r for r in D.semantic_dedup(
+        df, "vec_id", "embedding", max_cluster_rows=8, **kwargs
+    ).collect()}
+    assert set(capped) == set(base)
+    for j, r in capped.items():
+        assert r.n == base[j].n
+        assert r.dup_pairs <= base[j].dup_pairs
+        assert r.dropped <= base[j].dropped
+        assert r.survivor_id_sum >= base[j].survivor_id_sum
+    assert sum(r.dropped for r in base.values()) >= 1
+
+
 def test_semantic_dedup_matches_numpy_model(spark):
     """Differential pin beyond the SQL oracle: semantic_dedup's whole
     pipeline (integer Lloyd clustering + quantized integer cosine
