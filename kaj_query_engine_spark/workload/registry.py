@@ -71,81 +71,75 @@ def register(
 # set — an under-maintained hand list FAILS pytest instead of
 # silently starving a changed query of its external check.
 #
-# Round 11 derives at SYMBOL granularity (``derive_fine``), and the
-# hand list below is EXACTLY its output (verified: 22 == 22). The
-# round's changes: the VersionedTable lazy bucket-spec migration +
-# writer guard + keyed pruning audit pins q19/q33 and the streaming
-# apply family (q85–q87, q89); the workload.maintenance module-level
-# comment/oracle reorganization around q19 conservatively pins the
-# whole maintenance registry residue (q44, q55, q57–q59, q66, q67,
-# q88 — splice-attribution rounds DOWN to pinned); the _source_root
-# listing guard pins the auto_state_partitions streaming users
-# (q80–q84); the kmeans_assign_int extraction pins q91; the new
-# q12 SemDeDup pins itself; the strip_html &nbsp; documentation
-# comment pins q21 (comment-only splices still pin — deletions must
-# never escape). q56_scd2_dimension is MERGED into q57 this round
-# (one shared oracle/schema → one tagged query; registry discipline:
-# +q12 −q56 keeps changed+tail at exactly the 50-slot window).
+# Round 12 derives at SYMBOL granularity (``derive_fine``), and the
+# hand list below is EXACTLY its output (verified: 12 == 12). The
+# round's changes: the VersionedTable concurrent-writer data-clobber
+# fix (token-unique attempt dirs) + gcd-aware rebucket_step sizing
+# pins q19/q33 and the streaming apply family (q85–q87, q89); the
+# _source_root majority-class listing fallback pins the
+# auto_state_partitions streaming users (q80–q84); semantic_dedup's
+# new assigned=/max_cluster_rows deployment knobs pin q12. Round 11's
+# window arithmetic warning held: the changed set stayed at exactly
+# the 12 slots the 38-query stale tail leaves free.
 _CHANGED_THIS_ROUND = [
-    "q12_semantic_dedup",  # NEW in round 11: SemDeDup, fifth dedup family
-    "q19_bucket_evolution",  # lazy/chunked spec migration lifecycle
-    "q33_table_time_travel",  # VersionedTable writer guard + keyed audit
-    "q85_stream_merge",  # versioned commit paths (CAS + keyed record)
+    "q12_semantic_dedup",  # assigned= injection + max_cluster_rows cap
+    "q19_bucket_evolution",  # token-unique attempt dirs, gcd step sizing
+    "q33_table_time_travel",  # VersionedTable writer-race hardening
+    "q85_stream_merge",  # versioned commit paths (attempt-dir layout)
     "q86_stream_scd2",
     "q87_stream_agg_state",
     "q89_stream_join_view",
-    "q80_stream_windows",  # streaming _source_root listing guard
+    "q80_stream_windows",  # streaming _source_root majority fallback
     "q81_stream_late_data",
     "q82_stream_dedup",
     "q83_stream_stateful_totals",
     "q84_stream_stream_join",
-    "q44_incremental_agg",  # workload.maintenance module-level splice
-    "q55_merge_upsert",
-    "q57_scd2_incremental",  # + absorbs the former q56 'full' arm
-    "q58_constraint_audit",
-    "q59_pit_join",
-    "q66_merge_evolve",
-    "q67_incremental_join",
-    "q88_incremental_distinct",
-    "q91_kmeans_int",  # kmeans_assign_int extraction (shared with q12)
-    "q21_html_extract",  # strip_html &nbsp; documented-limit comment
 ]
 
 # Stalest-first (RULE 2): every query whose last driver row is round
-# 9 (outside round 10's 50-window) — the full 38-query tail the
-# round-10 verdict ordered rotated in; ten of them (the maintenance
-# family + q91) are already pinned above as changed, so the 28 here
-# complete the set. 22 pinned + 28 here = the full 50-slot window;
-# nothing is more than one round driver-stale after this round runs.
+# 10 (outside round 11's 50-window) — the full 38-query tail. None of
+# them changed this round, so all 38 rotate in here. 12 pinned + 38
+# here = the full 50-slot window; nothing is more than one round
+# driver-stale after this round runs.
 _STALEST = [
-    "q00_flagship_revenue",
-    "q20_set_ops",
-    "q23_limit_topk",
-    "q24_scalar_string_math",
-    "q25_date_case",
-    "q27_grouped_analytics",
-    "q29_pivot",
-    "q30_count_distinct",
-    "q32_format_roundtrips",
-    "q34_text_etl_sink",
-    "q35_partition_pruning",
-    "q36_bucketed_join",
-    "q37_salted_agg",
-    "q38_percentiles",
-    "q60_ann_brute_force",
-    "q61_ann_lsh",
-    "q62_embedding_neardup",
-    "q65_hybrid_retrieval",
-    "q71_bfs_reach",
-    "q90_media_frames",
-    "q92_media_features",
-    "q93_png_decode",
-    "q94_wav_decode",
-    "q95_avi_decode",
-    "q96_stream_media_decode",
-    "q97_jpeg_decode",
-    "q98_gif_decode",
-    "q99_flac_decode",
+    "q01_scan",
+    "q02_select_distinct_orderby",
+    "q03_agg_witness",
+    "q07_join4",
+    "q10_theta_join",
+    "q11_groupby_having",
+    "q13_join_variants",
+    "q16_cross_join",
+    "q17_window_funcs",
+    "q18_shortest_paths",
+    "q39_partitioned_merge",
+    "q40_text_stats",
+    "q41_bpe_tokenizer",
+    "q42_group_sample",
+    "q43_temperature_mix",
+    "q45_sketch_aggregates",
+    "q46_profile_topk",
+    "q47_training_mix",
+    "q48_decontaminate",
+    "q49_doc_chunks",
+    "q50_dedup_exact",
+    "q51_minhash_lsh",
+    "q52_ngram_jaccard",
+    "q53_simhash",
+    "q54_dedup_clusters",
+    "q63_ann_ivf",
+    "q64_pagerank",
+    "q68_span_dedup",
+    "q69_span_decontaminate",
+    "q70_windows",
+    "q72_sessionize",
+    "q73_asof_join",
+    "q74_range_join",
+    "q75_time_rollup",
+    "q76_json_props",
+    "q77_rolling_window",
+    "q78_funnel",
+    "q79_retention_cohorts",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [
