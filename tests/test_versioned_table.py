@@ -54,9 +54,22 @@ def test_failed_commit_leaves_pointer(spark, tmp_path):
     # the pointer never moved; the table still reads version 0
     assert tbl.current_version() == 0
     assert [r.k for r in tbl.read(spark).collect()] == [1]
-    # and a follow-up good commit just overwrites the orphan dir
+    # a follow-up good commit writes its own token-unique attempt dir
+    # (the crashed attempt's dir is never touched — it may have been a
+    # rival's live data, round-11 advice)
     assert tbl.commit(df_(spark, [(1, "a"), (3, "c")])) == 1
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 3]
+    # a crashed attempt's orphan dir (files on disk, referenced by no
+    # manifest) is reclaimed by vacuum's reference-count GC — even at
+    # a retention window that keeps every version
+    orphan_dir = tbl.path / "data" / "c9-deadbeef"
+    orphan_dir.mkdir(parents=True)
+    orphan = orphan_dir / "part-00000.parquet"
+    orphan.write_bytes(b"crashed attempt residue")
+    tbl.vacuum(keep_last=10)
+    assert not orphan.exists() and not orphan_dir.exists()
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 3]
+    assert [r.k for r in tbl.read(spark, 0).collect()] == [1]
 
 
 BATCHES = [
