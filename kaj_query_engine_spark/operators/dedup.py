@@ -1253,11 +1253,13 @@ def semantic_dedup(
         m = m.withColumn("cell", F.lit(0).cast("long"))
     else:
         # deterministic sub-split of oversized clusters: one count per
-        # cluster (bounded by k rows), then a hash cell per member —
-        # per-cell pairs are ≤ cap²/2 regardless of cluster skew
+        # cluster (bounded by k rows — broadcast, so tagging members
+        # with their cell is map-side and a single giant cluster never
+        # funnels through one shuffle partition), then a hash cell per
+        # member — per-cell pairs are ≤ cap²/2 regardless of skew
         cn = m.groupBy("j").agg(F.count(F.lit(1)).alias("_cn"))
         m = (
-            m.join(cn, "j")
+            m.join(F.broadcast(cn), "j")
             .withColumn(
                 "cell",
                 F.pmod(

@@ -306,6 +306,20 @@ def main() -> None:
             max_cluster_rows=4 * SEM_TARGET_CLUSTER,
         ).write.format("noop").mode("overwrite").save()
 
+    def run_semdedup_skew_capped(k: int) -> None:
+        # adversarial clustering skew: EVERY vector lands in ONE
+        # cluster (constant assignment — the degenerate case a bad
+        # embedding space or collapsed k-means produces). Uncapped
+        # this is all-pairs N²/2; max_cluster_rows must hold the
+        # within-cell bound so total pair work stays ~N·cap/2 —
+        # linear. This is the knob's existence proof, measured.
+        v = vecs(k)
+        one = v.select(F.col("vec_id").alias("id"), F.lit(0).alias("j"))
+        D.semantic_dedup(
+            v, "vec_id", "embedding", iterations=1,
+            assigned=one, max_cluster_rows=4 * SEM_TARGET_CLUSTER,
+        ).write.format("noop").mode("overwrite").save()
+
     def run_neardup(k: int) -> None:
         v = vecs(k)
         # NO caller-supplied sizing: rows_per_band=None auto-sizes from
@@ -927,6 +941,7 @@ def main() -> None:
         "embedding_neardup": run_neardup,
         "semantic_dedup_scaled_k": run_semdedup,
         "semantic_dedup_fixed_cluster_size": run_semdedup_linear,
+        "semantic_dedup_skewed_cluster_capped": run_semdedup_skew_capped,
         "kmeans_int_fixed_k": run_kmeans,
         "simhash": run_simhash,
         "exact_dedup": run_exact,
@@ -969,6 +984,7 @@ def main() -> None:
         "embedding_neardup": vecs,
         "semantic_dedup_scaled_k": vecs,
         "semantic_dedup_fixed_cluster_size": vecs,
+        "semantic_dedup_skewed_cluster_capped": vecs,
         "kmeans_int_fixed_k": vecs,
         "simhash": docs,
         "exact_dedup": docs,
@@ -1030,6 +1046,7 @@ def main() -> None:
         # the linear claim needs the bracket where overhead has washed
         # out — same reasoning as the lifecycle probes
         "semantic_dedup_fixed_cluster_size": LIFECYCLE_SCALES,
+        "semantic_dedup_skewed_cluster_capped": LIFECYCLE_SCALES,
     }
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
@@ -1098,6 +1115,7 @@ def main() -> None:
             base_n = MAINT_BASE
         elif name in ("embedding_neardup", "ann_lsh_topk", "semantic_dedup_scaled_k",
                       "semantic_dedup_fixed_cluster_size",
+                      "semantic_dedup_skewed_cluster_capped",
                       "ivf_query_materialized", "ivf_incr_ingest_fixed_batch"):
             base_n = base_vecs
         else:
