@@ -71,23 +71,29 @@ single-writer maintenance job needs:
   per resumable commit until :meth:`migration` reports none pending.
 
 - **Readers never see a torn table.** Data files are written
-  completely, then the manifest, then the pointer moves
-  (``os.replace``, atomic on POSIX). A concurrent reader resolves the
-  pointer once and reads immutable files. A crash mid-commit leaves
-  the table at the previous version; the attempt's orphan data
-  directory is unreferenced by any manifest and reclaimed by
-  :meth:`vacuum`'s reference-count GC.
+  completely, THEN the version manifest is hard-linked into place —
+  an atomic create-exclusive that IS the commit point (round 12; the
+  Delta transaction-log rule: version N belongs to whichever writer
+  creates the N-th log file first). A concurrent reader resolves
+  :meth:`current_version` once and reads immutable files. A crash
+  mid-commit before the manifest lands leaves the table at the
+  previous version with the attempt's orphan data directory
+  unreferenced by any manifest (reclaimed by :meth:`vacuum`'s
+  reference-count GC); a crash AFTER the manifest lands is a
+  completed commit — ``current_version`` probes forward past a stale
+  ``_CURRENT`` hint, and the recorded applied-batch id travels with
+  the manifest, so streaming re-deliveries still dedupe.
 - **Single writer, guarded.** Streaming ``foreachBatch`` delivers
   batches serially, which is exactly this model; multi-writer
-  coordination (optimistic retry) is a table-format concern, out of
-  scope here. A MISCONFIGURED second writer still fails loudly, with
-  the winner's commit intact: each attempt writes its data into its
-  own token-unique directory (so a losing writer can never touch —
-  let alone delete — files a rival published for the same version
-  number), and the pointer is CAS-checked both before the manifest
-  write and immediately before the atomic swap, raising
-  :class:`ConcurrentWriterError` if it moved since the commit
-  started, instead of silently dropping the rival's version.
+  OPTIMISTIC RETRY (losers re-basing onto the winner's version) is a
+  table-format concern, out of scope here. But a MISCONFIGURED second
+  writer fails loudly in EVERY interleaving, with the winner's commit
+  intact: each attempt writes its data into its own token-unique
+  directory (a losing writer can never touch — let alone delete —
+  files a rival wrote for the same version number), and the
+  create-exclusive manifest link means exactly one attempt can own a
+  version; the loser raises :class:`ConcurrentWriterError` with
+  nothing overwritten and nothing torn.
 
 Time travel falls out for free: every committed version stays readable
 until vacuumed. :meth:`vacuum` garbage-collects by reference count
@@ -171,22 +177,24 @@ class TouchedInfo(NamedTuple):
     buckets_by_nb: dict | None = None
 
 class ConcurrentWriterError(RuntimeError):
-    """A second writer advanced the table pointer while a commit was
-    in flight. The table model is single-writer (streaming
-    foreachBatch delivers batches serially); this guard makes a
-    misconfigured second writer fail LOUDLY at publish time instead of
-    silently dropping its rival's version. The check is
-    compare-and-swap-shaped (re-read the pointer immediately before
-    the atomic replace) — a true same-instant race on a POSIX rename
-    can still last-write-win inside the tiny window, which is the
-    boundary where a real multi-writer deployment uses a table
-    format's commit protocol. The loser's DATA can never hurt the
-    winner either way: every attempt writes into its own token-unique
-    ``data/c{N}-{token}`` directory, so no code path deletes or
-    overwrites files another attempt produced (round-11 advice: the
-    old shared ``data/c{N}`` directory was rmtree'd per attempt, so a
-    loser could delete a just-published winner's live data before its
-    own CAS failed)."""
+    """A second writer committed while this commit was in flight. The
+    table model is single-writer (streaming foreachBatch delivers
+    batches serially); this guard makes a misconfigured second writer
+    fail LOUDLY instead of silently dropping its rival's version.
+    Since round 12 the guard is race-free, not merely CAS-shaped: the
+    commit point is an atomic create-EXCLUSIVE hard link of the
+    version manifest (the Delta transaction-log rule), so exactly one
+    attempt can ever own a version — there is no interleaving in
+    which a commit is overwritten, torn, or silently dropped; the
+    loser always raises. What stays out of scope is optimistic RETRY
+    (re-basing the loser onto the winner's version), which is where a
+    real multi-writer deployment uses a full table format. The
+    loser's DATA can never hurt the winner either: every attempt
+    writes into its own token-unique ``data/c{N}-{token}`` directory,
+    so no code path deletes or overwrites files another attempt
+    produced (round-11 advice: the old shared ``data/c{N}`` directory
+    was rmtree'd per attempt, so a loser could delete a
+    just-published winner's live data before its own CAS failed)."""
 
 
 _POINTER = "_CURRENT"
@@ -466,28 +474,31 @@ class VersionedTable:
 
     # ---- pointer ----------------------------------------------------
     def current_version(self) -> int | None:
+        """The newest COMMITTED version. Since round 12 the commit
+        point is the exclusive creation of the version manifest (see
+        :meth:`_write_manifest`), so the authoritative answer is "the
+        highest ``v{N}.json`` on disk"; the ``_CURRENT`` file is only
+        a hint that lets this skip the directory scan — versions are
+        consecutive by construction, so probing forward from the hint
+        costs one extra ``exists()`` in the steady state and still
+        discovers a commit whose writer crashed before refreshing the
+        hint."""
         try:
-            return int((self.path / _POINTER).read_text())
+            v = int((self.path / _POINTER).read_text())
         except (OSError, ValueError):
-            return None
+            vs = self.versions()
+            return vs[-1] if vs else None
+        while self._manifest_path(v + 1).exists():
+            v += 1
+        return v
 
-    _NO_CAS = object()  # sentinel: init has no expected base version
-
-    def _swap_pointer(self, version: int, expect=_NO_CAS) -> None:
-        """Publish ``version`` atomically. Every commit path passes the
-        version it READ at commit start as ``expect``; a pointer that
-        moved since means a second writer published concurrently —
-        raise :class:`ConcurrentWriterError` instead of silently
-        overwriting its commit (init passes no expectation: it just
-        recreated the directory)."""
-        if expect is not VersionedTable._NO_CAS:
-            got = self.current_version()
-            if got != expect:
-                raise ConcurrentWriterError(
-                    f"{self.path}: pointer moved from {expect} to {got} "
-                    f"while committing version {version} — a second "
-                    "writer is active on this single-writer table"
-                )
+    def _swap_pointer(self, version: int) -> None:
+        """Refresh the ``_CURRENT`` hint after a commit. NOT the
+        commit point (that is :meth:`_write_manifest`'s exclusive
+        manifest creation — the Delta-log rule: version N belongs to
+        whichever writer creates the N-th log file first); a crash
+        between the manifest landing and this write is benign because
+        :meth:`current_version` probes forward past a stale hint."""
         tmp = self.path / f"{_POINTER}.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self.path / _POINTER)  # atomic
@@ -580,14 +591,18 @@ class VersionedTable:
         expect=None,
         carry_shards: list[dict] | None = None,
     ) -> None:
-        """``expect`` (the version the commit read at start; None from
-        init, whose table has no pointer yet) is CAS-checked HERE,
-        before the manifest file lands: a rival writer that already
-        published ``version`` must not have its manifest silently
-        overwritten by the loser — the loser raises with nothing
-        overwritten instead. :meth:`_swap_pointer` re-checks
-        immediately before the pointer swap for rivals landing in
-        between.
+        """This is the COMMIT POINT (round 12 — previously the pointer
+        swap, which left a tiny manifest-overwrite window between the
+        CAS check and the swap): the manifest is hard-LINKED into
+        place, an atomic create-exclusive on POSIX, so version N
+        belongs to whichever writer creates ``v{N}.json`` first — the
+        Delta transaction-log rule, reduced. A rival attempting the
+        same version finds the link target taken and raises
+        :class:`ConcurrentWriterError` with nothing overwritten and
+        nothing torn, in EVERY interleaving; no last-write-wins window
+        remains. ``expect`` (the version the commit read at start;
+        None from init) is still CAS-checked first for a cheaper,
+        earlier failure when the rival already finished.
 
         Bucketed tables shard ``files`` by (bucket, spec) into
         content-addressed shard JSONs (see the section comment);
@@ -595,7 +610,7 @@ class VersionedTable:
         the untouched-metadata half of a selective commit."""
         if expect != (got := self.current_version()):
             raise ConcurrentWriterError(
-                f"{self.path}: pointer moved from {expect} to {got} "
+                f"{self.path}: version moved from {expect} to {got} "
                 f"while committing version {version} — a second "
                 "writer is active on this single-writer table"
             )
@@ -624,9 +639,23 @@ class VersionedTable:
             man["keyed"] = keyed
         if cdf is not None:
             man["cdf"] = cdf
-        tmp = self.path / f"v{version}.json.tmp"
+        # attempt-unique tmp (rivals must not overwrite each other's
+        # half-written tmp), then an atomic create-EXCLUSIVE link: the
+        # first attempt to link v{version}.json wins the version
+        import uuid
+
+        tmp = self.path / f"v{version}.json.tmp.{uuid.uuid4().hex[:8]}"
         tmp.write_text(json.dumps(man))
-        os.replace(tmp, self._manifest_path(version))
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"{self.path}: version {version} was committed by a "
+                "second writer while this commit was in flight — "
+                "single-writer table, nothing overwritten"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
 
     def _write_shards(self, files: list[dict]) -> list[dict]:
         """Group ``files`` by (bucket, spec), write one content-
@@ -683,9 +712,9 @@ class VersionedTable:
         """A fresh data directory name for ONE commit attempt of
         ``version``: ``c{version}-{token}``. Token-unique per attempt,
         so a losing concurrent writer (or a crashed retry) can never
-        touch files another attempt wrote — the CAS guards in
-        :meth:`_write_manifest` / :meth:`_swap_pointer` then fail the
-        loser with the winner's committed data fully intact (round-11
+        touch files another attempt wrote — the create-exclusive
+        commit point in :meth:`_write_manifest` then fails the loser
+        with the winner's committed data fully intact (round-11
         advice: the old shared ``c{version}`` directory was rmtree'd
         per attempt, which let a loser delete a published rival's
         data). Orphan directories from failed attempts are
@@ -976,7 +1005,7 @@ class VersionedTable:
             nxt, files, df.schema, batch_id, cdf=cdf, n_buckets=nb,
             expect=cur,
         )
-        self._swap_pointer(nxt, expect=cur)
+        self._swap_pointer(nxt)
         return nxt
 
     def commit_append(self, delta: DataFrame, batch_id: int | None = None) -> int:
@@ -1039,7 +1068,7 @@ class VersionedTable:
             expect=cur,
             carry_shards=man.get("shards"),
         )
-        self._swap_pointer(nxt, expect=cur)
+        self._swap_pointer(nxt)
         return nxt
 
     def touched_info(
@@ -1409,7 +1438,7 @@ class VersionedTable:
             n_buckets=nb, keyed=keyed, expect=cur,
             carry_shards=carry_shards,
         )
-        self._swap_pointer(nxt, expect=cur)
+        self._swap_pointer(nxt)
         return nxt
 
     def read_changes(
@@ -1775,7 +1804,7 @@ class VersionedTable:
                 cdf={"mode": "empty"} if self.has_change_feed else None,
                 n_buckets=n_buckets, expect=cur,
             )
-        self._swap_pointer(nxt, expect=cur)
+        self._swap_pointer(nxt)
         return nxt
 
     def migration(self, version: int | None = None) -> dict | None:
@@ -1914,7 +1943,7 @@ class VersionedTable:
             expect=cur,
             carry_shards=carry_shards,
         )
-        self._swap_pointer(nxt, expect=cur)
+        self._swap_pointer(nxt)
         return nxt
 
     def file_count(self, version: int | None = None) -> int:

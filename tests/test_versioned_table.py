@@ -1630,6 +1630,51 @@ def test_loser_never_clobbers_published_rival_data(spark, tmp_path):
     assert ks == sorted(list(range(20)) + [99])
 
 
+def test_commit_point_is_exclusive_manifest_creation(spark, tmp_path):
+    """Round 12: version N belongs to whichever writer CREATES
+    ``v{N}.json`` first (the Delta transaction-log rule) — the
+    create-exclusive hard link closes the one interleaving the old
+    pointer-swap CAS could not protect (a loser overwriting the
+    winner's manifest between the winner's manifest write and its
+    swap). Two pins: (a) a crash between the manifest landing and the
+    ``_CURRENT`` hint refresh is a COMPLETED commit — current_version
+    probes forward past the stale hint; (b) an attempt at an
+    already-created version raises with the winner's manifest
+    byte-identical and no tmp litter."""
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+
+    class NoHint(VersionedTable):
+        def _swap_pointer(self, version):  # crash before hint refresh
+            raise OSError("simulated crash after manifest creation")
+
+    crasher = NoHint(tmp_path / "t")
+    with pytest.raises(OSError, match="simulated"):
+        crasher.commit_append(df_(spark, [(2, "b")]))
+    # the commit COMPLETED at manifest creation, hint or no hint
+    assert tbl.current_version() == 1
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
+    # and the next commit proceeds normally from the probed version
+    tbl.commit_append(df_(spark, [(3, "c")]))
+    assert tbl.current_version() == 2
+
+    # (b) second writer at an already-taken version: the early CAS is
+    # bypassed by passing the post-commit version as the expected
+    # base, so this drives the exclusive-link failure path itself
+    winner_manifest = (tbl.path / "v2.json").read_bytes()
+    loser = VersionedTable(tmp_path / "t")
+    with pytest.raises(ConcurrentWriterError, match="nothing overwritten"):
+        loser._write_manifest(
+            2, [], tbl._schema_of(tbl.manifest(2)), None, expect=2
+        )
+    assert (tbl.path / "v2.json").read_bytes() == winner_manifest
+    assert not list(tbl.path.glob("v2.json.tmp*"))  # tmp cleaned up
+
+
 def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
     """history() records per keyed commit whether file pruning ran at
     file or bucket granularity and the rewritten/carried split — the
