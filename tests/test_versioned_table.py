@@ -1675,6 +1675,60 @@ def test_commit_point_is_exclusive_manifest_creation(spark, tmp_path):
     assert not list(tbl.path.glob("v2.json.tmp*"))  # tmp cleaned up
 
 
+def test_concurrent_writers_thread_race_single_winner(spark, tmp_path):
+    """PROPERTY pin for the round-12 commit protocol under REAL
+    concurrency, not simulated interleaves: four threads race
+    commit_append on one table. Invariants: the table's final rows
+    are EXACTLY the seed plus every commit that returned (nothing a
+    winner published is lost, nothing a loser wrote appears), every
+    non-returning attempt raised ConcurrentWriterError, versions are
+    consecutive with one owner each, and every surviving version
+    reads cleanly."""
+    import threading
+
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(0, "seed")]))
+    okays: list[int] = []
+    errs: list[int] = []
+    lock = threading.Lock()
+
+    def worker(i: int) -> None:
+        t = VersionedTable(tmp_path / "t")
+        for j in range(4):
+            k = 1000 * (i + 1) + j
+            try:
+                t.commit_append(df_(spark, [(k, f"w{i}b{j}")]))
+                with lock:
+                    okays.append(k)
+            except ConcurrentWriterError:
+                with lock:
+                    errs.append(k)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(okays) + len(errs) == 16
+    assert okays  # at least someone committed
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == sorted([0] + okays)
+    # versions are consecutive, one committed owner each
+    assert tbl.versions() == list(range(len(okays) + 1))
+    assert tbl.current_version() == len(okays)
+    for v in tbl.versions():  # every snapshot readable, sizes monotone
+        assert tbl.read(spark, v).count() == v + 1
+    # losers' orphan data is unreferenced and vacuumable
+    tbl.vacuum(keep_last=1)
+    assert sorted(r.k for r in tbl.read(spark).collect()) == got
+
+
 def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
     """history() records per keyed commit whether file pruning ran at
     file or bucket granularity and the rewritten/carried split — the
