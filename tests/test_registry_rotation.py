@@ -126,6 +126,48 @@ def test_pin_lists_name_real_queries_and_fill_window():
         assert n in window, f"RULE 1 pin {n} fell outside the window"
 
 
+def test_no_query_goes_two_rounds_driver_stale():
+    """RULE 2 mechanized (round 12 — previously a hand check the
+    verdict re-did every round): from the committed
+    ``CORRECTNESS_r*.json`` artifacts, compute each registered query's
+    last externally-checked round; every query NOT checked in the
+    latest round would go two rounds stale unless the CURRENT window
+    (the 50-prefix) contains it. The escape hatch — window identical
+    to the latest round's checked set — is the between-rounds state
+    (the driver just wrote its artifact and the registry has not been
+    rotated for the next round yet); the moment the lists are edited
+    for a new round, the full rotation must be solved or this fails."""
+    import json
+    import re
+
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not files:
+        pytest.skip("no driver correctness artifacts committed yet")
+    last_round: dict[str, int] = {}
+    latest_n = 0
+    latest_keys: set[str] = set()
+    for p in files:
+        n = int(re.search(r"r(\d+)", p.name).group(1))
+        keys = set(json.loads(p.read_text()))
+        for q in keys:
+            last_round[q] = max(last_round.get(q, 0), n)
+        if n > latest_n:
+            latest_n, latest_keys = n, keys
+    registered = set(all_queries())
+    window = set(list(all_queries())[:50])
+    if window == latest_keys:
+        return  # between rounds: this window was just fully checked
+    stale = {
+        q for q in registered if last_round.get(q, 0) < latest_n
+    }
+    missing = (stale - window) | ((registered - set(last_round)) - window)
+    assert not missing, (
+        f"rotation starves {len(missing)} queries (would go two rounds "
+        f"without an external check): {sorted(missing)} — rotate them "
+        "into _STALEST or shrink _CHANGED_THIS_ROUND"
+    )
+
+
 def test_changed_symbols_deleted_module_pins_whole_module(monkeypatch):
     """Round-10 advice: a deleted package file diffs as '+++ /dev/null'
     and must fall back to the '--- a/...' path, pinning the module
