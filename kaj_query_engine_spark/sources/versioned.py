@@ -1,5 +1,5 @@
 """A minimal versioned parquet table with O(Δ) commits: manifest-based
-snapshots, snapshot-isolated pointer swaps, and time travel over a
+snapshots, snapshot-isolated atomic commits, and time travel over a
 plain directory.
 
 This exists to give the streaming maintenance family (q85–q87, q89) a
@@ -59,8 +59,8 @@ single-writer maintenance job needs:
   current snapshot under a new bucket count as a compaction variant,
   old versions stay time-travelable under the spec they were written
   with, and a crashed rebucket leaves the table on the old spec
-  because the spec rides in the manifest that the atomic pointer
-  swap publishes. At a scale where one full rewrite per spec change
+  because the spec rides in the manifest whose atomic creation IS
+  the commit. At a scale where one full rewrite per spec change
   is too large a unit, the spec also evolves LAZILY (the real
   formats' rule): :meth:`start_rebucket` is a metadata-only commit
   that retargets future writes and tags every existing file with the
@@ -965,9 +965,9 @@ class VersionedTable:
         it; incremental maintenance uses :meth:`commit_append` /
         :meth:`commit_keyed` instead.
 
-        ``batch_id`` (foreachBatch's id) is recorded in the manifest
-        before the pointer swap, so (version, applied-batch) flip
-        together atomically. Callers whose merge is NOT naturally
+        ``batch_id`` (foreachBatch's id) rides IN the manifest, whose
+        atomic creation is the commit point, so (version,
+        applied-batch) flip together atomically. Callers whose merge is NOT naturally
         idempotent check :meth:`last_applied_batch` to skip
         at-least-once re-deliveries.
 
@@ -978,7 +978,7 @@ class VersionedTable:
         are re-split from the written data after the fact (zero extra
         jobs when the table is small). ``new_n_buckets`` is
         :meth:`rebucket`'s hook — the spec change rides in this
-        commit's manifest so the atomic pointer swap publishes files
+        commit's manifest so its atomic creation publishes files
         and spec together."""
         cur = self.current_version()
         if cur is None:
@@ -1658,7 +1658,7 @@ class VersionedTable:
         bucket fits in one target — ``target_files`` is ignored).
         Data is
         bit-identical by construction, committed through the same
-        atomic pointer swap, and the pre-compaction version stays
+        atomic manifest creation, and the pre-compaction version stays
         time-travelable until vacuumed. At real scale target_files
         derives from table bytes / maxPartitionBytes rather than a
         constant.
@@ -1673,8 +1673,8 @@ class VersionedTable:
             df = df.coalesce(target_files)
         # compaction is logically changeless: the marker that lets the
         # change feed read straight through rides IN the manifest, so
-        # (files, cdf, pointer) land atomically — a post-hoc patch
-        # would leave a feed-breaking window after the pointer swap
+        # (files, cdf, version) land atomically — a post-hoc patch
+        # would leave a feed-breaking window after the commit
         return self.commit(
             df,
             batch_id=self.last_applied_batch(),
@@ -1706,8 +1706,8 @@ class VersionedTable:
         use :meth:`start_rebucket` + :meth:`rebucket_step` — the lazy
         path whose commits are bounded by a bucket chunk. The new
         manifest records the new spec, older manifests keep theirs,
-        and the atomic pointer swap publishes files+spec together — a
-        crash mid-rebucket leaves the table fully on the old spec.
+        and the atomic manifest creation publishes files+spec together
+        — a crash mid-rebucket leaves the table fully on the old spec.
         Logically changeless (feed reads through); the applied-batch
         marker carries forward for the same reason :meth:`compact`'s
         does."""
@@ -1850,7 +1850,7 @@ class VersionedTable:
         by the chosen buckets' recorded bytes, never by the table — so
         a 100 TB spec change amortizes across as many commits as the
         operator wants, resumable after any crash (each step publishes
-        through the same atomic pointer swap) and interleavable with
+        through the same atomic manifest creation) and interleavable with
         keyed/append traffic, which keeps pruning correctly against
         the mixed-spec manifest throughout. Chunks are taken smallest
         (old_spec, bucket) first — deterministic, so a driver retry

@@ -862,7 +862,7 @@ def stream_agg_state_apply(
     is at-least-once, and a crash between ``table.commit`` and the
     streaming checkpoint commit re-delivers the batch, which would
     double counts/sums. Each commit therefore records its batch id
-    with the version (atomically — same pointer swap), and an already
+    with the version (atomically — it rides the committed manifest), and an already
     applied id is skipped on re-delivery, upgrading this path to
     effectively-once.
 

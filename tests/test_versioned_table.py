@@ -1546,8 +1546,9 @@ def test_keyed_commit_mid_migration_prunes_both_specs(spark, tmp_path):
 
 def test_concurrent_writer_guard_raises_loudly(spark, tmp_path):
     """A second writer publishing mid-commit must raise
-    ConcurrentWriterError at the loser's pointer swap — never a silent
-    last-write-wins that drops the rival's version."""
+    ConcurrentWriterError when the loser tries to publish (since round
+    12: at its exclusive manifest-creation commit point) — never a
+    silent last-write-wins that drops the rival's version."""
     from kaj_query_engine_spark.sources.versioned import (
         ConcurrentWriterError,
     )
