@@ -1730,6 +1730,89 @@ def test_concurrent_writers_thread_race_single_winner(spark, tmp_path):
     assert sorted(r.k for r in tbl.read(spark).collect()) == got
 
 
+def test_concurrent_mixed_ops_serialize_by_version(spark, tmp_path):
+    """The round-12 protocol's strongest property: under concurrent
+    MIXED maintenance traffic (appends, repeated keyed upserts of the
+    same key, lazy-migration steps), committed history is a
+    linearizable single-winner sequence — replaying only the WINNING
+    ops in version order on a plain dict reproduces the table's final
+    state exactly (each keyer re-updates one key, so a mis-serialized
+    fold shows the wrong final value), versions are consecutive, and
+    losers leave no trace."""
+    import threading
+
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(i, f"v{i}") for i in range(50)]),
+             bucket_keys=["k"], n_buckets=2)
+    base_v = tbl.start_rebucket(8)  # leave a migration for the steps
+    wins: list[tuple[int, dict]] = []  # (version, key->value delta)
+    lock = threading.Lock()
+
+    def appender(i: int) -> None:
+        t = VersionedTable(tmp_path / "t")
+        for j in range(3):
+            k = 1000 * (i + 1) + j
+            try:
+                v = t.commit_append(df_(spark, [(k, f"a{k}")]))
+                with lock:
+                    wins.append((v, {k: f"a{k}"}))
+            except ConcurrentWriterError:
+                pass
+
+    def keyer(i: int) -> None:
+        t = VersionedTable(tmp_path / "t")
+        k = 10 * i  # SAME key every round: final value is order-proof
+        for j in range(3):
+            upd = df_(spark, [(k, f"u{i}_{j}")])
+            try:
+                v = t.commit_keyed(upd, upd.select("k"))
+                with lock:
+                    wins.append((v, {k: f"u{i}_{j}"}))
+            except ConcurrentWriterError:
+                pass
+
+    def migrator() -> None:
+        t = VersionedTable(tmp_path / "t")
+        for _ in range(3):
+            try:
+                v = t.rebucket_step(spark, max_buckets=1)
+                if v is None:
+                    return  # migration drained
+                with lock:
+                    wins.append((v, {}))  # logically changeless
+            except ConcurrentWriterError:
+                pass
+
+    threads = [
+        threading.Thread(target=appender, args=(0,)),
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=keyer, args=(1,)),
+        threading.Thread(target=keyer, args=(2,)),
+        threading.Thread(target=migrator),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert wins  # someone committed
+    versions = sorted(v for v, _d in wins)
+    assert versions == list(
+        range(base_v + 1, base_v + 1 + len(wins))
+    )  # consecutive, single owner each
+    state = {i: f"v{i}" for i in range(50)}
+    for _v, delta in sorted(wins, key=lambda x: x[0]):
+        state.update(delta)
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got == state
+    # every surviving snapshot still reads cleanly post-race
+    for v in tbl.versions():
+        tbl.read(spark, v).count()
+
+
 def test_history_surfaces_keyed_pruning_mode(spark, tmp_path):
     """history() records per keyed commit whether file pruning ran at
     file or bucket granularity and the rewritten/carried split — the
