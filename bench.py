@@ -26,6 +26,36 @@ from kaj_query_engine_spark.session import get_spark
 from kaj_query_engine_spark.workload import all_queries
 
 
+def host_factor_for(
+    warm: dict[str, float],
+    prev_warm: dict[str, float],
+    changed: list[str] | set[str],
+    min_n: int = 10,
+    noise_floor: float = 0.2,
+) -> tuple[float | None, int]:
+    """(median warm ratio vs the previous record over round-UNCHANGED
+    queries, sample count) — the suite-wide host-speed estimate a
+    changed query's regression cannot hide in (changed queries are
+    excluded; a single slow unchanged query barely moves a median of
+    dozens). None when fewer than ``min_n`` queries are comparable;
+    previous timings under ``noise_floor`` seconds are excluded as
+    quantization noise. Pure, so the policy itself is unit-tested."""
+    ratios = sorted(
+        warm[n] / prev_warm[n]
+        for n in warm
+        if n in prev_warm
+        and n not in changed
+        and prev_warm[n] >= noise_floor
+        and warm[n] > 0
+    )
+    n = len(ratios)
+    if n < min_n:
+        return None, n
+    mid = n // 2
+    med = ratios[mid] if n % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    return round(med, 3), n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -110,24 +140,9 @@ def main() -> None:
             _CHANGED_THIS_ROUND,
         )
 
-        prev_warm = prev_rec.get("queries_warm") or {}
-        ratios = sorted(
-            warm[n] / prev_warm[n]
-            for n in warm
-            if n in prev_warm
-            and n not in _CHANGED_THIS_ROUND
-            and prev_warm[n] >= 0.2  # sub-noise-floor timings excluded
-            and warm[n] > 0
+        host_factor, host_n = host_factor_for(
+            warm, prev_rec.get("queries_warm") or {}, _CHANGED_THIS_ROUND
         )
-        host_n = len(ratios)
-        if host_n >= 10:  # too few comparable queries => no estimate
-            mid = host_n // 2
-            host_factor = round(
-                ratios[mid]
-                if host_n % 2
-                else (ratios[mid - 1] + ratios[mid]) / 2,
-                3,
-            )
 
     # ---- canary protocol -------------------------------------------
     # Host drift on this box spans ±10-25% on totals for identical code

@@ -1,0 +1,65 @@
+"""Unit pins for bench.py's host-normalization policy (round 12):
+``host_factor`` is the cross-round interpretation key for every BENCH
+artifact, so its semantics — changed-query exclusion, noise floor,
+minimum sample size, median robustness — are pinned here rather than
+trusted to live runs."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import host_factor_for  # noqa: E402
+
+
+def test_median_over_unchanged_queries():
+    warm = {f"q{i}": 2.0 for i in range(12)}
+    prev = {f"q{i}": 1.0 for i in range(12)}
+    hf, n = host_factor_for(warm, prev, changed=[])
+    assert (hf, n) == (2.0, 12)
+
+
+def test_changed_queries_excluded_and_min_n_enforced():
+    warm = {f"q{i}": 2.0 for i in range(12)}
+    prev = {f"q{i}": 1.0 for i in range(12)}
+    # excluding three changed queries drops the sample below min_n=10
+    hf, n = host_factor_for(warm, prev, changed=["q0", "q1", "q2"])
+    assert hf is None and n == 9
+    # a regressed CHANGED query cannot drag the estimate at all
+    warm["q0"] = 50.0
+    hf, n = host_factor_for(
+        warm, prev, changed=["q0"], min_n=5
+    )
+    assert hf == 2.0 and n == 11
+
+
+def test_single_outlier_cannot_move_the_median():
+    warm = {f"q{i}": 1.0 for i in range(11)}
+    prev = {f"q{i}": 1.0 for i in range(11)}
+    warm["q5"] = 40.0  # one unchanged query went wild (GC pause, etc.)
+    hf, _n = host_factor_for(warm, prev, changed=[])
+    assert hf == 1.0
+
+
+def test_noise_floor_and_missing_queries_skipped():
+    warm = {f"q{i}": 0.3 for i in range(20)}
+    prev = {f"q{i}": 0.1 for i in range(20)}  # all under the floor
+    hf, n = host_factor_for(warm, prev, changed=[])
+    assert hf is None and n == 0
+    prev = {f"q{i}": 0.2 for i in range(20)}  # at the floor: counted
+    hf, n = host_factor_for(warm, prev, changed=[])
+    assert hf == 1.5 and n == 20
+    # queries absent from either side are simply not comparable
+    hf, n = host_factor_for(
+        {"a": 1.0}, {"b": 1.0}, changed=[], min_n=1
+    )
+    assert hf is None and n == 0
+
+
+def test_even_sample_averages_middle_pair():
+    warm = {f"q{i}": float(i + 1) for i in range(10)}
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    hf, n = host_factor_for(warm, prev, changed=[])
+    assert n == 10 and hf == 5.5  # (5 + 6) / 2
