@@ -56,6 +56,51 @@ def host_factor_for(
     return round(med, 3), n
 
 
+def canary_decide(
+    ref: float,
+    measured: float,
+    end_measured: float,
+    host_factor: float | None,
+    *,
+    prev_ref: float | None = None,
+    prev_ratio: float | None = None,
+    prev_streak: int = 0,
+    ratchet_down_ref: float | None = None,
+) -> dict:
+    """Pure canary verdict (round 12 — unit-tested so the streak /
+    re-ratchet state machine is pinned, not trusted to one live run a
+    round): ``ok`` = both probes within the 1.10 bound. A red run is
+    ``explained`` when its BEST probe is within bound of what host
+    movement predicts — the previous run's ratio against the SAME pin
+    (an inherited red: the epoch shifted in an earlier round) times
+    this round's suite-median host_factor (a shift this round); a
+    q45-specific regression exceeds both and never reads explained.
+    Three consecutive explained reds re-pin to the current epoch's
+    reading (the ratchet-DOWN rule — two consecutive faster runs,
+    resolved by the caller and passed as ``ratchet_down_ref`` — pulls
+    the pin back when the fast era returns)."""
+    ok = measured <= 1.10 * ref and end_measured <= 1.10 * ref
+    pr = 1.0
+    if prev_ref == ref and prev_ratio:
+        pr = float(prev_ratio)
+    expectation = max(1.0, pr * host_factor) if host_factor else 1.0
+    best = min(measured, end_measured)
+    explained = bool(
+        not ok and host_factor and best <= 1.10 * ref * expectation
+    )
+    streak = prev_streak + 1 if explained else 0
+    new_ref = ratchet_down_ref if ratchet_down_ref is not None else ref
+    if streak >= 3:
+        new_ref = measured
+        streak = 0
+    return {
+        "ok": ok,
+        "explained": explained,
+        "explained_streak": streak,
+        "new_ref": new_ref,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -247,45 +292,26 @@ def main() -> None:
                 )
                 if end_measured <= 1.10 * ref:
                     break
-            ok = measured <= 1.10 * ref and end_measured <= 1.10 * ref
-            # a red run is EXPLAINED when the canary's best reading is
-            # within bound of what HOST movement predicts: the
-            # previous run's ratio against the SAME pin (an inherited
-            # red — the epoch shifted in some earlier round) times
-            # this round's suite-median host_factor (a shift THIS
-            # round). A q45-specific regression exceeds both and
-            # never reads explained.
-            prev_ratio = 1.0
-            if prev_canary.get("ref") == ref and prev_canary.get("ratio"):
-                prev_ratio = float(prev_canary["ratio"])
-            expectation = (
-                max(1.0, prev_ratio * host_factor) if host_factor else 1.0
+            verdict = canary_decide(
+                ref,
+                measured,
+                end_measured,
+                host_factor,
+                prev_ref=prev_canary.get("ref"),
+                prev_ratio=prev_canary.get("ratio"),
+                prev_streak=prev_explained_streak,
+                ratchet_down_ref=new_ref,
             )
-            best = min(measured, end_measured)
-            explained = bool(
-                not ok
-                and host_factor
-                and best <= 1.10 * ref * expectation
-            )
-            explained_streak = (
-                prev_explained_streak + 1 if explained else 0
-            )
-            if explained_streak >= 3:
-                # three consecutive host-explained reds: the fast
-                # window the pin was set in is gone — re-pin to this
-                # epoch (ratchet-down pulls it back if the era returns)
-                new_ref = measured
-                explained_streak = 0
             canary = {
                 "query": canary_name,
-                "ref": round(new_ref, 3),
+                "ref": round(verdict["new_ref"], 3),
                 "measured": measured,
                 "ratio": round(measured / ref, 3),
                 "end_measured": end_measured,
                 "end_ratio": round(end_measured / ref, 3),
-                "ok": ok,
-                "explained": explained,
-                "explained_streak": explained_streak,
+                "ok": verdict["ok"],
+                "explained": verdict["explained"],
+                "explained_streak": verdict["explained_streak"],
             }
 
     total = round(sum(timings.values()), 3)

@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import host_factor_for  # noqa: E402
+from bench import canary_decide, host_factor_for  # noqa: E402
 
 
 def test_median_over_unchanged_queries():
@@ -63,3 +63,65 @@ def test_even_sample_averages_middle_pair():
     prev = {f"q{i}": 1.0 for i in range(10)}
     hf, n = host_factor_for(warm, prev, changed=[])
     assert n == 10 and hf == 5.5  # (5 + 6) / 2
+
+
+REF = 4.0
+
+
+def test_canary_green_run_keeps_pin_and_resets_streak():
+    v = canary_decide(REF, 4.1, 4.2, 1.0, prev_streak=2)
+    assert v == {
+        "ok": True, "explained": False,
+        "explained_streak": 0, "new_ref": REF,
+    }
+
+
+def test_canary_red_unexplained_resets_streak():
+    # canary 2x slow while the suite stayed flat: a q45 regression
+    v = canary_decide(REF, 8.0, 8.0, 1.0, prev_streak=2)
+    assert not v["ok"] and not v["explained"]
+    assert v["explained_streak"] == 0 and v["new_ref"] == REF
+
+
+def test_canary_red_explained_by_this_rounds_host_factor():
+    # the whole suite slowed 1.4x this round; canary followed it
+    v = canary_decide(REF, 5.6, 5.7, 1.4)
+    assert not v["ok"] and v["explained"]
+    assert v["explained_streak"] == 1 and v["new_ref"] == REF
+
+
+def test_canary_inherited_red_chains_previous_ratio_same_pin_only():
+    # epoch shifted in an EARLIER round: suite flat vs last run
+    # (host_factor 1.0) but the last run was already 1.3x red on the
+    # SAME pin — inherited, explained
+    v = canary_decide(
+        REF, 5.2, 5.3, 1.0,
+        prev_ref=REF, prev_ratio=1.3, prev_streak=1,
+    )
+    assert v["explained"] and v["explained_streak"] == 2
+    # same numbers but the pin CHANGED since: the chain breaks
+    v = canary_decide(
+        REF, 5.2, 5.3, 1.0,
+        prev_ref=3.0, prev_ratio=1.3, prev_streak=1,
+    )
+    assert not v["explained"] and v["explained_streak"] == 0
+
+
+def test_canary_third_explained_red_repins_to_current_epoch():
+    v = canary_decide(
+        REF, 5.6, 5.7, 1.4, prev_ref=REF, prev_ratio=1.4,
+        prev_streak=2,
+    )
+    assert v["explained"]
+    assert v["new_ref"] == 5.6 and v["explained_streak"] == 0
+
+
+def test_canary_no_host_factor_never_explains():
+    v = canary_decide(REF, 5.6, 5.7, None, prev_streak=2)
+    assert not v["explained"] and v["explained_streak"] == 0
+
+
+def test_canary_ratchet_down_passthrough_not_overridden():
+    # the caller resolved the two-consecutive-fast rule to a lower pin
+    v = canary_decide(REF, 3.0, 3.1, 1.0, ratchet_down_ref=3.2)
+    assert v["ok"] and v["new_ref"] == 3.2
