@@ -25,8 +25,14 @@ from kaj_query_engine_spark.workload.registry import register
 _N_BLOCKS = "(2 + doc_id % 3)"
 
 
-@register(
-    "q90_media_frames",
+# round 13 registry discipline: the former q90_media_frames,
+# q92_media_features and q96_stream_media_decode are MERGED into ONE
+# tagged query q90_media_pipeline (the q57/q63 pattern — one shared
+# superset schema, every branch keeping its own plan shape), freeing
+# two registry slots for the 50-query rotation window. The per-branch
+# oracles below are UNCHANGED; the merged oracle pads each to the
+# union schema.
+_Q90_FRAMES_ORACLE = (
     "SELECT doc_id, frame_idx, "
     "substr(sha256(concat(CAST(doc_id AS VARCHAR), ':', "
     "CAST(frame_idx AS VARCHAR))), 1, 16) AS frame_sig, "
@@ -35,15 +41,17 @@ _N_BLOCKS = "(2 + doc_id % 3)"
     "CAST(64 + (doc_id % 5) * 32 AS INT) AS height, "
     "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format "
     "FROM documents, "
-    f"LATERAL (SELECT unnest(range(0, {_N_BLOCKS})) AS frame_idx)",
-    "media ingest + decode-free frame sampling in one result: binary "
-    "payload with typed metadata struct (pushdown on metadata prunes "
-    "media I/O), exploded into per-frame rows whose 8-byte signature "
-    "is sliced JVM-side (substring on binary — whole-stage codegen, "
-    "no Python); each frame row carries the media's metadata through "
-    "the explode, join-free",
+    f"LATERAL (SELECT unnest(range(0, {_N_BLOCKS})) AS frame_idx)"
 )
-def q90(spark, sf_dir):
+
+
+def _media_frames(spark, sf_dir):
+    """media ingest + decode-free frame sampling: binary payload with
+    typed metadata struct (pushdown on metadata prunes media I/O),
+    exploded into per-frame rows whose 8-byte signature is sliced
+    JVM-side (substring on binary — whole-stage codegen, no Python);
+    each frame row carries the media's metadata through the explode,
+    join-free."""
     d = M.attach_fake_media(t(spark, sf_dir, "documents")).withColumn(
         "n_bytes", F.octet_length("media")
     )
@@ -72,8 +80,7 @@ _BYTES = (
 )
 
 
-@register(
-    "q92_media_features",
+_Q92_FEATURES_ORACLE = (
     "WITH h AS (SELECT doc_id, "
     f"{_HEX} AS hex FROM documents), "
     f"b AS (SELECT doc_id, hex, {_BYTES} AS bytes FROM h), "
@@ -86,16 +93,18 @@ _BYTES = (
     "floor((list_sum(bytes) * 1.0 / len(bytes)) * 1000000 + 0.5) / 1000000 "
     "AS mean_byte, "
     "agg.n_distinct_bytes, agg.mode_count "
-    "FROM b JOIN agg ON b.doc_id = agg.doc_id",
-    "Arrow-batched byte features over binary media (n_bytes, first "
-    "byte, HALF_UP mean byte, histogram distinct/mode counts) — the "
-    "mapInPandas path a real decoder would ride; the oracle "
-    "reconstructs the sha256-derived payload and every feature in "
-    "pure SQL. Shannon entropy + the full-payload sha256 dedup key "
-    "stay in the operator (log2 and sha-of-BLOB aren't bit-portable "
-    "across engines) and are pinned against math/hashlib in tests/",
+    "FROM b JOIN agg ON b.doc_id = agg.doc_id"
 )
-def q92(spark, sf_dir):
+
+
+def _media_features(spark, sf_dir):
+    """Arrow-batched byte features over binary media (n_bytes, first
+    byte, HALF_UP mean byte, histogram distinct/mode counts) — the
+    mapInPandas path a real decoder would ride; the oracle
+    reconstructs the sha256-derived payload and every feature in pure
+    SQL. Shannon entropy + the full-payload sha256 dedup key stay in
+    the operator (log2 and sha-of-BLOB aren't bit-portable across
+    engines) and are pinned against math/hashlib in tests/."""
     d = M.attach_fake_media(t(spark, sf_dir, "documents"))
     return M.media_byte_features(d).select(
         "doc_id",
@@ -199,31 +208,31 @@ _PNG_RGBA_SQL = (
 )
 
 
-@register(
-    "q93_png_decode",
+_PNG_ORACLE = (
     f"{_PNG_DECODE_SQL} UNION ALL {_PNG_RESIZE_SQL} "
     f"UNION ALL ({_png_decode_sql('adam7')}) "
     f"UNION ALL ({_PNG_GREY16_SQL}) "
-    f"UNION ALL ({_PNG_PALETTE_SQL}) UNION ALL ({_PNG_RGBA_SQL})",
-    "REAL image decode, oracle-checked: genuine PNG bytes (pure-stdlib "
-    "encoder cycling all five scanline filters) are decoded by the "
-    "pure-stdlib codec inside mapInPandas; the oracle reconstructs the "
-    "decoded pixel buffer from the sha256 scanline model in pure SQL, "
-    "so a digest match pins zlib framing, CRCs, and the filter math "
-    "end-to-end. 'resize' re-encodes the nearest-neighbor 8x8 sample "
-    "and decodes it again (floor index rule reproduced oracle-side); "
-    "'adam7' re-encodes the same pixels INTERLACED (seven "
-    "independently-filtered reduced passes) against the same decode "
-    "oracle — pass geometry and scatter pinned; 'grey16' reads the "
-    "same byte model as big-endian uint16 samples through DEPTH-16 "
-    "streams (2-byte filter offset, BE wire order) against the same "
-    "digest; 'palette' writes color type 3 (PLTE) — the row model as "
-    "indices through the ramp palette (i, 255-i, 7i mod 256), so the "
-    "decoded RGB pins real palette indexing; 'rgba' writes color "
-    "type 6 (4-byte pixels, 4 digests per row). Non-PNG codecs stay "
-    "honestly guarded (no libraries here)",
+    f"UNION ALL ({_PNG_PALETTE_SQL}) UNION ALL ({_PNG_RGBA_SQL})"
 )
-def q93(spark, sf_dir):
+
+
+def _png_branches(spark, sf_dir):
+    """REAL image decode, oracle-checked: genuine PNG bytes (pure-
+    stdlib encoder cycling all five scanline filters) are decoded by
+    the pure-stdlib codec inside mapInPandas; the oracle reconstructs
+    the decoded pixel buffer from the sha256 scanline model in pure
+    SQL, so a digest match pins zlib framing, CRCs, and the filter
+    math end-to-end. 'resize' re-encodes the nearest-neighbor 8x8
+    sample and decodes it again (floor index rule reproduced
+    oracle-side); 'adam7' re-encodes the same pixels INTERLACED
+    (seven independently-filtered reduced passes) against the same
+    decode oracle — pass geometry and scatter pinned; 'grey16' reads
+    the same byte model as big-endian uint16 samples through DEPTH-16
+    streams (2-byte filter offset, BE wire order) against the same
+    digest; 'palette' writes color type 3 (PLTE) — the row model as
+    indices through the ramp palette (i, 255-i, 7i mod 256), so the
+    decoded RGB pins real palette indexing; 'rgba' writes color
+    type 6 (4-byte pixels, 4 digests per row)."""
     # persist the generated PNG corpus: BOTH branches of the union read
     # it, and without the cache Spark re-runs the whole encode pass per
     # branch (a real corpus would be read from storage, not generated —
@@ -419,27 +428,27 @@ _WAV_PCM24_SQL = (
 )
 
 
-@register(
-    "q94_wav_decode",
+_WAV_ORACLE = (
     f"{_WAV_DECODE_SQL} UNION ALL ({_WAV_FEATURES_SQL}) "
     f"UNION ALL ({_WAV_RESAMPLE_SQL}) UNION ALL ({_WAV_STEREO_SQL}) "
-    f"UNION ALL ({_WAV_PCM8_SQL}) UNION ALL ({_WAV_PCM24_SQL})",
-    "REAL audio decode, oracle-checked: genuine 16-bit PCM WAV bytes "
-    "(pure-stdlib RIFF encoder) decode through the pure-stdlib codec "
-    "inside mapInPandas; the oracle reconstructs the PCM buffer AND "
-    "every sample value from the sha256 model in pure SQL, pinning "
-    "RIFF framing, int16 little-endian layout, and the feature math "
-    "(energy kept exact-int so rms/duration are bit-identical IEEE "
-    "derivations). 'resample' re-encodes a nearest-neighbor 64-sample "
-    "take and decodes it again; 'stereo' pins the two-channel "
-    "interleave with the same hex-interleave oracle q99's stereo FLAC "
-    "uses; 'pcm8' reads the model as UNSIGNED offset-binary bytes "
-    "(the WAV 8-bit spec quirk), and 'pcm24' reads 3-byte "
-    "little-endian samples whose SIGN EXTENSION the oracle re-derives "
-    "and re-packs as the decoder's int32 buffer. Non-WAV codecs stay "
-    "honestly guarded",
+    f"UNION ALL ({_WAV_PCM8_SQL}) UNION ALL ({_WAV_PCM24_SQL})"
 )
-def q94(spark, sf_dir):
+
+
+def _wav_branches(spark, sf_dir):
+    """REAL audio decode, oracle-checked: genuine 16-bit PCM WAV bytes
+    (pure-stdlib RIFF encoder) decode through the pure-stdlib codec
+    inside mapInPandas; the oracle reconstructs the PCM buffer AND
+    every sample value from the sha256 model in pure SQL, pinning
+    RIFF framing, int16 little-endian layout, and the feature math
+    (energy kept exact-int so rms/duration are bit-identical IEEE
+    derivations). 'resample' re-encodes a nearest-neighbor 64-sample
+    take and decodes it again; 'stereo' pins the two-channel
+    interleave with the same hex-interleave oracle the stereo FLAC
+    branch uses; 'pcm8' reads the model as UNSIGNED offset-binary
+    bytes (the WAV 8-bit spec quirk), and 'pcm24' reads 3-byte
+    little-endian samples whose SIGN EXTENSION the oracle re-derives
+    and re-packs as the decoder's int32 buffer."""
     # persist: all three branches read the generated WAV corpus (same
     # rationale as q93 — the cache stands in for the stored table)
     a = M.attach_wav_media(t(spark, sf_dir, "documents")).persist()
@@ -628,31 +637,31 @@ _AVI_MJPG_SQL = (
 )
 
 
-@register(
-    "q95_avi_decode",
+_AVI_ORACLE = (
     f"{_AVI_FRAMES_SQL} UNION ALL ({_AVI_SAMPLE_SQL}) "
     f"UNION ALL ({_AVI_SUMMARY_SQL}) UNION ALL ({_AVI_MUXED_SQL}) "
-    f"UNION ALL ({_AVI_SOUND_SQL}) UNION ALL ({_AVI_MJPG_SQL})",
-    "REAL video decode, oracle-checked: genuine AVI bytes (pure-stdlib "
-    "RIFF encoder, uncompressed 24-bit DIB frames stored bottom-up/BGR/"
-    "row-padded) decode through the pure-stdlib container codec inside "
-    "mapInPandas, exploded to one row per frame; the oracle "
-    "reconstructs every frame's RGB buffer from the sha256 model in "
-    "pure SQL, pinning the layout round trip. 'sample' re-encodes an "
-    "every-2nd-frame subsample and decodes it again; 'muxed' decodes "
-    "the SAME frames from containers carrying an interleaved PCM "
-    "audio stream (audio chunks must be invisible to the video "
-    "path), and 'sound' pins the demuxed PCM against q94's buffer "
-    "digest — one audio model across WAV, FLAC, and AVI; 'summary' keeps "
-    "the pixel sum exact-int so mean_byte is bit-identical IEEE. "
-    "'mjpg' is COMPRESSED video for real: Motion-JPEG AVI ('MJPG' "
-    "streams are concatenated baseline JPEGs — this container composed "
-    "with q97's entropy layer), DC-only grayscale frames keeping the "
-    "pixel layer SQL-reconstructible (flat floor(DC/8+128.5) patches, "
-    "grey replicated to RGB by the demuxer). Non-MJPEG compressed "
-    "video stays honestly guarded",
+    f"UNION ALL ({_AVI_SOUND_SQL}) UNION ALL ({_AVI_MJPG_SQL})"
 )
-def q95(spark, sf_dir):
+
+
+def _avi_branches(spark, sf_dir):
+    """REAL video decode, oracle-checked: genuine AVI bytes (pure-
+    stdlib RIFF encoder, uncompressed 24-bit DIB frames stored
+    bottom-up/BGR/row-padded) decode through the pure-stdlib container
+    codec inside mapInPandas, exploded to one row per frame; the
+    oracle reconstructs every frame's RGB buffer from the sha256 model
+    in pure SQL, pinning the layout round trip. 'sample' re-encodes an
+    every-2nd-frame subsample and decodes it again; 'muxed' decodes
+    the SAME frames from containers carrying an interleaved PCM audio
+    stream (audio chunks must be invisible to the video path), and
+    'sound' pins the demuxed PCM against the WAV buffer digest — one
+    audio model across WAV, FLAC, and AVI; 'summary' keeps the pixel
+    sum exact-int so mean_byte is bit-identical IEEE. 'mjpg' is
+    COMPRESSED video for real: Motion-JPEG AVI ('MJPG' streams are
+    concatenated baseline JPEGs — this container composed with the
+    JPEG entropy layer), DC-only grayscale frames keeping the pixel
+    layer SQL-reconstructible (flat floor(DC/8+128.5) patches, grey
+    replicated to RGB by the demuxer)."""
     # persist: all three branches read the generated AVI corpus (q93/94)
     v = M.attach_avi_media(t(spark, sf_dir, "documents")).persist()
     frame_md5 = F.md5(F.lower(F.hex(F.col("pixels"))))
@@ -916,33 +925,34 @@ _JPG_PIX_SQL = (
 )
 
 
-@register(
-    "q97_jpeg_decode",
+_JPG_ORACLE = (
     f"{_JPG_COEFFS_SQL} UNION ALL ({_jpg_coeffs_sql('rst')}) "
     f"UNION ALL ({_JPG_COLOR_SQL}) UNION ALL ({_JPG_420_SQL}) "
-    f"UNION ALL ({_JPG_DCRGB_SQL}) UNION ALL ({_JPG_PIX_SQL})",
-    "REAL baseline JPEG decode, oracle-checked at the lossless layer: "
-    "genuine grayscale JPEGs (pure stdlib+numpy encoder, canonical "
-    "Huffman tables carried in the file's DHT) decode through the "
-    "pure-stdlib codec; the oracle digests a pure-SQL reconstruction "
-    "of the quantized coefficient buffer (Huffman/RLE/ZRL/EOB/DPCM/"
-    "bit-packing all pinned); the 'rst' branch re-encodes the same "
-    "corpus WITH restart markers (DRI interval 2: byte-aligned fill, "
-    "RSTm cadence, per-segment DC predictor reset) against the same "
-    "coefficient oracle; the 'color' branch is YCbCr 4:4:4 — "
-    "interleaved MCUs, three DC predictor chains, luma/chroma "
-    "quant+Huffman table routing — against a (b, c, k)-ordered "
-    "oracle; the 'sub420' branch is 4:2:0 — 16x16 MCUs of four Y + "
-    "Cb + Cr blocks, the sampling-factor interleave itself pinned by "
-    "an (mcu, slot, k)-ordered oracle; the 'dcrgb' branch decodes "
-    "the DC-only COLOR corpus all the way to RGB — flat Y/Cb/Cr "
-    "patches through the JFIF fixed-point colorspace transform, "
-    "integer-exactly reproduced in SQL; and a DC-only corpus makes the IDCT pixel layer itself "
-    "SQL-reconstructible (flat 8x8 patches). Full-AC pixels are "
-    "pinned against the literal T.81 cosine sum in pytest. "
-    "mp3/compressed video stay honestly guarded",
+    f"UNION ALL ({_JPG_DCRGB_SQL}) UNION ALL ({_JPG_PIX_SQL})"
 )
-def q97(spark, sf_dir):
+
+
+def _jpeg_branches(spark, sf_dir):
+    """REAL baseline JPEG decode, oracle-checked at the lossless
+    layer: genuine grayscale JPEGs (pure stdlib+numpy encoder,
+    canonical Huffman tables carried in the file's DHT) decode
+    through the pure-stdlib codec; the oracle digests a pure-SQL
+    reconstruction of the quantized coefficient buffer (Huffman/RLE/
+    ZRL/EOB/DPCM/bit-packing all pinned); the 'rst' branch re-encodes
+    the same corpus WITH restart markers (DRI interval 2:
+    byte-aligned fill, RSTm cadence, per-segment DC predictor reset)
+    against the same coefficient oracle; the 'color' branch is YCbCr
+    4:4:4 — interleaved MCUs, three DC predictor chains, luma/chroma
+    quant+Huffman table routing — against a (b, c, k)-ordered oracle;
+    the 'sub420' branch is 4:2:0 — 16x16 MCUs of four Y + Cb + Cr
+    blocks, the sampling-factor interleave itself pinned by an
+    (mcu, slot, k)-ordered oracle; the 'dcrgb' branch decodes the
+    DC-only COLOR corpus all the way to RGB — flat Y/Cb/Cr patches
+    through the JFIF fixed-point colorspace transform, integer-
+    exactly reproduced in SQL; and a DC-only corpus ('dcpatch') makes
+    the IDCT pixel layer itself SQL-reconstructible (flat 8x8
+    patches). Full-AC pixels are pinned against the literal T.81
+    cosine sum in pytest."""
     docs = t(spark, sf_dir, "documents")
 
     def coeff_branch(path, **attach_kw):
@@ -1021,21 +1031,19 @@ def _gif_sql(path: str) -> str:
 _GIF_SQL = _gif_sql("plain")
 
 
-@register(
-    "q98_gif_decode",
-    f"{_GIF_SQL} UNION ALL ({_gif_sql('interlaced')})",
-    "REAL GIF decode, oracle-checked: genuine GIF87a bytes (pure-"
-    "stdlib LZW encoder, grayscale palette) decode through the pure-"
-    "stdlib codec inside mapInPandas; LZW is lossless, so the oracle's "
-    "SQL reconstruction of the RGB buffer pins the full dictionary "
-    "machinery (9-12 bit growth, CLEAR resets, KwKwK, LSB-first "
-    "packing, sub-block framing) and the palette mapping byte-exactly. "
-    "The 'interlaced' branch re-encodes the same pixels through the "
-    "four-pass row interleave against the same oracle — a decoder "
-    "that ignored the flag would scramble rows and diverge. "
-    "mp3/compressed video stay honestly guarded",
-)
-def q98(spark, sf_dir):
+_GIF_ORACLE = f"{_GIF_SQL} UNION ALL ({_gif_sql('interlaced')})"
+
+
+def _gif_branches(spark, sf_dir):
+    """REAL GIF decode, oracle-checked: genuine GIF87a bytes (pure-
+    stdlib LZW encoder, grayscale palette) decode through the pure-
+    stdlib codec inside mapInPandas; LZW is lossless, so the oracle's
+    SQL reconstruction of the RGB buffer pins the full dictionary
+    machinery (9-12 bit growth, CLEAR resets, KwKwK, LSB-first
+    packing, sub-block framing) and the palette mapping byte-exactly.
+    The 'interlaced' branch re-encodes the same pixels through the
+    four-pass row interleave against the same oracle — a decoder that
+    ignored the flag would scramble rows and diverge."""
     docs = t(spark, sf_dir, "documents")
 
     def branch(path, **kw):
@@ -1094,28 +1102,28 @@ _FLAC_STEREO_SQL = (
 )
 
 
-@register(
-    "q99_flac_decode",
+_FLAC_ORACLE = (
     f"{_FLAC_SQL} UNION ALL ({_FLAC_STEREO_SQL}) "
-    f"UNION ALL ({_FLAC_SQL.replace(chr(39) + 'mono' + chr(39), chr(39) + 'rice2' + chr(39))})",
-    "REAL compressed-lossless audio decode: genuine FLAC bytes (pure-"
-    "stdlib encoder — FIXED orders 0-2 on half the corpus, "
-    "Levinson-Durbin LPC orders 1-3 on the other half, Rice-coded "
-    "residuals, CRC-8/16, STREAMINFO MD5) decode through the "
-    "pure-stdlib codec; the corpus "
-    "reuses q94's sample model, so the SAME SQL reconstruction must "
-    "digest-match — one oracle pinning both the uncompressed and "
-    "compressed audio paths. The 'stereo' branch adds a right "
-    "channel and cycles all FOUR channel assignments (independent / "
-    "left-side / right-side / mid-side, side subframes 17-bit) — the "
-    "interleaved-buffer digest pins the whole decorrelation matrix. "
-    "The 'rice2' branch re-encodes the mono corpus with PARTITIONED "
-    "Rice residuals (2^2 partitions per subframe, per-partition "
-    "parameters — what real encoders emit) against the same digest, "
-    "so the multi-partition decode path is driver-pinned, not just "
-    "unit-tested. mp3 (lossy) stays honestly guarded",
+    f"UNION ALL ({_FLAC_SQL.replace(chr(39) + 'mono' + chr(39), chr(39) + 'rice2' + chr(39))})"
 )
-def q99(spark, sf_dir):
+
+
+def _flac_branches(spark, sf_dir):
+    """REAL compressed-lossless audio decode: genuine FLAC bytes
+    (pure-stdlib encoder — FIXED orders 0-2 on half the corpus,
+    Levinson-Durbin LPC orders 1-3 on the other half, Rice-coded
+    residuals, CRC-8/16, STREAMINFO MD5) decode through the
+    pure-stdlib codec; the corpus reuses the WAV sample model, so the
+    SAME SQL reconstruction must digest-match — one oracle pinning
+    both the uncompressed and compressed audio paths. The 'stereo'
+    branch adds a right channel and cycles all FOUR channel
+    assignments (independent / left-side / right-side / mid-side,
+    side subframes 17-bit) — the interleaved-buffer digest pins the
+    whole decorrelation matrix. The 'rice2' branch re-encodes the
+    mono corpus with PARTITIONED Rice residuals (2^2 partitions per
+    subframe, per-partition parameters — what real encoders emit)
+    against the same digest, so the multi-partition decode path is
+    driver-pinned, not just unit-tested."""
     docs = t(spark, sf_dir, "documents")
 
     def branch(path, **kw):
@@ -1132,3 +1140,212 @@ def q99(spark, sf_dir):
         .unionAll(branch("stereo", stereo=True))
         .unionAll(branch("rice2", rice_porder=2))
     )
+
+
+# ---------------------------------------------------------------------
+# Merged registry entries (round 13). Two registered queries cover the
+# nine former media/codec slots: q90_media_pipeline (ex q90_media_frames
+# + q92_media_features + q96_stream_media_decode) and q93_codec_decode
+# (ex q93_png/q94_wav/q95_avi/q97_jpeg/q98_gif/q99_flac). The q57/q63
+# tagged-union pattern: ONE superset schema and ONE oracle per merged
+# query, every branch keeping its own per-branch plan shape and its
+# own per-branch oracle SQL verbatim (padded to the union schema) —
+# verification is identical, the 50-query rotation window just stops
+# paying nine slots for one operator family.
+# ---------------------------------------------------------------------
+
+
+def _pad_df(df, lead, cols, rename):
+    """Pad a branch DataFrame to the union schema: leading literal
+    columns, then every (name, spark_type, _) column cast if present
+    (after ``rename``) or NULL-typed if absent."""
+    for src, dst in rename.items():
+        df = df.withColumnRenamed(src, dst)
+    sel = list(lead) + [F.col("doc_id")]
+    for name, st, _dt in cols:
+        c = F.col(name) if name in df.columns else F.lit(None)
+        sel.append(c.cast(st).alias(name))
+    return df.select(*sel)
+
+
+def _pad_sql(inner, lead_sql, cols, have, rename):
+    """The oracle twin of :func:`_pad_df`: wrap a branch oracle in a
+    padding SELECT with identical names and types."""
+    inv = {dst: src for src, dst in rename.items()}
+    parts = [lead_sql, "doc_id"]
+    for name, _st, dt in cols:
+        if name in have:
+            parts.append(f"CAST({inv.get(name, name)} AS {dt}) AS {name}")
+        else:
+            parts.append(f"CAST(NULL AS {dt}) AS {name}")
+    return "SELECT " + ", ".join(parts) + f" FROM ({inner})"
+
+
+# ------------------------------- q90 --------------------------------
+
+# the former q96 oracle: WAV features from the shared sample CTE —
+# the streaming branch must equal the batch featurizer byte-exact
+_Q96_STREAM_ORACLE = (
+    f"{_WAV_SAMPLES_CTE} "
+    "SELECT doc_id, "
+    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
+    f"CAST({_WAV_N} AS DOUBLE) / {_WAV_RATE} AS duration_s, "
+    "CAST(SUM(CAST(val AS BIGINT) * val) AS BIGINT) AS energy, "
+    f"sqrt(CAST(SUM(CAST(val AS BIGINT) * val) AS DOUBLE) / {_WAV_N}) "
+    "AS rms, "
+    "CAST(SUM(CASE WHEN val * pval < 0 THEN 1 ELSE 0 END) AS INT) AS zcr, "
+    "CAST(MAX(ABS(val)) AS INT) AS peak "
+    "FROM w GROUP BY doc_id"
+)
+
+
+def _media_stream(spark, sf_dir):
+    """streaming media admission: newly-landed docs get their audio
+    decoded and featurized IN-FLIGHT (real WAV codec inside
+    mapInPandas on a streaming plan, availableNow backfill) —
+    streaming result must equal the batch featurizer byte-exact,
+    extending the suite's streaming==batch law to the codec path.
+    Stateless: no watermark, no state store, append mode."""
+    from kaj_query_engine_spark.streaming.ops import (
+        read_stream_table,
+        run_available_now,
+    )
+
+    s = read_stream_table(spark, sf_dir, "documents")
+    feats = M.audio_features(M.attach_wav_media(s))
+    return run_available_now(feats, "append")
+
+
+_MEDIA_COLS = [
+    ("frame_idx", "int", "INT"),
+    ("frame_sig", "string", "VARCHAR"),
+    ("n_bytes", "int", "INT"),
+    ("width", "int", "INT"),
+    ("height", "int", "INT"),
+    ("format", "string", "VARCHAR"),
+    ("first_byte_hex", "string", "VARCHAR"),
+    ("mean_byte", "double", "DOUBLE"),
+    ("n_distinct_bytes", "int", "INT"),
+    ("mode_count", "int", "INT"),
+    ("rate", "int", "INT"),
+    ("n_samples", "int", "INT"),
+    ("duration_s", "double", "DOUBLE"),
+    ("energy", "long", "BIGINT"),
+    ("rms", "double", "DOUBLE"),
+    ("zcr", "int", "INT"),
+    ("peak", "int", "INT"),
+]
+
+_MEDIA_BRANCHES = [
+    ("frames", _media_frames, _Q90_FRAMES_ORACLE,
+     {"frame_idx", "frame_sig", "n_bytes", "width", "height", "format"}),
+    ("features", _media_features, _Q92_FEATURES_ORACLE,
+     {"n_bytes", "first_byte_hex", "mean_byte", "n_distinct_bytes",
+      "mode_count"}),
+    ("stream", _media_stream, _Q96_STREAM_ORACLE,
+     {"rate", "n_samples", "duration_s", "energy", "rms", "zcr", "peak"}),
+]
+
+_Q90_ORACLE = " UNION ALL ".join(
+    _pad_sql(inner, f"'{tag}' AS path", _MEDIA_COLS, have, {})
+    for tag, _fn, inner, have in _MEDIA_BRANCHES
+)
+
+
+@register(
+    "q90_media_pipeline",
+    _Q90_ORACLE,
+    "media pipeline, three former registry slots tagged in one result "
+    "(the q57 merge pattern): 'frames' = media ingest + decode-free "
+    "frame sampling (typed-metadata binary payloads exploded into "
+    "per-frame rows, 8-byte signature sliced JVM-side in whole-stage "
+    "codegen, join-free); 'features' = Arrow-batched byte features "
+    "over the payload (n_bytes / first byte / HALF_UP mean / "
+    "histogram distinct+mode) — the mapInPandas path a real decoder "
+    "rides; 'stream' = streaming media admission (the real WAV codec "
+    "featurizing newly-landed docs IN-FLIGHT on an availableNow "
+    "streaming plan — streaming==batch law extended to codecs, "
+    "stateless append). Each branch keeps its own plan shape and its "
+    "own oracle SQL, padded to one superset schema",
+)
+def q90(spark, sf_dir):
+    out = None
+    for tag, fn, _inner, _have in _MEDIA_BRANCHES:
+        part = _pad_df(fn(spark, sf_dir), [F.lit(tag).alias("path")],
+                       _MEDIA_COLS, {})
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ------------------------------- q93 --------------------------------
+
+_CODEC_COLS = [
+    ("frame_idx", "int", "INT"),
+    ("width", "int", "INT"),
+    ("height", "int", "INT"),
+    ("fps", "int", "INT"),
+    ("n_frames", "int", "INT"),
+    ("n_blocks", "int", "INT"),
+    ("channels", "int", "INT"),
+    ("rate", "int", "INT"),
+    ("n_samples", "int", "INT"),
+    ("sig_md5", "string", "VARCHAR"),
+    ("duration_s", "double", "DOUBLE"),
+    ("energy", "long", "BIGINT"),
+    ("rms", "double", "DOUBLE"),
+    ("zcr", "int", "INT"),
+    ("peak", "int", "INT"),
+    ("pix_sum", "long", "BIGINT"),
+    ("mean_byte", "double", "DOUBLE"),
+]
+
+_CODEC_BRANCHES = [
+    ("png", _png_branches, _PNG_ORACLE, {"pix_md5": "sig_md5"},
+     {"width", "height", "sig_md5"}),
+    ("wav", _wav_branches, _WAV_ORACLE, {"buf_md5": "sig_md5"},
+     {"rate", "n_samples", "sig_md5", "duration_s", "energy", "rms",
+      "zcr", "peak"}),
+    ("avi", _avi_branches, _AVI_ORACLE, {"frame_md5": "sig_md5"},
+     {"frame_idx", "width", "height", "fps", "n_frames", "sig_md5",
+      "pix_sum", "mean_byte", "rate", "n_samples"}),
+    ("jpeg", _jpeg_branches, _JPG_ORACLE, {"payload_md5": "sig_md5"},
+     {"width", "height", "n_blocks", "sig_md5"}),
+    ("gif", _gif_branches, _GIF_ORACLE, {"pix_md5": "sig_md5"},
+     {"width", "height", "channels", "sig_md5"}),
+    ("flac", _flac_branches, _FLAC_ORACLE, {"buf_md5": "sig_md5"},
+     {"rate", "n_samples", "sig_md5"}),
+]
+
+_Q93_ORACLE = " UNION ALL ".join(
+    _pad_sql(inner, f"'{codec}' AS codec, path", _CODEC_COLS, have, rename)
+    for codec, _fn, inner, rename, have in _CODEC_BRANCHES
+)
+
+
+@register(
+    "q93_codec_decode",
+    _Q93_ORACLE,
+    "the full codec family, six former registry slots tagged in one "
+    "result (the q57 merge pattern): REAL pure-stdlib decoders inside "
+    "mapInPandas for PNG (all five scanline filters, Adam7 interlace, "
+    "16-bit/palette/RGBA color types, nearest-neighbor resize round "
+    "trip), WAV (RIFF int16-LE plus pcm8/pcm24/stereo and exact-int "
+    "feature math), AVI (bottom-up BGR DIB frames, interleaved-audio "
+    "demux, every-2nd-frame subsample, Motion-JPEG compressed "
+    "frames), baseline JPEG (Huffman/RLE/DPCM entropy layer, restart "
+    "markers, 4:4:4 + 4:2:0 color, DC-only IDCT and JFIF RGB "
+    "pinned), GIF (full LZW dictionary machinery + interlace) and "
+    "FLAC (FIXED+LPC predictors, partitioned Rice, all four stereo "
+    "decorrelations). Every branch keeps its own sha256-model oracle "
+    "SQL, padded to one superset schema; a digest match pins each "
+    "codec end-to-end. mp3 / non-MJPEG compressed video stay "
+    "honestly guarded",
+)
+def q93(spark, sf_dir):
+    out = None
+    for codec, fn, _inner, rename, _have in _CODEC_BRANCHES:
+        part = _pad_df(fn(spark, sf_dir),
+                       [F.lit(codec).alias("codec"), F.col("path")],
+                       _CODEC_COLS, rename)
+        out = part if out is None else out.unionByName(part)
+    return out

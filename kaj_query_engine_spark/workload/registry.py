@@ -71,25 +71,28 @@ def register(
 # set — an under-maintained hand list FAILS pytest instead of
 # silently starving a changed query of its external check.
 #
-# Round 12 derives at SYMBOL granularity (``derive_fine``), and the
-# hand list below is EXACTLY its output (verified: 12 == 12). The
-# round's changes: the VersionedTable concurrent-writer data-clobber
-# fix (token-unique attempt dirs) + gcd-aware rebucket_step sizing
-# pins q19/q33 and the streaming apply family (q85–q87, q89); the
-# _source_root majority-class listing fallback pins the
-# auto_state_partitions streaming users (q80–q84); semantic_dedup's
-# new assigned=/max_cluster_rows deployment knobs pin q12. Round 11's
-# window arithmetic warning held: the changed set stayed at exactly
-# the 12 slots the 38-query stale tail leaves free.
+# Round 13 merges the nine media/codec slots into two tagged queries
+# (q90_media_pipeline ⊃ ex-q90/q92/q96; q93_codec_decode ⊃
+# ex-q93/q94/q95/q97/q98/q99 — the q57 pattern), dropping the
+# registry 88 → 81 and the permanent stale tail 38 → 29, so the
+# changed budget loosens from 12 to ~19 every round from here on.
+# This round's pins: the two merged queries (new names, never
+# driver-checked); the whole streaming module (its module-level
+# residue changed when q96 moved out — derive_fine pins q80–q87, and
+# q89 rides the VersionedTable edit); q12 (new 'assigned'/'capped'
+# oracle branches driving the deployment knobs); q19/q33 (versioned
+# table: vacuum tmp-manifest GC + suggest_rebucket advisory).
 _CHANGED_THIS_ROUND = [
-    "q12_semantic_dedup",  # assigned= injection + max_cluster_rows cap
-    "q19_bucket_evolution",  # token-unique attempt dirs, gcd step sizing
-    "q33_table_time_travel",  # VersionedTable writer-race hardening
-    "q85_stream_merge",  # versioned commit paths (attempt-dir layout)
+    "q90_media_pipeline",  # merged ex-q90/q92/q96 (frames/features/stream)
+    "q93_codec_decode",  # merged ex-q93/94/95/97/98/99 (six codecs)
+    "q12_semantic_dedup",  # 'assigned'/'capped' deployment-knob branches
+    "q19_bucket_evolution",  # vacuum tmp GC + suggest_rebucket advisory
+    "q33_table_time_travel",  # VersionedTable maintenance additions
+    "q85_stream_merge",  # streaming module residue (q96 moved out)
     "q86_stream_scd2",
     "q87_stream_agg_state",
-    "q89_stream_join_view",
-    "q80_stream_windows",  # streaming _source_root majority fallback
+    "q89_stream_join_view",  # + VersionedTable edit
+    "q80_stream_windows",
     "q81_stream_late_data",
     "q82_stream_dedup",
     "q83_stream_stateful_totals",
@@ -97,11 +100,43 @@ _CHANGED_THIS_ROUND = [
 ]
 
 # Stalest-first (RULE 2): every query whose last driver row is round
-# 10 (outside round 11's 50-window) — the full 38-query tail. None of
-# them changed this round, so all 38 rotate in here. 12 pinned + 38
-# here = the full 50-slot window; nothing is more than one round
-# driver-stale after this round runs.
+# 11 (outside round 12's 50-window) and that still exists after the
+# merge — 29 names. 14 pinned + 29 here = 43; the remaining 7 window
+# slots fall to the next-stalest tier (r12-checked veterans, appended
+# below the tail), so the window stays a full 50 and seven veterans
+# get a bonus re-check.
 _STALEST = [
+    "q20_set_ops",
+    "q23_limit_topk",
+    "q24_scalar_string_math",
+    "q25_date_case",
+    "q27_grouped_analytics",
+    "q29_pivot",
+    "q30_count_distinct",
+    "q00_flagship_revenue",
+    "q21_html_extract",
+    "q60_ann_brute_force",
+    "q61_ann_lsh",
+    "q62_embedding_neardup",
+    "q65_hybrid_retrieval",
+    "q91_kmeans_int",
+    "q55_merge_upsert",
+    "q66_merge_evolve",
+    "q57_scd2_incremental",
+    "q58_constraint_audit",
+    "q59_pit_join",
+    "q44_incremental_agg",
+    "q88_incremental_distinct",
+    "q67_incremental_join",
+    "q32_format_roundtrips",
+    "q34_text_etl_sink",
+    "q35_partition_pruning",
+    "q36_bucketed_join",
+    "q37_salted_agg",
+    "q38_percentiles",
+    "q71_bfs_reach",
+    # ---- next-stalest tier: r12-checked veterans filling the seven
+    # ---- free slots (all equally 1-round-stale; registration order)
     "q01_scan",
     "q02_select_distinct_orderby",
     "q03_agg_witness",
@@ -109,37 +144,6 @@ _STALEST = [
     "q10_theta_join",
     "q11_groupby_having",
     "q13_join_variants",
-    "q16_cross_join",
-    "q17_window_funcs",
-    "q18_shortest_paths",
-    "q39_partitioned_merge",
-    "q40_text_stats",
-    "q41_bpe_tokenizer",
-    "q42_group_sample",
-    "q43_temperature_mix",
-    "q45_sketch_aggregates",
-    "q46_profile_topk",
-    "q47_training_mix",
-    "q48_decontaminate",
-    "q49_doc_chunks",
-    "q50_dedup_exact",
-    "q51_minhash_lsh",
-    "q52_ngram_jaccard",
-    "q53_simhash",
-    "q54_dedup_clusters",
-    "q63_ann_ivf",
-    "q64_pagerank",
-    "q68_span_dedup",
-    "q69_span_decontaminate",
-    "q70_windows",
-    "q72_sessionize",
-    "q73_asof_join",
-    "q74_range_join",
-    "q75_time_rollup",
-    "q76_json_props",
-    "q77_rolling_window",
-    "q78_funnel",
-    "q79_retention_cohorts",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [

@@ -390,51 +390,11 @@ def q83(spark, sf_dir):
     return run_available_now(totals, "update", state_partitions=sp)
 
 
-# q96: streaming media admission — decode + featurize newly-landed
-# audio IN-FLIGHT (mapInPandas runs unchanged on a streaming plan; an
-# availableNow backfill bounds it), the pattern a media-bearing corpus
-# uses to gate ingest on decoded properties rather than trusting
-# upstream metadata. The oracle is q94's features branch: decode is
-# deterministic per doc, so streaming admission must agree byte-exact
-# with the batch featurizer — the streaming==batch law this suite pins
-# for every other operator family, now for codecs too.
-from kaj_query_engine_spark.workload.multimodal import (  # noqa: E402
-    _WAV_N,
-    _WAV_RATE,
-    _WAV_SAMPLES_CTE,
-)
-
-_Q96_SQL = (
-    f"{_WAV_SAMPLES_CTE} "
-    "SELECT doc_id, "
-    f"CAST({_WAV_RATE} AS INT) AS rate, CAST({_WAV_N} AS INT) AS n_samples, "
-    f"CAST({_WAV_N} AS DOUBLE) / {_WAV_RATE} AS duration_s, "
-    "CAST(SUM(CAST(val AS BIGINT) * val) AS BIGINT) AS energy, "
-    f"sqrt(CAST(SUM(CAST(val AS BIGINT) * val) AS DOUBLE) / {_WAV_N}) "
-    "AS rms, "
-    "CAST(SUM(CASE WHEN val * pval < 0 THEN 1 ELSE 0 END) AS INT) AS zcr, "
-    "CAST(MAX(ABS(val)) AS INT) AS peak "
-    "FROM w GROUP BY doc_id"
-)
-
-
-@register(
-    "q96_stream_media_decode",
-    _Q96_SQL,
-    "streaming media admission: newly-landed docs get their audio "
-    "decoded and featurized IN-FLIGHT (real WAV codec inside "
-    "mapInPandas on a streaming plan, availableNow backfill) — "
-    "streaming result must equal the batch featurizer byte-exact, "
-    "extending the suite's streaming==batch law to the codec path. "
-    "Stateless: no watermark, no state store, append mode",
-)
-def q96(spark, sf_dir):
-    from kaj_query_engine_spark.operators import multimodal as M
-
-    s = read_stream_table(spark, sf_dir, "documents")
-    feats = M.audio_features(M.attach_wav_media(s))
-    return run_available_now(feats, "append")
-
+# round 13: the former q96_stream_media_decode (streaming media
+# admission — decode + featurize newly-landed audio IN-FLIGHT) is
+# MERGED into q90_media_pipeline's 'stream' branch in
+# workload/multimodal.py — same code path, same oracle, one registry
+# slot fewer (the q57 merge pattern).
 
 from kaj_query_engine_spark.workload.maintenance import _SNAP_ORACLE  # noqa: E402
 

@@ -187,23 +187,6 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    "q93_png_decode": (
-        # the real-codec path: ONE deliberate hash exchange (the
-        # small-input/large-compute spread before the PNG generator —
-        # same shape as q40), then mapInPandas generate → decode →
-        # digest projection, unioned with the resize round trip. No
-        # joins (a join here would mean the generator started
-        # shuffling the corpus to reattach columns) and no sorts.
-        ["MapInPandas", "Union", "hashpartitioning("],
-        ["Join", "CartesianProduct", "rangepartitioning("],
-    ),
-    "q94_wav_decode": (
-        # the audio twin of q93: one deliberate spread exchange before
-        # the WAV generator, then map-only decode / feature / resample
-        # branches unioned — no joins, no sorts
-        ["MapInPandas", "Union", "hashpartitioning("],
-        ["Join", "CartesianProduct", "rangepartitioning("],
-    ),
     "q49_doc_chunks": (
         # sliding-window chunking is pure JVM explode+slice — the plan
         # must carry ZERO exchanges of any kind (its parallelism is the
@@ -218,23 +201,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["codegen id :"],
         ["Exchange", "Join", "MapInPandas", "BatchEvalPython", "Generate"],
     ),
-    "q99_flac_decode": (
-        # FLAC twin of q94: spread exchange → map-only compressed
-        # decode → digest projection — no joins, no sorts
-        ["MapInPandas", "hashpartitioning("],
-        ["Join", "CartesianProduct", "rangepartitioning("],
-    ),
-    "q98_gif_decode": (
-        # GIF twin: spread exchange → map-only LZW decode → digest
-        # projection — no joins, no sorts (single branch, no union)
-        ["MapInPandas", "hashpartitioning("],
-        ["Join", "CartesianProduct", "rangepartitioning("],
-    ),
-    "q97_jpeg_decode": (
-        # JPEG twin: spread exchange → map-only entropy-layer decode
-        # and DC-only pixel decode, unioned — no joins, no sorts
+    "q93_codec_decode": (
+        # the merged real-codec family (ex q93/94/95/97/98/99): every
+        # branch is the same shape — ONE deliberate hash exchange (the
+        # small-input/large-compute spread before the pure-stdlib
+        # encoder, same as q40), then mapInPandas generate → decode →
+        # digest projection — and the branches meet in a Union. No
+        # joins (a join would mean a generator started shuffling the
+        # corpus to reattach columns) and no sorts anywhere.
         ["MapInPandas", "Union", "hashpartitioning("],
         ["Join", "CartesianProduct", "rangepartitioning("],
+    ),
+    "q90_media_pipeline": (
+        # merged media trio (ex q90/q92/q96): 'frames' is a join-free
+        # JVM explode + binary substring, 'features' one mapInPandas
+        # pass, 'stream' a pre-materialized availableNow result
+        # (LocalTableScan) — unioned; nothing may join or range-sort
+        ["Union", "MapInPandas"],
+        ["CartesianProduct", "rangepartitioning("],
     ),
     "q55_merge_upsert": (
         # MERGE + CDC + diff: every branch is a full-outer EQUI join
@@ -383,13 +367,6 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin LeftAnti", "BroadcastHashJoin LeftSemi",
          "Window", "hashpartitioning(user_id", "Union"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
-    ),
-    "q95_avi_decode": (
-        # the video twin: spread exchange → map-only container decode
-        # exploding to per-frame rows, subsample round trip, and the
-        # exact-int summary — unioned, no joins, no sorts
-        ["MapInPandas", "Union", "hashpartitioning("],
-        ["Join", "CartesianProduct", "rangepartitioning("],
     ),
 }
 
