@@ -1182,7 +1182,10 @@ def semantic_dedup(
     amortized exactly like the IVF index build — and injected here
     via ``assigned`` (an (id, j) frame); truly huge k wants a
     hierarchical/ANN assigner upstream, which is FAISS territory,
-    not a per-dedup-run cost.
+    not a per-dedup-run cost. The assignment SHOULD cover every id;
+    rows it misses are NOT silently dropped — they become singleton
+    clusters ``j = -id - 1`` (negative, collision-free), so they
+    survive, count, and surface visibly in the output.
 
     **``max_cluster_rows``** (off by default) bounds the damage of a
     skewed clustering: clusters larger than the cap are deterministically
@@ -1227,7 +1230,8 @@ def semantic_dedup(
         quantize_fixed,
     )
 
-    if assigned is None:
+    self_clustered = assigned is None
+    if self_clustered:
         assigned, _q, _cents = kmeans_assign_int(
             vecs, id_col, vec_col, k, iterations, cluster_scale
         )
@@ -1248,7 +1252,25 @@ def semantic_dedup(
     # the cache each branch would re-execute all k-means iterations
     # (measured: ~2x the whole query). Same session-reclaimed contract
     # as the quantized corpus inside kmeans_assign_int.
-    m = qd.join(assigned, "id").select("j", "id", "q", n2.alias("n2"))
+    # Coverage contract for an INJECTED assignment (round-13 advice):
+    # an inner join here would silently DROP corpus rows the
+    # assignment misses — understating dup_pairs/dropped and losing
+    # survivors. Instead, unassigned rows land in their own SINGLETON
+    # clusters (j = -id - 1: negative, collision-free vs real cluster
+    # indices >= 0 and vs each other), so they always survive, always
+    # count, and surface visibly as negative cluster ids in the
+    # output rather than vanishing. A self-built assignment covers
+    # every id by construction and skips the left join.
+    if self_clustered:
+        m = qd.join(assigned, "id").select("j", "id", "q", n2.alias("n2"))
+    else:
+        m = (
+            qd.join(assigned, "id", "left")
+            .withColumn(
+                "j", F.coalesce(F.col("j"), -F.col("id") - F.lit(1))
+            )
+            .select("j", "id", "q", n2.alias("n2"))
+        )
     if max_cluster_rows is None:
         m = m.withColumn("cell", F.lit(0).cast("long"))
     else:

@@ -130,7 +130,14 @@ the linear shape as entry overhead washes out; appends stay FLAT at
 28.5 KB, e=−0.0). The deployment mitigation is evolving n_buckets
 with the table — exactly what the lazy :meth:`start_rebucket` path
 makes cheap — which re-bounds every bucket's file list and with it
-the keyed-commit metadata unit. Selective readers
+the keyed-commit metadata unit. Round 13 closes the trigger loop:
+:meth:`suggest_rebucket` is the advisory an operator polls — it
+fires when the current version's mean files-per-bucket exceeds a
+threshold (default 8, read from shard-entry ``n_files`` alone) and
+returns the power-of-two-multiple bucket count that restores the
+bound, i.e. the old spec always divides the suggestion, the exact
+shape the gcd-aware :meth:`rebucket_step` sizing migrates in bounded
+chunks. Selective readers
 (:meth:`read_buckets`, :meth:`commit_keyed`, :meth:`migration`,
 :meth:`maybe_compact`) parse only the shards whose bucket can hold a
 touched key, and :meth:`vacuum` reference-counts shard files exactly
@@ -1645,7 +1652,78 @@ class VersionedTable:
             for p in sorted(sdir.glob("*.json")):
                 if str(p.relative_to(self.path)) not in ref_shards:
                     p.unlink()
+        # tmp-manifest litter (round-13 advice): a crash between the
+        # tmp write and the finally-unlink in _write_manifest leaves
+        # v{N}.json.tmp.{token} in the table root forever — versions()
+        # ignores it but nothing reclaimed it. Any tmp whose version
+        # is <= the current version is dead BY CONSTRUCTION (that
+        # version is decided: its create-exclusive link either exists
+        # or lost); a tmp for current+1 may belong to an in-flight
+        # commit and is left alone — it becomes collectable the moment
+        # any later commit lands.
+        cur = self.current_version()
+        if cur is not None:
+            import re
+
+            for p in self.path.glob("v*.json.tmp.*"):
+                m = re.fullmatch(r"v(\d+)\.json\.tmp\.[0-9a-f]+", p.name)
+                if m and int(m.group(1)) <= cur:
+                    p.unlink(missing_ok=True)
         return dropped
+
+    def suggest_rebucket(
+        self, max_files_per_bucket: int = 8
+    ) -> int | None:
+        """Advisory that closes the keyed-commit shard-metadata loop
+        (round-13; probe ``keyed_commit_shard_metadata``: manifest
+        metadata grows toward O(total files) at FIXED n_buckets,
+        measured e=0.83 at 64× growth, because every bucket's shard
+        file list lengthens with keyed traffic). The mitigation —
+        lazy spec evolution via :meth:`start_rebucket` — existed but
+        nothing *triggered* it; this is the trigger check an operator
+        (or a scheduled maintenance job) polls.
+
+        Rule: when the current version's MEAN files-per-bucket
+        (total bucketed data files / n_buckets, read from the shard
+        ENTRIES' recorded ``n_files`` — metadata-only, no shard JSON
+        is parsed, no data touched) exceeds ``max_files_per_bucket``,
+        returns the suggested new bucket count: the old count times
+        the smallest power of two that restores mean files-per-bucket
+        <= the threshold. A power-of-two MULTIPLE keeps the old spec
+        dividing the new, which is exactly the shape the gcd-aware
+        :meth:`rebucket_step` sizing migrates in bounded chunks.
+        Returns None when within bounds, unbucketed, uninitialized,
+        or mid-migration (a pending evolution already addresses it —
+        re-suggesting would thrash the target).
+
+        The suggestion addresses METADATA growth (bounded per-bucket
+        file lists, bounded keyed-commit rewrite units); too many
+        small files inside a healthy bucket count is :meth:`compact`'s
+        job instead."""
+        if max_files_per_bucket < 1:
+            raise ValueError("max_files_per_bucket must be >= 1")
+        if not self.is_bucketed:
+            return None
+        cur = self.current_version()
+        if cur is None:
+            return None
+        if self.migration(cur) is not None:
+            return None
+        man = self._manifest_lite(cur)
+        nb = self._n_buckets_at(man)
+        if not nb:
+            return None
+        total_files = sum(
+            s.get("n_files", 0)
+            for s in man.get("shards", [])
+            if s.get("kb") is not None
+        )
+        if total_files <= nb * max_files_per_bucket:
+            return None
+        factor = 2
+        while total_files > nb * factor * max_files_per_bucket:
+            factor *= 2
+        return nb * factor
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the CURRENT version's data compactly and commit it

@@ -1243,6 +1243,25 @@ def q19(spark, sf_dir):
             f"in history: {hist2.get('keyed')}"
         )
 
+    # the rebucket-trigger advisory (round 13) must be CONSISTENT with
+    # its documented rule at this table's actual file census: fires
+    # with a power-of-two multiple restoring mean files-per-bucket <=
+    # the threshold, stays quiet within bounds (sf0.01 tables sit
+    # under it; sf0.1's 16-files-per-bucket layout fires)
+    n_bucketed = sum(1 for f in man2["files"] if f["kb"] is not None)
+    sug = tbl.suggest_rebucket()
+    if sug is None:
+        if n_bucketed > 2 * 8:
+            raise RuntimeError(
+                f"suggest_rebucket stayed quiet at {n_bucketed} "
+                "bucketed files on 2 buckets (threshold 8)"
+            )
+    elif sug % 2 != 0 or n_bucketed > sug * 8 or n_bucketed <= (sug // 2) * 8:
+        raise RuntimeError(
+            f"suggest_rebucket proposed {sug} for {n_bucketed} files "
+            "on 2 buckets — not the smallest bound-restoring multiple"
+        )
+
     # ---- lazy spec evolution 2 -> 8 (round 11) -----------------------
     v3 = tbl.start_rebucket(8)
     if tbl.bytes_added(v3) != 0:
@@ -1267,6 +1286,11 @@ def q19(spark, sf_dir):
         raise RuntimeError(
             f"step wrote {tbl.bytes_added(v4)} bytes for a "
             f"{chunk_bytes}-byte chunk — not chunk-bounded"
+        )
+    if tbl.suggest_rebucket() is not None:
+        raise RuntimeError(
+            "suggest_rebucket fired mid-migration — the pending "
+            "evolution already addresses the metadata growth"
         )
     mid = tbl.read(spark, v4)  # the mixed-spec snapshot, read later
 

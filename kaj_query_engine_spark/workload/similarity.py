@@ -696,27 +696,218 @@ def _semdedup_oracle() -> str:
     )
 
 
+# Round 13: the DEPLOYMENT knobs (assigned= injection and
+# max_cluster_rows skew capping, added round 12) get their own
+# driver-checked oracle branches. The capped branch's hash-cell split
+# is pmod(xxhash64(id), cells) — Spark's XXH64 (seed 42) over the
+# id's 8 little-endian bytes — which DuckDB lacks, so the oracle
+# REIMPLEMENTS XXH64-of-int64 in pure SQL: HUGEINT modular
+# arithmetic (32-bit-split multiplies keep every product < 2^96),
+# UBIGINT xor, staged through lateral column aliases. Verified
+# value-identical to F.xxhash64 across the full long range including
+# both extremes (tests/test_dedup_similarity.py).
+_SD_CAP = 32  # sf0.01 clusters avg ~62 rows -> 2-3 cells; sf0.1 ~8
+
+_XX_M = "18446744073709551616"  # 2^64
+_XX_P1 = "11400714785074694791"
+_XX_P2 = "14029467366897019727"
+_XX_P3 = "1609587929392839161"
+_XX_P4 = "9650029242287828579"
+_XX_H0 = str((42 + 2870177450012600261 + 8) % 2**64)  # seed+P5+len
+
+
+def _xx_mulmod(a: str, b: str) -> str:
+    """(a*b) mod 2^64 for HUGEINT operands in [0, 2^64)."""
+    return (
+        f"((({a}) % 4294967296) * (({b}) % 4294967296) + "
+        f"(((({a}) % 4294967296) * (({b}) // 4294967296) + "
+        f"(({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296)"
+        f" * 4294967296) % {_XX_M}"
+    )
+
+
+def _xx_rotl(x: str, r: int) -> str:
+    lo = 2 ** (64 - r)
+    return f"((({x}) % {lo}) * {2 ** r} + (({x}) // {lo}))"
+
+
+def _xx_xor(a: str, b: str) -> str:
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) "
+        "AS HUGEINT)"
+    )
+
+
+def _xxh64_cte_chain(src: str) -> tuple[str, str]:
+    """CTE-chain fragments computing ``xx`` = Spark xxhash64(id)
+    (BIGINT, seed 42) for every id in CTE ``src``. Each step is
+    MATERIALIZED: chained aliases inline MULTIPLICATIVELY in DuckDB
+    (every modular-arithmetic step references its input ~4-8×, so an
+    un-materialized 8-step chain explodes past 10^5 expression nodes
+    and never finishes — measured, not theoretical). Returns
+    (fragment to splice after a leading CTE, final CTE name); the
+    final CTE has columns (id, xx)."""
+    steps = [
+        f"((CAST(id AS HUGEINT) % {_XX_M}) + {_XX_M}) % {_XX_M} AS h",
+        _xx_rotl(_xx_mulmod("h", _XX_P2), 31) + " AS h",
+        _xx_xor(_XX_H0, _xx_mulmod("h", _XX_P1)) + " AS h",
+        f"({_xx_mulmod(_xx_rotl('h', 27), _XX_P1)} + {_XX_P4}) % {_XX_M}"
+        " AS h",
+        _xx_mulmod(_xx_xor("h", "h // 8589934592"), _XX_P2) + " AS h",
+        _xx_mulmod(_xx_xor("h", "h // 536870912"), _XX_P3) + " AS h",
+        _xx_xor("h", "h // 4294967296") + " AS h",
+    ]
+    prev = src
+    parts = []
+    for i, expr in enumerate(steps):
+        name = f"xxs{i}"
+        parts.append(
+            f"{name} AS MATERIALIZED (SELECT id, {expr} FROM {prev})"
+        )
+        prev = name
+    parts.append(
+        "xxh AS (SELECT id, CASE WHEN h >= 9223372036854775808 "
+        f"THEN CAST(h - {_XX_M} AS BIGINT) "
+        f"ELSE CAST(h AS BIGINT) END AS xx FROM {prev})"
+    )
+    return ", ".join(parts), "xxh"
+
+
+def _q12_tagged_oracle() -> str:
+    """All three q12 branches through ONE WITH clause: the Lloyd
+    chain and the quantized member frame ``m`` are shared
+    (MATERIALIZED — DuckDB otherwise re-executes the full unrolled
+    k-means once per referencing branch) and only the pair-forming
+    differs: 'base'/'assigned' pair within a cluster, 'capped' pairs
+    within a (cluster, hash-cell) where cells = ceil(n/_SD_CAP) and
+    cell = pmod(xxhash64(id), cells) — dup_pairs/dropped shrink
+    accordingly (the documented recall trade), membership counts are
+    untouched."""
+    qd = (
+        "SELECT vec_id AS id, list_transform(embedding, "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * {_SD_SCALE}.0 + 0.5) "
+        "AS BIGINT)) AS q FROM embeddings"
+    )
+
+    def agg(dups: str, drp: str, res: str) -> str:
+        """Per-cluster rollup CTE ``res`` from a duplicate-pair CTE."""
+        return (
+            f"{drp} AS (SELECT DISTINCT j, idb AS id FROM {dups}), "
+            f"{res} AS (SELECT mm.j AS cluster, mm.n, "
+            "CAST(COALESCE(pp.dup_pairs, 0) AS BIGINT) AS dup_pairs, "
+            "CAST(COALESCE(dd.dropped, 0) AS BIGINT) AS dropped, "
+            "CAST(COALESCE(ss.survivor_id_sum, 0) AS BIGINT) "
+            "AS survivor_id_sum "
+            "FROM (SELECT j, CAST(count(*) AS BIGINT) AS n FROM m "
+            "GROUP BY j) mm "
+            f"LEFT JOIN (SELECT j, count(*) AS dup_pairs FROM {dups} "
+            "GROUP BY j) pp ON mm.j = pp.j "
+            f"LEFT JOIN (SELECT j, count(*) AS dropped FROM {drp} "
+            "GROUP BY j) dd ON mm.j = dd.j "
+            "LEFT JOIN (SELECT m.j, sum(m.id) AS survivor_id_sum FROM m "
+            f"LEFT JOIN {drp} ON m.j = {drp}.j AND m.id = {drp}.id "
+            f"WHERE {drp}.id IS NULL GROUP BY m.j) ss ON mm.j = ss.j)"
+        )
+
+    dot = (
+        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
+        "i -> x.q[i]*y.q[i]))"
+    )
+    dup_test = f"dot > 0 AND dot*dot*{_SD_DEN} >= {_SD_NUM}*na2*nb2"
+    return (
+        _kmeans_cte()
+        + f", qd AS ({qd})"
+        ", m AS MATERIALIZED (SELECT a.id, a.j, qd.q, "
+        "list_sum(list_transform(qd.q, x -> x*x)) AS n2 "
+        f"FROM a{_KM_T} a JOIN qd ON a.id = qd.id)"
+        # ---- base pairing: within a cluster --------------------------
+        f", pb AS (SELECT x.j, x.id AS ida, y.id AS idb, {dot} AS dot, "
+        "x.n2 AS na2, y.n2 AS nb2 "
+        "FROM m x JOIN m y ON x.j = y.j AND x.id < y.id), "
+        f"db AS (SELECT j, ida, idb FROM pb WHERE {dup_test}), "
+        + agg("db", "drpb", "resb")
+        # ---- capped pairing: within a (cluster, hash cell) -----------
+        + ", cnt AS (SELECT j, GREATEST(1, CAST(CEIL(count(*) / "
+        f"{_SD_CAP}.0) AS BIGINT)) AS cells FROM m GROUP BY j)"
+        ", ids AS (SELECT id FROM m), "
+        + _xxh64_cte_chain("ids")[0]
+        + ", cm AS (SELECT m.j, m.id, m.q, m.n2, "
+        "((xxh.xx % cnt.cells) + cnt.cells) % cnt.cells AS cell "
+        "FROM m JOIN xxh ON m.id = xxh.id "
+        "JOIN cnt ON m.j = cnt.j)"
+        f", pc AS (SELECT x.j, x.id AS ida, y.id AS idb, {dot} AS dot, "
+        "x.n2 AS na2, y.n2 AS nb2 "
+        "FROM cm x JOIN cm y ON x.j = y.j AND x.cell = y.cell "
+        "AND x.id < y.id), "
+        f"dc AS (SELECT j, ida, idb FROM pc WHERE {dup_test}), "
+        + agg("dc", "drpc", "resc")
+        # ---- tagged union: 'assigned' must equal 'base' exactly ------
+        + " SELECT 'base' AS path, * FROM resb"
+        " UNION ALL SELECT 'assigned' AS path, * FROM resb"
+        " UNION ALL SELECT 'capped' AS path, * FROM resc"
+    )
+
+
+_Q12_ORACLE = _q12_tagged_oracle()
+
+
 @register(
     "q12_semantic_dedup",
-    _semdedup_oracle(),
-    "SemDeDup (Abbas et al. 2023) over the embeddings: k-means cluster "
+    _Q12_ORACLE,
+    "SemDeDup (Abbas et al. 2023) over the embeddings, all three "
+    "deployment shapes tagged in one result: 'base' = k-means cluster "
     f"the embedding space (q91's integer fixed-point Lloyd, k={_KM_K}, "
     f"{_KM_T} iterations, shared CTE chain — bit-exact), then pairwise "
-    "cosine WITHIN clusters only — sub-quadratic by construction, no "
-    "cross-cluster pair ever forms — dropping the larger id of every "
-    f"pair with cos² >= {_SD_NUM}/{_SD_DEN} (cosine >= 0.35), tested "
-    "as ONE integer comparison dot²·DEN >= NUM·|a|²|b|² on a coarser "
-    f"1/{_SD_SCALE} overflow-safe grid. Per cluster: members, "
-    "duplicate pairs, dropped docs, survivor id checksum. One shuffle "
-    "on cluster id for the pair join; dot/norm folds are JVM-side "
-    "zip_with/aggregate. The scale path grows k with the corpus "
-    "(the paper's 50k clusters on LAION), pinned by the probe",
+    "cosine WITHIN clusters only — sub-quadratic by construction — "
+    "dropping the larger id of every pair with "
+    f"cos² >= {_SD_NUM}/{_SD_DEN}, tested as ONE integer comparison "
+    "dot²·DEN >= NUM·|a|²|b|² on a coarser overflow-safe grid. "
+    "'assigned' = the 100 TB path: the cluster assignment is built "
+    "ONCE upstream (the paper's deployment regime — assignment as "
+    "pipeline infrastructure, amortized like the IVF index) and "
+    "INJECTED via assigned=; result must equal 'base' exactly. "
+    f"'capped' = max_cluster_rows={_SD_CAP}: oversized clusters "
+    "deterministically sub-split into ceil(n/cap) hash cells via "
+    "pmod(xxhash64(id), cells) and pairs form within a cell only — "
+    "bounded worst-case pair work under total clustering skew; the "
+    "oracle reimplements Spark's XXH64(seed 42) in pure SQL (HUGEINT "
+    "modular arithmetic) so the recall trade is hash-pinned, not "
+    "approximated. One shuffle on (cluster, cell) for the pair join; "
+    "dot/norm folds are JVM-side zip_with/aggregate",
 )
 def q12(spark, sf_dir):
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+    )
     from kaj_query_engine_spark.operators.dedup import semantic_dedup
 
-    return semantic_dedup(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+    emb = t(spark, sf_dir, "embeddings")
+    kw = dict(
         k=_KM_K, iterations=_KM_T, cluster_scale=_KM_SCALE,
         dedup_scale=_SD_SCALE, thr_num=_SD_NUM, thr_den=_SD_DEN,
+    )
+    base = semantic_dedup(emb, "vec_id", "embedding", **kw)
+    # the build-once assignment, computed a single time and shared by
+    # the 'assigned' and 'capped' branches (persisted: its lineage is
+    # the full iterative Lloyd run — same contract as inside
+    # semantic_dedup itself)
+    pa, _q, _cents = kmeans_assign_int(
+        emb, "vec_id", "embedding", _KM_K, _KM_T, _KM_SCALE
+    )
+    pa = pa.persist()
+    injected = semantic_dedup(
+        emb, "vec_id", "embedding", assigned=pa, **kw
+    )
+    capped = semantic_dedup(
+        emb, "vec_id", "embedding", assigned=pa,
+        max_cluster_rows=_SD_CAP, **kw
+    )
+
+    def tag(df, path):
+        return df.select(F.lit(path).alias("path"), "*")
+
+    return (
+        tag(base, "base")
+        .unionByName(tag(injected, "assigned"))
+        .unionByName(tag(capped, "capped"))
     )

@@ -1438,3 +1438,73 @@ def test_sssp_min_semantics_and_delta_equals_full(spark):
     got_rp = {r.id: r.dist
               for r in sssp_int(edges.repartition(7, "dst"), seeds, 4).collect()}
     assert got_rp == got
+
+
+def test_semantic_dedup_partial_assignment_singletons(spark):
+    """Round-13 advice: an injected assignment that MISSES corpus ids
+    must not silently drop them (the old inner join did — understating
+    dup_pairs/dropped and losing survivors). Missed ids become
+    SINGLETON clusters j = -id - 1: negative (collision-free vs real
+    cluster indices and each other), never dropped, visibly present
+    in the output."""
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+    )
+
+    rows = [
+        (i, [0.3 * ((i * 13 + d * 7) % 11 - 5) / 5 for d in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _q, _ = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=2
+    )
+    # drop ids 0..9 from the assignment: 20 covered, 10 missed
+    partial = assigned.filter(F.col(assigned.columns[0]) >= 10)
+    out = D.semantic_dedup(
+        df, "vec_id", "embedding", assigned=partial,
+        k=4, iterations=2, thr_num=999, thr_den=1000,
+    ).collect()
+    by_cluster = {r.cluster: r for r in out}
+    # every missed id surfaces as its own singleton cluster
+    for i in range(10):
+        r = by_cluster[-i - 1]
+        assert (r.n, r.dup_pairs, r.dropped, r.survivor_id_sum) == (
+            1, 0, 0, i,
+        )
+    # covered rows all accounted for in non-negative clusters
+    assert sum(r.n for r in out if r.cluster >= 0) == 20
+    # total membership: nothing vanished
+    assert sum(r.n for r in out) == 30
+
+
+def test_q12_xxh64_sql_twin_matches_spark(spark):
+    """The q12 'capped' oracle reimplements Spark's xxhash64 (XXH64,
+    seed 42, 8-byte little-endian long input) in pure DuckDB SQL via
+    materialized CTE steps. Pin the twin value-for-value across sign,
+    magnitude and both int64 extremes — a drift here would silently
+    shift every hash cell in the capped branch."""
+    import duckdb
+
+    from kaj_query_engine_spark.workload.similarity import (
+        _xxh64_cte_chain,
+    )
+
+    vals = [
+        0, 1, 2, 3, 42, -1, -2, 17, -12345, 2**31, -(2**31) - 7,
+        987654321012345678, -987654321012345678,
+        2**63 - 1, -(2**63),
+    ]
+    frag, final = _xxh64_cte_chain("ids")
+    lst = ",".join(str(v) for v in vals)
+    sql = (
+        f"WITH ids AS (SELECT unnest([{lst}]::BIGINT[]) AS id), {frag} "
+        f"SELECT id, xx FROM {final}"
+    )
+    duck = dict(duckdb.connect().execute(sql).fetchall())
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    )
+    assert all(duck[r.v] == r.h for r in rows)

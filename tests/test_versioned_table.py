@@ -2071,3 +2071,98 @@ def test_khr_pruning_soundness_property():
         assert _khr_hits(files, None, file_nbs) == [True] * len(files)
 
     check()
+
+
+# ---------------------------------------------------------------------
+# round 13: vacuum tmp-manifest GC + the suggest_rebucket advisory
+# ---------------------------------------------------------------------
+
+
+def test_vacuum_reclaims_stale_tmp_manifests(spark, tmp_path):
+    """A crash between _write_manifest's tmp write and its finally
+    leaves v{N}.json.tmp.{token} in the table root forever; vacuum
+    now reclaims every tmp whose version is decided (<= current) and
+    leaves a possible in-flight current+1 tmp alone."""
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+    tbl.commit(df_(spark, [(1, "a"), (2, "b")]))
+    dead = tbl.path / "v1.json.tmp.deadbeef"
+    dead.write_text("{}")
+    live = tbl.path / "v2.json.tmp.0badcafe"  # current+1: maybe in flight
+    live.write_text("{}")
+    unrelated = tbl.path / "v1.json.tmp"  # not the attempt pattern
+    unrelated.write_text("{}")
+    tbl.vacuum(keep_last=2)
+    assert not dead.exists(), "decided-version tmp must be reclaimed"
+    assert live.exists(), "current+1 tmp may be in flight — kept"
+    assert unrelated.exists(), "non-attempt-pattern files untouched"
+    # versions untouched by the tmp GC
+    assert tbl.versions() == [0, 1]
+    # after the next commit, the old current+1 tmp becomes decided
+    tbl.commit(df_(spark, [(3, "c")]))
+    tbl.vacuum(keep_last=3)
+    assert not live.exists()
+
+
+def test_suggest_rebucket_advisory(spark, tmp_path):
+    """The trigger half of the keyed-commit shard-metadata mitigation
+    (probe e=0.83 at fixed n_buckets): fires when mean files-per-
+    bucket exceeds the threshold, suggests a power-of-two MULTIPLE of
+    the current spec (old divides new — the gcd-aware rebucket_step
+    shape), and stays quiet on healthy/unbucketed/mid-migration
+    tables."""
+    # unbucketed: never fires
+    flat = VersionedTable(tmp_path / "flat")
+    flat.init(df_(spark, [(1, "a")]))
+    assert flat.suggest_rebucket() is None
+
+    small = VersionedTable(tmp_path / "small")
+    small.init(
+        df_(spark, [(i, "x") for i in range(8)]),
+        bucket_keys=["k"], n_buckets=2,
+    )
+    assert small.suggest_rebucket() is None  # fresh: 1 file/bucket
+
+    # the probe's growth shape: the TABLE grows under a FIXED spec,
+    # every bucket's file list lengthens (more rows / target_file_rows
+    # files per bucket), and with it the keyed-commit metadata unit —
+    # modeled here by a large table with a small target file size
+    tbl = VersionedTable(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(96)]
+    tbl.init(
+        df_(spark, rows), bucket_keys=["k"], n_buckets=2,
+        target_file_rows=6,
+    )
+    man = tbl._manifest_lite(tbl.current_version())
+    total = sum(s["n_files"] for s in man["shards"] if s.get("kb") is not None)
+    assert total > 2 * 3  # enough files for a threshold-3 trigger
+    sug = tbl.suggest_rebucket(max_files_per_bucket=3)
+    assert sug is not None and sug % 2 == 0 and sug > 2
+    # the suggestion restores the bound and is the SMALLEST such
+    # power-of-two multiple
+    assert total <= sug * 3 and total > (sug // 2) * 3
+    # default threshold may or may not fire at this size; whichever,
+    # it must be consistent with the rule
+    d = tbl.suggest_rebucket()
+    assert (d is None) == (total <= 2 * 8)
+    # mid-migration: quiet (a pending evolution already addresses it)
+    tbl.start_rebucket(sug)
+    assert tbl.suggest_rebucket(max_files_per_bucket=3) is None
+    # complete the migration; the advisory now reads the NEW spec and
+    # stays consistent with the rule (it may legitimately fire again —
+    # migration preserves target_file_rows, so an aggressive threshold
+    # can still be exceeded; a default-threshold table is healthy)
+    while tbl.rebucket_step(spark, max_buckets=8) is not None:
+        pass
+    man2 = tbl._manifest_lite(tbl.current_version())
+    nb2 = tbl._n_buckets_at(man2)
+    assert nb2 == sug
+    total2 = sum(
+        s["n_files"] for s in man2["shards"] if s.get("kb") is not None
+    )
+    post = tbl.suggest_rebucket(max_files_per_bucket=3)
+    if total2 <= nb2 * 3:
+        assert post is None
+    else:
+        assert post % nb2 == 0 and total2 <= post * 3
+    assert tbl.suggest_rebucket() is None  # default threshold: healthy
