@@ -75,10 +75,16 @@ def canary_decide(
     (an inherited red: the epoch shifted in an earlier round) times
     this round's suite-median host_factor (a shift this round); a
     q45-specific regression exceeds both and never reads explained.
-    Three consecutive explained reds re-pin to the current epoch's
-    reading (the ratchet-DOWN rule — two consecutive faster runs,
-    resolved by the caller and passed as ``ratchet_down_ref`` — pulls
-    the pin back when the fast era returns)."""
+    Round-13 tightening (advice): the expectation must be
+    MEANINGFULLY above 1 (>1.05) for a red to read explained — on a
+    flat host (host_factor≈1, no inherited ratio) a noisy SLOT probe
+    whose END probe is green is just noise, not an epoch shift, and
+    must not advance the streak. Three consecutive explained reds
+    re-pin to the current epoch's reading — the BEST of the two
+    probes, so an outlier slot reading cannot become the new pin
+    (the ratchet-DOWN rule — two consecutive faster runs, resolved by
+    the caller and passed as ``ratchet_down_ref`` — pulls the pin
+    back when the fast era returns)."""
     ok = measured <= 1.10 * ref and end_measured <= 1.10 * ref
     pr = 1.0
     if prev_ref == ref and prev_ratio:
@@ -86,12 +92,15 @@ def canary_decide(
     expectation = max(1.0, pr * host_factor) if host_factor else 1.0
     best = min(measured, end_measured)
     explained = bool(
-        not ok and host_factor and best <= 1.10 * ref * expectation
+        not ok
+        and host_factor
+        and expectation > 1.05
+        and best <= 1.10 * ref * expectation
     )
     streak = prev_streak + 1 if explained else 0
     new_ref = ratchet_down_ref if ratchet_down_ref is not None else ref
     if streak >= 3:
-        new_ref = measured
+        new_ref = best
         streak = 0
     return {
         "ok": ok,
@@ -188,6 +197,28 @@ def main() -> None:
         host_factor, host_n = host_factor_for(
             warm, prev_rec.get("queries_warm") or {}, _CHANGED_THIS_ROUND
         )
+    # auditability of the chained factor (round 13): record WHICH
+    # record this run's host_factor compared against — the commit
+    # that last touched bench_out.json, '+dirty' when the working
+    # copy differs from it (an uncommitted record was the base)
+    host_factor_base = None
+    if host_factor is not None:
+        try:
+            import subprocess
+
+            repo = Path(__file__).resolve().parent
+            base = subprocess.run(
+                ["git", "log", "-1", "--format=%h", "--", "bench_out.json"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout.strip() or None
+            if base:
+                dirty = subprocess.run(
+                    ["git", "status", "--porcelain", "--", "bench_out.json"],
+                    cwd=repo, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+                host_factor_base = base + ("+dirty" if dirty else "")
+        except Exception:
+            host_factor_base = None
 
     # ---- canary protocol -------------------------------------------
     # Host drift on this box spans ±10-25% on totals for identical code
@@ -330,6 +361,10 @@ def main() -> None:
         # load. Divide totals by it to compare rounds.
         "host_factor": host_factor,
         "host_factor_n": host_n,
+        # commit of the bench_out.json this run's host_factor compared
+        # against ('+dirty' = uncommitted working copy) — makes the
+        # chained factors auditable record-to-record
+        "host_factor_base": host_factor_base,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # the driver keeps only the last ~650 chars of stdout and parses

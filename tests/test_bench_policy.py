@@ -125,3 +125,27 @@ def test_canary_ratchet_down_passthrough_not_overridden():
     # the caller resolved the two-consecutive-fast rule to a lower pin
     v = canary_decide(REF, 3.0, 3.1, 1.0, ratchet_down_ref=3.2)
     assert v["ok"] and v["new_ref"] == 3.2
+
+
+def test_canary_noisy_slot_on_flat_host_not_explained():
+    """Round-13 advice: slot probe red, end probe green, host flat
+    (factor ~1, no inherited ratio) — noise, never 'explained', the
+    streak must not advance (three such runs used to ratchet the pin
+    up to an outlier slot reading)."""
+    v = canary_decide(REF, 4.6, 4.1, 1.0, prev_streak=2)
+    assert not v["ok"] and not v["explained"]
+    assert v["explained_streak"] == 0 and v["new_ref"] == REF
+    # a barely-above-1 factor is still 'flat' (threshold 1.05)
+    v = canary_decide(REF, 4.6, 4.1, 1.03, prev_streak=2)
+    assert not v["explained"] and v["explained_streak"] == 0
+
+
+def test_canary_third_explained_red_repins_to_best_probe():
+    """Round-13 advice: the epoch re-pin takes min(measured,
+    end_measured), so an outlier SLOT reading cannot become the pin."""
+    v = canary_decide(
+        REF, 5.8, 5.6, 1.4, prev_ref=REF, prev_ratio=1.4,
+        prev_streak=2,
+    )
+    assert v["explained"] and v["explained_streak"] == 0
+    assert v["new_ref"] == 5.6  # the best probe, not the slot
