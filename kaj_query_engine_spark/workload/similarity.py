@@ -660,42 +660,6 @@ _SD_SCALE = 512  # 1/512 grid: |q| <= ~300/dim keeps every product in BIGINT
 _SD_NUM, _SD_DEN = 49, 400  # cos²θ >= 49/400 i.e. cosine >= 0.35
 
 
-def _semdedup_oracle() -> str:
-    qd = (
-        "SELECT vec_id AS id, list_transform(embedding, "
-        f"v -> CAST(floor(CAST(v AS DOUBLE) * {_SD_SCALE}.0 + 0.5) "
-        "AS BIGINT)) AS q FROM embeddings"
-    )
-    return (
-        _kmeans_cte()
-        + f", qd AS ({qd})"
-        ", m AS (SELECT a.id, a.j, qd.q, "
-        "list_sum(list_transform(qd.q, x -> x*x)) AS n2 "
-        f"FROM a{_KM_T} a JOIN qd ON a.id = qd.id)"
-        ", p AS (SELECT x.j, x.id AS ida, y.id AS idb, "
-        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
-        "i -> x.q[i]*y.q[i])) AS dot, x.n2 AS na2, y.n2 AS nb2 "
-        "FROM m x JOIN m y ON x.j = y.j AND x.id < y.id)"
-        ", d AS (SELECT j, ida, idb FROM p WHERE dot > 0 AND "
-        f"dot*dot*{_SD_DEN} >= {_SD_NUM}*na2*nb2)"
-        ", drp AS (SELECT DISTINCT j, idb AS id FROM d) "
-        "SELECT mm.j AS cluster, mm.n, "
-        "CAST(COALESCE(pp.dup_pairs, 0) AS BIGINT) AS dup_pairs, "
-        "CAST(COALESCE(dd.dropped, 0) AS BIGINT) AS dropped, "
-        "CAST(COALESCE(ss.survivor_id_sum, 0) AS BIGINT) "
-        "AS survivor_id_sum "
-        "FROM (SELECT j, CAST(count(*) AS BIGINT) AS n FROM m "
-        "GROUP BY j) mm "
-        "LEFT JOIN (SELECT j, count(*) AS dup_pairs FROM d GROUP BY j) "
-        "pp ON mm.j = pp.j "
-        "LEFT JOIN (SELECT j, count(*) AS dropped FROM drp GROUP BY j) "
-        "dd ON mm.j = dd.j "
-        "LEFT JOIN (SELECT m.j, sum(m.id) AS survivor_id_sum FROM m "
-        "LEFT JOIN drp ON m.j = drp.j AND m.id = drp.id "
-        "WHERE drp.id IS NULL GROUP BY m.j) ss ON mm.j = ss.j"
-    )
-
-
 # Round 13: the DEPLOYMENT knobs (assigned= injection and
 # max_cluster_rows skew capping, added round 12) get their own
 # driver-checked oracle branches. The capped branch's hash-cell split

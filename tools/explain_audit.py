@@ -348,13 +348,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange", "Join", "CartesianProduct", "BatchEvalPython"],
     ),
     "q12_semantic_dedup": (
-        # SemDeDup: within-cluster pairs ONLY — the pair join is an
-        # equi-join on the cluster id (broadcast at fixture scale,
-        # shuffle-on-j at 100 TB), never a cartesian pair enumeration;
-        # the only nested-loop joins in the plan are the bounded
+        # SemDeDup, three tagged branches (round 13): within-cluster
+        # (or within-(cluster, hash-cell) for 'capped') pairs ONLY —
+        # every pair join is an equi-join (broadcast at fixture
+        # scale, shuffle-on-key at 100 TB), never a cartesian pair
+        # enumeration; the only nested-loop joins are the bounded
         # k x dim centroid broadcasts the Lloyd iterations share with
-        # q91. Per-cluster stats partial-aggregate map-side.
-        ["HashAggregate", "partial_", "BroadcastHashJoin"],
+        # q91, and the capped branch's per-cluster count frame rides
+        # a broadcast too (bounded by k rows). Per-cluster stats
+        # partial-aggregate map-side; branches meet in a Union.
+        ["HashAggregate", "partial_", "BroadcastHashJoin", "Union"],
         ["CartesianProduct"],
     ),
     "q57_scd2_incremental": (
