@@ -1508,3 +1508,65 @@ def test_q12_xxh64_sql_twin_matches_spark(spark):
         .collect()
     )
     assert all(duck[r.v] == r.h for r in rows)
+
+
+def test_q12_xxh64_sql_twin_property_random_longs():
+    """Property pin (no Spark needed, so it can afford thousands of
+    values): the DuckDB SQL XXH64 chain equals an independent pure-
+    Python XXH64(seed 42, 8-byte LE) written from the spec. Together
+    with test_q12_xxh64_sql_twin_matches_spark (which anchors both to
+    Spark's JVM implementation on fixed vectors including the int64
+    extremes) this pins the triangle SQL == spec == Spark."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kaj_query_engine_spark.workload.similarity import (
+        _xxh64_cte_chain,
+    )
+
+    M64 = (1 << 64) - 1
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+    )
+
+    def ref_xxh64_long(v: int, seed: int = 42) -> int:
+        def rotl(x, r):
+            return ((x << r) | (x >> (64 - r))) & M64
+
+        h = (seed + P5 + 8) & M64
+        k = v & M64
+        k = (k * P2) & M64
+        k = rotl(k, 31)
+        k = (k * P1) & M64
+        h ^= k
+        h = (rotl(h, 27) * P1 + P4) & M64
+        h ^= h >> 33
+        h = (h * P2) & M64
+        h ^= h >> 29
+        h = (h * P3) & M64
+        h ^= h >> 32
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    frag, final = _xxh64_cte_chain("ids")
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=1, max_size=64, unique=True,
+        )
+    )
+    def check(vals):
+        lst = ",".join(str(v) for v in vals)
+        sql = (
+            f"WITH ids AS (SELECT unnest([{lst}]::BIGINT[]) AS id), "
+            f"{frag} SELECT id, xx FROM {final}"
+        )
+        got = dict(con.execute(sql).fetchall())
+        for v in vals:
+            assert got[v] == ref_xxh64_long(v), v
+
+    check()
