@@ -137,7 +137,10 @@ threshold (default 8, read from shard-entry ``n_files`` alone) and
 returns the power-of-two-multiple bucket count that restores the
 bound, i.e. the old spec always divides the suggestion, the exact
 shape the gcd-aware :meth:`rebucket_step` sizing migrates in bounded
-chunks. Selective readers
+chunks. Measured on the probe's own growth table
+(``versioned_commit_bytes_fixed_delta``): quiet at 1×/4×/16× and
+fires 8→16 at the 64× point where keyed metadata read 13.8 KB —
+the trigger lands exactly where the curve does. Selective readers
 (:meth:`read_buckets`, :meth:`commit_keyed`, :meth:`migration`,
 :meth:`maybe_compact`) parse only the shards whose bucket can hold a
 touched key, and :meth:`vacuum` reference-counts shard files exactly

@@ -1172,6 +1172,7 @@ def main() -> None:
         app_meta_bytes: list[int] = []
         keyed_meta_bytes: list[int] = []
         pruned_rows: list[int] = []
+        rb_suggest: list[int | None] = []
 
         def meta_written(tbl, before_shards: set) -> int:
             # metadata bytes THIS commit wrote: its manifest JSON plus
@@ -1264,6 +1265,11 @@ def main() -> None:
                     spark, spark.createDataFrame([(3,)], "vk long")
                 ).count()
             )
+            # round-13 trigger loop: the advisory that tells an
+            # operator WHEN to invoke the lazy rebucket mitigation
+            # must stay quiet while per-bucket file lists are bounded
+            # and fire as the fixed spec outgrows them
+            rb_suggest.append(tbl.suggest_rebucket())
             ns_v.append(n)
         e_app = math.log(max(app_bytes[-1], 1) / max(app_bytes[-2], 1)) / math.log(4)
         e_app_meta = math.log(
@@ -1285,6 +1291,7 @@ def main() -> None:
             "keyed_meta_bytes": keyed_meta_bytes,
             "keyed_sec": keyed_secs,
             "pruned_read_rows": pruned_rows,
+            "suggest_rebucket": rb_suggest,
             "exponent_append_bytes": round(e_app, 2),
             "exponent_append_meta_bytes": round(e_app_meta, 2),
             "exponent_keyed_bytes": round(e_key, 2),
@@ -1309,6 +1316,18 @@ def main() -> None:
         assert e_key_meta <= 1.2, (
             f"keyed commit metadata grew faster than the touched "
             f"buckets' file lists: e={e_key_meta:.2f}"
+        )
+        # the round-13 advisory must FIRE on the 64x table (whose
+        # per-bucket file lists drive the e~1 metadata curve above)
+        # with a bound-restoring power-of-two multiple of the spec,
+        # and must have been quiet at 1x (file lists still bounded)
+        assert rb_suggest[0] is None, (
+            f"suggest_rebucket fired on the healthy 1x table: "
+            f"{rb_suggest[0]}"
+        )
+        assert rb_suggest[-1] is not None and rb_suggest[-1] % 8 == 0, (
+            f"suggest_rebucket did not fire a spec multiple on the "
+            f"64x table: {rb_suggest[-1]}"
         )
 
     # ---- lazy rebucket: per-step bytes bounded by the chunk ----------
