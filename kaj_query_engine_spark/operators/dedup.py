@@ -1184,8 +1184,10 @@ def semantic_dedup(
     hierarchical/ANN assigner upstream, which is FAISS territory,
     not a per-dedup-run cost. The assignment SHOULD cover every id;
     rows it misses are NOT silently dropped — they become singleton
-    clusters ``j = -id - 1`` (negative, collision-free), so they
-    survive, count, and surface visibly in the output.
+    clusters at a parity-packed NEGATIVE id (``-2·id - 1`` for
+    ``id >= 0``, ``2·id`` otherwise: injective over |id| < 2^62,
+    never colliding with real cluster indices or each other), so
+    they survive, count, and surface visibly in the output.
 
     **``max_cluster_rows``** (off by default) bounds the damage of a
     skewed clustering: clusters larger than the cap are deterministically
@@ -1256,19 +1258,23 @@ def semantic_dedup(
     # an inner join here would silently DROP corpus rows the
     # assignment misses — understating dup_pairs/dropped and losing
     # survivors. Instead, unassigned rows land in their own SINGLETON
-    # clusters (j = -id - 1: negative, collision-free vs real cluster
-    # indices >= 0 and vs each other), so they always survive, always
-    # count, and surface visibly as negative cluster ids in the
-    # output rather than vanishing. A self-built assignment covers
-    # every id by construction and skips the left join.
+    # clusters at a NEGATIVE id parity-packed from the row id
+    # (id >= 0 -> -2·id - 1, the odd negatives; id < 0 -> 2·id, the
+    # even negatives): injective over |id| < 2^62 and always negative,
+    # so singletons can never collide with real cluster indices
+    # (k-means js are >= 0) nor with each other. They always survive,
+    # always count, and surface visibly as negative cluster ids in
+    # the output rather than vanishing. A self-built assignment
+    # covers every id by construction and skips the left join.
     if self_clustered:
         m = qd.join(assigned, "id").select("j", "id", "q", n2.alias("n2"))
     else:
+        singleton_j = F.when(
+            F.col("id") >= 0, -F.lit(2) * F.col("id") - F.lit(1)
+        ).otherwise(F.lit(2) * F.col("id"))
         m = (
             qd.join(assigned, "id", "left")
-            .withColumn(
-                "j", F.coalesce(F.col("j"), -F.col("id") - F.lit(1))
-            )
+            .withColumn("j", F.coalesce(F.col("j"), singleton_j))
             .select("j", "id", "q", n2.alias("n2"))
         )
     if max_cluster_rows is None:

@@ -1444,36 +1444,40 @@ def test_semantic_dedup_partial_assignment_singletons(spark):
     """Round-13 advice: an injected assignment that MISSES corpus ids
     must not silently drop them (the old inner join did — understating
     dup_pairs/dropped and losing survivors). Missed ids become
-    SINGLETON clusters j = -id - 1: negative (collision-free vs real
-    cluster indices and each other), never dropped, visibly present
-    in the output."""
+    SINGLETON clusters at a parity-packed negative id (-2·id - 1 for
+    id >= 0, 2·id for id < 0: injective, never colliding with real
+    cluster indices or each other — NEGATIVE corpus ids included),
+    never dropped, visibly present in the output."""
     from kaj_query_engine_spark.operators.clustering import (
         kmeans_assign_int,
     )
 
+    # ids straddle zero so the negative-id packing arm is exercised:
+    # corpus ids -10..19, of which -10..-1 and 0..4 are unassigned
     rows = [
         (i, [0.3 * ((i * 13 + d * 7) % 11 - 5) / 5 for d in range(8)])
-        for i in range(30)
+        for i in range(-10, 20)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     assigned, _q, _ = kmeans_assign_int(
         df, "vec_id", "embedding", k=4, iterations=2
     )
-    # drop ids 0..9 from the assignment: 20 covered, 10 missed
-    partial = assigned.filter(F.col(assigned.columns[0]) >= 10)
+    partial = assigned.filter(F.col(assigned.columns[0]) >= 5)
     out = D.semantic_dedup(
         df, "vec_id", "embedding", assigned=partial,
         k=4, iterations=2, thr_num=999, thr_den=1000,
     ).collect()
     by_cluster = {r.cluster: r for r in out}
-    # every missed id surfaces as its own singleton cluster
-    for i in range(10):
-        r = by_cluster[-i - 1]
+    # every missed id surfaces as its own singleton cluster under the
+    # parity packing — odd negatives for id >= 0, even for id < 0
+    for i in list(range(-10, 0)) + list(range(5)):
+        j = -2 * i - 1 if i >= 0 else 2 * i
+        r = by_cluster[j]
         assert (r.n, r.dup_pairs, r.dropped, r.survivor_id_sum) == (
             1, 0, 0, i,
         )
     # covered rows all accounted for in non-negative clusters
-    assert sum(r.n for r in out if r.cluster >= 0) == 20
+    assert sum(r.n for r in out if r.cluster >= 0) == 15
     # total membership: nothing vanished
     assert sum(r.n for r in out) == 30
 
