@@ -1602,7 +1602,16 @@ class VersionedTable:
         a file carried forward across fifty incremental commits lives
         until the LAST manifest naming it is dropped. Returns the
         versions removed. Time travel reaches only what vacuum leaves
-        — same contract as any table format's retention window."""
+        — same contract as any table format's retention window.
+
+        Run vacuum FROM the table's single writer, like every other
+        maintenance op: an in-flight commit's attempt data is
+        unreferenced by any manifest until its commit point lands, so
+        a vacuum racing a live commit would reclaim it (the same rule
+        Delta's VACUUM states via its retention window). The
+        tmp-manifest GC below is deliberately more conservative —
+        current+1 tmps are left alone — but the data GC's contract is
+        the single-writer one."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self.current_version()
