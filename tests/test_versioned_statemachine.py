@@ -131,6 +131,25 @@ class VersionedTableMachine(RuleBasedStateMachine):
         v = self.tbl.commit(self._df(snap))
         self._record(v, snap)
 
+    @rule(nb=st.sampled_from([2, 4, 8]))
+    def start_spec_evolution(self, nb):
+        # logically changeless metadata commit: the snapshot is
+        # UNCHANGED, only future writes retarget. A no-op retarget
+        # (already on nb, nothing pending) returns the current
+        # version and commits nothing.
+        before = max(self.snapshots)
+        v = self.tbl.start_rebucket(nb)
+        if v != before:
+            self._record(v, self.current)
+
+    @rule()
+    def migrate_one_chunk(self):
+        # one bounded, resumable migration step — changeless; None
+        # means nothing is pending
+        v = self.tbl.rebucket_step(self.spark, max_buckets=1)
+        if v is not None:
+            self._record(v, self.current)
+
     @rule()
     def plant_crashed_tmp(self):
         # a writer that crashed between the tmp write and the finally:
@@ -179,7 +198,11 @@ class VersionedTableMachine(RuleBasedStateMachine):
         if not self.snapshots:
             return
         sug = self.tbl.suggest_rebucket()
-        man = self.tbl._manifest_lite(self.tbl.current_version())
+        cur_v = self.tbl.current_version()
+        if self.tbl.migration(cur_v) is not None:
+            assert sug is None, "advisory must stay quiet mid-migration"
+            return
+        man = self.tbl._manifest_lite(cur_v)
         nb = self.tbl._n_buckets_at(man)
         total = sum(
             s.get("n_files", 0)
