@@ -1158,6 +1158,7 @@ def semantic_dedup(
     thr_den: int = 400,
     assigned: DataFrame | None = None,
     max_cluster_rows: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     near-duplicate pruning — the fifth dedup family, complementing
@@ -1221,6 +1222,15 @@ def semantic_dedup(
     dropped-document count, and a checksum of the surviving ids; all
     BIGINT for the unrolled-CTE DuckDB oracle.
 
+    **Cache lifetime** (round-14 advice): the member frame below is
+    ``.persist()``-ed — its lineage holds the full iterative Lloyd
+    run and every downstream branch re-reads it. Pass
+    ``cache_registry`` (a list) to receive the persisted frame(s);
+    the CALLER that materializes the result owns the
+    ``.unpersist()`` calls. Without a registry the frames are
+    session-lifetime and reclaimed by ``spark.catalog.clearCache()``
+    (the bench driver clears between queries).
+
     Scale shape: one broadcast k×dim centroid join per Lloyd step
     (inherited), then ONE shuffle on cluster id for the pair join;
     the quantized dot/norm folds are JVM-side higher-order functions
@@ -1269,9 +1279,37 @@ def semantic_dedup(
     if self_clustered:
         m = qd.join(assigned, "id").select("j", "id", "q", n2.alias("n2"))
     else:
-        singleton_j = F.when(
-            F.col("id") >= 0, -F.lit(2) * F.col("id") - F.lit(1)
-        ).otherwise(F.lit(2) * F.col("id"))
+        # the |id| < 2^62 injectivity bound above is ENFORCED, not just
+        # documented (round-14 advice): non-ANSI long arithmetic wraps
+        # silently past it, and a wrapped singleton id can land
+        # non-negative and masquerade as a real cluster index. The
+        # raise_error lives INSIDE the consumed `j` expression — an
+        # unused guard column would be column-pruned away with the
+        # assertion — and only the taken CaseWhen branch evaluates, so
+        # in-range rows never touch it. Two-sided compare, not abs():
+        # abs(-2^63) itself wraps to -2^63 under non-ANSI long
+        # arithmetic and would pass an abs()-based check.
+        in_range = (F.col("id") < F.lit(1 << 62).cast("long")) & (
+            F.col("id") > F.lit(-(1 << 62)).cast("long")
+        )
+        singleton_j = (
+            F.when(
+                in_range & (F.col("id") >= 0),
+                -F.lit(2) * F.col("id") - F.lit(1),
+            )
+            .when(in_range, F.lit(2) * F.col("id"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "semantic_dedup: row id out of the "
+                            "|id| < 2^62 singleton-packing range: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("long")
+            )
+        )
         m = (
             qd.join(assigned, "id", "left")
             .withColumn("j", F.coalesce(F.col("j"), singleton_j))
@@ -1303,6 +1341,8 @@ def semantic_dedup(
             .drop("_cn")
         )
     m = m.persist()
+    if cache_registry is not None:
+        cache_registry.append(m)
     a = m.select(
         "j",
         "cell",

@@ -664,6 +664,19 @@ class VersionedTable:
                 "second writer while this commit was in flight — "
                 "single-writer table, nothing overwritten"
             ) from None
+        except FileNotFoundError:
+            # our attempt-unique tmp vanished before the link: only
+            # vacuum's tmp-manifest GC unlinks those, and it reclaims a
+            # tmp ONLY when its version is <= current — i.e. version N
+            # was necessarily decided (committed by a rival) while this
+            # attempt was in flight. Same outcome as FileExistsError,
+            # same clean contract: nothing overwritten, nothing torn.
+            raise ConcurrentWriterError(
+                f"{self.path}: version {version} was committed by a "
+                "second writer while this commit was in flight (the "
+                "attempt tmp was already reclaimed by vacuum) — "
+                "single-writer table, nothing overwritten"
+            ) from None
         finally:
             tmp.unlink(missing_ok=True)
 
@@ -1695,13 +1708,16 @@ class VersionedTable:
         nothing *triggered* it; this is the trigger check an operator
         (or a scheduled maintenance job) polls.
 
-        Rule: when the current version's MEAN files-per-bucket
-        (total bucketed data files / n_buckets, read from the shard
+        Rule (round-14, advice-hardened from mean-only): when the
+        current version's MAX files-per-bucket (read from the shard
         ENTRIES' recorded ``n_files`` — metadata-only, no shard JSON
-        is parsed, no data touched) exceeds ``max_files_per_bucket``,
-        returns the suggested new bucket count: the old count times
-        the smallest power of two that restores mean files-per-bucket
-        <= the threshold. A power-of-two MULTIPLE keeps the old spec
+        is parsed, no data touched; max >= mean so this subsumes the
+        old mean rule) exceeds ``max_files_per_bucket``, returns the
+        suggested new bucket count: the old count times the smallest
+        power of two that restores BOTH max and mean files-per-bucket
+        <= the threshold — under bucket skew the skewed bucket's file
+        list is the rewrite/metadata unit the advisory exists to
+        bound, and the mean alone stays quiet. A power-of-two MULTIPLE keeps the old spec
         dividing the new, which is exactly the shape the gcd-aware
         :meth:`rebucket_step` sizing migrates in bounded chunks.
         Returns None when within bounds, unbucketed, uninitialized,
@@ -1725,15 +1741,29 @@ class VersionedTable:
         nb = self._n_buckets_at(man)
         if not nb:
             return None
-        total_files = sum(
+        counts = [
             s.get("n_files", 0)
             for s in man.get("shards", [])
             if s.get("kb") is not None
-        )
-        if total_files <= nb * max_files_per_bucket:
+        ]
+        total_files = sum(counts)
+        # round-14 (advice): the per-bucket file list is the actual
+        # keyed-commit rewrite/metadata unit this advisory bounds, and
+        # under bucket skew a single bucket can blow past the threshold
+        # while the MEAN stays quiet — so trigger on max(max per-bucket,
+        # mean) and size the factor to restore BOTH. The max-based
+        # sizing assumes a power-of-two rebucket splits a hot bucket's
+        # files ~uniformly by key hash (true for the pre-migration files
+        # rebucket_step rewrites; a single hot KEY re-concentrating
+        # afterwards is traffic, not metadata, and re-fires the advisory)
+        max_files = max(counts, default=0)
+        if max_files <= max_files_per_bucket:
             return None
         factor = 2
-        while total_files > nb * factor * max_files_per_bucket:
+        while (
+            total_files > nb * factor * max_files_per_bucket
+            or max_files > factor * max_files_per_bucket
+        ):
             factor *= 2
         return nb * factor
 

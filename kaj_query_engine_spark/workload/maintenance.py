@@ -1243,24 +1243,37 @@ def q19(spark, sf_dir):
             f"in history: {hist2.get('keyed')}"
         )
 
-    # the rebucket-trigger advisory (round 13) must be CONSISTENT with
-    # its documented rule at this table's actual file census: fires
-    # with a power-of-two multiple restoring mean files-per-bucket <=
-    # the threshold, stays quiet within bounds (sf0.01 tables sit
-    # under it; sf0.1's 16-files-per-bucket layout fires)
-    n_bucketed = sum(1 for f in man2["files"] if f["kb"] is not None)
+    # the rebucket-trigger advisory (round 13; round-14 advice moved
+    # the trigger from MEAN to MAX files-per-bucket — the per-bucket
+    # file list is the keyed-commit rewrite/metadata unit, and skew
+    # hides from the mean) must be CONSISTENT with its documented
+    # rule at this table's actual file census: fires when any bucket
+    # exceeds the threshold, with the smallest power-of-two multiple
+    # restoring BOTH max and mean; quiet within bounds (sf0.01 tables
+    # sit under it; sf0.1's per-bucket layout fires)
+    per_bucket: dict = {}
+    for f in man2["files"]:
+        if f["kb"] is not None:
+            per_bucket[f["kb"]] = per_bucket.get(f["kb"], 0) + 1
+    n_bucketed = sum(per_bucket.values())
+    max_b = max(per_bucket.values(), default=0)
     sug = tbl.suggest_rebucket()
     if sug is None:
-        if n_bucketed > 2 * 8:
+        if max_b > 8:
             raise RuntimeError(
-                f"suggest_rebucket stayed quiet at {n_bucketed} "
-                "bucketed files on 2 buckets (threshold 8)"
+                f"suggest_rebucket stayed quiet at max {max_b} "
+                "files in one bucket (threshold 8)"
             )
-    elif sug % 2 != 0 or n_bucketed > sug * 8 or n_bucketed <= (sug // 2) * 8:
-        raise RuntimeError(
-            f"suggest_rebucket proposed {sug} for {n_bucketed} files "
-            "on 2 buckets — not the smallest bound-restoring multiple"
-        )
+    else:
+        half = sug // 2
+        restored = n_bucketed <= sug * 8 and max_b <= (sug // 2) * 8
+        smallest = n_bucketed > half * 8 or max_b > (half // 2) * 8
+        if sug % 2 != 0 or max_b <= 8 or not restored or not smallest:
+            raise RuntimeError(
+                f"suggest_rebucket proposed {sug} for {n_bucketed} "
+                f"files (max {max_b}/bucket) on 2 buckets — not the "
+                "smallest bound-restoring multiple of the max rule"
+            )
 
     # ---- lazy spec evolution 2 -> 8 (round 11) -----------------------
     v3 = tbl.start_rebucket(8)

@@ -829,7 +829,12 @@ _Q12_ORACLE = _q12_tagged_oracle()
     "'assigned' = the 100 TB path: the cluster assignment is built "
     "ONCE upstream (the paper's deployment regime — assignment as "
     "pipeline infrastructure, amortized like the IVF index) and "
-    "INJECTED via assigned=; result must equal 'base' exactly. "
+    "INJECTED via assigned=; result must equal 'base' exactly — the "
+    "internal-vs-injected Lloyd differential is pinned in pytest "
+    "(test_dedup_similarity.py::test_semantic_dedup_injected_"
+    "assignment_and_pair_cap) so the bench serves BOTH tags from the "
+    "one shared persisted assignment (round-14 trim: one Lloyd run, "
+    "not two). "
     f"'capped' = max_cluster_rows={_SD_CAP}: oversized clusters "
     "deterministically sub-split into ceil(n/cap) hash cells via "
     "pmod(xxhash64(id), cells) and pairs form within a cell only — "
@@ -850,16 +855,22 @@ def q12(spark, sf_dir):
         k=_KM_K, iterations=_KM_T, cluster_scale=_KM_SCALE,
         dedup_scale=_SD_SCALE, thr_num=_SD_NUM, thr_den=_SD_DEN,
     )
-    base = semantic_dedup(emb, "vec_id", "embedding", **kw)
-    # the build-once assignment, computed a single time and shared by
-    # the 'assigned' and 'capped' branches (persisted: its lineage is
-    # the full iterative Lloyd run — same contract as inside
-    # semantic_dedup itself)
+    # ONE build-once assignment shared by all three branches (round-14
+    # trim: the 'base' tag used to run semantic_dedup's INTERNAL Lloyd
+    # as a live internal==injected differential, doubling the Lloyd
+    # cost at bench time; that differential is pinned in pytest on
+    # cheap data — test_semantic_dedup_injected_assignment_and_pair_cap
+    # asserts inj == base — and
+    # the oracle's base/assigned tags both read the same resb CTE, so
+    # serving both from the shared assignment changes nothing the
+    # driver hashes). Persisted: its lineage is the full iterative
+    # Lloyd run — same contract as inside semantic_dedup itself;
+    # reclaimed by the bench driver's per-query clearCache().
     pa, _q, _cents = kmeans_assign_int(
         emb, "vec_id", "embedding", _KM_K, _KM_T, _KM_SCALE
     )
     pa = pa.persist()
-    injected = semantic_dedup(
+    base = semantic_dedup(
         emb, "vec_id", "embedding", assigned=pa, **kw
     )
     capped = semantic_dedup(
@@ -872,6 +883,6 @@ def q12(spark, sf_dir):
 
     return (
         tag(base, "base")
-        .unionByName(tag(injected, "assigned"))
+        .unionByName(tag(base, "assigned"))
         .unionByName(tag(capped, "capped"))
     )

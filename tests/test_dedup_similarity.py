@@ -1574,3 +1574,67 @@ def test_q12_xxh64_sql_twin_property_random_longs():
             assert got[v] == ref_xxh64_long(v), v
 
     check()
+
+
+def test_semantic_dedup_out_of_range_singleton_id_raises(spark):
+    """Round-14 advice: the parity packing that turns assignment-missed
+    rows into singleton clusters is injective only over |id| < 2^62 —
+    past it, non-ANSI long arithmetic wraps silently and a wrapped
+    value can land non-negative, masquerading as a real cluster index.
+    The bound is now ENFORCED in the lowered plan (raise_error inside
+    the consumed ``j`` expression, so column pruning can't drop it):
+    an out-of-range UNASSIGNED id fails the job loudly; boundary-
+    adjacent in-range ids still pack fine."""
+    from py4j.protocol import Py4JJavaError
+
+    lim = 1 << 62
+    dims = [0.1] * 8
+    good = spark.createDataFrame(
+        [(lim - 1, dims), (-(lim - 1), dims), (7, dims)],
+        "vec_id long, embedding array<float>",
+    )
+    empty_assign = spark.createDataFrame(
+        [], "id long, j long"
+    )
+    out = D.semantic_dedup(
+        good, "vec_id", "embedding", assigned=empty_assign,
+        k=2, iterations=1,
+    ).collect()
+    # all three unassigned -> three singletons, packed injectively
+    assert sorted(r.cluster for r in out) == sorted(
+        [-2 * (lim - 1) - 1, 2 * -(lim - 1), -2 * 7 - 1]
+    )
+    for bad_id in (lim, -lim, (1 << 63) - 1):
+        bad = spark.createDataFrame(
+            [(bad_id, dims)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises((Py4JJavaError, Exception)) as ei:
+            D.semantic_dedup(
+                bad, "vec_id", "embedding", assigned=empty_assign,
+                k=2, iterations=1,
+            ).collect()
+        assert "singleton-packing range" in str(ei.value)
+
+
+def test_semantic_dedup_cache_registry_hands_back_persisted(spark):
+    """Round-14 advice: semantic_dedup persists its member frame
+    (lineage = the full Lloyd run); callers that materialize the
+    result own the unpersist. ``cache_registry`` hands the persisted
+    frame(s) back so that ownership is exercisable — without it the
+    frames are session-lifetime until clearCache()."""
+    rows = [
+        (i, [0.3 * ((i * 13 + d * 7) % 11 - 5) / 5 for d in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    reg: list = []
+    out = D.semantic_dedup(
+        df, "vec_id", "embedding", k=2, iterations=1,
+        cache_registry=reg,
+    )
+    assert out.count() >= 1
+    assert len(reg) == 1
+    assert all(f.storageLevel.useMemory for f in reg)
+    for f in reg:
+        f.unpersist(blocking=True)
+    assert not any(f.storageLevel.useMemory for f in reg)

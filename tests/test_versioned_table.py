@@ -2106,11 +2106,23 @@ def test_vacuum_reclaims_stale_tmp_manifests(spark, tmp_path):
 
 def test_suggest_rebucket_advisory(spark, tmp_path):
     """The trigger half of the keyed-commit shard-metadata mitigation
-    (probe e=0.83 at fixed n_buckets): fires when mean files-per-
-    bucket exceeds the threshold, suggests a power-of-two MULTIPLE of
-    the current spec (old divides new — the gcd-aware rebucket_step
-    shape), and stays quiet on healthy/unbucketed/mid-migration
+    (probe e=0.83 at fixed n_buckets): fires when MAX files-per-
+    bucket exceeds the threshold (round-14 advice: the per-bucket
+    file list is the rewrite/metadata unit and skew hides from the
+    mean; max >= mean so this subsumes the round-13 mean rule),
+    suggests a power-of-two MULTIPLE of the current spec (old divides
+    new — the gcd-aware rebucket_step shape) restoring BOTH max and
+    mean, and stays quiet on healthy/unbucketed/mid-migration
     tables."""
+
+    def census(t):
+        man = t._manifest_lite(t.current_version())
+        counts = [
+            s["n_files"] for s in man["shards"]
+            if s.get("kb") is not None
+        ]
+        return sum(counts), max(counts, default=0), t._n_buckets_at(man)
+
     # unbucketed: never fires
     flat = VersionedTable(tmp_path / "flat")
     flat.init(df_(spark, [(1, "a")]))
@@ -2133,18 +2145,19 @@ def test_suggest_rebucket_advisory(spark, tmp_path):
         df_(spark, rows), bucket_keys=["k"], n_buckets=2,
         target_file_rows=6,
     )
-    man = tbl._manifest_lite(tbl.current_version())
-    total = sum(s["n_files"] for s in man["shards"] if s.get("kb") is not None)
-    assert total > 2 * 3  # enough files for a threshold-3 trigger
+    total, max_b, _nb = census(tbl)
+    assert max_b > 3  # enough files for a threshold-3 trigger
     sug = tbl.suggest_rebucket(max_files_per_bucket=3)
     assert sug is not None and sug % 2 == 0 and sug > 2
-    # the suggestion restores the bound and is the SMALLEST such
-    # power-of-two multiple
-    assert total <= sug * 3 and total > (sug // 2) * 3
+    # the suggestion restores BOTH bounds and is the SMALLEST such
+    # power-of-two multiple (half fails max or mean)
+    f, half = sug // 2, sug // 4
+    assert total <= sug * 3 and max_b <= f * 3
+    assert half == 0 or total > sug // 2 * 3 or max_b > half * 3
     # default threshold may or may not fire at this size; whichever,
-    # it must be consistent with the rule
+    # it must be consistent with the (max-based) rule
     d = tbl.suggest_rebucket()
-    assert (d is None) == (total <= 2 * 8)
+    assert (d is None) == (max_b <= 8)
     # mid-migration: quiet (a pending evolution already addresses it)
     tbl.start_rebucket(sug)
     assert tbl.suggest_rebucket(max_files_per_bucket=3) is None
@@ -2154,15 +2167,90 @@ def test_suggest_rebucket_advisory(spark, tmp_path):
     # can still be exceeded; a default-threshold table is healthy)
     while tbl.rebucket_step(spark, max_buckets=8) is not None:
         pass
-    man2 = tbl._manifest_lite(tbl.current_version())
-    nb2 = tbl._n_buckets_at(man2)
+    total2, max_b2, nb2 = census(tbl)
     assert nb2 == sug
-    total2 = sum(
-        s["n_files"] for s in man2["shards"] if s.get("kb") is not None
-    )
     post = tbl.suggest_rebucket(max_files_per_bucket=3)
-    if total2 <= nb2 * 3:
+    if max_b2 <= 3:
         assert post is None
     else:
-        assert post % nb2 == 0 and total2 <= post * 3
+        assert (
+            post % nb2 == 0
+            and total2 <= post * 3
+            and max_b2 <= post // nb2 * 3
+        )
     assert tbl.suggest_rebucket() is None  # default threshold: healthy
+
+
+def test_suggest_rebucket_fires_on_bucket_skew(spark, tmp_path):
+    """Round-14 advice: the advisory's round-13 rule triggered on MEAN
+    files-per-bucket, so a single skewed bucket — the actual
+    keyed-commit rewrite/metadata unit the advisory exists to bound —
+    could blow past the threshold while the mean stayed quiet. The
+    rule is now max-based: construct that exact skew (keys chosen by
+    the table's own pmod(xxhash64, 2) so one bucket holds nearly all
+    files) and pin that the advisory fires at a threshold the OLD
+    mean rule would have slept through, with the smallest
+    bound-restoring power-of-two multiple."""
+    cand = spark.range(500).select(F.col("id").alias("k"))
+    kb = F.pmod(F.xxhash64(F.col("k")), F.lit(2))
+    b0 = [r.k for r in cand.filter(kb == 0).head(12)]
+    b1 = [r.k for r in cand.filter(kb == 1).head(2)]
+    rows = [(int(k), f"v{k}") for k in b0 + b1]
+    tbl = VersionedTable(tmp_path / "skew")
+    tbl.init(
+        df_(spark, rows), bucket_keys=["k"], n_buckets=2,
+        target_file_rows=1,
+    )
+    man = tbl._manifest_lite(tbl.current_version())
+    counts = sorted(
+        s["n_files"] for s in man["shards"] if s.get("kb") is not None
+    )
+    total, max_b = sum(counts), counts[-1]
+    assert len(counts) == 2 and max_b - counts[0] >= 2, counts
+    # threshold one under the skewed bucket: the old mean rule is
+    # QUIET (total <= nb * thr) but a bucket exceeds it
+    thr = max_b - 1
+    assert total <= 2 * thr
+    sug = tbl.suggest_rebucket(max_files_per_bucket=thr)
+    # fires, and factor 2 restores both bounds (max <= 2*thr always
+    # holds here), so the smallest suggestion is exactly 2 * nb
+    assert sug == 4
+    # and a threshold at the max itself stays quiet
+    assert tbl.suggest_rebucket(max_files_per_bucket=max_b) is None
+
+
+def test_commit_tmp_reclaimed_by_vacuum_raises_concurrent(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advice: vacuum's tmp-manifest GC may reclaim a rival
+    writer's in-flight attempt tmp once the contested version is
+    decided — the rival's os.link then hits FileNotFoundError (its
+    src vanished) instead of FileExistsError. Both mean the same
+    thing (the version was taken while this commit was in flight),
+    so both must surface as the clean ConcurrentWriterError, never an
+    uncaught OSError: the 'nothing torn in every interleaving'
+    multi-writer story includes this interleaving."""
+    from kaj_query_engine_spark.sources.versioned import (
+        ConcurrentWriterError,
+    )
+
+    tbl = VersionedTable(tmp_path / "t")
+    tbl.init(df_(spark, [(1, "a")]))
+
+    real_link = os.link
+
+    def link_after_vacuum_reclaim(src, dst, *a, **kw):
+        # simulate: rival committed this version and vacuum ran,
+        # reclaiming our decided-version tmp, all between our tmp
+        # write and the link attempt
+        os.unlink(src)
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "link", link_after_vacuum_reclaim)
+    with pytest.raises(ConcurrentWriterError, match="reclaimed by vacuum"):
+        tbl.commit(df_(spark, [(2, "b")]))
+    monkeypatch.undo()
+    # the table is untouched and the next commit proceeds cleanly
+    assert tbl.current_version() == 0
+    tbl.commit(df_(spark, [(2, "b")]))
+    assert tbl.current_version() == 1
