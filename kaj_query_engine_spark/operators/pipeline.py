@@ -462,3 +462,238 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169, "Data
+# Selection for Language Models via Importance Resampling") — the
+# domain-matching selector every published pretraining mix uses when a
+# small high-quality TARGET corpus should steer which raw documents
+# make the cut: fit hashed-n-gram bag models p (target) and q (raw),
+# weight every raw doc by its likelihood ratio, and importance-SAMPLE
+# (not top-k — the noise term keeps diversity) at the computed rates.
+#
+# Everything here is exact integer fixed point so the whole pipeline —
+# likelihood ratios included — hash-matches the DuckDB oracle:
+#
+# * log2_fp() computes log2(x) in units of 1/1024 with the classic
+#   normalize-then-square binary-digit algorithm — integer ops plus
+#   one exact power-of-two double scaling, bit-identical across
+#   engines (the float-log route is NOT: Spark's java.lang.Math.log
+#   and DuckDB's libm differ in the last ulp, and per-doc SUMS of
+#   doubles reassociate — the q60/q43 lesson).
+# * Per-bucket log-ratios L[b] = log2fp(ct+1) - log2fp(T+B)
+#   - log2fp(cs+1) + log2fp(S+B) (Laplace-smoothed) are integers.
+# * The Efraimidis-Spirakis exponential race replaces Gumbel noise:
+#   keep the k docs MINIMIZING key = log2(-ln u) - log2 w, with u a
+#   deterministic md5 hash of the id — and since -ln u is itself
+#   (log2fp(M) - log2fp(h+1)) up to the constant ln2 (which shifts
+#   every key equally), the key is integer end-to-end.
+#
+# Scale shape: one gram-count pass per side (map-only explode into a
+# B-row partial agg), the B-row log-ratio table collected and embedded
+# as a LITERAL array (the q48 bloom-bitset precedent: a bounded
+# driver-side pull that turns scoring into a zero-exchange map), then
+# scoring is one map-only pass (per-row fold over the doc's grams) and
+# the selection a TakeOrderedAndProject top-k — the 100 TB side never
+# shuffles its text.
+# ---------------------------------------------------------------------
+
+LOG2_FP_BITS = 10  # fractional bits: log2 values in units of 1/1024
+_FP_ONE = 1 << LOG2_FP_BITS
+
+
+def log2_fp_py(x: int) -> int:
+    """Driver-side twin of :func:`log2_fp` (used to fold the B-row
+    bucket table into a literal): floor-ish log2(x)*1024 for int
+    x >= 1 via e = bit_length-1, normalize y to [2^30, 2^31), then
+    10 square-and-test steps for the fractional bits."""
+    if x < 1:
+        raise ValueError("log2_fp_py needs x >= 1")
+    e = x.bit_length() - 1
+    y = int(float(x) * 2.0 ** (30 - e))  # exact scaling, see log2_fp
+    a = 0
+    for _ in range(LOG2_FP_BITS):
+        s = (y * y) >> 30
+        y, a = (s >> 1, a * 2 + 1) if s >= 1 << 31 else (s, a * 2)
+    return e * _FP_ONE + a
+
+
+def log2_fp(x: Column) -> Column:
+    """log2(x) in units of 1/1024 for an integer column x >= 1 —
+    exact integer algorithm, bit-identical in Spark, DuckDB
+    (:func:`dsir_log2fp_sql`) and Python (:func:`log2_fp_py`).
+
+    e = length(bin(x)) - 1; y0 = x scaled into [2^30, 2^31) (the
+    scaling multiplies/divides by a power of two: exact in IEEE
+    doubles for the multiply side because x then has <= 31
+    significant bits, and deterministic on the divide side because
+    cast-to-double rounds identically everywhere); then 10 rounds of
+    y := y^2 >> 30 (< 2^62, no overflow), emitting a fractional bit
+    whenever the square crosses 2. The 10-step loop runs as an
+    F.aggregate fold so the expression tree stays LINEAR (a naive
+    unrolled chain references y twice per step and blows up 2^10)."""
+    e = (F.length(F.bin(x)) - F.lit(1)).cast("long")
+    y0 = F.floor(
+        x.cast("double") * F.pow(F.lit(2.0), (F.lit(30) - e).cast("double"))
+    ).cast("long")
+
+    def step(acc: Column, _z: Column) -> Column:
+        y = F.shiftright(acc, 11)
+        a = acc % F.lit(2048)
+        s = F.shiftright(y * y, 30)
+        hi = s >= F.lit(2**31)
+        return (
+            F.when(hi, F.shiftleft(F.shiftright(s, 1), 11) + a * 2 + 1)
+            .otherwise(F.shiftleft(s, 11) + a * 2)
+        ).cast("long")
+
+    folded = F.aggregate(
+        F.array([F.lit(i) for i in range(LOG2_FP_BITS)]),
+        (y0 * F.lit(2048)).cast("long"),
+        step,
+    )
+    return (e * F.lit(_FP_ONE) + folded % F.lit(2048)).cast("long")
+
+
+def dsir_log2fp_sql(x: str) -> str:
+    """DuckDB twin of :func:`log2_fp` as a SQL fragment over column
+    expression ``x`` (pass a simple column reference — the fragment
+    references it several times). The 10-step loop runs inside
+    list_reduce with a (y, frac) accumulator PACKED into one BIGINT
+    (y*2048 + frac: y < 2^31, frac < 2^11) because list_reduce's
+    accumulator must match the element type — and, like the XXH64
+    twin's MATERIALIZED chain, keeps the planner's expression tree
+    linear instead of multiplicatively inlined."""
+    step = (
+        "CASE WHEN ((acc // 2048) * (acc // 2048)) // 1073741824 "
+        ">= 2147483648 THEN "
+        "((((acc // 2048) * (acc // 2048)) // 1073741824) // 2) * 2048 "
+        "+ (acc % 2048) * 2 + 1 "
+        "ELSE (((acc // 2048) * (acc // 2048)) // 1073741824) * 2048 "
+        "+ (acc % 2048) * 2 END"
+    )
+    e = f"(length(bin(CAST({x} AS BIGINT))) - 1)"
+    y0 = f"CAST(FLOOR(CAST({x} AS DOUBLE) * POW(2.0, 30 - {e})) AS BIGINT)"
+    folded = (
+        f"list_reduce(list_prepend({y0} * 2048, "
+        f"[0,0,0,0,0,0,0,0,0,0]), (acc, z) -> {step})"
+    )
+    return f"({e} * 1024 + {folded} % 2048)"
+
+
+def gram_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, grams): unigrams + word bigrams of the whitespace tokens —
+    the DSIR feature space (the paper hashes unigrams+bigrams).
+    Mirrors the oracle's ``list_concat(t, list_transform(range(1,
+    len(t)), i -> t[i] || ' ' || t[i+1]))``."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(toks, big).alias("grams")
+    )
+
+
+def _gram_bucket(g: Column, n_buckets: int) -> Column:
+    """Feature-hash a gram to [0, n_buckets): 60-bit md5 prefix mod B
+    — the engine-portable hash (DuckDB:
+    ``('0x' || substr(md5(g), 1, 15))::BIGINT % B``, non-negative on
+    both sides because the 60-bit prefix is)."""
+    h = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_importance_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    n_buckets: int = 256,
+    noise_bits: int = 20,
+    seed: int = 29,
+) -> DataFrame:
+    """Select ``k`` docs from ``corpus`` whose hashed-n-gram profile
+    matches ``target``, by DSIR importance resampling (Xie et al.
+    2023). Returns (id, lw, key) for the selected docs — ``lw`` is
+    the fixed-point log2 likelihood ratio (units 1/1024; bigger =
+    more target-like), ``key`` the exponential-race sort key the
+    selection minimized (kept so the selection is auditable).
+
+    Two bounded aggregations fit the models (B-row gram-bucket counts
+    per side); the B-row smoothed log-ratio table folds into a
+    LITERAL array on the driver (bounded pull, q48-bitset precedent);
+    scoring is then a map-only per-row fold over each doc's grams and
+    the selection one TakeOrderedAndProject — no shuffle ever carries
+    text. Ties on key break by id: fully deterministic."""
+    if k < 1 or n_buckets < 2:
+        raise ValueError("k >= 1 and n_buckets >= 2 required")
+    tg = gram_arrays(target, id_col, text_col).select(
+        F.explode("grams").alias("g")
+    )
+    sg = gram_arrays(corpus, id_col, text_col).select(
+        F.explode("grams").alias("g")
+    )
+    b = _gram_bucket(F.col("g"), n_buckets)
+    ct = {
+        r.b: r.n
+        for r in tg.groupBy(b.alias("b")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    cs = {
+        r.b: r.n
+        for r in sg.groupBy(b.alias("b")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    t_tot, s_tot = sum(ct.values()), sum(cs.values())
+    lf_t, lf_s = log2_fp_py(t_tot + n_buckets), log2_fp_py(s_tot + n_buckets)
+    lrt = [
+        log2_fp_py(ct.get(i, 0) + 1)
+        - lf_t
+        - log2_fp_py(cs.get(i, 0) + 1)
+        + lf_s
+        for i in range(n_buckets)
+    ]
+    l_lit = F.array([F.lit(int(v)).cast("long") for v in lrt])
+    scored = gram_arrays(corpus, id_col, text_col).select(
+        "id",
+        F.aggregate(
+            "grams",
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.element_at(l_lit, (_gram_bucket(g, n_buckets) + 1).cast("int")),
+        ).alias("lw"),
+    )
+    m = 1 << noise_bits
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("id").cast("string"), F.lit(seed)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m),
+    )
+    v = F.lit(noise_bits * _FP_ONE) - log2_fp(h + 1)
+    keyed = scored.select(
+        "id", "lw", (log2_fp(v + 1) - F.col("lw")).alias("key")
+    )
+    return keyed.orderBy("key", "id").limit(k)

@@ -214,6 +214,64 @@ def q42(spark, sf_dir):
 
 _MIX_BUDGET = 400
 
+# ---- DSIR branch constants (Xie et al. 2023, arXiv:2302.03169) ------
+_DSIR_K = 200  # resample size
+_DSIR_B = 256  # hashed-n-gram feature buckets
+_DSIR_MOD, _DSIR_REM = 23, 5  # target-domain split: doc_id % 23 == 5
+_DSIR_SEED = 29
+_DSIR_NOISE_BITS = 20
+
+
+def _dsir_oracle() -> str:
+    """The full DSIR pipeline in DuckDB SQL — hashed unigram+bigram
+    bucket counts for the target split vs the raw rest, Laplace-
+    smoothed fixed-point log2 likelihood ratios (dsir_log2fp_sql —
+    the exact integer twin of operators.pipeline.log2_fp), per-doc
+    ratio sums, and the integer exponential-race selection. Every
+    log2_fp argument is staged as a simple column first (the fragment
+    references it ~6x) and multi-referenced CTEs MATERIALIZE (the
+    q12 XXH64 lesson: DuckDB re-executes / multiplicatively inlines
+    otherwise)."""
+    lf = P.dsir_log2fp_sql
+    grams = (
+        "list_concat(t, list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1]))"
+    )
+    return (
+        "WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t "
+        "FROM documents), "
+        f"g0 AS (SELECT doc_id, unnest({grams}) AS g FROM t0), "
+        "gb AS MATERIALIZED (SELECT doc_id, "
+        f"(('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B}) AS b "
+        "FROM g0), "
+        f"tb AS (SELECT b, count(*) AS ct FROM gb "
+        f"WHERE doc_id % {_DSIR_MOD} = {_DSIR_REM} GROUP BY 1), "
+        f"sb AS (SELECT b, count(*) AS cs FROM gb "
+        f"WHERE doc_id % {_DSIR_MOD} <> {_DSIR_REM} GROUP BY 1), "
+        "tot AS (SELECT "
+        f"(SELECT COALESCE(sum(ct), 0) FROM tb) + {_DSIR_B} AS tt, "
+        f"(SELECT COALESCE(sum(cs), 0) FROM sb) + {_DSIR_B} AS ss), "
+        "pre AS (SELECT sb.b, COALESCE(tb.ct, 0) + 1 AS ctp, "
+        "sb.cs + 1 AS csp, tt, ss FROM sb LEFT JOIN tb USING (b) "
+        "CROSS JOIN tot), "
+        f"lrt AS MATERIALIZED (SELECT b, {lf('ctp')} - {lf('tt')} - "
+        f"{lf('csp')} + {lf('ss')} AS l FROM pre), "
+        "lw AS (SELECT gb.doc_id, sum(l) AS lw FROM gb "
+        "JOIN lrt USING (b) "
+        f"WHERE gb.doc_id % {_DSIR_MOD} <> {_DSIR_REM} "
+        "GROUP BY 1), "
+        "hp AS (SELECT doc_id, lw, (('0x' || substr(md5("
+        f"CAST(doc_id AS VARCHAR) || ':' || '{_DSIR_SEED}'), 1, 15))"
+        f"::BIGINT % {1 << _DSIR_NOISE_BITS}) + 1 AS h1 FROM lw), "
+        f"vv AS (SELECT doc_id, lw, {_DSIR_NOISE_BITS * 1024} - "
+        f"{lf('h1')} + 1 AS vp FROM hp), "
+        f"kk AS (SELECT doc_id, lw, {lf('vp')} - lw AS key FROM vv) "
+        "SELECT kk.doc_id, d.lang, kk.lw, kk.key FROM kk "
+        "JOIN documents d USING (doc_id) "
+        f"ORDER BY kk.key, kk.doc_id LIMIT {_DSIR_K}"
+    )
+
+
 _TEMP_MIX_ORACLE = (
     "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
     # the 5-term normalizer folds LEFT over the lang-ordered list —
@@ -233,17 +291,31 @@ _TEMP_MIX_ORACLE = (
 
 @register(
     "q43_temperature_mix",
-    _TEMP_MIX_ORACLE,
-    "temperature-flattened mixture sampling (tau = 0.5): per-language "
-    "budgets proportional to sqrt(corpus count) — rare languages "
-    "upweighted relative to raw proportions, the standard multilingual "
+    "SELECT 'temperature' AS path, lang, doc_id, "
+    "CAST(NULL AS BIGINT) AS lw, CAST(NULL AS BIGINT) AS key "
+    f"FROM ({_TEMP_MIX_ORACLE}) "
+    "UNION ALL SELECT 'dsir' AS path, lang, doc_id, lw, key "
+    f"FROM ({_dsir_oracle()})",
+    "data-mixing selection, two published methods tagged in one "
+    "result. 'temperature' = temperature-flattened mixture sampling "
+    "(tau = 0.5): per-language budgets proportional to sqrt(corpus "
+    "count) — rare languages upweighted, the standard multilingual "
     "mixture design — realized as exact-k hash-rank samples (q42's "
-    "md5 trick). Exactness: sqrt is one correctly-rounded IEEE op and "
-    "the 5-term normalizer folds LEFT in lang order on both engines "
-    "(bare SUM would reassociate and flip floor() at a boundary), so "
-    "the budgets — and therefore the sample — are bit-identical. "
-    "Plan: one count pass, a 1-row broadcast of the folded budgets, "
-    "one hash exchange for the per-lang rank windows",
+    "md5 trick); sqrt is one correctly-rounded IEEE op and the 5-term "
+    "normalizer folds LEFT in lang order on both engines, so the "
+    "budgets and sample are bit-identical. 'dsir' (round 14) = DSIR "
+    "importance resampling (Xie et al. 2023, arXiv:2302.03169): "
+    f"hashed unigram+bigram bucket counts ({_DSIR_B} buckets) for a "
+    f"target split (doc_id % {_DSIR_MOD} == {_DSIR_REM}) vs the raw "
+    "rest, Laplace-smoothed log-likelihood ratios in EXACT integer "
+    "fixed point (log2_fp, 1/1024 units — float logs diverge in the "
+    "last ulp across engines), per-doc ratio sums via a map-only "
+    "fold against the B-row ratio table embedded as a literal (q48 "
+    "bitset precedent), and an integer Efraimidis-Spirakis "
+    f"exponential race selecting k={_DSIR_K} — importance SAMPLING, "
+    "not top-k, so diversity survives. Corpus side: two map-only "
+    "count passes + one zero-text-shuffle scoring pass + "
+    "TakeOrderedAndProject",
 )
 def q43(spark, sf_dir):
     from pyspark.sql import Window as W
@@ -274,8 +346,29 @@ def q43(spark, sf_dir):
         )
     )
     ranked = d.select("lang", "doc_id", rn.alias("rn"))
-    return (
+    temp = (
         ranked.join(F.broadcast(k), "lang")
         .filter(F.col("rn") <= F.col("kk"))
-        .select("lang", "doc_id")
+        .select(
+            F.lit("temperature").alias("path"),
+            "lang",
+            "doc_id",
+            F.lit(None).cast("long").alias("lw"),
+            F.lit(None).cast("long").alias("key"),
+        )
     )
+    tgt = d.filter(F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) == _DSIR_REM)
+    src = d.filter(F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) != _DSIR_REM)
+    sel = P.dsir_importance_resample(
+        src, tgt, "doc_id", "text",
+        k=_DSIR_K, n_buckets=_DSIR_B,
+        noise_bits=_DSIR_NOISE_BITS, seed=_DSIR_SEED,
+    )
+    dsir = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(sel), F.col("doc_id") == F.col("id"))
+        .select(
+            F.lit("dsir").alias("path"), "lang", "doc_id", "lw", "key"
+        )
+    )
+    return temp.unionByName(dsir)

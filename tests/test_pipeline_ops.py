@@ -243,3 +243,129 @@ def test_chunk_documents_sliding_window(spark):
         chunk_documents(docs, 8, 9)
     with _pt.raises(ValueError, match=">= 1"):
         chunk_documents(docs, 0, 1)
+
+
+# ---- DSIR importance resampling (round 14) --------------------------
+
+
+def test_log2_fp_three_way_twin(spark):
+    """The fixed-point log2 must be BIT-IDENTICAL across its three
+    implementations — Spark Column (log2_fp), Python (log2_fp_py,
+    folds the bucket table into a literal), and DuckDB SQL
+    (dsir_log2fp_sql, the oracle) — over the full int64 range the
+    pipeline feeds it, or the DSIR weights silently diverge between
+    engine and oracle. Also pins accuracy: within 2/1024 of the real
+    log2."""
+    import math
+    import random
+
+    import duckdb
+
+    rng = random.Random(14)
+    vals = (
+        [1, 2, 3, 4, 1023, 1024, 1025, 2**31 - 1, 2**31, 2**62 - 1]
+        + [rng.randrange(1, 2**62) for _ in range(200)]
+        + [rng.randrange(1, 2**20) for _ in range(200)]
+    )
+    py = {v: P.log2_fp_py(v) for v in vals}
+    got_spark = {
+        r.v: r.l
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", P.log2_fp(F.col("v")).alias("l"))
+        .collect()
+    }
+    assert got_spark == py
+    con = duckdb.connect()
+    sql = (
+        f"SELECT v, {P.dsir_log2fp_sql('v')} AS l "
+        f"FROM (SELECT unnest({vals}) AS v)"
+    )
+    got_duck = dict(con.execute(sql).fetchall())
+    assert got_duck == py
+    for v in vals:
+        assert abs(py[v] / 1024 - math.log2(v)) < 2 / 1024, v
+
+
+def _dsir_py_model(corpus, target, k, n_buckets, noise_bits, seed):
+    """Plain-Python DSIR twin: same grams, same md5 bucket hash, same
+    smoothing, same integer exponential race."""
+    import hashlib
+
+    def grams(text):
+        t = text.strip().split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+
+    ct: dict[int, int] = {}
+    for _i, txt in target:
+        for g in grams(txt):
+            b = bucket(g)
+            ct[b] = ct.get(b, 0) + 1
+    cs: dict[int, int] = {}
+    for _i, txt in corpus:
+        for g in grams(txt):
+            b = bucket(g)
+            cs[b] = cs.get(b, 0) + 1
+    lf = P.log2_fp_py
+    t_tot, s_tot = sum(ct.values()), sum(cs.values())
+    lrt = [
+        lf(ct.get(i, 0) + 1) - lf(t_tot + n_buckets)
+        - lf(cs.get(i, 0) + 1) + lf(s_tot + n_buckets)
+        for i in range(n_buckets)
+    ]
+    out = []
+    for i, txt in corpus:
+        lw = sum(lrt[bucket(g)] for g in grams(txt))
+        h = (
+            int(
+                hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16
+            ) % (1 << noise_bits)
+        )
+        v = noise_bits * 1024 - lf(h + 1)
+        out.append((lf(v + 1) - lw, i, lw))
+    out.sort()
+    return [(i, lw, key) for key, i, lw in out[:k]]
+
+
+def test_dsir_matches_python_model_and_prefers_target_like(spark):
+    """Differential pin beyond the SQL oracle: the WHOLE operator —
+    gram hashing, smoothed fixed-point ratios, noise race, top-k —
+    equals a from-scratch Python model on a planted corpus; and the
+    selection behaves like DSIR should: docs sharing the target
+    domain's vocabulary carry higher lw and dominate the resample."""
+    tgt_vocab = "protein fold enzyme helix ribosome binding".split()
+    raw_vocab = "cheap viagra click winner lottery prize".split()
+
+    def doc(i, vocab):
+        w = [vocab[(i * 7 + j) % len(vocab)] for j in range(12)]
+        return (i, " ".join(w))
+
+    target = [doc(1000 + i, tgt_vocab) for i in range(8)]
+    sci = [doc(i, tgt_vocab) for i in range(0, 30)]
+    spam = [doc(i, raw_vocab) for i in range(30, 60)]
+    corpus = sci + spam
+    kw = dict(k=20, n_buckets=64, noise_bits=20, seed=29)
+    got = sorted(
+        (r.id, r.lw, r.key)
+        for r in P.dsir_importance_resample(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(target, "doc_id long, text string"),
+            "doc_id", "text", **kw,
+        ).collect()
+    )
+    want = sorted(_dsir_py_model(corpus, target, **kw))
+    assert got == want
+    # the model's lw separates domains: every sci doc outweighs every
+    # spam doc, and the importance resample keeps mostly sci
+    lws = {i: lw for i, lw in (
+        (r[0], r[1]) for r in got
+    )}
+    sci_sel = [i for i, _, _ in got if i < 30]
+    spam_sel = [i for i, _, _ in got if i >= 30]
+    assert len(sci_sel) > len(spam_sel)
+    if sci_sel and spam_sel:
+        assert min(lws[i] for i in sci_sel) > max(
+            lws[i] for i in spam_sel
+        )

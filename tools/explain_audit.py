@@ -278,12 +278,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Expand", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "q43_temperature_mix": (
-        # budget computation is a 1-row bounded broadcast (the BNLJ
-        # cross there is the established 1-row-agg shape); budgets
-        # reach the rank windows through a broadcast hash join — no
-        # range sort, no corpus-sized nested loop
-        ["Window", "hashpartitioning(lang", "BroadcastHashJoin"],
-        ["SortMergeJoin", "rangepartitioning(", "CartesianProduct"],
+        # temperature branch: budget computation is a 1-row bounded
+        # broadcast (the BNLJ cross there is the established 1-row-agg
+        # shape) reaching the rank windows through a broadcast hash
+        # join. dsir branch (round 14): scoring is a pure-JVM per-row
+        # fold against the literal ratio table (no Python stage
+        # anywhere), the selection a TakeOrderedAndProject (top-k,
+        # never a global range sort), and the k-row selection
+        # broadcasts back onto the corpus for lang. Branches meet in
+        # a Union.
+        ["Window", "hashpartitioning(lang", "BroadcastHashJoin",
+         "TakeOrderedAndProject", "Union"],
+        ["SortMergeJoin", "rangepartitioning(", "CartesianProduct",
+         "BatchEvalPython", "MapInPandas"],
     ),
     "q44_incremental_agg": (
         # state merge: partial-aggregated per-side states, ONE

@@ -398,6 +398,21 @@ def main() -> None:
         bench = base_docs_df.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
         P.decontaminate(d, bench).write.format("noop").mode("overwrite").save()
 
+    def run_dsir(k: int) -> None:
+        # DSIR importance resampling (round 14): the TARGET sample
+        # stays fixed (at 100 TB the high-quality target corpus does
+        # not grow with the raw corpus) while the raw side grows k× —
+        # corpus-side work is two map-only gram passes (B-row partial
+        # aggs) + one zero-text-shuffle scoring fold + a top-k, so
+        # the whole resample must read e ≈ 1
+        from kaj_query_engine_spark.operators import pipeline as P
+
+        d = docs(k)
+        tgt = base_docs_df.filter(F.pmod(F.col("doc_id"), F.lit(23)) == 5)
+        P.dsir_importance_resample(
+            d, tgt, "doc_id", "text", k=200
+        ).write.format("noop").mode("overwrite").save()
+
     def run_pack(k: int) -> None:
         from kaj_query_engine_spark.functions import text as TXT
         from kaj_query_engine_spark.operators import pipeline as P
@@ -952,6 +967,7 @@ def main() -> None:
         "ann_lsh_topk": run_ann,
         "decontaminate": run_decontaminate,
         "seq_packing": run_pack,
+        "dsir_resample_fixed_target": run_dsir,
         "ivf_query_materialized": run_ivf,
         "ivf_incr_ingest_fixed_batch": run_ivf_incr,
         "salted_agg_skewed": run_salted_skew,
@@ -995,6 +1011,7 @@ def main() -> None:
         "ann_lsh_topk": vecs,
         "decontaminate": docs,
         "seq_packing": docs,
+        "dsir_resample_fixed_target": docs,
         "ivf_query_materialized": vecs,
         "ivf_incr_ingest_fixed_batch": vecs,
         "salted_agg_skewed": skewed_rows,
