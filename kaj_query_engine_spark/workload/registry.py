@@ -71,79 +71,73 @@ def register(
 # set — an under-maintained hand list FAILS pytest instead of
 # silently starving a changed query of its external check.
 #
-# Round 13 merges the nine media/codec slots into two tagged queries
-# (q90_media_pipeline ⊃ ex-q90/q92/q96; q93_codec_decode ⊃
-# ex-q93/q94/q95/q97/q98/q99 — the q57 pattern), dropping the
-# registry 88 → 81 and the permanent stale tail 38 → 29, so the
-# changed budget loosens from 12 to ~19 every round from here on.
-# This round's pins: the two merged queries (new names, never
-# driver-checked); the whole streaming module (its module-level
-# residue changed when q96 moved out — derive_fine pins q80–q87, and
-# q89 rides the VersionedTable edit); q12 (new 'assigned'/'capped'
-# oracle branches driving the deployment knobs); q19/q33 (versioned
-# table: vacuum tmp-manifest GC + suggest_rebucket advisory).
+# Round 14 pins (derive_fine-verified): q12 (bench serves base/assigned
+# from ONE shared persisted assignment; singleton-packing range guard),
+# q19/q33 (VersionedTable: maintain() advisory->action loop, max-based
+# suggest_rebucket, commit-link FileNotFoundError race), q43 (new
+# 'dsir' tagged branch: DSIR importance resampling), and the
+# streaming/versioned riders q85-q87, q89.
 _CHANGED_THIS_ROUND = [
-    "q90_media_pipeline",  # merged ex-q90/q92/q96 (frames/features/stream)
-    "q93_codec_decode",  # merged ex-q93/94/95/97/98/99 (six codecs)
-    "q12_semantic_dedup",  # 'assigned'/'capped' deployment-knob branches
-    "q19_bucket_evolution",  # vacuum tmp GC + suggest_rebucket advisory
+    "q12_semantic_dedup",  # single-Lloyd trim + id-range guard
+    "q19_bucket_evolution",  # maintain() + max-based advisory
     "q33_table_time_travel",  # VersionedTable maintenance additions
-    "q85_stream_merge",  # streaming module residue (q96 moved out)
+    "q43_temperature_mix",  # + 'dsir' importance-resampling branch
+    "q85_stream_merge",  # VersionedTable edit riders
     "q86_stream_scd2",
     "q87_stream_agg_state",
-    "q89_stream_join_view",  # + VersionedTable edit
+    "q89_stream_join_view",
+]
+
+# Stalest-first (RULE 2): every live query whose last driver row is
+# round 12 (outside round 13's 50-window) — 30 names after q43 moved
+# up into the changed pins. 8 + 30 = 38; the remaining 12 window
+# slots fall to the next-stalest tier (r13-checked veterans, current
+# registration order), so the window stays a full 50.
+_STALEST = [
+    "q16_cross_join",
+    "q17_window_funcs",
+    "q40_text_stats",
+    "q46_profile_topk",
+    "q41_bpe_tokenizer",
+    "q50_dedup_exact",
+    "q51_minhash_lsh",
+    "q52_ngram_jaccard",
+    "q54_dedup_clusters",
+    "q53_simhash",
+    "q64_pagerank",
+    "q68_span_dedup",
+    "q69_span_decontaminate",
+    "q63_ann_ivf",
+    "q70_windows",
+    "q72_sessionize",
+    "q73_asof_join",
+    "q74_range_join",
+    "q77_rolling_window",
+    "q76_json_props",
+    "q75_time_rollup",
+    "q78_funnel",
+    "q79_retention_cohorts",
+    "q45_sketch_aggregates",
+    "q39_partitioned_merge",
+    "q47_training_mix",
+    "q48_decontaminate",
+    "q49_doc_chunks",
+    "q42_group_sample",
+    "q18_shortest_paths",
+    # ---- next-stalest tier: r13-checked veterans filling the twelve
+    # ---- free slots (all equally 1-round-stale; registration order)
+    "q90_media_pipeline",
+    "q93_codec_decode",
     "q80_stream_windows",
     "q81_stream_late_data",
     "q82_stream_dedup",
     "q83_stream_stateful_totals",
     "q84_stream_stream_join",
-]
-
-# Stalest-first (RULE 2): every query whose last driver row is round
-# 11 (outside round 12's 50-window) and that still exists after the
-# merge — 29 names. 14 pinned + 29 here = 43; the remaining 7 window
-# slots fall to the next-stalest tier (r12-checked veterans, appended
-# below the tail), so the window stays a full 50 and seven veterans
-# get a bonus re-check.
-_STALEST = [
     "q20_set_ops",
     "q23_limit_topk",
     "q24_scalar_string_math",
     "q25_date_case",
     "q27_grouped_analytics",
-    "q29_pivot",
-    "q30_count_distinct",
-    "q00_flagship_revenue",
-    "q21_html_extract",
-    "q60_ann_brute_force",
-    "q61_ann_lsh",
-    "q62_embedding_neardup",
-    "q65_hybrid_retrieval",
-    "q91_kmeans_int",
-    "q55_merge_upsert",
-    "q66_merge_evolve",
-    "q57_scd2_incremental",
-    "q58_constraint_audit",
-    "q59_pit_join",
-    "q44_incremental_agg",
-    "q88_incremental_distinct",
-    "q67_incremental_join",
-    "q32_format_roundtrips",
-    "q34_text_etl_sink",
-    "q35_partition_pruning",
-    "q36_bucketed_join",
-    "q37_salted_agg",
-    "q38_percentiles",
-    "q71_bfs_reach",
-    # ---- next-stalest tier: r12-checked veterans filling the seven
-    # ---- free slots (all equally 1-round-stale; registration order)
-    "q01_scan",
-    "q02_select_distinct_orderby",
-    "q03_agg_witness",
-    "q07_join4",
-    "q10_theta_join",
-    "q11_groupby_having",
-    "q13_join_variants",
 ]
 
 _VERIFY_PRIORITY = _CHANGED_THIS_ROUND + [
