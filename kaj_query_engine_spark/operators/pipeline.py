@@ -251,6 +251,8 @@ def build_training_corpus(
     num_shards: int = 8,
     max_records_per_file: int = 100_000,
     jaccard_threshold: float = 0.4,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """The whole corpus-construction pipeline, composed end-to-end
     from the individually-tested operators — raw documents in,
@@ -264,9 +266,15 @@ def build_training_corpus(
        keep each cluster's min-id representative;
     4. **decontamination** — drop docs sharing n-grams with the
        benchmark set (skipped when ``benchmarks`` is None);
-    5. **pack** — concat-and-chunk into ``max_tokens`` windows per
+    5. **domain matching** (round 14, skipped unless both
+       ``dsir_target`` and ``dsir_k`` are given) —
+       :func:`dsir_importance_resample` keeps the ``dsir_k`` docs
+       whose hashed-n-gram profile importance-matches the target
+       corpus (after dedup/decontamination, before packing — the
+       DSIR paper's placement: select from the cleaned pool);
+    6. **pack** — concat-and-chunk into ``max_tokens`` windows per
        id-hash shard;
-    6. **export** — size-capped parquet shards + read-back manifest.
+    7. **export** — size-capped parquet shards + read-back manifest.
 
     Every stage is the shuffle-minimal operator documented in its own
     module; this function adds NO new distributed logic — it exists so
@@ -336,6 +344,14 @@ def build_training_corpus(
     else:
         clean = neared
     clean = stage("decontaminated", clean)
+
+    if dsir_target is not None and dsir_k is not None:
+        picked = dsir_importance_resample(
+            clean, dsir_target, id_col, text_col, k=dsir_k
+        ).select(F.col("id").alias(id_col))
+        clean = stage(
+            "dsir_matched", clean.join(F.broadcast(picked), id_col, "semi")
+        )
 
     # text RIDES THROUGH packing (pack_sequences only adds shard/
     # offset/chunk metadata columns) — the exported shards must hold

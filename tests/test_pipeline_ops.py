@@ -369,3 +369,64 @@ def test_dsir_matches_python_model_and_prefers_target_like(spark):
         assert min(lws[i] for i in sci_sel) > max(
             lws[i] for i in spam_sel
         )
+
+
+def test_build_training_corpus_dsir_stage(spark, tmp_path):
+    """Round 14: the optional domain-matching stage — DSIR importance
+    resampling slots between decontamination and packing (the paper's
+    placement: select from the cleaned pool). The funnel records it,
+    exactly dsir_k docs survive it, and the selection equals running
+    the operator standalone on the decontaminated survivors."""
+    from kaj_query_engine_spark.operators.pipeline import (
+        build_training_corpus,
+        dsir_importance_resample,
+    )
+
+    # docs must PASS the Gopher gate (>=50 words, >=2 stopwords, mean
+    # word length 3-10) and must NOT near-dup each other (per-doc
+    # unique tokens keep pairwise Jaccard ~ 0), while the two domains
+    # stay separable by their shared vocabulary
+    def mk(i, vocab):
+        w = []
+        for j in range(30):
+            w.append(vocab[(i * 5 + j) % len(vocab)])
+            w.append("the" if j % 3 == 0 else f"item{i}word{j}")
+        return (i, " ".join(w))
+
+    sci = "protein fold enzyme helix ribosome binding substrate".split()
+    junk = "winner lottery click prize casino jackpot offer".split()
+    docs = spark.createDataFrame(
+        [mk(i, sci) for i in range(10)]
+        + [mk(i, junk) for i in range(10, 20)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [mk(100 + i, sci) for i in range(4)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus")
+    manifest, funnel = build_training_corpus(
+        docs, "doc_id", "text", out,
+        max_tokens=64, num_shards=2, max_records_per_file=50,
+        dsir_target=target, dsir_k=6,
+    )
+    stages = dict(funnel)
+    assert stages["dsir_matched"] == 6
+    assert stages["packed_chunks"] >= 6  # 60-token docs split at 64
+    # the composed stage == the standalone operator on the same pool
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").distinct().collect()
+    }
+    pool = docs  # every doc passes gate/dedup/decon here by design
+    assert stages["decontaminated"] == 20
+    want = {
+        r.id
+        for r in dsir_importance_resample(
+            pool, target, "doc_id", "text", k=6
+        ).collect()
+    }
+    assert survivors == want
+    # and the target-domain docs dominate the matched mix
+    assert sum(1 for i in survivors if i < 10) > sum(
+        1 for i in survivors if i >= 10
+    )
