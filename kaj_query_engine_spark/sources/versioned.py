@@ -1774,6 +1774,7 @@ class VersionedTable:
         max_files_per_bucket: int = 8,
         step_buckets: int = 1,
         max_steps: int | None = None,
+        compact_target_files: int | None = None,
         vacuum_keep_last: int | None = None,
     ) -> dict:
         """The advisory→action maintenance loop in one resumable call
@@ -1791,17 +1792,22 @@ class VersionedTable:
            spent — an operator schedules this with a small budget and
            the loop resumes where it left off next call, crash-safe
            because every step is one atomic commit;
-        3. optionally :meth:`vacuum` (``vacuum_keep_last``) to retire
+        3. optionally :meth:`compact` (``compact_target_files``) ONCE
+           the migration is fully done — compaction is a full rewrite,
+           so it only runs when no old-spec file remains and the
+           small-files debt the migration's chunked commits left
+           behind is worth one snapshot commit;
+        4. optionally :meth:`vacuum` (``vacuum_keep_last``) to retire
            pre-migration versions and their superseded data/shards.
 
         Single-writer, like every maintenance op. Returns a summary:
         ``{"suggested", "started", "steps", "migration_pending",
-        "vacuumed"}`` — ``migration_pending`` is the remaining
-        old-spec file count (0 = fully migrated), so a cron caller
-        can log progress without re-deriving it."""
+        "compacted", "vacuumed"}`` — ``migration_pending`` is the
+        remaining old-spec file count (0 = fully migrated), so a cron
+        caller can log progress without re-deriving it."""
         out: dict = {
             "suggested": None, "started": None, "steps": 0,
-            "migration_pending": 0, "vacuumed": [],
+            "migration_pending": 0, "compacted": None, "vacuumed": [],
         }
         if self.migration() is None:
             sug = self.suggest_rebucket(
@@ -1817,6 +1823,10 @@ class VersionedTable:
             out["steps"] += 1
         mig = self.migration()
         out["migration_pending"] = mig["pending_files"] if mig else 0
+        if compact_target_files is not None and mig is None:
+            out["compacted"] = self.compact(
+                spark, target_files=compact_target_files
+            )
         if vacuum_keep_last is not None:
             out["vacuumed"] = self.vacuum(keep_last=vacuum_keep_last)
         return out

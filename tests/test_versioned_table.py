@@ -2304,5 +2304,15 @@ def test_maintain_closes_advisory_loop(spark, tmp_path):
     r3 = tbl.maintain(spark, max_files_per_bucket=3)
     assert r3 == {
         "suggested": None, "started": None, "steps": 0,
-        "migration_pending": 0, "vacuumed": [],
+        "migration_pending": 0, "compacted": None, "vacuumed": [],
     }
+    # optional compact step: runs ONLY once no migration is pending
+    # (a full rewrite; checked here post-migration), restores file
+    # sizes the chunked migration commits fragmented, and the table
+    # still reads back identically
+    r4 = tbl.maintain(
+        spark, max_files_per_bucket=3, compact_target_files=1
+    )
+    assert r4["compacted"] is not None and r4["steps"] == 0
+    got2 = sorted((r.k, r.v) for r in tbl.read(spark).collect())
+    assert got2 == sorted(rows)
