@@ -627,6 +627,41 @@ def _gram_bucket(g: Column, n_buckets: int) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def dsir_bucket_counts(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 256
+) -> dict[int, int]:
+    """One side's DSIR model: hashed-gram occurrence counts per
+    bucket — a map-only explode into a B-row partial agg, pulled to
+    the driver (B longs, bounded). This is the build-once artifact a
+    deployment persists beside the corpus and maintains with
+    :func:`dsir_merge_counts` as batches land."""
+    g = gram_arrays(df, id_col, text_col).select(
+        F.explode("grams").alias("g")
+    )
+    b = _gram_bucket(F.col("g"), n_buckets)
+    return {
+        r.b: r.n
+        for r in g.groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def dsir_merge_counts(*counts: dict[int, int]) -> dict[int, int]:
+    """Fold incremental batch counts into a model — counts are
+    ALGEBRAIC, so merged == rebuilt-from-scratch exactly (the
+    merge==rebuild law every index here pins: band index, fp index,
+    IVF, BPE piece table). Removal (right-to-erasure) is the same
+    fold with negated batch counts; buckets never go negative on
+    honest feeds and a zero bucket is dropped to keep the dict
+    sparse."""
+    out: dict[int, int] = {}
+    for c in counts:
+        for b, n in c.items():
+            out[b] = out.get(b, 0) + n
+    return {b: n for b, n in out.items() if n != 0}
+
+
 def dsir_importance_resample(
     corpus: DataFrame,
     target: DataFrame,
@@ -637,6 +672,8 @@ def dsir_importance_resample(
     n_buckets: int = 256,
     noise_bits: int = 20,
     seed: int = 29,
+    target_counts: dict[int, int] | None = None,
+    corpus_counts: dict[int, int] | None = None,
 ) -> DataFrame:
     """Select ``k`` docs from ``corpus`` whose hashed-n-gram profile
     matches ``target``, by DSIR importance resampling (Xie et al.
@@ -650,28 +687,33 @@ def dsir_importance_resample(
     LITERAL array on the driver (bounded pull, q48-bitset precedent);
     scoring is then a map-only per-row fold over each doc's grams and
     the selection one TakeOrderedAndProject — no shuffle ever carries
-    text. Ties on key break by id: fully deterministic."""
+    text. Ties on key break by id: fully deterministic.
+
+    **100 TB amortization knobs** (the semantic_dedup ``assigned=``
+    pattern): bucket-count models are tiny (B longs), ALGEBRAIC
+    (counts sum), and independent of ``k``/``seed`` — a deployment
+    builds them once beside the corpus, maintains them incrementally
+    as batches land (:func:`dsir_bucket_counts` /
+    :func:`dsir_merge_counts`: merged == rebuilt exactly, pinned),
+    and INJECTS them via ``target_counts``/``corpus_counts`` so a
+    resample run is scoring + top-k only — zero count passes. When
+    injecting ``corpus_counts``, they must describe the FULL corpus
+    the ``corpus`` frame presents (the smoothed q-model denominator
+    is the count total)."""
     if k < 1 or n_buckets < 2:
         raise ValueError("k >= 1 and n_buckets >= 2 required")
-    tg = gram_arrays(target, id_col, text_col).select(
-        F.explode("grams").alias("g")
+    ct = (
+        target_counts
+        if target_counts is not None
+        else dsir_bucket_counts(target, id_col, text_col, n_buckets)
     )
-    sg = gram_arrays(corpus, id_col, text_col).select(
-        F.explode("grams").alias("g")
+    cs = (
+        corpus_counts
+        if corpus_counts is not None
+        else dsir_bucket_counts(corpus, id_col, text_col, n_buckets)
     )
-    b = _gram_bucket(F.col("g"), n_buckets)
-    ct = {
-        r.b: r.n
-        for r in tg.groupBy(b.alias("b")).agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-    }
-    cs = {
-        r.b: r.n
-        for r in sg.groupBy(b.alias("b")).agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-    }
+    if any(b < 0 or b >= n_buckets for b in (*ct, *cs)):
+        raise ValueError("injected counts hold an out-of-range bucket")
     t_tot, s_tot = sum(ct.values()), sum(cs.values())
     lf_t, lf_s = log2_fp_py(t_tot + n_buckets), log2_fp_py(s_tot + n_buckets)
     lrt = [

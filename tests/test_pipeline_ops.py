@@ -430,3 +430,71 @@ def test_build_training_corpus_dsir_stage(spark, tmp_path):
     assert sum(1 for i in survivors if i < 10) > sum(
         1 for i in survivors if i >= 10
     )
+
+
+def test_dsir_injected_counts_and_merge_rebuild_law(spark):
+    """The DSIR amortization knobs (round 14): (a) bucket-count models
+    built incrementally over batches and merged with dsir_merge_counts
+    equal the from-scratch build EXACTLY (the merge==rebuild law);
+    (b) injecting the models via target_counts/corpus_counts
+    reproduces the self-counting run bit-for-bit (so a deployment's
+    maintained counts serve resamples with zero count passes); (c)
+    negated-batch removal reverses an ingest exactly."""
+    from kaj_query_engine_spark.operators.pipeline import (
+        dsir_bucket_counts,
+        dsir_importance_resample,
+        dsir_merge_counts,
+    )
+
+    def mk(i, vocab):
+        w = []
+        for j in range(20):
+            w.append(vocab[(i * 5 + j) % len(vocab)])
+            w.append("the" if j % 3 == 0 else f"item{i}word{j}")
+        return (i, " ".join(w))
+
+    sci = "protein fold enzyme helix ribosome binding".split()
+    junk = "winner lottery click prize casino jackpot".split()
+    rows = [mk(i, sci) for i in range(12)] + [
+        mk(i, junk) for i in range(12, 24)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [mk(100 + i, sci) for i in range(4)], "doc_id long, text string"
+    )
+    full = dsir_bucket_counts(corpus, "doc_id", "text", 64)
+    # merge==rebuild over an arbitrary batch split
+    b1 = corpus.filter("doc_id < 8")
+    b2 = corpus.filter("doc_id >= 8 AND doc_id < 16")
+    b3 = corpus.filter("doc_id >= 16")
+    parts = [dsir_bucket_counts(b, "doc_id", "text", 64) for b in (b1, b2, b3)]
+    assert dsir_merge_counts(*parts) == full
+    # removal: fold a negated batch back out
+    neg = {b: -n for b, n in parts[2].items()}
+    assert dsir_merge_counts(full, neg) == dsir_merge_counts(
+        parts[0], parts[1]
+    )
+    # injected == self-counting, bit for bit
+    tc = dsir_bucket_counts(target, "doc_id", "text", 64)
+    kw = dict(k=8, n_buckets=64)
+    self_run = sorted(
+        (r.id, r.lw, r.key)
+        for r in dsir_importance_resample(
+            corpus, target, "doc_id", "text", **kw
+        ).collect()
+    )
+    injected = sorted(
+        (r.id, r.lw, r.key)
+        for r in dsir_importance_resample(
+            corpus, target, "doc_id", "text",
+            target_counts=tc, corpus_counts=full, **kw
+        ).collect()
+    )
+    assert injected == self_run
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out-of-range bucket"):
+        dsir_importance_resample(
+            corpus, target, "doc_id", "text",
+            target_counts={64: 1}, corpus_counts=full, **kw
+        )
