@@ -598,23 +598,30 @@ def dsir_log2fp_sql(x: str) -> str:
     return f"({e} * 1024 + {folded} % 2048)"
 
 
-def gram_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, grams): unigrams + word bigrams of the whitespace tokens —
-    the DSIR feature space (the paper hashes unigrams+bigrams).
-    Mirrors the oracle's ``list_concat(t, list_transform(range(1,
-    len(t)), i -> t[i] || ' ' || t[i+1]))``."""
+def _grams_expr(text_col: str) -> Column:
+    """Unigrams + word bigrams of the whitespace tokens — the DSIR
+    feature space (the paper hashes unigrams+bigrams). Mirrors the
+    oracle's ``list_concat(t, list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i+1]))``."""
     toks = F.split(F.trim(F.col(text_col)), " ")
-    big = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(toks)
+    # zip_with over two slices, NOT transform-with-element_at: a
+    # lambda body re-evaluates free expressions per ELEMENT, so
+    # element_at(split(...), i) re-tokenized the doc per bigram —
+    # O(tokens^2) per doc, measured as a flat ~2.5 s floor on every
+    # sf0.1 gram pass; zip_with binds both slice arrays once per row
+    big = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, big)
+
+
+def gram_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, grams) — see :func:`_grams_expr`."""
     return df.select(
-        F.col(id_col).alias("id"), F.concat(toks, big).alias("grams")
+        F.col(id_col).alias("id"), _grams_expr(text_col).alias("grams")
     )
 
 
@@ -627,6 +634,16 @@ def _gram_bucket(g: Column, n_buckets: int) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """ONE deliberate hash exchange before the md5-per-gram compute —
+    the q40/q93 small-input/large-compute pattern: a fixture-sized
+    parquet arrives as a single scan partition, which would serialize
+    the hashing onto one core; at cluster scale the scan is already
+    wide and this exchange is just the one the counts' partial agg
+    pays anyway."""
+    return df.repartition(F.col(id_col))
+
+
 def dsir_bucket_counts(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int = 256
 ) -> dict[int, int]:
@@ -635,8 +652,13 @@ def dsir_bucket_counts(
     the driver (B longs, bounded). This is the build-once artifact a
     deployment persists beside the corpus and maintains with
     :func:`dsir_merge_counts` as batches land."""
-    g = gram_arrays(df, id_col, text_col).select(
-        F.explode("grams").alias("g")
+    # explode the gram EXPRESSION inline: Generate over a projected
+    # array attribute measured ~7x slower than Generate over the
+    # expression (the array round-trips through an UnsafeRow), and
+    # keeping one select keeps the md5 compute in the post-exchange
+    # stage
+    g = _spread(df, id_col).select(
+        F.explode(_grams_expr(text_col)).alias("g")
     )
     b = _gram_bucket(F.col("g"), n_buckets)
     return {
@@ -645,6 +667,35 @@ def dsir_bucket_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+
+
+def dsir_split_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Both DSIR models — (target_counts, corpus_counts) — in ONE
+    corpus pass, for the common shape where the target is a SPLIT of
+    the same frame (``is_target`` a boolean expression over its
+    columns): one explode, one partial agg keyed (side, bucket), one
+    bounded pull. Exactly equal to two :func:`dsir_bucket_counts`
+    calls over the filtered frames, at half the scans (pinned)."""
+    g = _spread(df, id_col).select(
+        is_target.alias("_t"),
+        F.explode(_grams_expr(text_col)).alias("g"),
+    )
+    b = _gram_bucket(F.col("g"), n_buckets)
+    ct: dict[int, int] = {}
+    cs: dict[int, int] = {}
+    for r in (
+        g.groupBy("_t", b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        (ct if r._t else cs)[r.b] = r.n
+    return ct, cs
 
 
 def dsir_merge_counts(*counts: dict[int, int]) -> dict[int, int]:
@@ -723,11 +774,20 @@ def dsir_importance_resample(
         + lf_s
         for i in range(n_buckets)
     ]
-    l_lit = F.array([F.lit(int(v)).cast("long") for v in lrt])
-    scored = gram_arrays(corpus, id_col, text_col).select(
-        "id",
+    # ONE ArrayType Literal node, not F.array of 256 F.lit children:
+    # higher-order lambdas run interpreted, and an interpreted
+    # element_at over a 256-child CreateArray re-evaluates every
+    # child PER GRAM (measured ~3 s of the scoring pass at sf0.1);
+    # a single Literal is one node, one lookup
+    l_lit = F.lit([int(v) for v in lrt]).cast("array<long>")
+    # same deliberate spread before the md5-per-gram scoring fold —
+    # a single-partition fixture scan would serialize it (see _spread);
+    # the fold consumes the gram EXPRESSION inline for the same
+    # no-UnsafeRow-round-trip reason as the counts path
+    scored = _spread(corpus, id_col).select(
+        F.col(id_col).alias("id"),
         F.aggregate(
-            "grams",
+            _grams_expr(text_col),
             F.lit(0).cast("long"),
             lambda acc, g: acc
             + F.element_at(l_lit, (_gram_bucket(g, n_buckets) + 1).cast("int")),

@@ -359,10 +359,19 @@ def q43(spark, sf_dir):
     )
     tgt = d.filter(F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) == _DSIR_REM)
     src = d.filter(F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) != _DSIR_REM)
+    # both models in ONE corpus pass (the target is a split of the
+    # same table), injected — the deployment shape: maintained counts
+    # make a resample scoring + top-k only
+    ct, cs = P.dsir_split_counts(
+        d, "doc_id", "text",
+        F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) == _DSIR_REM,
+        n_buckets=_DSIR_B,
+    )
     sel = P.dsir_importance_resample(
         src, tgt, "doc_id", "text",
         k=_DSIR_K, n_buckets=_DSIR_B,
         noise_bits=_DSIR_NOISE_BITS, seed=_DSIR_SEED,
+        target_counts=ct, corpus_counts=cs,
     )
     dsir = (
         d.select("doc_id", "lang")

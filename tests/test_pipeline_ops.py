@@ -498,3 +498,27 @@ def test_dsir_injected_counts_and_merge_rebuild_law(spark):
             corpus, target, "doc_id", "text",
             target_counts={64: 1}, corpus_counts=full, **kw
         )
+
+
+def test_dsir_split_counts_equals_two_passes(spark):
+    """dsir_split_counts (one tagged pass) == two dsir_bucket_counts
+    over the filtered frames, exactly — the q43 single-scan shape."""
+    from kaj_query_engine_spark.operators.pipeline import (
+        dsir_bucket_counts,
+        dsir_split_counts,
+    )
+
+    rows = [
+        (i, f"alpha beta{i} gamma delta{i % 3} epsilon the zeta{i}")
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ct, cs = dsir_split_counts(
+        d, "doc_id", "text", F.col("doc_id") % 7 == 2, n_buckets=32
+    )
+    assert ct == dsir_bucket_counts(
+        d.filter("doc_id % 7 = 2"), "doc_id", "text", 32
+    )
+    assert cs == dsir_bucket_counts(
+        d.filter("doc_id % 7 <> 2"), "doc_id", "text", 32
+    )
