@@ -815,3 +815,173 @@ def dsir_importance_resample(
         "id", "lw", (log2_fp(v + 1) - F.col("lw")).alias("key")
     )
     return keyed.orderBy("key", "id").limit(k)
+
+
+# ---------------------------------------------------------------------
+# CCNet-style LM perplexity scoring (Wenzek et al. 2020,
+# arXiv:1911.00359 — the published quality filter between rule gates
+# and model classifiers: score every document by a language model
+# trained on a CLEAN split, then keep the low-perplexity head/middle).
+# The LM here is a hashed BIGRAM model — unigram and bigram occurrence
+# counts feature-hashed into B buckets (the DSIR trick applied to LM
+# smoothing), with add-one smoothing P(w_i | w_{i-1}) =
+# (c2[b(w_{i-1} w_i)] + 1) / (c1[b(w_{i-1})] + B) — so
+# -log2 P = log2fp(c1 + B) - log2fp(c2 + 1), exact integer fixed
+# point, and the whole score hash-matches the DuckDB oracle. Hash
+# collisions make it an approximation of a true bigram LM (they can
+# even make a pair's -log2 P locally negative when many distinct
+# bigrams share a bucket); that is the documented trade the fixed
+# B-bucket model buys for a bounded, broadcastable artifact.
+#
+# Scale shape mirrors DSIR: the model is TWO B-long count tables
+# (build once on the clean split, algebraic — dsir_merge_counts
+# maintains them), folded into literal log-arrays on the driver;
+# scoring is a map-only per-row fold — the corpus never shuffles.
+# ---------------------------------------------------------------------
+
+
+def lm_bigram_counts(
+    lm_corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Train the hashed bigram LM: (unigram_counts, bigram_counts)
+    bucket dicts over the clean split, in ONE tagged pass (one
+    explode, one partial agg keyed (kind, bucket), one bounded
+    pull). Counts are algebraic: maintain incrementally with
+    :func:`dsir_merge_counts`, exactly like the DSIR models."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    uni = F.transform(
+        toks, lambda t: F.struct(F.lit("u").alias("k"), t.alias("s"))
+    )
+    big = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(
+            F.lit("b").alias("k"), F.concat_ws(" ", a, b).alias("s")
+        ),
+    )
+    g = _spread(lm_corpus, id_col).select(
+        F.explode(F.concat(uni, big)).alias("e")
+    )
+    cu: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for r in (
+        g.select(
+            F.col("e.k").alias("k"),
+            _gram_bucket(F.col("e.s"), n_buckets).alias("b"),
+        )
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        (cu if r.k == "u" else cb)[r.b] = r.n
+    return cu, cb
+
+
+def lm_bpt_expr(
+    text_col: str,
+    unigram_counts: dict[int, int],
+    bigram_counts: dict[int, int],
+    n_buckets: int = 1024,
+) -> Column:
+    """Per-row LM score: negative log2 likelihood PER TOKEN
+    TRANSITION in 1/1024 units ("milli-bits-per-token"), NULL for
+    docs with fewer than two tokens. The count tables fold into two
+    single-Literal log arrays on the driver (log2fp(c1+B) and
+    log2fp(c2+1) precomputed in Python — the scoring lambda is then
+    two array lookups and a subtraction per pair), so the expression
+    is a map-only JVM fold: no join, no shuffle, composable into any
+    one-scan profile (q40)."""
+    lcu = F.lit(
+        [
+            log2_fp_py(unigram_counts.get(i, 0) + n_buckets)
+            for i in range(n_buckets)
+        ]
+    ).cast("array<long>")
+    lcb = F.lit(
+        [
+            log2_fp_py(bigram_counts.get(i, 0) + 1)
+            for i in range(n_buckets)
+        ]
+    ).cast("array<long>")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.element_at(
+            lcu, (_gram_bucket(a, n_buckets) + 1).cast("int")
+        )
+        - F.element_at(
+            lcb,
+            (
+                _gram_bucket(F.concat_ws(" ", a, b), n_buckets) + 1
+            ).cast("int"),
+        ),
+    )
+    total = F.aggregate(
+        pairs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    # exact integer mean bits-per-transition: floor(total / (n-1)) —
+    # total < 2^40, so the double division is exact-for-floor and
+    # identical in both engines
+    return F.when(
+        n >= 2,
+        F.floor(total.cast("double") / (n - 1).cast("double")).cast(
+            "long"
+        ),
+    )
+
+
+def lm_bpt_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    lm_filter: str,
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB twin of train + score as CTE fragments: returns a
+    fragment (to splice after WITH) whose final CTE ``lmscore`` has
+    (id, lm_bpt) for EVERY row of ``table`` — the model trained on
+    the rows whose ``id`` satisfies ``lm_filter`` (an expression over
+    the column ``id``). Counts are computed in SQL (the oracle cannot
+    receive the driver's dicts); every log2fp argument is staged as a
+    simple column first and multi-referenced CTEs MATERIALIZE."""
+    lf = dsir_log2fp_sql
+    toks = f"string_split(trim({text_col}), ' ')"
+
+    def bucket(expr: str) -> str:
+        return (
+            f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT "
+            f"% {n_buckets})"
+        )
+
+    bu = bucket("t[i]")
+    bb = bucket("t[i] || ' ' || t[i+1]")
+    btok = bucket("tok")
+    return (
+        f"lmt AS (SELECT {id_col} AS id, {toks} AS t FROM {table}), "
+        # one row per token TRANSITION, for every doc
+        f"lmp AS MATERIALIZED (SELECT id, {bu} AS bu, {bb} AS bb "
+        "FROM lmt, unnest(range(1, len(t))) AS u(i)), "
+        # unigram model: EVERY token of the LM split (the training
+        # pass counts the last token too, though it starts no
+        # transition — mirror it exactly)
+        f"lmu AS (SELECT {btok} AS b FROM "
+        f"(SELECT id, unnest(t) AS tok FROM lmt) WHERE {lm_filter}), "
+        "lmc1 AS (SELECT b, count(*) AS c FROM lmu GROUP BY 1), "
+        f"lmc2 AS (SELECT bb AS b, count(*) AS c FROM lmp "
+        f"WHERE {lm_filter} GROUP BY 1), "
+        "lmpre AS (SELECT id, "
+        f"COALESCE(u.c, 0) + {n_buckets} AS cu1, "
+        "COALESCE(b2.c, 0) + 1 AS cb1 FROM lmp "
+        "LEFT JOIN lmc1 u ON lmp.bu = u.b "
+        "LEFT JOIN lmc2 b2 ON lmp.bb = b2.b), "
+        f"lmnl AS (SELECT id, {lf('cu1')} - {lf('cb1')} AS nl "
+        "FROM lmpre), "
+        "lmscore AS (SELECT id, CAST(FLOOR(CAST(sum(nl) AS DOUBLE) / "
+        "count(*)) AS BIGINT) AS lm_bpt FROM lmnl GROUP BY 1)"
+    )

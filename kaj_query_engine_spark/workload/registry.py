@@ -82,6 +82,10 @@ _CHANGED_THIS_ROUND = [
     "q19_bucket_evolution",  # maintain() + max-based advisory
     "q33_table_time_travel",  # VersionedTable maintenance additions
     "q43_temperature_mix",  # + 'dsir' importance-resampling branch
+    "q40_text_stats",  # + CCNet LM perplexity columns (lm_bpt/ppl_keep)
+    "q21_html_extract",  # workload.text module residue riders
+    "q41_bpe_tokenizer",
+    "q46_profile_topk",
     "q85_stream_merge",  # VersionedTable edit riders
     "q86_stream_scd2",
     "q87_stream_agg_state",

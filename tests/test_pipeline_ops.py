@@ -522,3 +522,75 @@ def test_dsir_split_counts_equals_two_passes(spark):
     assert cs == dsir_bucket_counts(
         d.filter("doc_id % 7 <> 2"), "doc_id", "text", 32
     )
+
+
+def test_lm_bpt_matches_python_model(spark):
+    """CCNet LM scoring differential (round 14): the hashed bigram
+    LM — train counts, add-one smoothing, fixed-point -log2 P per
+    transition, floor-mean bits-per-token — equals a from-scratch
+    Python model exactly; short docs (< 2 tokens) score NULL; and
+    the score separates in-domain from out-of-domain text (docs made
+    of the LM's vocabulary score strictly lower than alien docs)."""
+    import hashlib
+
+    from kaj_query_engine_spark.operators.pipeline import (
+        lm_bigram_counts,
+        lm_bpt_expr,
+        log2_fp_py,
+    )
+
+    B = 64
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def model(lm_rows, score_rows):
+        cu, cb = {}, {}
+        for _i, txt in lm_rows:
+            t = txt.strip().split(" ")
+            for w in t:
+                cu[bucket(w)] = cu.get(bucket(w), 0) + 1
+            for a, b in zip(t, t[1:]):
+                k = bucket(f"{a} {b}")
+                cb[k] = cb.get(k, 0) + 1
+        out = {}
+        for i, txt in score_rows:
+            t = txt.strip().split(" ")
+            if len(t) < 2:
+                out[i] = None
+                continue
+            tot = sum(
+                log2_fp_py(cu.get(bucket(a), 0) + B)
+                - log2_fp_py(cb.get(bucket(f"{a} {b}"), 0) + 1)
+                for a, b in zip(t, t[1:])
+            )
+            out[i] = int(tot // (len(t) - 1))
+        return out
+
+    lm_rows = [
+        (100 + i, "the quick brown fox jumps over the lazy dog again")
+        for i in range(3)
+    ] + [(200, "the quick dog jumps over the brown fox once more")]
+    score_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "zxq wvu tsr qpo nml kji hgf edc"),
+        (3, "single"),
+        (4, "the quick brown fox"),
+    ]
+    cu, cb = lm_bigram_counts(
+        spark.createDataFrame(lm_rows, "doc_id long, text string"),
+        "doc_id", "text", B,
+    )
+    got = {
+        r.doc_id: r.bpt
+        for r in spark.createDataFrame(
+            score_rows, "doc_id long, text string"
+        )
+        .select("doc_id", lm_bpt_expr("text", cu, cb, B).alias("bpt"))
+        .collect()
+    }
+    want = model(lm_rows, score_rows)
+    assert got == want
+    assert got[3] is None
+    # in-domain text scores strictly fewer bits than alien text
+    assert got[1] < got[2] and got[4] < got[2]
