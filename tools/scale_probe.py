@@ -1064,6 +1064,10 @@ def main() -> None:
         # out — same reasoning as the lifecycle probes
         "semantic_dedup_fixed_cluster_size": LIFECYCLE_SCALES,
         "semantic_dedup_skewed_cluster_capped": LIFECYCLE_SCALES,
+        # map-only + fixed-k top-k: 1-16x is overhead-dominated
+        # (e=0.48 read there); the 64x bracket shows the honest
+        # linear term, same reasoning as the codec/lifecycle probes
+        "dsir_resample_fixed_target": LIFECYCLE_SCALES,
     }
     for name, fn in ops.items():
         if op_filter and op_filter not in name:
