@@ -195,7 +195,7 @@ class VersionedTableMachine(RuleBasedStateMachine):
 
         ops = data.draw(
             st.lists(
-                st.sampled_from(["append", "step", "start"]),
+                st.sampled_from(["append", "step", "start", "keyed"]),
                 min_size=2, max_size=3,
             ),
             label="race_ops",
@@ -209,6 +209,22 @@ class VersionedTableMachine(RuleBasedStateMachine):
             {k: f"t{self.op}-{k}" for k in self._fresh_keys(3)}
             for _ in ops
         ]
+        # keyed racers: touched keys drawn from the PRE-race state
+        # (plus one fresh insert); keyed-commit semantics are
+        # state-independent — delete touched, insert repl — so the
+        # fold below is correct at whatever version the racer lands
+        cur_keys = sorted(self.current) or [0]
+        keyed_args = []
+        for i in range(len(ops)):
+            touched = data.draw(
+                st.lists(st.sampled_from(cur_keys), min_size=1,
+                         max_size=3, unique=True),
+                label=f"race_touched_{i}",
+            )
+            fresh = self._fresh_keys(1)[0]
+            repl = {k: f"kr{self.op}-{i}-{k}" for k in touched[:2]}
+            repl[fresh] = f"kr{self.op}-{i}-new"
+            keyed_args.append((sorted(set(touched) | {fresh}), repl))
         self.op += 1
         before = max(self.snapshots)
         results: list = [None] * len(ops)
@@ -220,6 +236,15 @@ class VersionedTableMachine(RuleBasedStateMachine):
                 if op == "append":
                     v = self.tbl.commit_append(self._df(deltas[i]))
                     results[i] = ("append", v, deltas[i])
+                elif op == "keyed":
+                    touched, repl = keyed_args[i]
+                    v = self.tbl.commit_keyed(
+                        self._df(repl),
+                        self.spark.createDataFrame(
+                            [(k,) for k in touched], "k long"
+                        ),
+                    )
+                    results[i] = ("keyed", v, (touched, repl))
                 elif op == "step":
                     v = self.tbl.rebucket_step(self.spark, max_buckets=1)
                     results[i] = ("step", v, None)  # None v = no-op
@@ -251,11 +276,11 @@ class VersionedTableMachine(RuleBasedStateMachine):
         # version (indistinguishable, but changeless either way)
         hard = {
             r[1]: r for r in results
-            if r[0] in ("append", "step") and r[1] is not None
+            if r[0] in ("append", "step", "keyed") and r[1] is not None
         }
         assert len(hard) == sum(
             1 for r in results
-            if r[0] in ("append", "step") and r[1] is not None
+            if r[0] in ("append", "step", "keyed") and r[1] is not None
         ), f"two data-writing winners claimed one version: {results}"
         start_vs = {
             r[1] for r in results if r[0] == "start" and r[1] is not None
@@ -269,11 +294,17 @@ class VersionedTableMachine(RuleBasedStateMachine):
         assert set(hard) <= set(new_versions), results
         for v in new_versions:
             r = hard.get(v)
-            snap = (
-                {**self.current, **r[2]}
-                if r is not None and r[0] == "append"
-                else self.current
-            )
+            if r is not None and r[0] == "append":
+                snap = {**self.current, **r[2]}
+            elif r is not None and r[0] == "keyed":
+                touched, repl = r[2]
+                snap = {
+                    k: x for k, x in self.current.items()
+                    if k not in touched
+                }
+                snap.update(repl)
+            else:
+                snap = self.current
             self._record(v, snap)
 
     @rule()
