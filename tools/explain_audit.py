@@ -277,6 +277,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
          "BroadcastHashJoin"],
         ["Expand", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "q40_text_stats": (
+        # one-scan per-doc profile + the round-14 CCNet LM columns:
+        # the deliberate spread exchange (small-input/large-compute),
+        # pure-JVM lambda folds (no Python stage), and the
+        # data-relative perplexity cut as a 1-row bounded broadcast
+        # (the established 1-row-agg BNLJ shape). Never a range sort,
+        # never a corpus-sized join
+        ["hashpartitioning(doc_id", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "rangepartitioning(", "CartesianProduct",
+         "MapInPandas", "BatchEvalPython"],
+    ),
     "q43_temperature_mix": (
         # temperature branch: budget computation is a 1-row bounded
         # broadcast (the BNLJ cross there is the established 1-row-agg
