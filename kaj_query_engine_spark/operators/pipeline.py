@@ -635,12 +635,17 @@ def _gram_bucket(g: Column, n_buckets: int) -> Column:
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """ONE deliberate hash exchange before the md5-per-gram compute —
-    the q40/q93 small-input/large-compute pattern: a fixture-sized
-    parquet arrives as a single scan partition, which would serialize
-    the hashing onto one core; at cluster scale the scan is already
-    wide and this exchange is just the one the counts' partial agg
-    pays anyway."""
+    """Deliberate hash exchange before the md5-per-gram compute — the
+    q40/q93 small-input/large-compute pattern: a fixture-sized parquet
+    arrives as a SINGLE scan partition, which would serialize the
+    hashing onto one core. CONDITIONAL (round 14): it fires only when
+    the upstream partitioning is narrower than the cluster — at
+    100 TB the scan is already wide and an unconditional repartition
+    would shuffle the corpus text for nothing (results never depend
+    on it: counts and per-row folds are partitioning-invariant)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(F.col(id_col))
 
 
