@@ -160,13 +160,18 @@ def q40(spark, sf_dir):
     # small-input / large-compute shape (same as dedup.shingle_table):
     # the per-row regex+lambda work dwarfs the scan, and a few-MB
     # parquet file arrives as ONE split, serializing all of it on a
-    # single core — spread over cluster parallelism first, floored by
-    # the input file count so a 100 TB corpus is never squeezed DOWN
-    n_parts = max(
-        spark.sparkContext.defaultParallelism, len(d.inputFiles())
-    )
+    # single core — spread over cluster parallelism first. CONDITIONAL
+    # since round 14 (the operators/pipeline._spread rule): when the
+    # scan is already at least cluster-wide — the 100 TB case — the
+    # repartition would shuffle the corpus text for nothing, so it is
+    # skipped; the per-doc profile is partitioning-invariant
+    n_parts = spark.sparkContext.defaultParallelism
     txt = F.col("text")
-    step = d.repartition(n_parts, F.col("doc_id")).select(
+    spread = (
+        d if d.rdd.getNumPartitions() >= n_parts
+        else d.repartition(n_parts, F.col("doc_id"))
+    )
+    step = spread.select(
         "doc_id", "text", TXT.tokens(txt).alias("toks")
     )
     toks = F.col("toks")
