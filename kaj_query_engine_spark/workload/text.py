@@ -162,13 +162,15 @@ def q40(spark, sf_dir):
     # parquet file arrives as ONE split, serializing all of it on a
     # single core — spread over cluster parallelism first. CONDITIONAL
     # since round 14 (the operators/pipeline._spread rule): when the
-    # scan is already at least cluster-wide — the 100 TB case — the
-    # repartition would shuffle the corpus text for nothing, so it is
-    # skipped; the per-doc profile is partitioning-invariant
+    # source file count is already cluster-wide — the 100 TB case —
+    # the repartition would shuffle the corpus text for nothing, so it
+    # is skipped; the per-doc profile is partitioning-invariant.
+    # inputFiles() probes the logical plan only — df.rdd would force
+    # an extra physical-plan compile (see pipeline._spread)
     n_parts = spark.sparkContext.defaultParallelism
     txt = F.col("text")
     spread = (
-        d if d.rdd.getNumPartitions() >= n_parts
+        d if len(d.inputFiles()) >= n_parts
         else d.repartition(n_parts, F.col("doc_id"))
     )
     step = spread.select(
