@@ -20,10 +20,12 @@ reproduce the run bit-for-bit —
   ``//`` reproduces it;
 - an empty cluster keeps its previous centroid.
 
-Scale: per iteration, ONE broadcast of k x dim integer centroids
-against the quantized corpus (map-side distance + argmin), one
-groupBy(id) argmin, and one (j, dim)-grouped partial-aggregated mean —
-no all-pairs anything; driver state is the k x dim centroid table
+Scale: per iteration the k x dim integer centroid table rides into
+the plan as an array literal and the nearest-centroid argmin is
+computed per ROW (transform + array_min over struct(dist, j)) — fully
+map-side, no crossJoin, no groupBy(id), no per-iteration broadcast —
+followed by one (j, dim)-grouped partial-aggregated mean; no
+all-pairs anything; driver state is the k x dim centroid table
 (bounded, the same "centroid-bounded collect" contract as the IVF
 index builder). The quantized corpus is computed once and persisted
 across iterations.
@@ -68,7 +70,6 @@ def kmeans_assign_int(
     oracle-exact iteration bit-for-bit."""
     if iterations < 1:
         raise ValueError("kmeans_assign_int needs iterations >= 1")
-    spark = vecs.sparkSession
     # persisted across the iterations (and still referenced by the
     # returned plan); Spark reclaims the cache with the session — the
     # materialize-then-unpersist discipline is the caller's at scale
@@ -79,22 +80,51 @@ def kmeans_assign_int(
     ]
     best = None
     for _ in range(iterations):
-        cdf = spark.createDataFrame(cents, "j long, c array<bigint>")
-        dist = F.aggregate(
-            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        # MAP-SIDE argmin (round-14 optimization, guide §2.4 "remove
+        # shuffles outright"): the centroids are a driver-held k×dim
+        # list, so the nearest-centroid choice needs no crossJoin +
+        # groupBy(id) — both shuffled k·N rows and cost two AQE query
+        # stages per iteration. Build the centroid table as an array
+        # literal and fold it per ROW: transform((c, j) → struct(dist,
+        # j)) then array_min, whose struct ordering (dist, then j) is
+        # exactly the old min(struct(dist, j)) tie-break — smaller
+        # index wins ties. The literal array is the transform's
+        # COLLECTION argument, evaluated once per row, never a free
+        # expression inside the lambda (the q43 HOF lesson); the
+        # distance arithmetic is the identical zip_with/aggregate
+        # expression, so the assignment is bit-for-bit the old one
+        # (oracle-pinned). createDataFrame/broadcast per iteration
+        # disappear with the join.
+        cs = F.array(
+            *[F.array(*[F.lit(int(v)) for v in c]) for _j, c in cents]
+        )
+        dist_to = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with("q", c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        assigned = (
-            q.crossJoin(F.broadcast(cdf))
-            .select("id", dist.alias("dist"), "j")
-            .groupBy("id")
-            .agg(F.min(F.struct("dist", "j")).alias("m"))
-            .select("id", F.col("m.j").alias("j"))
-        )
+        # aliases inside HOF lambdas are dropped (fields come out
+        # col1/col2) — the positional no-op cast names them explicitly
+        jcol = F.array_min(
+            F.transform(
+                cs,
+                lambda c, i: F.struct(dist_to(c), i.cast("long")),
+            ).cast("array<struct<dist:bigint,j:bigint>>")
+        )["j"]
+        assigned = q.select("id", jcol.alias("j"))
         best = assigned
+        # the centroid update reads (j, q) straight off the same
+        # map-only projection — the old q ⋈ assigned re-join on id
+        # (one more exchange pair per iteration) is gone. The argmin
+        # MUST be a separate select below the posexplode: a generator
+        # evaluates its required child expressions per OUTPUT element,
+        # so folding jcol into the exploding projection re-runs the
+        # whole k×dim argmin dim times per row (measured 8.6 s vs
+        # 1.6 s for this collect at sf0.1) — the same
+        # free-expression-per-element trap as HOF lambdas (PERF.md
+        # round 14), surfacing through Generate instead.
         upd = (
-            q.join(assigned, "id")
+            q.select(jcol.alias("j"), "q")
             .select("j", F.posexplode("q").alias("i", "v"))
             .groupBy("j", "i")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -131,9 +161,11 @@ def kmeans_int(
     csum_df = vecs.sparkSession.createDataFrame(
         [(j, sum(c)) for j, c in cents], "j long, c_sum long"
     )
+    # the assignment frame already carries (id, j) — the old q ⋈ best
+    # re-join on id added an exchange pair for columns the aggregate
+    # never read (round-14, guide §2.4)
     return (
-        q.join(best, "id")
-        .groupBy("j")
+        best.groupBy("j")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("id").alias("id_sum"),

@@ -57,11 +57,18 @@ def pagerank_int(
     taken positionally as (src, dst)."""
     a, b = edges.columns[:2]
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).persist()
-    # distinct key name: deg and e share lineage, and a second join on
-    # the same 'src' attribute is ambiguous to the analyzer
-    deg = (
-        e.groupBy(F.col("src").alias("dsrc"))
-        .agg(F.count(F.lit(1)).alias("d"))
+    # out-degree folded INTO the persisted edge list once (round-14,
+    # guide §2.4): the contribution only needs (src, dst, d), so
+    # carrying d on each edge costs one long column in the cached
+    # frame and removes a ranks ⋈ deg join — one exchange pair and
+    # one AQE query stage — from EVERY iteration. Window partitioned
+    # by src reuses the same shuffle that distributes the edges.
+    from pyspark.sql import Window
+
+    ed = (
+        e.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .persist()
     )
     nodes = (
@@ -76,8 +83,7 @@ def pagerank_int(
     ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
     for it in range(iterations):
         contribs = (
-            ranks.join(deg, ranks.id == deg.dsrc)
-            .join(e, ranks.id == e.src)
+            ranks.join(ed, ranks.id == ed.src)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank div d").alias("c"),
@@ -101,6 +107,6 @@ def pagerank_int(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
-    deg.unpersist()
+    ed.unpersist()
     nodes.unpersist()
     return ranks

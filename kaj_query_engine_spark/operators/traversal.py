@@ -59,11 +59,24 @@ def bfs_hops(
     )
     frontier = visited.select("id")
     for hop in range(1, max_hops + 1):
+        # ONE exchange per hop (round-14, guide §2.4): raw neighbor
+        # candidates (the former .distinct() is subsumed by the
+        # groupBy below, whose map-side partial agg dedups early)
+        # union with the tagged visited set; a single groupBy(id)
+        # tells which candidate ids are NEW (no tagged row) — the
+        # separate distinct exchange + anti-join against visited
+        # disappear, results bit-identical (frontier = candidate ids
+        # minus visited, exactly the anti-join's set).
         frontier = (
             frontier.join(e, frontier.id == e.src)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .select(F.col("dst").alias("id"), F.lit(False).alias("_v"))
+            .unionByName(
+                visited.select("id", F.lit(True).alias("_v"))
+            )
+            .groupBy("id")
+            .agg(F.max("_v").alias("_seen"))
+            .filter(~F.col("_seen"))
+            .select("id")
         )
         visited = visited.unionByName(
             frontier.withColumn("hop", F.lit(hop))
@@ -123,27 +136,35 @@ def sssp_int(
     )
     frontier = dist
     for r in range(1, rounds + 1):
-        cand = (
-            frontier.join(e, frontier.id == e.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-            )
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+        # ONE exchange per round (round-14, guide §2.4): raw
+        # relaxations (no intermediate per-candidate groupBy — the
+        # merge's map-side partial aggregation combines them anyway)
+        # union with the tagged current distances, and a single
+        # groupBy(id) yields BOTH the merged minimum and the previous
+        # distance (min over the tagged rows) — so the improvement
+        # test needs no join against the old table. Replaces the
+        # former union+groupBy(min) PLUS merged⋈old left join (two
+        # more exchanges through an opaque checkpoint partitioning)
+        # with bit-identical results: new dist = min(old ∪ cand),
+        # frontier = ids whose min beats (or has no) old distance.
+        cand = frontier.join(e, frontier.id == e.src).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(False).alias("_o"),
         )
         merged = (
-            dist.unionByName(cand)
+            dist.select("id", "dist", F.lit(True).alias("_o"))
+            .unionByName(cand)
             .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_o"), F.col("dist"))).alias("_old"),
+            )
         )
-        old = dist.select("id", F.col("dist").alias("_old"))
-        frontier = (
-            merged.join(old, "id", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("id", "dist")
-        )
-        dist = merged
+        frontier = merged.filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("id", "dist")
+        dist = merged.select("id", "dist")
         if r % checkpoint_every == 0 or r == rounds:
             dist = dist.localCheckpoint(eager=True)
             # checkpoint the frontier TOO (round-9 review, plan-audit

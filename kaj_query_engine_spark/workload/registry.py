@@ -78,7 +78,7 @@ def register(
 # 'dsir' tagged branch: DSIR importance resampling), and the
 # streaming/versioned riders q85-q87, q89.
 _CHANGED_THIS_ROUND = [
-    "q12_semantic_dedup",  # single-Lloyd trim + id-range guard
+    "q12_semantic_dedup",  # single-Lloyd trim + id-range guard; r14-opt
     "q19_bucket_evolution",  # maintain() + max-based advisory
     "q33_table_time_travel",  # VersionedTable maintenance additions
     "q43_temperature_mix",  # + 'dsir' importance-resampling branch
@@ -90,6 +90,13 @@ _CHANGED_THIS_ROUND = [
     "q86_stream_scd2",
     "q87_stream_agg_state",
     "q89_stream_join_view",
+    # ---- round-14 OPTIMIZATION pins (plan-shape changes, results
+    # ---- oracle-identical; see OPTIMIZATION_r14.md) ----
+    "q91_kmeans_int",  # map-side argmin Lloyd (shared with q12)
+    "q18_shortest_paths",  # one-exchange Bellman-Ford rounds
+    "q71_bfs_reach",  # one-exchange BFS hops
+    "q64_pagerank",  # degree folded into persisted edges
+    "q38_percentiles",  # one array-percentile buffer, not three
 ]
 
 # Stalest-first (RULE 2): every live query whose last driver row is

@@ -238,11 +238,21 @@ def q37(spark, sf_dir):
 )
 def q38(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    # ONE percentile aggregate with the percentage ARRAY instead of
+    # three scalar aggregates (round-14, guide §1.2 per-task work):
+    # each exact-percentile aggregate buffers its own copy of every
+    # value, so the scalar form filled three identical 600k-value
+    # buffers per group — the array form fills one and reads three
+    # order statistics off it. Same Percentile expression, same
+    # interpolation, bit-identical output (measured 2.8 s → 1.4 s
+    # warm at sf0.1).
+    pct = F.percentile("l_extendedprice", F.lit([0.5, 0.9, 0.99]))
+    return l.groupBy("l_returnflag").agg(pct.alias("_ps")).select(
+        "l_returnflag",
         *[
-            F.round(F.percentile("l_extendedprice", p), 6).alias(name)
-            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
-        ]
+            F.round(F.col("_ps")[i], 6).alias(name)
+            for i, name in enumerate(("p50", "p90", "p99"))
+        ],
     )
 
 

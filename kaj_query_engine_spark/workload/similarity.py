@@ -881,8 +881,17 @@ def q12(spark, sf_dir):
     def tag(df, path):
         return df.select(F.lit(path).alias("path"), "*")
 
-    return (
-        tag(base, "base")
-        .unionByName(tag(base, "assigned"))
-        .unionByName(tag(capped, "capped"))
+    # 'base' and 'assigned' are the SAME frame by construction (the
+    # differential is pytest-pinned; the oracle reads one resb CTE for
+    # both tags). Unioning the frame with itself made Spark execute
+    # the whole within-cluster pair join twice — explode the two tags
+    # onto one computation instead (round-14, guide §2.4: don't
+    # compute things you throw away; row order is irrelevant to the
+    # driver's order-insensitive hash)
+    both = base.select(
+        F.explode(F.array(F.lit("base"), F.lit("assigned"))).alias(
+            "path"
+        ),
+        "*",
     )
+    return both.unionByName(tag(capped, "capped"))
