@@ -1098,13 +1098,14 @@ class VersionedTable:
         self, touched_keys: DataFrame, _man: dict | None = None
     ) -> TouchedInfo:
         """Compute the :class:`TouchedInfo` for a touched-key frame.
-        The primary collect is BUCKET-granular — at most ``n_buckets``
-        result rows regardless of delta size — yielding the touched
-        bucket set, the exact distinct-key count (broadcast guard,
-        emptiness) in one job; the hash list for FILE-level pruning is
-        fetched by a second small job only when the key count is under
-        ``_FILE_PRUNE_KEYS`` (past it, a delta touches essentially
-        every file of its buckets, so the list would prune nothing).
+        The primary collect fetches the distinct key HASHES, capped at
+        ``_FILE_PRUNE_KEYS``+1 — in the common small-delta case that
+        single job yields the hash list for file-level pruning, the
+        touched bucket set and the exact key count (broadcast guard,
+        emptiness) at once. Only an over-cap bulk delta (where the
+        hash list would prune nothing anyway — it touches essentially
+        every file of its buckets) pays a second, BUCKET-granular
+        groupBy collect for the exact count and bucket set.
         Callers issuing a read_buckets AND a commit_keyed for the same
         batch compute this once and pass it to both via ``info=``."""
         if not self.is_bucketed:
@@ -1122,20 +1123,31 @@ class VersionedTable:
             )
         nb = self._n_buckets_at(man)
         tk = self._cast_keys(touched_keys.distinct(), schema)
-        per_bucket = (
-            tk.groupBy(self._kb_expr(nb).alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        tb = {r.b for r in per_bucket}
-        n_rows = sum(r.c for r in per_bucket)
-        hashes = None
-        if 0 < n_rows <= _FILE_PRUNE_KEYS:
-            hashes = sorted(
-                r.h for r in tk.select(self._kh_expr().alias("h")).collect()
+        # ONE capped collect serves the common (small-delta) case
+        # (round-14, guide §5 driver round-trips): fetch up to
+        # _FILE_PRUNE_KEYS+1 key hashes and derive buckets/counts
+        # driver-side (Python % == Spark pmod for a positive modulus
+        # on the same xxhash64 longs) — the former per-bucket groupBy
+        # collect PLUS hash-list collect cost two scheduled jobs per
+        # commit. Only an over-cap bulk delta (where the hash list
+        # would prune nothing anyway) pays the exact per-bucket
+        # groupBy as a second job.
+        capped = tk.select(self._kh_expr().alias("h")).limit(
+            _FILE_PRUNE_KEYS + 1
+        ).collect()
+        if len(capped) <= _FILE_PRUNE_KEYS:
+            hashes = sorted(r.h for r in capped)
+            n_rows = len(hashes)
+            tb = {h % nb for h in hashes}
+        else:
+            per_bucket = (
+                tk.groupBy(self._kb_expr(nb).alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
             )
-        elif n_rows == 0:
-            hashes = []
+            tb = {r.b for r in per_bucket}
+            n_rows = sum(r.c for r in per_bucket)
+            hashes = None
         # lazy rebucket in progress: files still on an old spec need
         # their touched-bucket set under THAT spec. Derived driver-side
         # from the collected hashes when available (free — Python's %
@@ -1405,13 +1417,9 @@ class VersionedTable:
             # record this commit's effective I/U/D rows, O(Δ): the
             # pre-images are exactly the touched keys' stored rows
             # (already-read touched buckets + strays), the post-images
-            # the replacement; snapshot_diff nets bit-identical no-ops
-            # away. Written inside the version's data dir, referenced
-            # from the manifest, GC'd with it.
-            from kaj_query_engine_spark.operators.maintenance import (
-                snapshot_diff,
-            )
-
+            # the replacement; bit-identical no-ops net away. Written
+            # inside the version's data dir, referenced from the
+            # manifest, GC'd with it.
             widen = new_data.limit(0)
             tkj = F.broadcast(tk) if small else tk
             pre = (
@@ -1422,18 +1430,73 @@ class VersionedTable:
                 .unionByName(widen, allowMissingColumns=True)
             )
             post = replacement.unionByName(widen, allowMissingColumns=True)
-            changes = snapshot_diff(pre, post, tcols)
-            # update PRE-images ride along as op='U-' (deletes already
-            # carry theirs — snapshot_diff's D is the old row): with
-            # both images recorded, a signed consumer can maintain
-            # algebraic aggregates straight from the feed
-            # (+I +U −U− −D), the Delta CDF
-            # update_preimage/update_postimage contract
-            u_keys = changes.filter(F.col("op") == "U").select(*tcols)
-            pre_u = pre.join(u_keys, on=tcols, how="left_semi").select(
-                F.lit("U-").alias("op"), *changes.columns[1:]
+            # ONE-PASS feed build (round-14, guide §2.4): the former
+            # snapshot_diff full-outer join + U-key semi-join + union
+            # executed the file read and the diff once per reference
+            # (three delta scans, two join exchanges, ~10 AQE jobs per
+            # commit measured at sf0.1). Union the two tagged sides
+            # and a single groupBy on the keys recovers both images
+            # per key; identical rows net away exactly as before, and
+            # the U rows explode into the post-image ('U') AND the
+            # pre-image ('U-') in the same pass — the Delta CDF
+            # update_preimage/update_postimage contract, so a signed
+            # consumer can maintain algebraic aggregates straight from
+            # the feed (+I +U −U− −D). Equivalent to the join form
+            # because keys here are unique per side BY CONSTRUCTION:
+            # pre's rows came through a left-semi join on the touched
+            # keys (a NULL-key stored row never matches, exactly as it
+            # never matched the full outer), and replacement rows with
+            # keys outside touched_keys violate the stated
+            # precondition.
+            vals = [c for c in pre.columns if c not in tcols]
+            tagged = pre.select(
+                *tcols,
+                F.struct(*vals).alias("_s"),
+                F.lit(False).alias("_new"),
+            ).unionByName(
+                post.select(
+                    *tcols,
+                    F.struct(*vals).alias("_s"),
+                    F.lit(True).alias("_new"),
+                )
             )
-            changes = changes.unionByName(pre_u)
+            g = (
+                tagged.groupBy(*tcols)
+                .agg(
+                    F.max(
+                        F.when(~F.col("_new"), F.col("_s"))
+                    ).alias("_o"),
+                    F.max(
+                        F.when(F.col("_new"), F.col("_s"))
+                    ).alias("_p"),
+                )
+                .filter(~F.col("_p").eqNullSafe(F.col("_o")))
+            )
+
+            def _tag_row(op: str, s) -> Column:
+                return F.struct(F.lit(op).alias("op"), s.alias("_s"))
+
+            arms = (
+                F.when(
+                    F.col("_o").isNull(),
+                    F.array(_tag_row("I", F.col("_p"))),
+                )
+                .when(
+                    F.col("_p").isNull(),
+                    F.array(_tag_row("D", F.col("_o"))),
+                )
+                .otherwise(
+                    F.array(
+                        _tag_row("U", F.col("_p")),
+                        _tag_row("U-", F.col("_o")),
+                    )
+                )
+            )
+            changes = g.select(*tcols, F.explode(arms).alias("_e")).select(
+                F.col("_e.op").alias("op"),
+                *tcols,
+                *[F.col("_e._s").getField(c).alias(c) for c in vals],
+            )
             cpath = self.path / "data" / adir / "_changes"
             changes.write.parquet(str(cpath))
             cdf = {
