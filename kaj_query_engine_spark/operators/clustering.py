@@ -123,21 +123,27 @@ def kmeans_assign_int(
         # 1.6 s for this collect at sf0.1) — the same
         # free-expression-per-element trap as HOF lambdas (PERF.md
         # round 14), surfacing through Generate instead.
-        upd = (
+        # the (j, i, cv) rows are collected straight off the partial
+        # aggregate and the per-cluster arrays assembled DRIVER-side
+        # (round-14, guide §2.4): the former second groupBy(j) +
+        # collect_list/array_sort added one more exchange and AQE
+        # stage per iteration only to re-shape ≤ k×dim rows the
+        # driver was about to hold anyway (the same centroid-bounded
+        # collect contract either way)
+        rows = (
             q.select(jcol.alias("j"), "q")
             .select("j", F.posexplode("q").alias("i", "v"))
             .groupBy("j", "i")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("cv", F.expr("(s - pmod(s, n)) div n"))
-            .groupBy("j")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                    lambda x: x["cv"],
-                ).alias("c")
-            )
+            .select("j", "i", F.expr("(s - pmod(s, n)) div n").alias("cv"))
+            .collect()
         )
-        got = {r.j: [int(v) for v in r.c] for r in upd.collect()}
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r.j, {})[r.i] = int(r.cv)
+        got = {
+            j: [d[i] for i in range(len(d))] for j, d in acc.items()
+        }
         cents = [(j, got.get(j, c)) for j, c in cents]  # empty: keep
     return best, q, cents
 

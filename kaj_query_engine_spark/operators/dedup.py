@@ -1237,6 +1237,49 @@ def semantic_dedup(
     (zip_with/aggregate), never Python. No counterpart in the
     reference engine (no arrays, no iteration —
     ref:src/qp/utils/Attribute.java:11-13)."""
+    return _semantic_dedup_variants(
+        vecs,
+        id_col,
+        vec_col,
+        k=k,
+        iterations=iterations,
+        cluster_scale=cluster_scale,
+        dedup_scale=dedup_scale,
+        thr_num=thr_num,
+        thr_den=thr_den,
+        assigned=assigned,
+        variants=[("", max_cluster_rows)],
+        cache_registry=cache_registry,
+    ).drop("_variant")
+
+
+def _semantic_dedup_variants(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    iterations: int,
+    cluster_scale: int,
+    dedup_scale: int,
+    thr_num: int,
+    thr_den: int,
+    assigned: DataFrame | None,
+    variants: list,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup` generalized to several ``(name,
+    max_cluster_rows)`` VARIANTS over one corpus in one plan (round-14,
+    guide §2.4): the member frame is built and persisted ONCE, each
+    variant contributes a tagged copy differing only in its ``cell``
+    column, and a single (variant, cluster, cell) self-join + one
+    rollup serve every variant — where q12's base+capped branches used
+    to execute the whole pipeline (pair join included) once per
+    :func:`semantic_dedup` call. Returns the per-cluster rollup with a
+    leading ``_variant`` tag; per-variant rows are bit-identical to a
+    separate :func:`semantic_dedup` call with that cap because pairs
+    never cross the tag (it leads the join key) and the rollup groups
+    by it."""
     from kaj_query_engine_spark.operators.clustering import (
         kmeans_assign_int,
         quantize_fixed,
@@ -1315,42 +1358,58 @@ def semantic_dedup(
             .withColumn("j", F.coalesce(F.col("j"), singleton_j))
             .select("j", "id", "q", n2.alias("n2"))
         )
-    if max_cluster_rows is None:
-        m = m.withColumn("cell", F.lit(0).cast("long"))
-    else:
-        # deterministic sub-split of oversized clusters: one count per
-        # cluster (bounded by k rows — broadcast, so tagging members
-        # with their cell is map-side and a single giant cluster never
-        # funnels through one shuffle partition), then a hash cell per
-        # member — per-cell pairs are ≤ cap²/2 regardless of skew
-        cn = m.groupBy("j").agg(F.count(F.lit(1)).alias("_cn"))
-        m = (
-            m.join(F.broadcast(cn), "j")
-            .withColumn(
-                "cell",
+    m = m.persist()
+    if cache_registry is not None:
+        cache_registry.append(m)
+    caps = [cap for _name, cap in variants if cap is not None]
+    cn = (
+        m.groupBy("j").agg(F.count(F.lit(1)).alias("_cn"))
+        if caps
+        else None
+    )
+    mv = None
+    for name, cap in variants:
+        if cap is None:
+            part = m.select(
+                F.lit(name).alias("_variant"),
+                "j",
+                F.lit(0).cast("long").alias("cell"),
+                "id",
+                "q",
+                "n2",
+            )
+        else:
+            # deterministic sub-split of oversized clusters: one count
+            # per cluster (bounded by k rows — broadcast, so tagging
+            # members with their cell is map-side and a single giant
+            # cluster never funnels through one shuffle partition),
+            # then a hash cell per member — per-cell pairs are ≤
+            # cap²/2 regardless of skew
+            part = m.join(F.broadcast(cn), "j").select(
+                F.lit(name).alias("_variant"),
+                "j",
                 F.pmod(
                     F.xxhash64("id"),
                     F.greatest(
                         F.lit(1).cast("long"),
-                        F.ceil(
-                            F.col("_cn") / F.lit(max_cluster_rows)
-                        ).cast("long"),
+                        F.ceil(F.col("_cn") / F.lit(cap)).cast("long"),
                     ),
-                ),
+                ).alias("cell"),
+                "id",
+                "q",
+                "n2",
             )
-            .drop("_cn")
-        )
-    m = m.persist()
-    if cache_registry is not None:
-        cache_registry.append(m)
-    a = m.select(
+        mv = part if mv is None else mv.unionByName(part)
+    a = mv.select(
+        "_variant",
         "j",
         "cell",
         F.col("id").alias("ida"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
-    b = m.select(
+    b = mv.select(
+        "_variant",
         "j",
         "cell",
         F.col("id").alias("idb"),
@@ -1363,9 +1422,11 @@ def semantic_dedup(
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, ["j", "cell"])
+        a.join(b, ["_variant", "j", "cell"])
         .filter(F.col("ida") < F.col("idb"))
-        .select("j", "ida", "idb", dot.alias("dot"), "na2", "nb2")
+        .select(
+            "_variant", "j", "ida", "idb", dot.alias("dot"), "na2", "nb2"
+        )
     )
     dups = pairs.filter(
         (F.col("dot") > 0)
@@ -1374,26 +1435,40 @@ def semantic_dedup(
             >= F.lit(thr_num) * F.col("na2") * F.col("nb2")
         )
     )
-    dropped = dups.select("j", F.col("idb").alias("id")).distinct()
-    members = m.select("j", "id")
-    survivors = members.join(dropped, ["j", "id"], "left_anti")
-    per_m = members.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
-    per_p = dups.groupBy("j").agg(F.count(F.lit(1)).alias("dup_pairs"))
-    per_d = dropped.groupBy("j").agg(F.count(F.lit(1)).alias("dropped"))
-    per_s = survivors.groupBy("j").agg(
-        F.sum("id").alias("survivor_id_sum")
+    # SINGLE-PASS rollup (round-14, guide §2.4): the old shape fanned
+    # the UNPERSISTED pair join out to four consumers — per-cluster
+    # pair counts, a distinct over dropped ids, a dropped count, and a
+    # survivor anti-join — so the in-cell self-join (the expensive
+    # subtree) re-executed three to four times per call (24 jobs
+    # measured on q12's base branch). Instead the pair join runs ONCE:
+    # one (j, idb) aggregate both dedups the dropped ids and keeps
+    # their pair multiplicity, one (j) aggregate rolls up pair count /
+    # dropped count / dropped-id sum, and the survivor checksum is
+    # derived as sum(all member ids) − sum(dropped ids) — identical to
+    # summing the survivors directly, even under non-ANSI wrapping,
+    # because (Σall − Σdropped) ≡ Σsurvivors in mod-2^64 arithmetic
+    # and dropped ⊆ members by construction (idb comes from m). The
+    # per-cluster (n, id_sum) pass reads the persisted m once.
+    per_m = mv.groupBy("_variant", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("_id_sum")
     )
-    return (
-        per_m.join(per_p, "j", "left")
-        .join(per_d, "j", "left")
-        .join(per_s, "j", "left")
-        .select(
-            F.col("j").alias("cluster"),
-            "n",
-            F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
-            F.coalesce("dropped", F.lit(0)).alias("dropped"),
-            F.coalesce("survivor_id_sum", F.lit(0)).alias(
-                "survivor_id_sum"
-            ),
+    per_dup = (
+        dups.groupBy("_variant", "j", "idb")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .groupBy("_variant", "j")
+        .agg(
+            F.sum("_pc").alias("dup_pairs"),
+            F.count(F.lit(1)).alias("dropped"),
+            F.sum("idb").alias("_drop_sum"),
         )
+    )
+    return per_m.join(per_dup, ["_variant", "j"], "left").select(
+        "_variant",
+        F.col("j").alias("cluster"),
+        "n",
+        F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
+        F.coalesce("dropped", F.lit(0)).alias("dropped"),
+        (
+            F.col("_id_sum") - F.coalesce("_drop_sum", F.lit(0))
+        ).alias("survivor_id_sum"),
     )

@@ -902,6 +902,8 @@ def stream_join_view_apply(
     table,
     static_left: DataFrame,
     on: list[str],
+    *,
+    blocking: bool = True,
 ) -> DataFrame:
     """Streaming incremental JOIN-view maintenance — the fourth member
     of the foreachBatch-maintenance family (MERGE q85, SCD2 q86,
@@ -920,7 +922,15 @@ def stream_join_view_apply(
     The append is NOT idempotent (re-delivering a batch would append
     its delta rows twice), so like the aggregate path each commit
     records its foreachBatch id and an already-applied id is skipped —
-    effectively-once on top of at-least-once delivery."""
+    effectively-once on top of at-least-once delivery.
+
+    ``blocking=False`` returns the started :class:`StreamingQuery`
+    instead of draining it — the caller awaits and reads. Spark runs
+    each streaming query on its own driver thread, so two independent
+    maintenance lifecycles (distinct tables, distinct checkpoints)
+    submitted this way interleave their micro-batch jobs instead of
+    queueing behind one another (guide §2.6 — actions are only
+    sequential because driver code awaits them sequentially)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = table.last_applied_batch()
@@ -935,6 +945,8 @@ def stream_join_view_apply(
         .trigger(availableNow=True)
         .start()
     )
+    if not blocking:
+        return q
     q.awaitTermination()
     return table.read(sdf.sparkSession)
 
@@ -945,6 +957,8 @@ def stream_join_view_cdc_apply(
     static_left: DataFrame,
     on: list[str],
     op_col: str = "op",
+    *,
+    blocking: bool = True,
 ) -> DataFrame:
     """Streaming join-view maintenance under a CDC feed on the RIGHT
     side — the keyed twin of :func:`stream_join_view_apply`, closing
@@ -1001,5 +1015,7 @@ def stream_join_view_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+    if not blocking:
+        return q
     q.awaitTermination()
     return table.read(sdf.sparkSession)

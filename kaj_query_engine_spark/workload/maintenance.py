@@ -676,30 +676,19 @@ def q89(spark, sf_dir):
         .select(*li_cols)
         .filter(F.col("l_shipdate") >= cut_l)
     )
-    final = stream_join_view_apply(stream, tbl, o_slim, ["o_orderkey"])
-    # the round-9 O(Δ) write contract, asserted in the driver-checked
-    # query itself — structurally, not by size (this fixture's delta
-    # happens to be LARGER than the seed): every append manifest must
-    # reference ALL of the previous version's files unchanged, i.e.
-    # nothing already stored was ever rewritten (q33 pins the keyed
-    # twin's carry-forward the same way)
-    vs = tbl.versions()
-    for prev, cur in zip(vs, vs[1:]):
-        pf = {f["path"] for f in tbl.manifest(prev)["files"]}
-        cf = {f["path"] for f in tbl.manifest(cur)["files"]}
-        if not pf <= cf:
-            raise RuntimeError(
-                f"append commit v{cur} rewrote stored files: {sorted(pf - cf)[:3]}"
-            )
-    append = final.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        F.sum(
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-        ).alias("sum_cents"),
-    ).select(F.lit("append").alias("path"), "*")
+    # start the append lifecycle WITHOUT draining it (round-14, guide
+    # §2.6 overlap-independent-jobs): the cdc branch below maintains a
+    # DIFFERENT table from a different source, so its setup and its
+    # micro-batches back-fill the cores this branch's batch tail
+    # leaves idle; both results are only read after both streams
+    # terminate, so the computed rows are bit-identical to the old
+    # sequential drain
+    sq1 = stream_join_view_apply(
+        stream, tbl, o_slim, ["o_orderkey"], blocking=False
+    )
 
     # ---- 'cdc' branch: keyed refresh under a dimension CDC feed -----
+    # (set up and started while the append branch's micro-batches run)
     from kaj_query_engine_spark.streaming.ops import (
         stream_join_view_cdc_apply,
     )
@@ -727,9 +716,35 @@ def q89(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(landing)
     )
-    final_cdc = stream_join_view_cdc_apply(
-        cdc_stream, tbl2, o_dim, ["o_custkey"]
+    sq2 = stream_join_view_cdc_apply(
+        cdc_stream, tbl2, o_dim, ["o_custkey"], blocking=False
     )
+    sq1.awaitTermination()
+    sq2.awaitTermination()
+    final = tbl.read(spark)
+    final_cdc = tbl2.read(spark)
+
+    # the round-9 O(Δ) write contract, asserted in the driver-checked
+    # query itself — structurally, not by size (this fixture's delta
+    # happens to be LARGER than the seed): every append manifest must
+    # reference ALL of the previous version's files unchanged, i.e.
+    # nothing already stored was ever rewritten (q33 pins the keyed
+    # twin's carry-forward the same way)
+    vs = tbl.versions()
+    for prev, cur in zip(vs, vs[1:]):
+        pf = {f["path"] for f in tbl.manifest(prev)["files"]}
+        cf = {f["path"] for f in tbl.manifest(cur)["files"]}
+        if not pf <= cf:
+            raise RuntimeError(
+                f"append commit v{cur} rewrote stored files: {sorted(pf - cf)[:3]}"
+            )
+    append = final.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("sum_cents"),
+    ).select(F.lit("append").alias("path"), "*")
     cdc = final_cdc.groupBy(F.col("seg").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_qty"),

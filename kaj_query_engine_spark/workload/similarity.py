@@ -848,7 +848,9 @@ def q12(spark, sf_dir):
     from kaj_query_engine_spark.operators.clustering import (
         kmeans_assign_int,
     )
-    from kaj_query_engine_spark.operators.dedup import semantic_dedup
+    from kaj_query_engine_spark.operators.dedup import (
+        _semantic_dedup_variants,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     kw = dict(
@@ -870,28 +872,31 @@ def q12(spark, sf_dir):
         emb, "vec_id", "embedding", _KM_K, _KM_T, _KM_SCALE
     )
     pa = pa.persist()
-    base = semantic_dedup(
-        emb, "vec_id", "embedding", assigned=pa, **kw
-    )
-    capped = semantic_dedup(
+    # base + capped through ONE fused plan (round-14, guide §2.4): the
+    # member frame, the within-(cluster, cell) pair join and the
+    # rollup each execute once for both variants instead of once per
+    # semantic_dedup call — per-variant rows are bit-identical to the
+    # separate calls (the variant tag leads the join key, so pairs
+    # never cross it)
+    rollup = _semantic_dedup_variants(
         emb, "vec_id", "embedding", assigned=pa,
-        max_cluster_rows=_SD_CAP, **kw
+        variants=[("base", None), ("capped", _SD_CAP)], **kw
     )
-
-    def tag(df, path):
-        return df.select(F.lit(path).alias("path"), "*")
-
     # 'base' and 'assigned' are the SAME frame by construction (the
     # differential is pytest-pinned; the oracle reads one resb CTE for
-    # both tags). Unioning the frame with itself made Spark execute
-    # the whole within-cluster pair join twice — explode the two tags
-    # onto one computation instead (round-14, guide §2.4: don't
-    # compute things you throw away; row order is irrelevant to the
-    # driver's order-insensitive hash)
-    both = base.select(
-        F.explode(F.array(F.lit("base"), F.lit("assigned"))).alias(
-            "path"
-        ),
-        "*",
+    # both tags) — explode the two tags onto the one computed variant
+    # rather than unioning the frame with itself (row order is
+    # irrelevant to the driver's order-insensitive hash)
+    return rollup.select(
+        F.explode(
+            F.when(
+                F.col("_variant") == "base",
+                F.array(F.lit("base"), F.lit("assigned")),
+            ).otherwise(F.array(F.lit("capped")))
+        ).alias("path"),
+        "cluster",
+        "n",
+        "dup_pairs",
+        "dropped",
+        "survivor_id_sum",
     )
-    return both.unionByName(tag(capped, "capped"))

@@ -1638,3 +1638,52 @@ def test_semantic_dedup_cache_registry_hands_back_persisted(spark):
     for f in reg:
         f.unpersist(blocking=True)
     assert not any(f.storageLevel.useMemory for f in reg)
+
+
+def test_semantic_dedup_fused_variants_match_separate_calls(spark):
+    """Round-14 optimization pin: ``_semantic_dedup_variants`` runs
+    several (name, cap) variants through ONE member frame / pair join
+    / rollup; each variant's rows must be bit-identical to a separate
+    ``semantic_dedup`` call with that cap — including the singleton
+    path for rows the injected assignment misses, and the derived
+    survivor checksum (Σ member ids − Σ dropped ids)."""
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+    )
+    from kaj_query_engine_spark.operators.dedup import (
+        _semantic_dedup_variants,
+    )
+
+    rows = [
+        (i, [0.3 * ((i * 13 + d * 7) % 11 - 5) / 5 for d in range(8)])
+        for i in range(60)
+    ]
+    rows += [(100 + i, list(rows[i][1])) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _q, _ = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=2
+    )
+    # drop some ids from the assignment -> singleton path exercised
+    part = assigned.filter(F.col(assigned.columns[0]) % 7 != 0)
+    kwargs = dict(k=4, iterations=2, thr_num=999, thr_den=1000)
+
+    fused = _semantic_dedup_variants(
+        df, "vec_id", "embedding", cluster_scale=10_000,
+        dedup_scale=512, assigned=part,
+        variants=[("u", None), ("c", 8)], **kwargs
+    ).collect()
+    by_v = {}
+    for r in fused:
+        by_v.setdefault(r._variant, {})[r.cluster] = (
+            r.n, r.dup_pairs, r.dropped, r.survivor_id_sum
+        )
+
+    for name, cap in [("u", None), ("c", 8)]:
+        sep = {
+            r.cluster: (r.n, r.dup_pairs, r.dropped, r.survivor_id_sum)
+            for r in D.semantic_dedup(
+                df, "vec_id", "embedding", assigned=part,
+                max_cluster_rows=cap, **kwargs
+            ).collect()
+        }
+        assert by_v[name] == sep, name
