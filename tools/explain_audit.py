@@ -244,15 +244,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
     "q91_kmeans_int": (
-        # the centroid fan-out IS a broadcast cross join by design
-        # (every vector scores against the k-row broadcast centroid
-        # table — BroadcastNestedLoopJoin with an 8-row build side is
-        # the correct plan, not an accident), the c_sum attach is a
-        # broadcast hash join, and the per-cluster agg is two-phase;
-        # an un-broadcast CartesianProduct is the failure mode
-        ["BroadcastNestedLoopJoin", "BroadcastHashJoin",
-         "HashAggregate", "partial_"],
-        ["CartesianProduct", "SortMergeJoin"],
+        # round-14 shape: the nearest-centroid argmin is MAP-SIDE
+        # (transform + array_min over the k×dim array-literal centroid
+        # table — no join at all; the former BroadcastNestedLoopJoin
+        # fan-out was an exchange pair per iteration), the c_sum
+        # attach is a broadcast hash join, and the per-cluster agg is
+        # two-phase; ANY join machinery in the assignment path is the
+        # failure mode now
+        ["BroadcastHashJoin", "HashAggregate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin"],
     ),
     "q69_span_decontaminate": (
         # benchmark membership must be a BROADCAST semi-join (the
