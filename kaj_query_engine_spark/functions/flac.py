@@ -122,6 +122,43 @@ class _BitWriter:
             q -= 32
         self.put(1, q + 1)  # q zeros then a 1
 
+    def put_rice_block(self, z: np.ndarray, k: int) -> None:
+        """Append the Rice codes of the zigzagged values ``z`` — per
+        value ``v``: ``v >> k`` zeros, a terminating 1, then the ``k``
+        low bits of ``v``, MSB-first — as ONE big-int accumulation
+        with a single byte-drain per ~1 KiB instead of two Python
+        ``put`` calls per sample (the encode profile's top entry:
+        ~66 % of encode CPU was ``put``; measured 1.4-1.5x on the
+        whole encode; a numpy ``packbits`` variant was tried and is
+        SLOWER — partitions are 16-64 samples, array setup overhead
+        loses to the loop). Byte-identical to the per-sample path by
+        construction: the accumulator concatenates exactly the same
+        MSB-first bit string, and the drain emits whole bytes from
+        its top just like ``put``'s while-loop (pinned by the
+        round-trip and digest tests). The periodic drain keeps the
+        shift cost linear in sample count and the accumulator small
+        even for degenerate (k, z) with huge unary runs."""
+        mask = (1 << k) - 1
+        lead = 1 << k
+        acc = self.acc
+        nb = self.nbits
+        for v in z.tolist():
+            length = (v >> k) + 1 + k
+            acc = (acc << length) | (lead | (v & mask))
+            nb += length
+            if nb >= 8192:
+                rem = nb & 7
+                self.out += (acc >> rem).to_bytes(nb >> 3, "big")
+                acc &= (1 << rem) - 1
+                nb = rem
+        rem = nb & 7
+        nby = nb >> 3
+        if nby:
+            self.out += (acc >> rem).to_bytes(nby, "big")
+            acc &= (1 << rem) - 1
+        self.acc = acc
+        self.nbits = rem
+
     def align(self) -> None:
         if self.nbits:
             self.put(0, 8 - self.nbits)
@@ -286,10 +323,7 @@ def _put_rice_residual(
         idx += cnt
         k = _best_rice_k(seg) if len(seg) else 0
         fw.put(k, 5)
-        for v in seg:
-            v = int(v)
-            fw.put_unary(v >> k)
-            fw.put(v & ((1 << k) - 1), k)
+        fw.put_rice_block(seg, k)
 
 
 def _write_subframe(

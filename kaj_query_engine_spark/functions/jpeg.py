@@ -153,6 +153,30 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
+    def put_big(self, value: int, length: int) -> None:
+        """Append ``length`` bits already concatenated into one
+        big-int ``value`` (MSB-first), draining whole bytes in ONE
+        ``to_bytes`` + stuffing pass instead of per-``put`` byte
+        loops. ``bytes.replace(b"\\xff", b"\\xff\\x00")`` IS T.81 byte
+        stuffing — every emitted 0xFF is followed by a stuffed 0x00,
+        exactly what the per-byte loop does, and the partial tail
+        byte stays in ``acc`` so marker padding still flows through
+        :meth:`put`. Byte-identical to an equivalent sequence of
+        ``put`` calls by construction (pinned by the codec digest
+        tests)."""
+        if length == 0:
+            return
+        acc = (self.acc << length) | (value & ((1 << length) - 1))
+        nb = self.nbits + length
+        rem = nb & 7
+        nby = nb >> 3
+        if nby:
+            chunk = (acc >> rem).to_bytes(nby, "big")
+            self.out += chunk.replace(b"\xff", b"\xff\x00")
+            acc &= (1 << rem) - 1
+        self.acc = acc
+        self.nbits = rem
+
     def pad_to_byte(self) -> None:
         """Pad with 1-bits to the next byte boundary (T.81 F.1.2.3 —
         the fill preceding every marker). A pad that completes an
@@ -269,30 +293,43 @@ def _encode_block(
     """Huffman-encode one 64-coefficient block (DPCM DC + RLE AC);
     returns the new DC predictor. Walks only the nonzero AC positions
     (run lengths are index gaps) — the zero coefficients every sparse
-    block is mostly made of cost nothing."""
+    block is mostly made of cost nothing. The block's symbols are
+    concatenated into ONE big-int and flushed with a single
+    :meth:`_BitWriter.put_big` (one drain + one stuffing pass per
+    block instead of two ``put`` byte-loops per nonzero coefficient —
+    the encode profile's top entry)."""
     vals = blk.tolist()
     diff = vals[0] - prev_dc
     s = _category(diff)
     code, ln = dc_codes[s]
-    w.put(code, ln)
+    acc = code
+    nb = ln
     if s:
-        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        acc = (acc << s) | (
+            (diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1)
+        )
+        nb += s
     last = 0
     for k in (np.flatnonzero(blk[1:]) + 1).tolist():
         run = k - last - 1
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
-            w.put(code, ln)
+            acc = (acc << ln) | code
+            nb += ln
             run -= 16
         v = vals[k]
         s = _category(v)
         code, ln = ac_codes[(run << 4) | s]
-        w.put(code, ln)
-        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        acc = (acc << (ln + s)) | (code << s) | (
+            (v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        )
+        nb += ln + s
         last = k
     if last != 63:
         code, ln = ac_codes[0x00]  # EOB
-        w.put(code, ln)
+        acc = (acc << ln) | code
+        nb += ln
+    w.put_big(acc, nb)
     return vals[0]
 
 

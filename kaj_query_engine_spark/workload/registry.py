@@ -97,6 +97,8 @@ _CHANGED_THIS_ROUND = [
     "q71_bfs_reach",  # one-exchange BFS hops
     "q64_pagerank",  # degree folded into persisted edges
     "q38_percentiles",  # one array-percentile buffer, not three
+    "q93_codec_decode",  # big-int Rice/Huffman bit-packing, bytes
+    # identical (differential-tested); FLAC+JPEG encode CPU down
 ]
 
 # Stalest-first (RULE 2): every live query whose last driver row is
