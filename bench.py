@@ -110,9 +110,29 @@ def canary_decide(
     }
 
 
+def _cpu_counters() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat, or None where
+    unreadable (non-Linux) — round-15 instrumentation: the r14 windows
+    burned three resumes proving co-tenant noise was hypervisor CPU
+    steal (vmstat-traced 8-11%); recording the run's own steal%
+    settles that question per-record instead of per-investigation."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpu0 = _cpu_counters()
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     spark = get_spark(
         "kaj-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -345,6 +365,22 @@ def main() -> None:
                 "explained_streak": verdict["explained_streak"],
             }
 
+    # ---- host-window instrumentation (round 15, ADDITIVE keys) ------
+    # steal% over the whole run + loadavg at both ends. window_ok=false
+    # (steal > 5%) marks the record as taken in a contaminated window:
+    # per the round-14 lesson (8-11% sustained steal produced 0.78-2.1x
+    # phantom per-query swings on unchanged code), apparent regressions
+    # in such a record are not evidence against the code.
+    cpu1 = _cpu_counters()
+    steal_pct = None
+    if cpu0 is not None and cpu1 is not None and cpu1[1] > cpu0[1]:
+        steal_pct = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
+    window_ok = None if steal_pct is None else steal_pct <= 5.0
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "workload_total_runtime",
@@ -365,6 +401,14 @@ def main() -> None:
         # against ('+dirty' = uncommitted working copy) — makes the
         # chained factors auditable record-to-record
         "host_factor_base": host_factor_base,
+        # round-15 additions (old keys byte-compatible): the run's own
+        # CPU-steal share and loadavg bracket; window_ok=false => the
+        # window was steal-contaminated and this record's per-query
+        # regressions are not evidence against the code
+        "steal_pct": steal_pct,
+        "load_start": load_start,
+        "load_end": load_end,
+        "window_ok": window_ok,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # the driver keeps only the last ~650 chars of stdout and parses
@@ -388,6 +432,8 @@ def main() -> None:
         "total_warm": payload["total_warm"],
         "canary_ok": canary["ok"],
         "host_factor": host_factor,
+        "steal_pct": steal_pct,
+        "window_ok": window_ok,
         "queries": slowest,  # 8 slowest cold; full map in bench_out.json
         "queries_full": "bench_out.json",
     }

@@ -185,3 +185,34 @@ def test_changed_symbols_deleted_module_pins_whole_module(monkeypatch):
     assert CQ.changed_symbols("x..y") == {
         f"{pkg}.workload.text": {CQ._MODLEVEL}
     }
+
+
+def test_versioned_edit_pins_merge_twins(monkeypatch):
+    """Round-14 verdict #3: q55/q66 pin the merge_change_feed /
+    snapshot_diff contract that sources/versioned.py's one-pass CDC
+    feed REIMPLEMENTS (commit 0bb660f replaced the operator calls with
+    a fused equivalent), so a versioned.py edit must derive them
+    changed even though no static dataflow edge reaches them — the
+    _SEMANTIC_COUPLES declaration, wired through BOTH derivations."""
+    pkg = "kaj_query_engine_spark"
+    mod = f"{pkg}.sources.versioned"
+    monkeypatch.setattr(
+        CQ, "changed_symbols", lambda rng: {mod: {"VersionedTable"}}
+    )
+    monkeypatch.setattr(CQ, "changed_modules", lambda rng: {mod})
+    fine = CQ.derive_fine("x..y")
+    coarse = CQ.derive("x..y")
+    for out in (fine, coarse):
+        assert "q55_merge_upsert" in out, out.keys()
+        assert "q66_merge_evolve" in out, out.keys()
+        assert any("semantic-couple" in e for e in out["q55_merge_upsert"])
+    # the eight static riders still derive (fine path)
+    for rider in (
+        "q19_bucket_evolution",
+        "q33_table_time_travel",
+        "q85_stream_merge",
+        "q86_stream_scd2",
+        "q87_stream_agg_state",
+        "q89_stream_join_view",
+    ):
+        assert rider in fine, rider

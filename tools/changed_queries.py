@@ -85,6 +85,33 @@ def _module_file(mod: str) -> Path | None:
     return None
 
 
+# SEMANTIC COUPLES (round 15, verdict #3): queries that must re-verify
+# when a module changes even though no static dataflow edge reaches
+# them. sources/versioned.py's one-pass CDC feed (commit_keyed)
+# REIMPLEMENTS the change-feed/snapshot-diff contract that
+# operators/maintenance.py's merge_change_feed / snapshot_diff define
+# and q55/q66 pin against the oracle — the round-14 commit 0bb660f
+# replaced versioned.py's call INTO those operators with its own fused
+# implementation, so the dependence became semantic (must stay
+# equivalent) rather than syntactic, which a static import/symbol walk
+# correctly reports as absent. Declaring the couple here keeps RULE 1
+# airtight: any versioned.py edit pins the batch-merge twins into the
+# externally-checked window alongside the eight static riders.
+_SEMANTIC_COUPLES: dict[str, list[str]] = {
+    f"{PKG}.sources.versioned": ["q55_merge_upsert", "q66_merge_evolve"],
+}
+
+
+def _coupled(changed_mods) -> dict[str, list[str]]:
+    """{query: evidence} entries owed to _SEMANTIC_COUPLES."""
+    out: dict[str, list[str]] = {}
+    for mod, names in _SEMANTIC_COUPLES.items():
+        if mod in changed_mods:
+            for n in names:
+                out.setdefault(n, []).append(f"{mod}:<semantic-couple>")
+    return out
+
+
 # Closure LEAVES: modules that are registration/ordering plumbing,
 # not dataflow — workload/registry.py's all_queries() imports EVERY
 # workload module to populate the registry, which would collapse every
@@ -166,6 +193,11 @@ def derive(rng: str | None = None) -> dict[str, list[str]]:
         hits = sorted(changed & closures[mod])
         if hits:
             out[name] = hits
+    for name, ev in _coupled(changed).items():
+        out.setdefault(name, []).extend(
+            e for e in ev if e not in out.get(name, [])
+        )
+        out[name] = sorted(out[name])
     return out
 
 
@@ -509,4 +541,9 @@ def derive_fine(rng: str | None = None) -> dict[str, list[str]]:
                     hits.add(f"{cmod}:{cs}")
         if hits:
             out[name] = sorted(hits)
+    for name, ev in _coupled(set(changed)).items():
+        out.setdefault(name, []).extend(
+            e for e in ev if e not in out.get(name, [])
+        )
+        out[name] = sorted(out[name])
     return out

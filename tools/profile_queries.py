@@ -104,7 +104,13 @@ def main() -> None:
                 + txt.count("MapInPandas")
                 + txt.count("MapInArrow")
             )
-            p = REPO / "plans" / "r14" / f"{name}_{tag}.txt"
+            p = (
+                REPO
+                / "plans"
+                / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+                / f"{name}_{tag}.txt"
+            )
+            p.parent.mkdir(parents=True, exist_ok=True)
             p.write_text(txt)
             rec["plan"] = str(p.relative_to(REPO))
         out[name] = rec
