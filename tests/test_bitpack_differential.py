@@ -208,3 +208,46 @@ def test_jpeg_encode_block_matches_per_symbol_path(seed):
         assert _writer_state(a) == _writer_state(b)
     # the accumulated multi-block streams flush identically too
     assert a.flush() == b.flush()
+
+
+# ---------------------------------------------------------------------
+# Fixed-input GOLDEN bytes (round-15, ADVICE #3): the differentials
+# above re-derive their reference through the surviving put/put_unary
+# primitives, so a future semantic change to put() would shift both
+# sides together and the differential would still pass while the
+# output bytes change. These anchor the ABSOLUTE bit-level format
+# with hand-derived expected bytes, independent of put().
+# ---------------------------------------------------------------------
+
+
+def test_flac_rice_block_golden_bytes():
+    # k=2, z=[3,0,5]: v=3 -> q=0: "1"+"11"; v=0 -> "1"+"00";
+    # v=5 -> q=1: "01"+"01". Concatenated MSB-first:
+    # 111 100 0101 = 1111 0001 | 01 -> one byte 0xF1, acc=0b01, nbits=2
+    w = FlacWriter()
+    w.put_rice_block(np.array([3, 0, 5], dtype=np.int64), 2)
+    assert (bytes(w.out), w.acc, w.nbits) == (b"\xf1", 0b01, 2)
+    # non-byte-aligned inherited state: 3 seed bits 101, then k=0
+    # z=[2] -> "001"; total 101001 = 6 bits, no whole byte drained
+    w = FlacWriter()
+    w.put(0b101, 3)
+    w.put_rice_block(np.array([2], dtype=np.int64), 0)
+    assert (bytes(w.out), w.acc, w.nbits) == (b"", 0b101001, 6)
+
+
+def test_jpeg_put_big_golden_bytes_with_stuffing():
+    # a full 0xFF byte MUST be followed by a stuffed 0x00 (T.81)
+    j = JpegWriter()
+    j.put_big(0xFF, 8)
+    assert (bytes(j.out), j.acc, j.nbits) == (b"\xff\x00", 0, 0)
+    # stuffed 0xFF at the END of a drain chunk, with a 2-bit tail:
+    # 10 one-bits -> top 8 = 0xFF (stuffed), acc keeps 0b11
+    j = JpegWriter()
+    j.put_big(0b1111111111, 10)
+    assert (bytes(j.out), j.acc, j.nbits) == (b"\xff\x00", 0b11, 2)
+    # stuffing at both ends of a multi-byte drain, non-FF untouched
+    j = JpegWriter()
+    j.put_big(0xFFABFF, 24)
+    assert (bytes(j.out), j.acc, j.nbits) == (
+        b"\xff\x00\xab\xff\x00", 0, 0,
+    )
