@@ -60,6 +60,8 @@ def kmeans_assign_int(
     k: int = 8,
     iterations: int = 3,
     scale: int = 10_000,
+    *,
+    final_centroids: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
     """Run ``iterations`` Lloyd steps; init = the quantized vectors of
     the ``k`` smallest ids. Returns ``(assigned, quantized, cents)``:
@@ -67,7 +69,18 @@ def kmeans_assign_int(
     corpus, and the final integer centroids — the building block both
     :func:`kmeans_int` (per-cluster checksums) and the semantic-dedup
     operator (within-cluster pair generation) compose, sharing the
-    oracle-exact iteration bit-for-bit."""
+    oracle-exact iteration bit-for-bit.
+
+    ``final_centroids=False`` skips the LAST iteration's centroid
+    update (round-15, guide §2.4/§5): the returned assignment is
+    computed from the previous iteration's centroids BEFORE the
+    update, so skipping it cannot change ``assigned`` — it only
+    leaves the returned ``cents`` at their pre-update values. The
+    semantic-dedup callers consume only the assignment and were
+    paying one full posexplode+groupBy+collect job per run (the
+    entire corpus exploded to N×dim rows, shuffled, aggregated,
+    pulled to the driver) for centroids they discard; callers that
+    read ``cents`` (:func:`kmeans_int`) keep the default."""
     if iterations < 1:
         raise ValueError("kmeans_assign_int needs iterations >= 1")
     # persisted across the iterations (and still referenced by the
@@ -79,7 +92,7 @@ def kmeans_assign_int(
         (j, list(r.q)) for j, r in enumerate(init)
     ]
     best = None
-    for _ in range(iterations):
+    for it in range(iterations):
         # MAP-SIDE argmin (round-14 optimization, guide §2.4 "remove
         # shuffles outright"): the centroids are a driver-held k×dim
         # list, so the nearest-centroid choice needs no crossJoin +
@@ -113,6 +126,10 @@ def kmeans_assign_int(
         )["j"]
         assigned = q.select("id", jcol.alias("j"))
         best = assigned
+        if not final_centroids and it == iterations - 1:
+            # assignment-only caller: the update below would feed an
+            # iteration that never runs
+            break
         # the centroid update reads (j, q) straight off the same
         # map-only projection — the old q ⋈ assigned re-join on id
         # (one more exchange pair per iteration) is gone. The argmin

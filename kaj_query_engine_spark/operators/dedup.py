@@ -1287,8 +1287,11 @@ def _semantic_dedup_variants(
 
     self_clustered = assigned is None
     if self_clustered:
+        # final_centroids=False (round-15, §2.4): only the assignment
+        # is consumed here — see kmeans_assign_int's docstring
         assigned, _q, _cents = kmeans_assign_int(
-            vecs, id_col, vec_col, k, iterations, cluster_scale
+            vecs, id_col, vec_col, k, iterations, cluster_scale,
+            final_centroids=False,
         )
     else:
         assigned = assigned.select(

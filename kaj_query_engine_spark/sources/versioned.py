@@ -1383,21 +1383,52 @@ class VersionedTable:
         )
         nxt = cur + 1
         adir = self._attempt_dirname(nxt)
-        new_files = self._write_data(
-            new_data, nxt, n_buckets=nb, sub_bits=sub_bits,
-            attempt_dir=adir,
-        )
+
+        # ---- the commit's up-to-three INDEPENDENT writes (round-15,
+        # guide §2.6): the survivor rewrite, the stray-survivor write
+        # and the CDF write read the same inputs, produce disjoint
+        # outputs, and the manifest (the only consumer of all three)
+        # is written strictly after. Serially they queued behind each
+        # other's stage tails — the dominant per-commit latency of
+        # the q19/q33 lifecycles (the round-14 scaling probe read
+        # both ≤1.0 at 8-vs-32 cores: driver-bound, not data-bound).
+        # Each write gets its OWN token-unique attempt directory:
+        # sharing one (the old serial layout) would race — the
+        # survivor write's rglob file listing could pick up the other
+        # tasks' part files as its own, and a concurrently-created
+        # subdirectory would trip the ErrorIfExists save mode.
+        # _written_by matches any data/c{v}-{token}/ prefix and
+        # vacuum reference-counts per FILE, so multi-dir commits GC
+        # exactly like single-dir ones. Plans are built on THIS
+        # thread; worker threads only call .write and list files, so
+        # a failure in any leaves its attempt dir an orphan exactly
+        # as a serial crash did (unreferenced by construction).
+        def _task_survivors() -> list[dict]:
+            return self._write_data(
+                new_data, nxt, n_buckets=nb, sub_bits=sub_bits,
+                attempt_dir=adir,
+            )
+
+        stray_out = None
         if stray_files:
-            sdir = self.path / "data" / adir / "stray"
+            sdir = (
+                self.path / "data" / self._attempt_dirname(nxt) / "stray"
+            )
             # stray survivors keep their _kh column and record full
             # pruning stats like every other write — without them
             # (round-10 review) one touched stray's survivors were
             # re-read and re-written by EVERY later keyed commit, and
             # the missing rows entry cost compact/rebucket their
             # rows_hint (forcing the two-phase re-split)
-            _survivors(stray_files).withColumn(
+            stray_out = _survivors(stray_files).withColumn(
                 _KH, self._kh_expr()
-            ).write.parquet(str(sdir))
+            )
+
+        def _task_strays() -> list[dict]:
+            if stray_out is None:
+                return []
+            stray_out.write.parquet(str(sdir))
+            entries = []
             for p in sorted(sdir.glob("part-*")):
                 if not p.is_file():
                     continue
@@ -1411,8 +1442,10 @@ class VersionedTable:
                 }
                 if khs is not None:
                     entry["khs"] = khs
-                new_files.append(entry)
-        cdf = None
+                entries.append(entry)
+            return entries
+
+        changes = None
         if self.has_change_feed:
             # record this commit's effective I/U/D rows, O(Δ): the
             # pre-images are exactly the touched keys' stored rows
@@ -1497,9 +1530,15 @@ class VersionedTable:
                 *tcols,
                 *[F.col("_e._s").getField(c).alias(c) for c in vals],
             )
-            cpath = self.path / "data" / adir / "_changes"
+        cpath = (
+            self.path / "data" / self._attempt_dirname(nxt) / "_changes"
+        )
+
+        def _task_cdf() -> dict | None:
+            if changes is None:
+                return None
             changes.write.parquet(str(cpath))
-            cdf = {
+            return {
                 "mode": "files",
                 "files": [
                     str(p.relative_to(self.path))
@@ -1508,6 +1547,29 @@ class VersionedTable:
                 ],
                 "schema": json.loads(changes.schema.json()),
             }
+
+        tasks = [_task_survivors]
+        if stray_out is not None:
+            tasks.append(_task_strays)
+        if changes is not None:
+            tasks.append(_task_cdf)
+        if len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            # the session-arg form inherits the active session's tags
+            # (and silences the sessionless deprecation warning)
+            wrap = inheritable_thread_target(spark)
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                futs = [pool.submit(wrap(t)) for t in tasks]
+                results = [f.result() for f in futs]
+        else:
+            results = [tasks[0]()]
+        new_files = results[0] + (
+            results[1] if stray_out is not None else []
+        )
+        cdf = results[-1] if changes is not None else None
         keyed = {
             "pruning": (
                 "none"

@@ -868,8 +868,12 @@ def q12(spark, sf_dir):
     # driver hashes). Persisted: its lineage is the full iterative
     # Lloyd run — same contract as inside semantic_dedup itself;
     # reclaimed by the bench driver's per-query clearCache().
+    # final_centroids=False (round-15, §2.4): q12 consumes only the
+    # assignment; the last iteration's centroid-update job (posexplode
+    # + groupBy + collect over the whole corpus) fed nothing
     pa, _q, _cents = kmeans_assign_int(
-        emb, "vec_id", "embedding", _KM_K, _KM_T, _KM_SCALE
+        emb, "vec_id", "embedding", _KM_K, _KM_T, _KM_SCALE,
+        final_centroids=False,
     )
     pa = pa.persist()
     # base + capped through ONE fused plan (round-14, guide §2.4): the

@@ -1687,3 +1687,41 @@ def test_semantic_dedup_fused_variants_match_separate_calls(spark):
             ).collect()
         }
         assert by_v[name] == sep, name
+
+
+def test_kmeans_assignment_only_trim_matches_full(spark):
+    """Round-15 §2.4 trim: final_centroids=False skips the LAST
+    iteration's centroid-update job (the assignment is computed from
+    the pre-update centroids, so the returned (id, j) frame cannot
+    change) — pinned by comparing both modes bit-for-bit, plus the
+    returned cents of the trimmed run equaling the full run's
+    PENULTIMATE update (i.e. one update behind)."""
+    from kaj_query_engine_spark.operators.clustering import (
+        kmeans_assign_int,
+    )
+
+    import random
+
+    r = random.Random(4151)
+    rng_rows = [
+        (i, [r.uniform(-9, 9) for _d in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<float>"
+    )
+    full_a, _q1, full_c = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=3
+    )
+    trim_a, _q2, trim_c = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=3,
+        final_centroids=False,
+    )
+    assert sorted(map(tuple, trim_a.collect())) == sorted(
+        map(tuple, full_a.collect())
+    )
+    # the trimmed cents are the full run's state after T-1 updates
+    prev_a, _q3, prev_c = kmeans_assign_int(
+        df, "vec_id", "embedding", k=4, iterations=2
+    )
+    assert trim_c == prev_c
+    assert full_c != prev_c  # the data actually moves the centroids
