@@ -834,18 +834,41 @@ def q67(spark, sf_dir):
     l0 = li.filter(F.col("l_shipdate") < cut_l)
     dl = li.filter(F.col("l_shipdate") >= cut_l)
     view0 = o0.join(l0, on=["o_orderkey"])
-    new_view, delta_view = M.incremental_join_view(
+    _new_view, delta_view = M.incremental_join_view(
         view0, o0, do, l0, dl, ["o_orderkey"]
     )
 
-    def agg(df, path):
-        return df.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    # FUSED view/delta aggregation (round-15, guide §2.4): the 'view'
+    # arm aggregates new_view = old_view ∪ delta_view (the operator's
+    # return statement IS that union) and the 'delta' arm aggregates
+    # delta_view again — so the two delta-join terms (ΔL⋈(R∪ΔR) ∪
+    # L⋈ΔR, the expensive subtree) executed TWICE per run. One tagged
+    # union instead: old-view rows carry ['view'], delta rows carry
+    # ['view','delta'], exploded and aggregated in ONE groupBy — the
+    # delta joins run once, and each path's groups see exactly the
+    # same row multiset as before (counts and integer-cent sums are
+    # associative, so partial grouping by path changes no value).
+    # Only the three aggregated columns cross into the explode (§2.3).
+    _acols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    _tagged = view0.select(
+        F.array(F.lit("view")).alias("_p"), *_acols
+    ).unionByName(
+        delta_view.select(
+            F.array(F.lit("view"), F.lit("delta")).alias("_p"), *_acols
+        )
+    )
+    iv_arms = (
+        _tagged.select(F.explode("_p").alias("path"), *_acols)
+        .groupBy("path", F.col("l_returnflag").alias("flag"))
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(
                 F.round(F.col("l_extendedprice") * 100).cast("long")
             ).alias("sum_cents"),
-        ).select(F.lit(path).alias("path"), "*")
+        )
+        .select("path", "flag", "n", "sum_qty", "sum_cents")
+    )
 
     # ---- keyed branches: updates + deletes + inserts ----------------
     cust = t(spark, sf_dir, "customer").select(
@@ -877,6 +900,13 @@ def q67(spark, sf_dir):
         left_upserts=ups_o, left_deletes=del_o,
         right_upserts=ups_c, right_deletes=del_c,
     )
+    # NEGATIVE RESULT, measured and dropped (round-15, the q52/q93
+    # persist lesson a third time): persisting dv_keyed so its three
+    # plan references (v_keyed's anti-join keys, v_keyed's added
+    # rows, the 'keyed_delta' aggregate) share one execution measured
+    # 2.9-3.4 s / 19 jobs vs 2.8-2.9 s / 17 jobs WITHOUT it at sf0.1
+    # — the InMemoryRelation's materialization jobs cost more than
+    # the delta-bounded re-execution it saves. Left un-persisted.
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     keyed = v_keyed.groupBy(F.col("seg").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -897,12 +927,7 @@ def q67(spark, sf_dir):
         )
         .select(F.lit("keyed_delta").alias("path"), "*")
     )
-    return (
-        agg(new_view, "view")
-        .unionAll(agg(delta_view, "delta"))
-        .unionAll(keyed)
-        .unionAll(keyed_delta)
-    )
+    return iv_arms.unionAll(keyed).unionAll(keyed_delta)
 
 
 # ---- q33: table time travel / version change feed -------------------

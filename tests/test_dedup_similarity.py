@@ -1725,3 +1725,57 @@ def test_kmeans_assignment_only_trim_matches_full(spark):
     )
     assert trim_c == prev_c
     assert full_c != prev_c  # the data actually moves the centroids
+
+
+def test_q63_fused_matches_operator_calls(spark):
+    """Round-15 q63 fusion pin: the fused single-plan serving (one
+    float-index scan tagging probe4⊆probe_all, one quantized tier
+    feeding both 'quant' and the rescore candidates, one shared final
+    top-k window) must reproduce the five separate ivf_query*
+    operator calls row-for-row."""
+    from kaj_query_engine_spark.operators import similarity as S
+    from kaj_query_engine_spark.workload.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _INCR_HOLDOUT_MOD,
+        _INCR_HOLDOUT_REM,
+        materialized_incr_ivf_base,
+        materialized_ivf_index,
+        materialized_quantized_ivf_index,
+        q63,
+    )
+    from kaj_query_engine_spark.workload.core import t as _t
+
+    sf_dir = "/root/testdata/sf0.001"
+    fused = {
+        (r.path, r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in q63(spark, sf_dir).collect()
+    }
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    cent, assigned = materialized_ivf_index(spark, sf_dir)
+    qidx = materialized_quantized_ivf_index(spark, sf_dir)
+    cent_i, assigned_i = materialized_incr_ivf_base(spark, sf_dir)
+    batch = e.filter(
+        F.col("vec_id") % _INCR_HOLDOUT_MOD == _INCR_HOLDOUT_REM
+    )
+    delta = S.ivf_assign(cent_i, batch)
+    sep = {}
+    for tag, df in [
+        ("probe4", S.ivf_query(cent, assigned, q, k=TOP_K, nprobe=IVF_NPROBE)),
+        ("probe_all", S.ivf_query(
+            cent, assigned, q, k=TOP_K, nprobe=IVF_CENTROIDS)),
+        ("quant", S.ivf_query_quantized(
+            cent, qidx, q, k=TOP_K, nprobe=IVF_NPROBE)),
+        ("rescored", S.ivf_query_rescored(
+            cent, qidx, assigned, q, k=TOP_K, nprobe=IVF_NPROBE)),
+        ("incr", S.ivf_query(
+            cent_i, assigned_i.unionByName(delta.select(*assigned_i.columns)),
+            q, k=TOP_K, nprobe=IVF_NPROBE)),
+    ]:
+        for r in df.collect():
+            sep[(tag, r.q_id, r.rank)] = (r.vec_id, r.cos)
+    assert fused == sep
