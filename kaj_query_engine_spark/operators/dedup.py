@@ -37,6 +37,30 @@ from kaj_query_engine_spark.functions.text import (
     tokens,
 )
 
+
+def _auto_broadcast_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (0 when
+    broadcast is disabled) — the same size authority the planner
+    itself consults, so the semantic-dedup pair join's broadcast
+    decision below follows the session's policy instead of a magic
+    constant."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, mval in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            mult, raw = mval, raw[: -len(suf)]
+            break
+    try:
+        nbytes = int(float(raw)) * mult
+    except ValueError:
+        nbytes = 10 * 1024 * 1024
+    return max(0, nbytes)
+
 # LSH defaults: 12 hashes = 4 bands x 3 rows → candidate threshold
 # (1/B)^(1/R) ≈ 0.63 Jaccard.
 NUM_HASHES = 12
@@ -1419,6 +1443,33 @@ def _semantic_dedup_variants(
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
     )
+    # Pair-join parallelism (round-15, guide §2.5/§3.1): the join's
+    # INPUT is tiny relative to the work it fans out — every row
+    # joins against its whole (cluster, cell) and each output pair
+    # pays an interpreted dim-wide dot — so AQE, which sizes
+    # partitions by input BYTES, coalesces the exchange to 1-2 tasks
+    # and the dominant stage runs single-threaded on any machine
+    # (measured: one 3.6 s single-task stage of q12's 5.8 s execution;
+    # the 8-vs-32-core ratio of 0.87 said the same). When the member
+    # frame fits the session's own broadcast threshold, do what a
+    # cost-based planner would: broadcast the build side and
+    # round-robin the probe side across the session's default
+    # parallelism — the scoring stage then scales with cores and no
+    # exchange carries the pairs. Past the threshold (the 100 TB
+    # regime) the hash-partitioned shuffle join below is the right
+    # plan and remains byte-identical in output; pair multisets are
+    # unordered either way (the rollup is the only consumer).
+    st = m.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("q")).alias("d")
+    ).first()
+    est_bytes = (
+        (st.n or 0) * ((st.d or 0) * 8 + 64) * max(1, len(variants))
+    )
+    bthr = _auto_broadcast_bytes(vecs.sparkSession)
+    if 0 < est_bytes <= bthr:
+        par = vecs.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(par)
+        b = F.broadcast(b)
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
